@@ -2,23 +2,30 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** One verifiable operator demonstration: a Spark query over the harness
   * tables plus (where SQL-expressible) an equivalent DuckDB oracle query.
   *
   * Contract (driver): result columns are sorted by name then value-hashed
   * against the oracle result, so every computed column is aliased identically
-  * on both sides, every query ends in a deterministic ORDER BY, and every
-  * floating-point output is quantised with [[Q.q2]]/[[Q.q6]] — pure IEEE
-  * `floor(x*k+0.5)/k` arithmetic that evaluates bit-identically in Spark and
-  * DuckDB (unlike `round`, whose half-even/half-up rules differ per engine).
+  * on both sides and every query ends in a deterministic ORDER BY.
+  *
+  * Cross-engine float determinism: a float SUM over shuffled partitions is
+  * not bit-stable (addition order differs between Spark and DuckDB — the
+  * reference hits the identical caveat, reference
+  * `tests/properties/test_conservation.py:36-39`). All money/number sums
+  * therefore go through exact DECIMAL accumulation ([[Q.dsum]]) and
+  * per-row float math is quantised with [[Q.q2]]/[[Q.q6]] — pure IEEE
+  * `floor(x*k+0.5)/k`, which evaluates bit-identically in Spark and DuckDB
+  * (unlike `round`, whose tie rules differ per engine).
   */
 final case class QueryDef(
     name: String,
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
-/** Quantisation helpers shared by all queries (Spark side). */
+/** Determinism helpers shared by all queries (Spark side + SQL strings). */
 object Q {
   /** floor(x*k+0.5)/k — engine-portable rounding; k picked per unit. */
   private def qk(c: Column, k: Double): Column = floor(c * k + lit(0.5)) / k
@@ -26,7 +33,25 @@ object Q {
   def q2(c: Column): Column = qk(c, 100.0)
   /** Rates/ratios: 6 decimals. */
   def q6(c: Column): Column = qk(c, 1e6)
+
+  /** Exact decimal sum of a double expression, surfaced as double.
+    * Per-row cast double→DECIMAL(38,scale) is deterministic (ties on the
+    * exact half-ulp boundary are measure-zero for arbitrary doubles), the
+    * decimal SUM is exact in any order, and the final decimal→double cast
+    * is exact for magnitudes < 2^53/10^scale.
+    */
+  def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(38, scale))).cast("double")
+
+  /** Window variant of [[dsum]]. */
+  def dsumOver(c: Column, scale: Int, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast(DecimalType(38, scale))).over(w).cast("double")
+
   /** SQL-side equivalents (DuckDB). */
   def sql2(e: String): String = s"floor(($e)*100+0.5)/100"
   def sql6(e: String): String = s"floor(($e)*1e6+0.5)/1e6"
+  def sqlDsum(e: String, scale: Int): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(38,$scale))) AS DOUBLE)"
+  def sqlDsumOver(e: String, scale: Int, over: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(38,$scale))) OVER ($over) AS DOUBLE)"
 }
