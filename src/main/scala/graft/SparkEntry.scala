@@ -8,11 +8,11 @@ object SparkEntry {
 
   /** All operator demonstrations, assembled from the per-area batteries. */
   private def defs: Seq[QueryDef] =
-    Relational.all ++ Joins.all ++ Windows.all ++ Scalars.all
+    Relational.all ++ Joins.all ++ Windows.all ++ Scalars.all ++ Rwa.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    defs.head.build(spark, "/root/testdata/sf0.001")
+    Rwa.q50SaRwaFlagship.build(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

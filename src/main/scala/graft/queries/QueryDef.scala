@@ -35,10 +35,20 @@ object Q {
   def q6(c: Column): Column = qk(c, 1e6)
 
   /** Exact decimal sum of a double expression, surfaced as double.
-    * Per-row cast double→DECIMAL(38,scale) is deterministic (ties on the
-    * exact half-ulp boundary are measure-zero for arbitrary doubles), the
-    * decimal SUM is exact in any order, and the final decimal→double cast
-    * is exact for magnitudes < 2^53/10^scale.
+    * Per-row cast double→DECIMAL(38,scale) is deterministic for arbitrary
+    * doubles, the decimal SUM is exact in any order, and the final
+    * decimal→double cast is exact for magnitudes < 2^53/10^scale.
+    *
+    * SCALE RULE: pick `scale` ≥ the true decimal precision of the summand
+    * (e.g. money×rate with 2+2 decimal digits → scale ≥ 4, use 6). When the
+    * cast has to ROUND a value that is a "pretty decimal" just beyond the
+    * scale (…×.015 at scale 2), Spark and DuckDB disagree: Spark's
+    * double→decimal goes through the shortest string repr
+    * (BigDecimal.valueOf sees exactly .015, HALF_UP → .02) while DuckDB
+    * rounds the binary double (.01499999… → .01). With scale beyond the
+    * summand's decimal precision the cast never rounds, so both agree.
+    * Ties are then only possible for genuinely irrational values — a
+    * measure-zero event (q51's Basel-K sums confirm this empirically).
     */
   def dsum(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(38, scale))).cast("double")

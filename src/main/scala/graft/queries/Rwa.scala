@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.{normal, NormalMath}
+import Q._
+
+/** RWA-domain battery: the reference's regulatory calculators re-expressed
+  * over the harness star schema (orders ≅ exposures, customer ≅
+  * counterparties, nation/region ≅ country hierarchy). These exercise the
+  * same operator composition the real pipeline uses end-to-end:
+  * unify → enrich joins → classify when-chain → CCF → risk-weight lookup →
+  * rwa = ead×rw → summary aggregation (SURVEY.md §7.2 minimum slice), and
+  * the IRB capital formula through the custom norm_cdf/norm_ppf
+  * expressions (reference `engine/irb/formulas.py:844-884`).
+  */
+object Rwa {
+
+  /** q50: the flagship — SA RWA mini-pipeline (reference
+    * `engine/pipeline.py:184-210` orchestration; classifier
+    * `stages/classify`; CCF `engine/ccf.py`; SA risk weights
+    * `engine/sa/risk_weights.py`; aggregator `engine/aggregator/_summaries.py`).
+    * Single scan of the fact side, all dimension/rule joins broadcast, one
+    * shuffle at the final summary — the plan shape that holds at 100 TB.
+    */
+  val q50SaRwaFlagship = QueryDef(
+    "q50_sa_rwa_flagship",
+    (s, dir) => {
+      import s.implicits._
+      // rulepack-as-data: CCF by status, RW by (class, size band)
+      val ccfRules = Seq(
+        ("O", 0.75), ("F", 1.0), ("P", 0.5)
+      ).toDF("ccf_status", "ccf")
+      val rwRules = Seq(
+        ("retail", "small", 0.75), ("retail", "large", 1.00),
+        ("corporate", "small", 1.00), ("corporate", "large", 1.50),
+        ("sovereign", "small", 0.00), ("sovereign", "large", 0.20)
+      ).toDF("rw_class", "rw_band", "risk_weight")
+
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        // classifier when-chain (reference stages/classify cascade)
+        .withColumn("exposure_class",
+          when(col("n_name").isin("UNITED STATES", "GERMANY", "CHINA") &&
+               col("c_acctbal") > 9000, "sovereign")
+            .when(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") &&
+                  col("o_totalprice") < 50000, "retail")
+            .otherwise("corporate"))
+        .withColumn("size_band",
+          when(col("o_totalprice") < 150000, "small").otherwise("large"))
+        // CCF resolution (drawn ⇒ EAD = amount × ccf)
+        .join(broadcast(ccfRules), col("o_orderstatus") === col("ccf_status"), "left")
+        .withColumn("ead", col("o_totalprice") * coalesce(col("ccf"), lit(1.0)))
+        // SA risk-weight decision table
+        .join(broadcast(rwRules),
+              col("exposure_class") === col("rw_class") &&
+              col("size_band") === col("rw_band"), "left")
+        .withColumn("rwa", col("ead") * coalesce(col("risk_weight"), lit(1.0)))
+        // aggregator summary
+        .groupBy(col("exposure_class"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          dsum(col("ead"), 6).as("total_ead"),
+          dsum(col("rwa"), 6).as("total_rwa"),
+          (dsum(col("rwa"), 6) / dsum(col("ead"), 6)).as("avg_rw"))
+        .orderBy(col("exposure_class"))
+    },
+    Some(s"""
+      WITH ccf_rules(ccf_status, ccf) AS (VALUES ('O', 0.75), ('F', 1.0), ('P', 0.5)),
+      rw_rules(rw_class, rw_band, risk_weight) AS (VALUES
+        ('retail','small',0.75), ('retail','large',1.00),
+        ('corporate','small',1.00), ('corporate','large',1.50),
+        ('sovereign','small',0.00), ('sovereign','large',0.20)),
+      enriched AS (
+        SELECT o.*, c.c_acctbal, c.c_mktsegment, n.n_name
+        FROM orders o
+        LEFT JOIN customer c ON o_custkey = c_custkey
+        LEFT JOIN nation n ON c_nationkey = n_nationkey),
+      classified AS (
+        SELECT *,
+          CASE WHEN n_name IN ('UNITED STATES','GERMANY','CHINA') AND c_acctbal > 9000
+               THEN 'sovereign'
+               WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') AND o_totalprice < 50000
+               THEN 'retail'
+               ELSE 'corporate' END AS exposure_class,
+          CASE WHEN o_totalprice < 150000 THEN 'small' ELSE 'large' END AS size_band
+        FROM enriched),
+      ead_calc AS (
+        SELECT classified.*, o_totalprice * coalesce(ccf, 1.0) AS ead
+        FROM classified LEFT JOIN ccf_rules ON o_orderstatus = ccf_status),
+      weighted AS (
+        SELECT ead_calc.*, ead * coalesce(risk_weight, 1.0) AS rwa
+        FROM ead_calc LEFT JOIN rw_rules
+          ON exposure_class = rw_class AND size_band = rw_band)
+      SELECT exposure_class,
+             count(*) AS n_exposures,
+             ${sqlDsum("ead", 6)} AS total_ead,
+             ${sqlDsum("rwa", 6)} AS total_rwa,
+             ${sqlDsum("rwa", 6)} / ${sqlDsum("ead", 6)} AS avg_rw
+      FROM weighted
+      GROUP BY exposure_class
+      ORDER BY exposure_class
+    """.stripMargin.trim))
+
+  // ---- SQL replicas of the normal kernels (oracle side) ----------------
+  // The oracle must evaluate the SAME op tree DuckDB-side that NormalMath
+  // evaluates Spark-side, so the polynomial strings are generated from the
+  // same coefficient arrays (transcription-proof).
+
+  private val A = Seq(3.16112374387056560e0, 1.13864154151050156e2,
+    3.77485237685302021e2, 3.20937758913846947e3, 1.85777706184603153e-1)
+  private val B = Seq(2.36012909523441209e1, 2.44024637934444173e2,
+    1.28261652607737228e3, 2.84423683343917062e3)
+  private val C = Seq(5.64188496988670089e-1, 8.88314979438837594e0,
+    6.61191906371416295e1, 2.98635138197400131e2, 8.81952221241769090e2,
+    1.71204761263407058e3, 2.05107837782607147e3, 1.23033935479799725e3,
+    2.15311535474403846e-8)
+  private val D = Seq(1.57449261107098347e1, 1.17693950891312499e2,
+    5.37181101862009858e2, 1.62138957456669019e3, 3.29079923573345963e3,
+    4.36261909014324716e3, 3.43936767414372164e3, 1.23033935480374942e3)
+  private val IA = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+    -2.759285104469687e+02, 1.383577518672690e+02, -3.066479806614716e+01,
+    2.506628277459239e+00)
+  private val IB = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+    -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+
+  /** CALERF-style Horner chain: start `last*v`, fold +coef then *v. */
+  private def horner(last: String, coefs: Seq[String], v: String): String =
+    coefs.foldLeft(s"($last)*$v")((acc, c) => s"($acc+($c))*$v")
+
+  /** erf(ax) for 0 <= ax <= 0.46875 (Cody branch 1), SQL string.
+    * xnum starts at A4*z, xden at z (written 1.0*z), each folding 3 coefs.
+    */
+  private def sqlErf1(ax: String, z: String): String = {
+    val num = horner(A(4).toString, A.take(3).map(_.toString), z)
+    val den = horner("1.0", B.take(3).map(_.toString), z)
+    s"($ax)*(($num)+(${A(3)}))/(($den)+(${B(3)}))"
+  }
+
+  /** erfc(ax) for 0.46875 < ax <= 4 (Cody branch 2), SQL string. */
+  private def sqlErfc2(ax: String): String = {
+    val num = s"(${horner(C(8).toString, C.take(7).map(_.toString), ax)})+(${C(7)})"
+    val den = s"(${horner("1.0", D.take(7).map(_.toString), ax)})+(${D(7)})"
+    val xsq = s"(floor(($ax)*16.0)/16.0)"
+    s"exp(-$xsq*$xsq)*exp(-((($ax)-$xsq)*(($ax)+$xsq)))*(($num)/($den))"
+  }
+
+  /** Φ(x) = 0.5*erfc(-x/√2), branches 1+2 (valid for |x| ≤ 5.65), SQL. */
+  private def sqlNormCdf(x: String): String = {
+    val t = s"(-($x)*0.7071067811865476)"
+    val ax = s"abs($t)"
+    val z = s"($ax*$ax)"
+    val r = s"(CASE WHEN $ax <= 0.46875 THEN 1.0-(${sqlErf1(ax, z)}) " +
+      s"ELSE ${sqlErfc2(ax)} END)"
+    s"0.5*(CASE WHEN $t < 0 THEN 2.0-$r ELSE $r END)"
+  }
+
+  /** Φ⁻¹(p), Acklam CENTRAL branch only (valid for p ∈ [0.02425, 0.97575]). */
+  private def sqlNormPpfCentral(p: String): String = {
+    val q = s"(($p)-0.5)"
+    val r = s"($q*$q)"
+    val num = s"(${horner(IA(0).toString, IA.slice(1, 5).map(_.toString), r)})+(${IA(5)})"
+    val den = s"(${horner(IB(0).toString, IB.slice(1, 4).map(_.toString), r)})+(${IB(4)})"
+    s"(($num)*$q)/(($den)*$r+1.0)"
+  }
+
+  /** q51: IRB capital kernel — the Basel corporate K formula per exposure
+    * through the custom norm_cdf/norm_ppf expressions, then aggregated
+    * (reference `engine/irb/formulas.py:844-884`: correlation, maturity
+    * adjustment b(pd), K, RWA = K·12.5·1.06·EAD). PD is driven off
+    * l_discount so it stays in Acklam's central branch; the DuckDB oracle
+    * replicates the identical published polynomials op-for-op.
+    */
+  val q51IrbKernel = QueryDef(
+    "q51_irb_kernel",
+    (s, dir) => {
+      val g999 = NormalMath.normPpf(0.999) // inlined constant, both sides
+      val li = Tables.lineitem(s, dir)
+      val pd = col("l_discount") + lit(0.03)
+      val lgd = lit(0.45)
+      val expTerm = (lit(1.0) - exp(lit(-50.0) * col("pd"))) / (lit(1.0) - exp(lit(-50.0)))
+      val df = li.select(
+          col("l_returnflag"), col("l_extendedprice").as("ead"),
+          pd.as("pd"), (lit(1.0) + col("l_linenumber") * lit(0.5)).as("m"))
+        .withColumn("r_corr",
+          lit(0.12) * expTerm + lit(0.24) * (lit(1.0) - expTerm))
+        .withColumn("b_adj", pow(lit(0.11852) - lit(0.05478) * log(col("pd")), 2.0))
+        .withColumn("g",
+          sqrt(lit(1.0) / (lit(1.0) - col("r_corr"))) * normal.norm_ppf(col("pd")) +
+          sqrt(col("r_corr") / (lit(1.0) - col("r_corr"))) * lit(g999))
+        .withColumn("k",
+          lgd * (normal.norm_cdf(col("g")) - col("pd")) *
+          (lit(1.0) + (col("m") - lit(2.5)) * col("b_adj")) /
+          (lit(1.0) - lit(1.5) * col("b_adj")))
+        .withColumn("rwa", col("k") * lit(12.5) * lit(1.06) * col("ead"))
+      df.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(q6(col("k")), 6).as("sum_k"),
+          dsum(q2(col("rwa")), 2).as("total_rwa"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some {
+      val g999 = NormalMath.normPpf(0.999)
+      s"""
+      WITH base AS (
+        SELECT l_returnflag, l_extendedprice AS ead,
+               l_discount + 0.03 AS pd,
+               1.0 + l_linenumber * 0.5 AS m
+        FROM lineitem),
+      corr AS (
+        SELECT *,
+          0.12 * ((1.0 - exp(-50.0 * pd)) / (1.0 - exp(-50.0))) +
+          0.24 * (1.0 - ((1.0 - exp(-50.0 * pd)) / (1.0 - exp(-50.0)))) AS r_corr,
+          pow(0.11852 - 0.05478 * ln(pd), 2.0) AS b_adj
+        FROM base),
+      garg AS (
+        SELECT *,
+          sqrt(1.0 / (1.0 - r_corr)) * (${sqlNormPpfCentral("pd")}) +
+          sqrt(r_corr / (1.0 - r_corr)) * ($g999) AS g
+        FROM corr),
+      kcalc AS (
+        SELECT *,
+          0.45 * ((${sqlNormCdf("g")}) - pd) *
+          (1.0 + (m - 2.5) * b_adj) / (1.0 - 1.5 * b_adj) AS k
+        FROM garg),
+      final AS (SELECT *, k * 12.5 * 1.06 * ead AS rwa FROM kcalc)
+      SELECT l_returnflag, count(*) AS n,
+             ${sqlDsum(sql6("k"), 6)} AS sum_k,
+             ${sqlDsum(sql2("rwa"), 2)} AS total_rwa
+      FROM final
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+      """.stripMargin.trim
+    })
+
+  val all: Seq[QueryDef] = Seq(q50SaRwaFlagship, q51IrbKernel)
+}
