@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static text-hashing kernels for the LLM-pipeline operators. All hashes
+  * are self-contained published algorithms (FNV-1a, Karp-Rabin) so results
+  * are engine- and platform-stable — no dependence on Spark's internal
+  * hash seeds or JVM object hashing.
+  */
+object TextHash {
+
+  /** FNV-1a 64-bit over UTF-8 bytes. */
+  def fnv64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Seeded variant — one cheap independent hash family per seed, used by
+    * MinHash (h_i(x) = fnv64(x) xor-mixed with seed i).
+    */
+  def fnv64Seeded(s: UTF8String, seed: Int): Long = {
+    var h = fnv64(s) ^ (seed * 0x9e3779b97f4a7c15L)
+    // splitmix64 finaliser — decorrelates the seeds
+    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  /** 64-bit SimHash over a token array: per bit, sum +1/-1 across token
+    * hashes, emit the sign bit (Charikar 2002). Null tokens are skipped.
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv64(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  private val P = (1L << 61) - 1 // Mersenne prime 2^61-1
+  private val B = 257L
+
+  private def mulmod(a: Long, b: Long): Long = {
+    // (a*b) mod 2^61-1 via 128-bit product + Mersenne folding
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // value = hi*2^64 + lo; fold mod 2^61-1: 2^64 ≡ 8 (mod p)
+    val lo61 = lo & P
+    val rest = (lo >>> 61) | (hi << 3)
+    var r = lo61 + rest
+    while (r >= P) r -= P // rest ≤ P, so at most two subtractions
+    r
+  }
+
+  /** Winnowing-style document fingerprint: Karp-Rabin polynomial hash of
+    * every `window`-char substring (base 257 mod 2^61−1, O(n) rolling),
+    * return the MINIMUM — a deterministic content fingerprint stable under
+    * appends outside the minimising window (Schleimer/Wilkerson/Aiken's
+    * winnowing, SIGMOD 2003, degenerate single-band form).
+    */
+  def minWindowHash(s: UTF8String, window: Int): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return 0L
+    val w = math.min(window, n)
+    // B^(w-1) mod p for the rolling removal
+    var bw = 1L
+    var k = 0
+    while (k < w - 1) { bw = mulmod(bw, B); k += 1 }
+    var h = 0L
+    var i = 0
+    while (i < w) {
+      h = (mulmod(h, B) + (bytes(i) & 0xffL)) % P
+      i += 1
+    }
+    var min = h
+    while (i < n) {
+      val out = (bytes(i - w) & 0xffL)
+      h = (h + P - mulmod(out, bw) % P) % P
+      h = (mulmod(h, B) + (bytes(i) & 0xffL)) % P
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}
+
+/** simhash64(tokens): ArrayType(StringType) → LongType, codegen-native. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires ARRAY<STRING>, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** min_window_hash(text, window): winnowing fingerprint, codegen-native. */
+case class MinWindowHash(child: Expression, window: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "min_window_hash"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"min_window_hash requires STRING, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minWindowHash(input.asInstanceOf[UTF8String], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minWindowHash($c, $window)")
+  override protected def withNewChildInternal(newChild: Expression): MinWindowHash =
+    copy(child = newChild)
+}
+
+/** Column-API entry points for the text-hash expressions. */
+object hashfns {
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+  def min_window_hash(text: Column, window: Int = 16): Column =
+    GraftBridge.column(MinWindowHash(GraftBridge.expression(text), window))
+}

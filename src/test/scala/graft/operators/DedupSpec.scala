@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "src0", "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "src0", "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "src0", "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup of 1
+    (4L, "src0", "completely different content about spark query engines and shuffles here"),
+    (5L, "src1", "another unrelated document talking about embeddings vectors and cosine"),
+    (6L, "src1", "another unrelated document talking about embeddings vectors and cosine scores") // near dup of 5
+  ).toDF("doc_id", "source", "text")
+
+  test("exact dedup keeps min-id survivor per digest") {
+    val (survivors, dupes) = Dedup.exact(corpus, "doc_id", md5(col("text")))
+    val ids = survivors.select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 3L, 4L, 5L, 6L)) // 2 deduped into 1
+    assert(dupes.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("minhash LSH finds planted near-duplicates, skips unrelated docs") {
+    val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 16) // r=2: high recall at modest sim
+    val pairs = cands.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near dup pair missing from $pairs")
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((4L, 5L)),
+      s"unrelated pair wrongly bucketed in $pairs")
+    val est = cands.filter(col("id_a") === 1L && col("id_b") === 2L)
+      .select("est_jaccard").as[Double].head()
+    assert(est == 1.0, "identical docs must agree on every minhash")
+  }
+
+  test("simhash: identical docs at distance 0, near dups close, unrelated far") {
+    val cands = Dedup.simhashCandidates(corpus, "doc_id", "text", maxHamming = 20)
+    val m = cands.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(m.get((1L, 2L)).contains(0), s"exact dup hamming should be 0: $m")
+    m.get((1L, 3L)).foreach(d => assert(d <= 20))
+    assert(!m.contains((1L, 4L)) || m((1L, 4L)) > 10,
+      "unrelated docs should not be near-identical")
+  }
+
+  test("word-set jaccard exact values") {
+    val df = Seq(
+      ("a b c", "a b c"), ("a b c d", "c d e f"), ("a a b", "b b a"))
+      .toDF("t1", "t2")
+      .select(Dedup.jaccard(split(col("t1"), " "), split(col("t2"), " ")).as("j"))
+    val js = df.as[Double].collect()
+    assert(js(0) == 1.0)
+    assert(js(1) == 2.0 / 6.0)
+    assert(js(2) == 1.0) // distinct semantics: {a,b} vs {b,a}
+  }
+
+  test("shingles produce n-grams over token windows") {
+    val sh = Seq("w1 w2 w3 w4").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("w1 w2 w3", "w2 w3 w4"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    new Timestamp(1700000000000L + minute * 60000L)
+
+  test("windowed counts run incrementally over a MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.windowedCounts(input.toDF(), window_ = "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        EventStreams.Event(ts(0), 1L, "click", 1.0),
+        EventStreams.Event(ts(10), 1L, "click", 2.0),
+        EventStreams.Event(ts(70), 2L, "view", 3.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the first windows
+      input.addData(EventStreams.Event(ts(400), 3L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+      val clicks = rows.find(r => r.getString(1) == "click" && r.getLong(2) == 2L)
+      assert(clicks.isDefined, s"expected closed click window in ${rows.mkString(";")}")
+      assert(clicks.get.getDouble(3) == 3.0)
+    } finally q.stop()
+  }
+
+  test("session_window groups events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionWindows(input.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        EventStreams.Event(ts(0), 1L, "click", 1.0),
+        EventStreams.Event(ts(10), 1L, "click", 1.0), // same session
+        EventStreams.Event(ts(120), 1L, "click", 1.0)) // new session
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(ts(2000), 9L, "click", 1.0)) // push watermark
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .filter(col("user_id") === 1L).collect()
+      assert(rows.length == 2, s"expected 2 closed sessions, got ${rows.mkString(";")}")
+      assert(rows.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.statefulSessionize(input.toDS())
+      .writeStream.format("memory").queryName("stateful_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        EventStreams.Event(ts(0), 1L, "click", 1.0),
+        EventStreams.Event(ts(5), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // second batch: gap > 30min closes the first session
+      input.addData(EventStreams.Event(ts(100), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_sessions").collect()
+      assert(rows.length == 1, s"expected 1 closed session, got ${rows.mkString(";")}")
+      assert(rows.head.getInt(3) == 2)
+    } finally q.stop()
+  }
+}
