@@ -54,20 +54,19 @@ object Dedup {
     (survivors, dupes)
   }
 
-  /** MinHash signature as an array<bigint> of `k` seeded minima over the
-    * shingle set. Seeded FNV via xxhash-free static kernel keeps every
-    * hash engine-stable.
+  /** MinHash signature as an array<bigint> of `k` seeded minima over an
+    * ALREADY-MATERIALISED shingle array column. The shingle array must be
+    * a stored column, not an inline expression: Catalyst does not CSE
+    * lambda-bearing subtrees, so referencing `shingles(text, n)` k times
+    * would rebuild the shingle array k times per row (measured 200s+ at
+    * sf0.1 vs ~2s with the stored column).
     */
-  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
-    val sh = shingles(text, shingleN)
+  def minhashSignature(shingleCol: Column, k: Int): Column =
     array((0 until k).map { seed =>
-      array_min(transform(sh, s =>
-        // seeded family: fnv64(shingle) mixed with the seed, done in SQL
-        // via xxhash64(seed, shingle) — Spark's xxhash64 is seed-stable
-        // and engine-internal use is fine here (no oracle replication)
-        xxhash64(lit(seed), s)))
+      // seeded family via xxhash64(seed, shingle) — seed-stable and
+      // engine-internal (no oracle replication needed)
+      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
     }: _*)
-  }
 
   /** LSH candidate pairs: split the k-length signature into `bands` bands,
     * hash each band, explode to (band_idx, band_hash) buckets, self-join
@@ -78,8 +77,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
     val rows = k / bands
-    val sig = df.select(col(idCol).as("mh_id"),
-      minhashSignature(col(textCol), shingleN, k).as("sig"))
+    val sig = df
+      .select(col(idCol).as("mh_id"), shingles(col(textCol), shingleN).as("sh"))
+      .select(col("mh_id"), minhashSignature(col("sh"), k).as("sig"))
     val banded = sig.select(
       col("mh_id"), col("sig"),
       posexplode(transform(

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.contracts.{CalcError, EdgeContract}
+
+/** Contract-enforcing loader (reference `engine/loader.py`): scan →
+  * normalise column names → translate legacy aliases → lenient-seal
+  * against the table's EdgeContract (cast declared dtypes invalid→null,
+  * add missing optional columns as typed nulls, Boolean-only defaults,
+  * drop undeclared columns, DQ001 errors for missing required columns).
+  *
+  * Parquet and CSV front-ends share the same conform path — format is an
+  * input detail, the sealed frame is the contract.
+  */
+final case class LoadedTable(df: DataFrame, errors: Seq[CalcError])
+
+object Loader {
+
+  /** lowercase + trim — the reference's name normalisation
+    * (`engine/loader.py:197-221`). */
+  private def normalise(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c.trim.toLowerCase))
+
+  /** legacy→canonical renames applied at load only
+    * (`engine/loader.py:177-194`). */
+  private def translateAliases(df: DataFrame, aliases: Map[String, String]): DataFrame =
+    aliases.foldLeft(df) { case (d, (legacy, canonical)) =>
+      if (d.columns.contains(legacy) && !d.columns.contains(canonical))
+        d.withColumnRenamed(legacy, canonical)
+      else d
+    }
+
+  def loadParquet(
+      spark: SparkSession, path: String, contract: EdgeContract,
+      aliases: Map[String, String] = Map.empty): LoadedTable = {
+    val raw = spark.read.parquet(path)
+    val (df, errs) = contract.seal(translateAliases(normalise(raw), aliases))
+    LoadedTable(df, errs)
+  }
+
+  def loadCsv(
+      spark: SparkSession, path: String, contract: EdgeContract,
+      aliases: Map[String, String] = Map.empty,
+      header: Boolean = true): LoadedTable = {
+    // all-string read; the contract's try_cast does the typed conversion
+    // with invalid→null (reference CSVLoader + enforce_schema)
+    val raw = spark.read
+      .option("header", header.toString)
+      .option("dateFormat", "yyyy-MM-dd")
+      .csv(path)
+    val (df, errs) = contract.seal(translateAliases(normalise(raw), aliases))
+    LoadedTable(df, errs)
+  }
+}
+
+/** Export sinks (reference `api/export.py` parquet/csv exporters +
+  * `observability/audit_cache.py` per-run artifacts with manifest.json).
+  */
+object Sinks {
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Audit-cache style export: each frame to parquet + a manifest.json of
+    * row counts (the driver-side provenance record). */
+  def writeAuditCache(frames: Map[String, DataFrame], dir: String): Unit = {
+    val counts = frames.map { case (name, df) =>
+      writeParquet(df, s"$dir/$name")
+      name -> df.count()
+    }
+    val manifest = counts
+      .map { case (k, v) => s"""  "$k": $v""" }
+      .mkString("{\n", ",\n", "\n}\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/manifest.json"), manifest)
+  }
+}
