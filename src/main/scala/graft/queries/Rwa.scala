@@ -239,5 +239,110 @@ object Rwa {
       """.stripMargin.trim
     })
 
-  val all: Seq[QueryDef] = Seq(q50SaRwaFlagship, q51IrbKernel)
+  /** q52: Basel 3.1 output floor — portfolio scalars U-TREA (modelled) and
+    * S-TREA (standardised), floored total = max(U, 72.5%·S), and the
+    * pro-rata distribution of the floor uplift back to class grain
+    * (reference `engine/aggregator/_floor.py` ~480 LoC). Two single-row
+    * aggregates broadcast onto the class summary — no extra shuffle of
+    * exposure rows at any scale.
+    */
+  val q52OutputFloor = QueryDef(
+    "q52_output_floor",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val base = o.select(
+        when(col("o_orderstatus") === "F", "settled")
+          .when(col("o_totalprice") > 150000, "large").otherwise("standard")
+          .as("exposure_class"),
+        (col("o_totalprice") * lit(0.60)).as("irb_rwa"),
+        (col("o_totalprice") * lit(1.0)).as("sa_rwa"))
+      val perClass = base.groupBy(col("exposure_class"))
+        .agg(dsum(col("irb_rwa"), 6).as("class_irb"),
+             dsum(col("sa_rwa"), 6).as("class_sa"),
+             count(lit(1)).as("n"))
+      val totals = base.agg(
+        dsum(col("irb_rwa"), 6).as("u_trea"),
+        dsum(col("sa_rwa"), 6).as("s_trea"))
+      perClass.crossJoin(broadcast(totals))
+        .select(
+          col("exposure_class"), col("n"),
+          q2(col("class_irb")).as("unfloored_rwa"),
+          q2(greatest(col("u_trea"), col("s_trea") * lit(0.725))).as("floored_total"),
+          q2(col("class_irb") *
+             (greatest(col("u_trea"), col("s_trea") * lit(0.725)) / col("u_trea")))
+            .as("floored_rwa"),
+          (col("u_trea") < col("s_trea") * lit(0.725)).as("floor_binds"))
+        .orderBy(col("exposure_class"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 'settled'
+                    WHEN o_totalprice > 150000 THEN 'large'
+                    ELSE 'standard' END AS exposure_class,
+               o_totalprice * 0.60 AS irb_rwa,
+               o_totalprice * 1.0 AS sa_rwa
+        FROM orders),
+      per_class AS (
+        SELECT exposure_class,
+               ${sqlDsum("irb_rwa", 6)} AS class_irb,
+               ${sqlDsum("sa_rwa", 6)} AS class_sa,
+               count(*) AS n
+        FROM base GROUP BY exposure_class),
+      totals AS (
+        SELECT ${sqlDsum("irb_rwa", 6)} AS u_trea,
+               ${sqlDsum("sa_rwa", 6)} AS s_trea
+        FROM base)
+      SELECT exposure_class, n,
+             ${sql2("class_irb")} AS unfloored_rwa,
+             ${sql2("greatest(u_trea, s_trea * 0.725)")} AS floored_total,
+             ${sql2("class_irb * (greatest(u_trea, s_trea * 0.725) / u_trea)")} AS floored_rwa,
+             u_trea < s_trea * 0.725 AS floor_binds
+      FROM per_class CROSS JOIN totals
+      ORDER BY exposure_class
+    """.stripMargin.trim))
+
+  /** q53: SME supporting factor — lending-group drawn totals via a window
+    * sum (no self-join, reference `engine/supporting_factors.py:456-560`
+    * `sum().over("_sme_group_key")`; CRR Art. 501 factor bands), factor
+    * applied per exposure, aggregated per band. One shuffle on the group
+    * key for the window, then the summary.
+    */
+  val q53SupportingFactor = QueryDef(
+    "q53_supporting_factor",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+      val staged = o.select(
+          col("o_custkey"), col("o_totalprice"),
+          dsumOver(col("o_totalprice"), 2, w).as("group_drawn"))
+        .withColumn("sf",
+          when(col("group_drawn") <= 500000, 0.7619)
+            .when(col("group_drawn") <= 1000000, 0.85)
+            .otherwise(1.0))
+      staged.groupBy(col("sf"))
+        .agg(countDistinct(col("o_custkey")).as("n_groups"),
+             count(lit(1)).as("n_exposures"),
+             dsum(col("o_totalprice") * lit(0.75) * col("sf"), 8).as("supported_rwa"))
+        .orderBy(col("sf"))
+    },
+    Some(s"""
+      WITH staged AS (
+        SELECT o_custkey, o_totalprice,
+               ${sqlDsumOver("o_totalprice", 2, "PARTITION BY o_custkey")} AS group_drawn
+        FROM orders),
+      banded AS (
+        SELECT *, CASE WHEN group_drawn <= 500000 THEN 0.7619
+                       WHEN group_drawn <= 1000000 THEN 0.85
+                       ELSE 1.0 END AS sf
+        FROM staged)
+      SELECT sf, count(DISTINCT o_custkey) AS n_groups,
+             count(*) AS n_exposures,
+             ${sqlDsum("o_totalprice * 0.75 * sf", 8)} AS supported_rwa
+      FROM banded
+      GROUP BY sf
+      ORDER BY sf
+    """.stripMargin.trim))
+
+  val all: Seq[QueryDef] = Seq(
+    q50SaRwaFlagship, q51IrbKernel, q52OutputFloor, q53SupportingFactor)
 }
