@@ -343,6 +343,120 @@ object Rwa {
       ORDER BY sf
     """.stripMargin.trim))
 
+  /** q54: SFT FCCM E* at netting-set grain — E* = max(0, E(1+HE) −
+    * C(1−HC)) per netting set, emitted as SYNTHETIC exposure rows and
+    * unioned back into the exposure frame with `source_exposure_reference`
+    * lineage (reference `engine/sft/fccm.py:315-545`; synthetic-row
+    * discipline SURVEY §7.4). One groupBy on the netting-set key; the
+    * union is schema-aligning, no shuffle.
+    */
+  val q54FccmNetting = QueryDef(
+    "q54_fccm_netting",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val ns = o.groupBy(col("o_custkey").as("netting_set"))
+        .agg(
+          dsum(col("o_totalprice"), 6).as("e_gross"),
+          dsum(col("o_totalprice") *
+            when(col("o_orderstatus") === "F", 0.5).otherwise(0.0), 6).as("c_gross"))
+        .select(
+          concat(lit("NS-"), col("netting_set").cast("string")).as("exposure_reference"),
+          concat(lit("NS-"), col("netting_set").cast("string")).as("source_exposure_reference"),
+          lit("sft_net").as("exposure_type"),
+          q2(greatest(lit(0.0),
+            col("e_gross") * lit(1.01) - col("c_gross") * lit(0.85))).as("ead"))
+      val direct = o.select(
+        concat(lit("ORD-"), col("o_orderkey").cast("string")).as("exposure_reference"),
+        lit(null).cast("string").as("source_exposure_reference"),
+        lit("loan").as("exposure_type"),
+        q2(col("o_totalprice")).as("ead"))
+      direct.unionByName(ns)
+        .groupBy(col("exposure_type"))
+        .agg(count(lit(1)).as("n"),
+             count(col("source_exposure_reference")).as("n_synthetic"),
+             dsum(col("ead"), 2).as("total_ead"))
+        .orderBy(col("exposure_type"))
+    },
+    Some(s"""
+      WITH ns AS (
+        SELECT 'NS-' || CAST(o_custkey AS VARCHAR) AS exposure_reference,
+               'NS-' || CAST(o_custkey AS VARCHAR) AS source_exposure_reference,
+               'sft_net' AS exposure_type,
+               ${sql2(s"greatest(0.0, ${sqlDsum("o_totalprice", 6)} * 1.01 - " +
+                 s"${sqlDsum("o_totalprice * (CASE WHEN o_orderstatus = 'F' THEN 0.5 ELSE 0.0 END)", 6)} * 0.85)")} AS ead
+        FROM orders GROUP BY o_custkey),
+      direct AS (
+        SELECT 'ORD-' || CAST(o_orderkey AS VARCHAR) AS exposure_reference,
+               NULL::VARCHAR AS source_exposure_reference,
+               'loan' AS exposure_type,
+               ${sql2("o_totalprice")} AS ead
+        FROM orders),
+      unified AS (SELECT * FROM direct UNION ALL SELECT * FROM ns)
+      SELECT exposure_type, count(*) AS n,
+             count(source_exposure_reference) AS n_synthetic,
+             ${sqlDsum("ead", 2)} AS total_ead
+      FROM unified
+      GROUP BY exposure_type
+      ORDER BY exposure_type
+    """.stripMargin.trim))
+
+  /** q55: RE-split — each exposure splits into covered/uncovered sub-rows
+    * (explode of a struct array) carrying `parent_exposure_reference`
+    * lineage, then the reconciliation-side collapse back to key grain
+    * proves conservation (reference `stages/re_split`;
+    * `engine/aggregator/_collapse.py` aggregate_to_key_grain). Generators
+    * run inside the scan stage; conservation is checked in the output.
+    */
+  val q55ReSplit = QueryDef(
+    "q55_re_split",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val split = o.select(
+          concat(lit("ORD-"), col("o_orderkey").cast("string"))
+            .as("parent_exposure_reference"),
+          col("o_totalprice"),
+          explode(array(
+            struct(lit("covered").as("kind"), lit(0.3).as("share")),
+            struct(lit("uncovered").as("kind"), lit(0.7).as("share")))).as("leg"))
+        .select(col("parent_exposure_reference"),
+          col("leg.kind").as("kind"),
+          (col("o_totalprice") * col("leg.share")).as("leg_ead"))
+      val collapsed = split.groupBy(col("parent_exposure_reference"))
+        .agg(dsum(col("leg_ead"), 6).as("parent_ead"),
+             count(lit(1)).as("n_legs"))
+      val byKind = split.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), dsum(col("leg_ead"), 6).as("total_ead"))
+        .select(col("kind").as("grp"), col("n"), col("total_ead"))
+      val conservation = collapsed.agg(
+        lit("collapsed_total").as("grp"),
+        count(lit(1)).as("n"),
+        dsum(col("parent_ead"), 6).as("total_ead"))
+      byKind.unionByName(conservation).orderBy(col("grp"))
+    },
+    Some(s"""
+      WITH split AS (
+        SELECT 'ORD-' || CAST(o_orderkey AS VARCHAR) AS parent_exposure_reference,
+               leg.kind AS kind,
+               o_totalprice * leg.share AS leg_ead
+        FROM orders,
+             unnest([struct_pack(kind := 'covered', share := CAST(0.3 AS DOUBLE)),
+                     struct_pack(kind := 'uncovered', share := CAST(0.7 AS DOUBLE))]) AS t(leg)),
+      collapsed AS (
+        SELECT parent_exposure_reference,
+               ${sqlDsum("leg_ead", 6)} AS parent_ead, count(*) AS n_legs
+        FROM split GROUP BY 1),
+      by_kind AS (
+        SELECT kind AS grp, count(*) AS n, ${sqlDsum("leg_ead", 6)} AS total_ead
+        FROM split GROUP BY 1),
+      conservation AS (
+        SELECT 'collapsed_total' AS grp, count(*) AS n,
+               ${sqlDsum("parent_ead", 6)} AS total_ead
+        FROM collapsed)
+      SELECT * FROM by_kind UNION ALL SELECT * FROM conservation
+      ORDER BY grp
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
-    q50SaRwaFlagship, q51IrbKernel, q52OutputFloor, q53SupportingFactor)
+    q50SaRwaFlagship, q51IrbKernel, q52OutputFloor, q53SupportingFactor,
+    q54FccmNetting, q55ReSplit)
 }
