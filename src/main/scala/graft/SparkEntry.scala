@@ -9,7 +9,7 @@ object SparkEntry {
   /** All operator demonstrations, assembled from the per-area batteries. */
   private def defs: Seq[QueryDef] =
     Relational.all ++ Joins.all ++ Windows.all ++ Scalars.all ++ Rwa.all ++
-      LlmOps.all ++ Events.all
+      Ccr.all ++ LlmOps.all ++ Events.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -49,6 +49,15 @@ object Q {
     * summand's decimal precision the cast never rounds, so both agree.
     * Ties are then only possible for genuinely irrational values — a
     * measure-zero event (q51's Basel-K sums confirm this empirically).
+    *
+    * MAGNITUDE RULE: the SUM must satisfy |sum|·10^scale < 2^53 when the
+    * raw cast-to-double output is compared directly — beyond that the
+    * decimal→double conversion itself rounds, and DuckDB's int128 path is
+    * not correctly rounded where Java's BigDecimal.doubleValue is (q57
+    * diverged at scale 8 with ~2e9 sums). When the summand has more
+    * decimals than the magnitude allows, quantise per-row with [[q2]]
+    * (pure floor arithmetic, engine-identical on the same double) and sum
+    * at the quantised scale.
     */
   def dsum(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(38, scale))).cast("double")

@@ -322,7 +322,7 @@ object Rwa {
       staged.groupBy(col("sf"))
         .agg(countDistinct(col("o_custkey")).as("n_groups"),
              count(lit(1)).as("n_exposures"),
-             dsum(col("o_totalprice") * lit(0.75) * col("sf"), 8).as("supported_rwa"))
+             dsum(q2(col("o_totalprice") * lit(0.75) * col("sf")), 2).as("supported_rwa"))
         .orderBy(col("sf"))
     },
     Some(s"""
@@ -337,7 +337,7 @@ object Rwa {
         FROM staged)
       SELECT sf, count(DISTINCT o_custkey) AS n_groups,
              count(*) AS n_exposures,
-             ${sqlDsum("o_totalprice * 0.75 * sf", 8)} AS supported_rwa
+             ${sqlDsum(sql2("o_totalprice * 0.75 * sf"), 2)} AS supported_rwa
       FROM banded
       GROUP BY sf
       ORDER BY sf
