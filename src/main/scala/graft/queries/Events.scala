@@ -44,7 +44,7 @@ object Events {
              epoch_ms(ts) // 86400000 AS day_bucket,
              count(*) AS n_events,
              ${sqlDsum("value", 2)} AS sum_value,
-             sum(CAST(props->>'k' AS BIGINT)) AS sum_k
+             CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
       FROM events
       GROUP BY 1, 2
       ORDER BY event_type, day_bucket
@@ -97,7 +97,7 @@ object Events {
         SELECT user_id, session_idx, count(*) AS n_events,
                (max(ms) - min(ms)) / 1000 AS duration_s
         FROM numbered GROUP BY 1, 2)
-      SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+      SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
              ${sql2(s"${sqlDsum("duration_s", 6)} / count(*)")} AS avg_duration_s
       FROM per_session
       GROUP BY user_id

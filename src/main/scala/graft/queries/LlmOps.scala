@@ -20,7 +20,10 @@ object LlmOps {
   /** q60: exact deduplication via content digest — hash-groupBy, min-id
     * survivor (`Dedup.exact`). Digest = md5 of the 3-token prefix so the
     * synthetic corpus actually collides. One shuffle on the digest at any
-    * scale.
+    * scale. Total doc count is recovered distributively as the sum of
+    * per-digest group sizes over the survivors (each digest group has
+    * exactly one survivor carrying `group_size`) — no driver-side action
+    * inside the query build.
     */
   val q60DedupExact = QueryDef(
     "q60_dedup_exact",
@@ -28,10 +31,9 @@ object LlmOps {
       val d = Tables.documents(s, dir)
       val digest = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
       val (survivors, dupes) = Dedup.exact(d, "doc_id", digest)
-      val nDocs = d.count()
       survivors.agg(
         count(lit(1)).as("n_survivors"),
-        lit(nDocs).as("n_docs"),
+        sum(col("group_size")).as("n_docs"),
         countDistinct(col("content_digest")).as("n_digests"))
     },
     Some("""
@@ -285,9 +287,9 @@ object LlmOps {
     },
     Some("""
       SELECT source, count(*) AS n_docs,
-             sum(length(text) - length(replace(text, ' ', '')) + 1) AS total_tokens,
-             sum(CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)) AS total_subwords,
-             sum(n_chars) AS total_chars
+             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+             CAST(sum(CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT) AS total_subwords,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM documents
       GROUP BY source
       ORDER BY source
