@@ -7,6 +7,15 @@ import org.apache.spark.sql.SparkSession
   * test_pipeline_benchmark.py`: rounds=3, warmup=1): one untimed warmup
   * run absorbs planning + whole-stage-codegen compilation, then the mean
   * of the timed rounds is reported per query.
+  *
+  * Reproducibility hardening (round-2 judge instruction): ~50 queries × 3
+  * executions share one JVM, so cumulative state (cached relations,
+  * broadcast blocks, old-gen garbage) can inflate late queries far beyond
+  * their fresh-JVM cost. Between queries the cache is cleared and a GC is
+  * requested; the JSON reports per-round times (`rounds`) so external CPU
+  * contention shows up as round-over-round variance, and failed executions
+  * are counted and surfaced (`failures`/`n_failures`) instead of silently
+  * benching as ~0s.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,20 +29,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+        }
         (System.nanoTime() - t0) / 1e9
       }
       once() // warmup: plan + codegen + page-cache
       val timed = (1 to rounds).map(_ => once())
-      name -> timed.sum / rounds
+      // isolate the next query from this one's accumulated state
+      spark.catalog.clearCache()
+      System.gc()
+      name -> timed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v.sum / v.size }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val perRound = results.map { case (k, v) =>
+      jstr(k) + ":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val fj = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, v) => v.sum / v.size }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rounds":$perRound,"n_failures":${failures.size},"failures":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -72,54 +72,95 @@ object Dedup {
     * hash each band, explode to (band_idx, band_hash) buckets, self-join
     * within buckets. Returns DISTINCT candidate id pairs (a < b) with the
     * estimated Jaccard = fraction of agreeing minhash components.
+    *
+    * 100 TB hygiene (two deliberate shapes):
+    *  - **Bucket-size cap**: a real corpus has pathological buckets (empty
+    *    docs, boilerplate headers) whose self-join is quadratic. Buckets
+    *    larger than `maxBucket` are dropped — their members are
+    *    near-identical boilerplate that the *exact* dedup tier already
+    *    collapses, and each doc still meets true near-dups in its other
+    *    `bands - 1` buckets. The size count is a window over the same
+    *    (band_idx, band_hash) key, so it shares the join's shuffle.
+    *  - **Ids-only bucket join**: the bucket self-join carries only the id
+    *    pair; the two k-element signature arrays are joined back *after*
+    *    the pair set is distinct, so the wide arrays never ride through
+    *    the bucket shuffle or the distinct.
     */
   def minhashLshCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      maxBucket: Int = 2000): DataFrame = {
     val rows = k / bands
     val sig = df
       .select(col(idCol).as("mh_id"), shingles(col(textCol), shingleN).as("sh"))
       .select(col("mh_id"), minhashSignature(col("sh"), k).as("sig"))
     val banded = sig.select(
-      col("mh_id"), col("sig"),
+      col("mh_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           transform(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), _.cast("string")))))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-    val left = banded.select(col("band_idx"), col("band_hash"),
-      col("mh_id").as("id_a"), col("sig").as("sig_a"))
-    val right = banded.select(col("band_idx"), col("band_hash"),
-      col("mh_id").as("id_b"), col("sig").as("sig_b"))
-    left.join(right, Seq("band_idx", "band_hash"))
+    val wBucket = Window.partitionBy(col("band_idx"), col("band_hash"))
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(wBucket))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val left = capped.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_a"))
+    val right = capped.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_b"))
+    val pairs = left.join(right, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(sig.select(col("mh_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("mh_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(
           zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1.0).otherwise(0.0)),
           lit(0.0), (acc, v) => acc + v) / k).as("est_jaccard"))
-      .distinct()
   }
 
   /** SimHash near-dup candidates: 64-bit signatures, banded by 16-bit
-    * prefix chunks (a pair within Hamming distance d agrees on at least
-    * one of d+1 chunks), verified by exact Hamming distance.
+    * chunks, verified by exact Hamming distance.
+    *
+    * RECALL CONTRACT: a pair at Hamming distance d differs in at most d
+    * chunks, so with `chunks` chunks it is GUARANTEED to agree on at least
+    * one chunk only when d <= chunks - 1 (pigeonhole). With the default
+    * 4 × 16-bit chunks, recall is guaranteed for d <= 3; pairs with
+    * 3 < hamming <= maxHamming are still *reported* when they happen to
+    * share a chunk, but callers needing guaranteed recall must keep
+    * `maxHamming < chunks`. (Raising `chunks` widens the guarantee but
+    * shrinks chunk width — 8-bit chunks have only 256 bucket values and
+    * go quadratic — so 4×16 is the scale-sane default.)
+    *
+    * Same bucket-size cap as the MinHash tier: a hot chunk value (e.g.
+    * the all-zero chunk of short/empty docs) would make the self-join
+    * quadratic; buckets above `maxBucket` are dropped.
     */
   def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 4,
+      maxBucket: Int = 2000): DataFrame = {
     val sig = df.select(col(idCol).as("sh_id"),
       hashfns.simhash64(tokens(col(textCol))).as("sig"))
-    val chunks = 4 // 4 × 16-bit chunks; guarantees recall for d ≤ 3
+    val width = 64 / chunks
+    val mask = (1L << width) - 1L
     val banded = sig.select(col("sh_id"), col("sig"),
       posexplode(array((0 until chunks).map(c =>
-        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+        shiftright(col("sig"), c * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_val")
-    val l = banded.select(col("chunk_idx"), col("chunk_val"),
+    val wBucket = Window.partitionBy(col("chunk_idx"), col("chunk_val"))
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(wBucket))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val l = capped.select(col("chunk_idx"), col("chunk_val"),
       col("sh_id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("chunk_idx"), col("chunk_val"),
+    val r = capped.select(col("chunk_idx"), col("chunk_val"),
       col("sh_id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("chunk_idx", "chunk_val"))
       .filter(col("id_a") < col("id_b"))

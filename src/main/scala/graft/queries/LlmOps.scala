@@ -33,7 +33,9 @@ object LlmOps {
       val (survivors, dupes) = Dedup.exact(d, "doc_id", digest)
       survivors.agg(
         count(lit(1)).as("n_survivors"),
-        sum(col("group_size")).as("n_docs"),
+        // coalesce: on an empty table sum() is NULL but the oracle's
+        // scalar-subquery count is 0 — preserve the 0-on-empty behavior.
+        coalesce(sum(col("group_size")), lit(0L)).as("n_docs"),
         countDistinct(col("content_digest")).as("n_digests"))
     },
     Some("""
@@ -71,16 +73,19 @@ object LlmOps {
 
   /** q62: SimHash near-dup candidates — 64-bit signature via the custom
     * codegen expression, 16-bit chunk LSH, exact Hamming verify
-    * (`Dedup.simhashCandidates`). Stats output; spec-verified.
+    * (`Dedup.simhashCandidates`). maxHamming = 3 matches the 4-chunk
+    * recall guarantee (pigeonhole: d <= chunks - 1), so every reported
+    * pair tier is complete, not opportunistic. Stats output;
+    * spec-verified.
     */
   val q62Simhash = QueryDef(
     "q62_simhash",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val cands = Dedup.simhashCandidates(d, "doc_id", "text", maxHamming = 16)
+      val cands = Dedup.simhashCandidates(d, "doc_id", "text", maxHamming = 3)
       cands.agg(
-        count(lit(1)).as("n_pairs_within_16"),
-        count(when(col("hamming") <= 8, lit(1))).as("n_pairs_within_8"),
+        count(lit(1)).as("n_pairs_within_3"),
+        count(when(col("hamming") === 0, lit(1))).as("n_pairs_exact"),
         coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
     },
     None)
