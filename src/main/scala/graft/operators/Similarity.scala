@@ -67,6 +67,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate candidates — the embedding tier of
+    * the dedup stack. Sign-bit band LSH: each band's key is the sign
+    * pattern of `rowsPerBand` consecutive components (random-hyperplane
+    * LSH with axis-aligned hyperplanes — deterministic, so an external
+    * engine can replicate the bucketing exactly). Vectors sharing any
+    * band key become candidates; candidates are verified with the exact
+    * decimal cosine and filtered at `minCosine`.
+    *
+    * Same 100 TB hygiene as the text tiers: ids-only bucket self-join
+    * (vectors joined back after the distinct), and a bucket-size cap so
+    * a degenerate sign pattern (e.g. all-positive embeddings) cannot go
+    * quadratic.
+    */
+  def signLshNearDup(
+      df: DataFrame, idCol: String, vecCol: String,
+      bands: Int = 4, rowsPerBand: Int = 8,
+      minCosine: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    val v = df.select(col(idCol).as("nn_id"), col(vecCol).as("vec"))
+    val banded = v.select(
+      col("nn_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => concat((0 until rowsPerBand).map { j =>
+          when(element_at(col("vec"), (b * lit(rowsPerBand) + lit(j + 1)).cast("int")) >= 0,
+            lit("1")).otherwise(lit("0"))
+        }: _*))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val wBucket = Window.partitionBy(col("band_idx"), col("band_key"))
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(wBucket))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val l = capped.select(col("band_idx"), col("band_key"), col("nn_id").as("id_a"))
+    val r = capped.select(col("band_idx"), col("band_key"), col("nn_id").as("id_b"))
+    val pairs = l.join(r, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(v.select(col("nn_id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(v.select(col("nn_id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineExact(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** IVF index: assign every vector to its nearest of `nlist` k-means
     * centroids. Returns (assignments, fitted model). The model's centroid
     * set is the broadcastable "index"; assignments carry `cell`.

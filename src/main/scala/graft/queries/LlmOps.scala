@@ -301,8 +301,12 @@ object LlmOps {
     """.stripMargin.trim))
 
   /** q69: document fingerprinting — winnowing-style min-window rolling
-    * hash via the custom MinWindowHash expression. Stats output;
-    * spec-verified (stability under append, collision on shared windows).
+    * hash via the custom MinWindowHash expression. Oracle-exact: the
+    * Karp-Rabin hash (base 257 mod 2^61−1) is replicated in DuckDB with
+    * HUGEINT term arithmetic — per window, sum byte×257^k with the powers
+    * precomputed here (they fit BIGINT since p < 2^61), then one mod.
+    * The corpus is ASCII (verified strlen==length across all SFs), so
+    * `ord(substring(...))` is the byte value.
     */
   val q69Fingerprint = QueryDef(
     "q69_fingerprint",
@@ -315,13 +319,46 @@ object LlmOps {
              countDistinct(col("fp")).as("n_distinct_fp"))
         .orderBy(col("source"))
     },
-    None)
+    Some {
+      val P = BigInt("2305843009213693951") // 2^61 - 1
+      val pwVals = (0 until 16)
+        .map(k => s"($k, ${BigInt(257).modPow(BigInt(k), P)})")
+        .mkString(", ")
+      s"""
+      WITH pw(k, p) AS (VALUES $pwVals),
+      docs AS (SELECT source, doc_id, text, length(text) AS n FROM documents),
+      wins AS (
+        SELECT source, doc_id, text, n, least(16, n) AS w,
+               unnest(generate_series(1, n - least(16, n) + 1)) AS i
+        FROM docs WHERE n > 0),
+      terms AS (
+        SELECT source, doc_id, i,
+               CAST(ord(substring(text, i + j.j, 1)) AS HUGEINT) * CAST(p AS HUGEINT) AS t
+        FROM wins
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
+        JOIN pw ON pw.k = wins.w - 1 - j.j
+        WHERE j.j < wins.w),
+      hashes AS (
+        SELECT source, doc_id, i, CAST(sum(t) % 2305843009213693951 AS BIGINT) AS h
+        FROM terms GROUP BY source, doc_id, i),
+      fps AS (
+        SELECT source, doc_id, min(h) AS fp FROM hashes GROUP BY source, doc_id
+        UNION ALL
+        SELECT source, doc_id, 0 AS fp FROM docs WHERE n = 0)
+      SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp
+      FROM fps GROUP BY source ORDER BY source
+      """.stripMargin.trim
+    })
 
   /** q70: multimodal plumbing — text bytes stand in for a media payload
     * (binary column), `Multimodal.extractFeatures` runs the per-partition
     * decode stub, downstream aggregates the typed feature output. The
     * Spark surface (schema, mapPartitions batch shape, struct metadata)
-    * is real; only the codec is stubbed. Spec-verified.
+    * is real; only the codec is stubbed. Oracle-exact: the stub's feature
+    * arithmetic is plain byte math (first-byte width, every-8th-byte
+    * accumulator, float division by 1000) that DuckDB replicates —
+    * FLOAT/FLOAT division is single-precision in both engines, and the
+    * corpus is ASCII so ord() is the byte value.
     */
   val q70Multimodal = QueryDef(
     "q70_multimodal",
@@ -339,10 +376,84 @@ object LlmOps {
              dsum(col("f0").cast("double"), 6).as("sum_f0"))
         .orderBy(col("media_type"))
     },
-    None)
+    Some(s"""
+      WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      acc AS (
+        SELECT doc_id, n, text,
+               (SELECT coalesce(sum(ord(substring(b.text, j, 1))), 0)
+                FROM (SELECT unnest(generate_series(1, b.n, 8)) AS j)) AS s0
+        FROM b),
+      feats AS (
+        SELECT 'image' AS media_type, n AS byte_length,
+               64 + (CASE WHEN n = 0 THEN 0 ELSE ord(substring(text, 1, 1)) & 63 END) AS w,
+               CAST(CAST(s0 % 1000 AS FLOAT) / CAST(1000 AS FLOAT) AS DOUBLE) AS f0
+        FROM acc)
+      SELECT media_type, count(*) AS n_media,
+             CAST(sum(byte_length) AS BIGINT) AS total_bytes,
+             CAST(sum(w) AS BIGINT) AS sum_width,
+             ${sqlDsum("f0", 6)} AS sum_f0
+      FROM feats GROUP BY media_type ORDER BY media_type
+    """.stripMargin.trim))
+
+  /** q71: embedding-cosine near-dup — the embedding tier of the dedup
+    * stack (`Similarity.signLshNearDup`): sign-bit band LSH bucketing
+    * (4 bands × 8 components), ids-only bucket join with size cap, exact
+    * decimal cosine verify at >= 0.3. Oracle replicates the identical
+    * algorithm (deterministic axis-aligned hyperplanes + the q64 decimal
+    * dot-product discipline), so the result is hash-exact, not merely a
+    * recall estimate.
+    */
+  val q71EmbeddingNearDup = QueryDef(
+    "q71_embedding_near_dup",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cands = Similarity.signLshNearDup(e, "vec_id", "embedding", minCosine = 0.3)
+      val lab = e.select(col("vec_id"), col("label"))
+      cands
+        .join(lab.select(col("vec_id").as("id_a"), col("label").as("label_a")), Seq("id_a"))
+        .join(lab.select(col("vec_id").as("id_b"), col("label").as("label_b")), Seq("id_b"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          count(when(col("label_a") === col("label_b"), lit(1))).as("n_same_label"),
+          dsum(col("cosine"), 6).as("sum_cosine"),
+          q6(coalesce(max(col("cosine")), lit(0.0))).as("max_cosine"))
+    },
+    Some(s"""
+      WITH v AS (SELECT vec_id, embedding, label FROM embeddings),
+      bands AS (
+        SELECT vec_id, b,
+               (SELECT string_agg(CASE WHEN v.embedding[b.b*8 + j + 1] >= 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+                FROM (SELECT unnest(generate_series(0, 7)) AS j)) AS key
+        FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
+      capped AS (
+        SELECT vec_id, b, key FROM bands QUALIFY count(*) OVER (PARTITION BY b, key) <= 1000),
+      pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM capped a JOIN capped c ON a.b = c.b AND a.key = c.key AND a.vec_id < c.vec_id),
+      terms AS (
+        SELECT id_a, id_b,
+               CAST(CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE) AS DECIMAL(38,14)) AS pq,
+               CAST(CAST(va.embedding[i] AS DOUBLE) * CAST(va.embedding[i] AS DOUBLE) AS DECIMAL(38,14)) AS pp,
+               CAST(CAST(vb.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE) AS DECIMAL(38,14)) AS qq
+        FROM pairs JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+      cos AS (
+        SELECT id_a, id_b,
+               CAST(sum(pq) AS DOUBLE) / (sqrt(CAST(sum(pp) AS DOUBLE)) * sqrt(CAST(sum(qq) AS DOUBLE))) AS cosine
+        FROM terms GROUP BY id_a, id_b),
+      nd AS (
+        SELECT c.id_a, c.id_b, c.cosine, la.label AS label_a, lb.label AS label_b
+        FROM cos c JOIN v la ON la.vec_id = c.id_a JOIN v lb ON lb.vec_id = c.id_b
+        WHERE c.cosine >= 0.3)
+      SELECT count(*) AS n_pairs,
+             count(CASE WHEN label_a = label_b THEN 1 END) AS n_same_label,
+             ${sqlDsum("cosine", 6)} AS sum_cosine,
+             ${sql6("coalesce(max(cosine), 0.0)")} AS max_cosine
+      FROM nd
+    """.stripMargin.trim))
 
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q64CosineTopk, q65AnnIvf, q66LangId, q67QualityScore,
-    q68TokenCount, q69Fingerprint, q70Multimodal)
+    q68TokenCount, q69Fingerprint, q70Multimodal, q71EmbeddingNearDup)
 }
