@@ -9,11 +9,13 @@ object SparkEntry {
   /** All operator demonstrations, assembled from the per-area batteries. */
   private def defs: Seq[QueryDef] =
     Relational.all ++ Joins.all ++ Windows.all ++ Scalars.all ++ Rwa.all ++
-      Ccr.all ++ LlmOps.all ++ Events.all
+      Ccr.all ++ LlmOps.all ++ Events.all ++ Domain.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The composed domain pipeline (derive → conform → unify → FX →
+    * hierarchy → classify → CCF → CRM waterfall → SA RW → aggregate). */
   def entry(spark: SparkSession): DataFrame =
-    Rwa.q50SaRwaFlagship.build(spark, "/root/testdata/sf0.001")
+    Domain.q90DomainPipeline.build(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,448 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.contracts.{ColumnSpec, EdgeContract}
+import graft.sources.Tables
+import graft.queries.Q._
+
+/** The composed end-to-end domain pipeline — the reference's core artifact
+  * rebuilt Spark-first (reference `engine/registry.py:46-58` stage list,
+  * `engine/pipeline.py:184-210` orchestration): derive domain tables →
+  * conform to edge contracts → unify exposures → FX conversion → hierarchy
+  * roll-ups + rating inheritance → classification → CCF/EAD → CRM waterfall
+  * (collateral haircuts + guarantee substitution) → SA risk weights →
+  * supporting factors → aggregation.
+  *
+  * Domain tables are DETERMINISTIC derivations of the harness star schema
+  * (orders ≅ loans/facilities, customer ≅ counterparties, lineitem ≅
+  * collateral/guarantees, nation/region ≅ country hierarchy + FX), so the
+  * whole pipeline is oracle-checkable end-to-end in DuckDB.
+  *
+  * Every stage is a pure DataFrame → DataFrame function: q90 composes them
+  * LAZILY into one Catalyst plan (the optimizer sees the whole pipeline —
+  * pushdown/pruning cross stage boundaries), while `stages` wraps the same
+  * functions as Orchestrator stages with persist-materialised edges for
+  * the long-pipeline execution mode (reference eager stage edges,
+  * `engine/materialise.py:220-243`). DomainPipelineSpec asserts both modes
+  * produce identical results.
+  *
+  * Scale shape: one scan of orders (exposure side), one scan of lineitem
+  * (CRM side); counterparty/rule joins broadcast; the only data-sized
+  * shuffles are the CRM item join + per-exposure waterfall window and the
+  * final summary — the plan that holds at 100 TB.
+  */
+object DomainPipeline {
+
+  // ---- regime-as-data (compiled to broadcast frames + when-chains AND
+  //      to the oracle's VALUES clauses, so both engines share one source
+  //      of truth; reference `rulebook/packs/*`) --------------------------
+
+  val sectorMap: Seq[(String, String)] = Seq(
+    "BUILDING" -> "property", "AUTOMOBILE" -> "manufacturing",
+    "MACHINERY" -> "manufacturing", "FURNITURE" -> "institution",
+    "HOUSEHOLD" -> "individual")
+
+  /** region → (currency, rate-to-base). */
+  val fxTable: Seq[(String, String, Double)] = Seq(
+    ("AMERICA", "USD", 1.0), ("EUROPE", "EUR", 1.08),
+    ("ASIA", "JPY", 0.0125), ("AFRICA", "ZAR", 0.055),
+    ("MIDDLE EAST", "AED", 0.27))
+
+  /** exposure_type → CCF (reference `engine/ccf.py`). */
+  val ccfTable: Seq[(String, Double)] = Seq(
+    "loan" -> 1.0, "facility_undrawn" -> 0.75)
+
+  /** collateral_type → supervisory haircut (reference
+    * `engine/crm/haircuts.py`). */
+  val haircutTable: Seq[(String, Double)] = Seq(
+    "financial" -> 0.15, "gold" -> 0.20, "re_residential" -> 0.25,
+    "re_commercial" -> 0.30, "other" -> 0.40)
+
+  /** part-key mod-5 → collateral type (derivation rule for the synthetic
+    * collateral book — the harness lineitem has no shipmode column). */
+  val collTypeByMod: Seq[(Int, String)] = Seq(
+    0 -> "financial", 1 -> "gold", 2 -> "re_residential",
+    3 -> "re_commercial", 4 -> "other")
+
+  /** (exposure_class, cqs) → SA risk weight (reference
+    * `engine/sa/risk_weights.py` lookup core; unrated handled by the
+    * effective-cqs fallback, not a separate chain). */
+  val rwTable: Seq[(String, Int, Double)] = Seq(
+    ("sovereign", 1, 0.0), ("sovereign", 2, 0.2), ("sovereign", 3, 0.5),
+    ("sovereign", 4, 1.0), ("sovereign", 5, 1.0), ("sovereign", 6, 1.5),
+    ("institution", 1, 0.2), ("institution", 2, 0.3), ("institution", 3, 0.5),
+    ("institution", 4, 1.0), ("institution", 5, 1.0), ("institution", 6, 1.5),
+    ("corporate", 1, 0.2), ("corporate", 2, 0.5), ("corporate", 3, 0.75),
+    ("corporate", 4, 1.0), ("corporate", 5, 1.5), ("corporate", 6, 1.5),
+    ("sme_corporate", 1, 0.2), ("sme_corporate", 2, 0.5), ("sme_corporate", 3, 0.75),
+    ("sme_corporate", 4, 0.85), ("sme_corporate", 5, 1.0), ("sme_corporate", 6, 1.5),
+    ("retail", 1, 0.75), ("retail", 2, 0.75), ("retail", 3, 0.75),
+    ("retail", 4, 0.75), ("retail", 5, 0.75), ("retail", 6, 0.75))
+
+  val sovereignCountries: Seq[String] =
+    Seq("UNITED STATES", "GERMANY", "CHINA", "FRANCE", "JAPAN")
+
+  /** Secured-by-collateral flat risk weight (simple FCCM-style treatment). */
+  val collateralRw = 0.2
+
+  // ---- edge contracts (reference `data/schemas.py:166,310,565,...`) ----
+
+  val counterpartyEdge: EdgeContract = EdgeContract("counterparties", Seq(
+    "counterparty_reference" -> ColumnSpec(StringType, required = true),
+    "parent_group" -> ColumnSpec(StringType),
+    "country_key" -> ColumnSpec(IntegerType),
+    "sector" -> ColumnSpec(StringType),
+    "country" -> ColumnSpec(StringType),
+    "region_name" -> ColumnSpec(StringType),
+    "turnover" -> ColumnSpec(DoubleType),
+    "own_cqs" -> ColumnSpec(IntegerType)))
+
+  val exposureEdge: EdgeContract = EdgeContract("exposures", Seq(
+    "exposure_reference" -> ColumnSpec(StringType, required = true),
+    "exposure_type" -> ColumnSpec(StringType, required = true),
+    "counterparty_reference" -> ColumnSpec(StringType, required = true),
+    "drawn" -> ColumnSpec(DoubleType),
+    "undrawn" -> ColumnSpec(DoubleType),
+    "maturity_years" -> ColumnSpec(DoubleType),
+    "committed" -> ColumnSpec(BooleanType, default = Some(true))))
+
+  val collateralEdge: EdgeContract = EdgeContract("collateral", Seq(
+    "collateral_reference" -> ColumnSpec(StringType, required = true),
+    "exposure_reference" -> ColumnSpec(StringType, required = true),
+    "collateral_type" -> ColumnSpec(StringType),
+    "market_value" -> ColumnSpec(DoubleType)))
+
+  val guaranteeEdge: EdgeContract = EdgeContract("guarantees", Seq(
+    "guarantee_reference" -> ColumnSpec(StringType, required = true),
+    "exposure_reference" -> ColumnSpec(StringType, required = true),
+    "guarantor_cqs" -> ColumnSpec(IntegerType),
+    "coverage_pct" -> ColumnSpec(DoubleType)))
+
+  // ---- stage 1: derive + conform domain tables -------------------------
+
+  /** Counterparties: customer ⋈ nation ⋈ region; parent group = nation
+    * (org_mappings analogue); rated iff balance non-negative. */
+  def counterparties(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    val sectorChain = sectorMap.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (None, (seg, sec)) => Some(when(col("c_mktsegment") === seg, sec))
+      case (Some(acc), (seg, sec)) => Some(acc.when(col("c_mktsegment") === seg, sec))
+    }.get.otherwise("corporate")
+    val df = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(
+        concat(lit("CP-"), col("c_custkey").cast("string")).as("counterparty_reference"),
+        concat(lit("GRP-"), col("n_nationkey").cast("string")).as("parent_group"),
+        col("n_nationkey").cast("int").as("country_key"),
+        sectorChain.as("sector"),
+        col("n_name").as("country"),
+        col("r_name").as("region_name"),
+        (col("c_acctbal") * lit(10000.0)).as("turnover"),
+        when(col("c_acctbal") >= 0, (lit(1) + col("c_custkey") % 6).cast("int"))
+          .as("own_cqs"))
+    counterpartyEdge.conform(df)
+  }
+
+  /** Unify (reference `stages/hierarchy/unify.py:56-115`): loans from all
+    * orders plus synthetic undrawn-facility rows for open orders — the
+    * schema-aligning union that gives one exposures frame. */
+  def exposuresUnified(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val loans = o.select(
+      concat(lit("ORD-"), col("o_orderkey").cast("string")).as("exposure_reference"),
+      lit("loan").as("exposure_type"),
+      concat(lit("CP-"), col("o_custkey").cast("string")).as("counterparty_reference"),
+      col("o_totalprice").as("drawn"),
+      lit(0.0).as("undrawn"),
+      (lit(1.0) + (col("o_orderkey") % 5).cast("double")).as("maturity_years"))
+    val facilities = o.filter(col("o_orderstatus") === "O").select(
+      concat(lit("FAC-"), col("o_orderkey").cast("string")).as("exposure_reference"),
+      lit("facility_undrawn").as("exposure_type"),
+      concat(lit("CP-"), col("o_custkey").cast("string")).as("counterparty_reference"),
+      lit(0.0).as("drawn"),
+      (col("o_totalprice") * lit(0.25)).as("undrawn"),
+      (lit(1.0) + (col("o_orderkey") % 5).cast("double")).as("maturity_years"))
+    exposureEdge.conform(loans.unionByName(facilities))
+  }
+
+  /** Collateral book: returned lineitems, typed off the part key. */
+  def collateral(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val typeChain = collTypeByMod.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (None, (m, t)) => Some(when(col("l_partkey") % 5 === m, t))
+      case (Some(acc), (m, t)) => Some(acc.when(col("l_partkey") % 5 === m, t))
+    }.get.otherwise("other")
+    val df = li.filter(col("l_returnflag") === "R").select(
+      concat(lit("COLL-"), col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("collateral_reference"),
+      concat(lit("ORD-"), col("l_orderkey").cast("string")).as("exposure_reference"),
+      typeChain.as("collateral_type"),
+      (col("l_extendedprice") * lit(0.5)).as("market_value"))
+    collateralEdge.conform(df)
+  }
+
+  /** Guarantee book: first lineitem of discounted orders; guarantor rated
+    * 1-4 off the supplier key. */
+  def guarantees(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val df = li.filter(col("l_linenumber") === 1 && col("l_discount") >= 0.05)
+      .select(
+        concat(lit("G-"), col("l_orderkey").cast("string")).as("guarantee_reference"),
+        concat(lit("ORD-"), col("l_orderkey").cast("string")).as("exposure_reference"),
+        (lit(1) + col("l_suppkey") % 4).cast("int").as("guarantor_cqs"),
+        when(col("l_tax") > 0.04, 0.75).otherwise(0.5).as("coverage_pct"))
+    guaranteeEdge.conform(df)
+  }
+
+  // ---- stage 2: enrich + FX -------------------------------------------
+
+  /** Counterparty-attribute join + FX conversion to base currency
+    * (reference FX stage; `queries/Joins.scala:22` broadcast pattern). */
+  def enrichFx(exposures: DataFrame, cptys: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    val fx = broadcast(fxTable.toDF("region_name", "currency", "fx_rate"))
+    exposures
+      .join(broadcast(cptys), Seq("counterparty_reference"), "left")
+      .join(fx, Seq("region_name"), "left")
+      .withColumn("drawn_base", q2(col("drawn") * col("fx_rate")))
+      .withColumn("undrawn_base", q2(col("undrawn") * col("fx_rate")))
+  }
+
+  // ---- stage 3: hierarchy roll-ups + rating inheritance ----------------
+
+  /** Lending-group totals via window (never a self-join) + best-rating
+    * inheritance for unrated counterparties (reference
+    * `stages/hierarchy/graph.py` + rating inheritance rank-pick). */
+  def hierarchy(enriched: DataFrame): DataFrame = {
+    val wGroup = Window.partitionBy(col("parent_group"))
+    enriched
+      .withColumn("group_drawn", dsumOver(col("drawn_base"), 2, wGroup))
+      .withColumn("group_best_cqs", min(col("own_cqs")).over(wGroup))
+      .withColumn("effective_cqs",
+        coalesce(col("own_cqs"), col("group_best_cqs"), lit(4)))
+  }
+
+  // ---- stage 4: classification ----------------------------------------
+
+  /** Exposure-class cascade + approach pick (reference `stages/classify`
+    * attribute cascade; model permissions as data — even country keys hold
+    * IRB permission). */
+  def classify(h: DataFrame): DataFrame = {
+    h.withColumn("exposure_class",
+        when(col("country").isin(sovereignCountries: _*) &&
+             col("effective_cqs") <= 2, "sovereign")
+          .when(col("sector") === "individual" && col("drawn_base") < 100000, "retail")
+          .when(col("sector") === "institution", "institution")
+          .when(col("turnover") < 50000000.0, "sme_corporate")
+          .otherwise("corporate"))
+      .withColumn("approach",
+        when(col("country_key") % 2 === 0 &&
+             col("exposure_class").isin("corporate", "institution"), "IRB")
+          .otherwise("SA"))
+  }
+
+  // ---- stage 5: CCF / EAD ---------------------------------------------
+
+  def eadCalc(c: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    val ccf = broadcast(ccfTable.toDF("ccf_type", "ccf"))
+    c.join(ccf, col("exposure_type") === col("ccf_type"), "left")
+      .withColumn("ead_pre_crm",
+        q2(col("drawn_base") + col("undrawn_base") * coalesce(col("ccf"), lit(1.0))))
+  }
+
+  /** Own SA risk weight: (class, cqs) decision table, broadcast. */
+  def ownRiskWeight(e: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rw = broadcast(rwTable.toDF("rw_class", "rw_cqs", "rw"))
+    e.join(rw,
+        col("exposure_class") === col("rw_class") &&
+        col("effective_cqs") === col("rw_cqs"), "left")
+      .withColumn("own_rw", coalesce(col("rw"), lit(1.0)))
+      .drop("rw_class", "rw_cqs", "rw")
+  }
+
+  // ---- stage 6: CRM waterfall -----------------------------------------
+
+  /** Guarantor risk weight = the institution row of the rw table, compiled
+    * to a when-chain off guarantor_cqs. */
+  private def guarantorRwChain(cqs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    rwTable.filter(_._1 == "institution")
+      .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (None, (_, q, w)) => Some(when(cqs === q, w))
+        case (Some(acc), (_, q, w)) => Some(acc.when(cqs === q, w))
+      }.get.otherwise(1.0)
+
+  /** The composed CRM kernel (reference `engine/crm/processor.py:228-443`,
+    * `engine/kernels/allocation.py`, `crm/guarantees.py:1419-1480`):
+    * collateral and guarantees become one prioritised item list per
+    * exposure (collateral first), allocated greedily against EAD with an
+    * ordered cumulative-sum window — never exceeding EAD — then collapsed
+    * back to exposure grain with covered/uncovered conservation.
+    */
+  def crmWaterfall(
+      withRw: DataFrame, coll: DataFrame, guar: DataFrame,
+      s: SparkSession): DataFrame = {
+    import s.implicits._
+    val haircuts = broadcast(haircutTable.toDF("hc_type", "haircut"))
+    val exposureSide = withRw.select(
+      col("exposure_reference"), col("fx_rate"), col("ead_pre_crm"))
+    val collItems = coll
+      .join(haircuts, col("collateral_type") === col("hc_type"), "left")
+      .join(exposureSide, Seq("exposure_reference"))
+      .select(
+        col("exposure_reference"),
+        lit(1).as("priority"),
+        col("collateral_reference").as("item_ref"),
+        q2(col("market_value") * col("fx_rate") *
+          (lit(1.0) - coalesce(col("haircut"), lit(0.40)))).as("amount"),
+        lit(null).cast("double").as("guarantor_rw"),
+        col("ead_pre_crm"))
+    val guarItems = guar
+      .join(exposureSide, Seq("exposure_reference"))
+      .select(
+        col("exposure_reference"),
+        lit(2).as("priority"),
+        col("guarantee_reference").as("item_ref"),
+        q2(col("coverage_pct") * col("ead_pre_crm")).as("amount"),
+        guarantorRwChain(col("guarantor_cqs")).as("guarantor_rw"),
+        col("ead_pre_crm"))
+    val items = collItems.unionByName(guarItems)
+    val wWf = Window.partitionBy(col("exposure_reference"))
+      .orderBy(col("priority"), col("item_ref"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val alloc = items
+      .withColumn("cum", dsumOver(col("amount"), 2, wWf))
+      .withColumn("allocated",
+        q2(greatest(lit(0.0),
+          least(col("amount"), col("ead_pre_crm") - (col("cum") - col("amount"))))))
+    val perExposure = alloc.groupBy(col("exposure_reference")).agg(
+      dsum(when(col("priority") === 1, col("allocated")).otherwise(0.0), 2)
+        .as("coll_covered"),
+      dsum(when(col("priority") === 2, col("allocated")).otherwise(0.0), 2)
+        .as("guar_covered"),
+      max(col("guarantor_rw")).as("guarantor_rw"))
+    withRw.join(perExposure, Seq("exposure_reference"), "left")
+      .withColumn("coll_covered", coalesce(col("coll_covered"), lit(0.0)))
+      .withColumn("guar_covered", coalesce(col("guar_covered"), lit(0.0)))
+      .withColumn("unsecured",
+        greatest(lit(0.0),
+          q2(col("ead_pre_crm") - col("coll_covered") - col("guar_covered"))))
+  }
+
+  // ---- stage 7: RWA + supporting factor --------------------------------
+
+  /** RWA per exposure: secured portion at the flat collateral weight,
+    * guaranteed portion at min(own, guarantor) (substitution only when
+    * beneficial — reference `crm/guarantees.py`), remainder at own weight;
+    * then the SME supporting factor off lending-group drawn (CRR Art. 501
+    * banding, reference `engine/supporting_factors.py:456-560`). */
+  def rwaCalc(ledger: DataFrame): DataFrame = {
+    ledger
+      .withColumn("rwa_pre_sf",
+        q2(col("coll_covered") * lit(collateralRw)) +
+        q2(col("guar_covered") *
+          least(col("own_rw"), coalesce(col("guarantor_rw"), col("own_rw")))) +
+        q2(col("unsecured") * col("own_rw")))
+      .withColumn("sf_factor",
+        when(col("exposure_class") === "sme_corporate",
+          when(col("group_drawn") <= 1500000, 0.7619)
+            .when(col("group_drawn") <= 3000000, 0.85)
+            .otherwise(1.0))
+          .otherwise(1.0))
+      .withColumn("rwa", q2(col("rwa_pre_sf") * col("sf_factor")))
+  }
+
+  // ---- composition -----------------------------------------------------
+
+  /** The full per-exposure audit ledger (wide frame), one lazy plan. */
+  def ledger(s: SparkSession, dir: String): DataFrame = {
+    val exp = exposuresUnified(s, dir)
+    val cpty = counterparties(s, dir)
+    val enriched = enrichFx(exp, cpty, s)
+    val h = hierarchy(enriched)
+    val cls = classify(h)
+    val ead = eadCalc(cls, s)
+    val withRw = ownRiskWeight(ead, s)
+    val crm = crmWaterfall(withRw, collateral(s, dir), guarantees(s, dir), s)
+    rwaCalc(crm)
+  }
+
+  /** The (class, approach) summary with portfolio shares — q90's output. */
+  def summary(s: SparkSession, dir: String): DataFrame = {
+    val led = ledger(s, dir)
+    val perClass = led.groupBy(col("exposure_class"), col("approach")).agg(
+      count(lit(1)).as("n_exposures"),
+      dsum(col("ead_pre_crm"), 2).as("total_ead"),
+      dsum(col("coll_covered"), 2).as("collateral_covered"),
+      dsum(col("guar_covered"), 2).as("guarantee_covered"),
+      dsum(col("unsecured"), 2).as("unsecured_ead"),
+      dsum(col("rwa"), 2).as("total_rwa"))
+    val totals = led.agg(dsum(col("rwa"), 2).as("portfolio_rwa"))
+    perClass.crossJoin(broadcast(totals))
+      .select(
+        col("exposure_class"), col("approach"), col("n_exposures"),
+        col("total_ead"), col("collateral_covered"), col("guarantee_covered"),
+        col("unsecured_ead"), col("total_rwa"),
+        q6(col("total_rwa") / col("portfolio_rwa")).as("rwa_share"))
+      .orderBy(col("exposure_class"), col("approach"))
+  }
+
+  /** The same pipeline as Orchestrator stages with materialised edges —
+    * execution-mode parity is asserted by DomainPipelineSpec. */
+  def stages(s: SparkSession, dir: String): (Seq[Stage], ArtifactKey[DataFrame]) = {
+    val kEnriched = ArtifactKey[DataFrame]("enriched")
+    val kClassified = ArtifactKey[DataFrame]("classified")
+    val kLedger = ArtifactKey[DataFrame]("ledger")
+    val kSummary = ArtifactKey[DataFrame]("summary")
+    val sts = Seq(
+      new Stage {
+        def name = "load_enrich"
+        def run(ctx: PipelineContext) = ctx.put(kEnriched,
+          enrichFx(exposuresUnified(s, dir), counterparties(s, dir), s))
+        override def edgeFrames = Seq(kEnriched)
+      },
+      new Stage {
+        def name = "hierarchy_classify"
+        def run(ctx: PipelineContext) =
+          ctx.put(kClassified, classify(hierarchy(ctx.get(kEnriched))))
+        override def edgeFrames = Seq(kClassified)
+      },
+      new Stage {
+        def name = "calc_crm_rwa"
+        def run(ctx: PipelineContext) = {
+          val withRw = ownRiskWeight(eadCalc(ctx.get(kClassified), s), s)
+          ctx.put(kLedger,
+            rwaCalc(crmWaterfall(withRw, collateral(s, dir), guarantees(s, dir), s)))
+        }
+        override def edgeFrames = Seq(kLedger)
+      },
+      new Stage {
+        def name = "aggregate"
+        def run(ctx: PipelineContext) = {
+          val led = ctx.get(kLedger)
+          val perClass = led.groupBy(col("exposure_class"), col("approach")).agg(
+            count(lit(1)).as("n_exposures"),
+            dsum(col("ead_pre_crm"), 2).as("total_ead"),
+            dsum(col("coll_covered"), 2).as("collateral_covered"),
+            dsum(col("guar_covered"), 2).as("guarantee_covered"),
+            dsum(col("unsecured"), 2).as("unsecured_ead"),
+            dsum(col("rwa"), 2).as("total_rwa"))
+          val totals = led.agg(dsum(col("rwa"), 2).as("portfolio_rwa"))
+          ctx.put(kSummary, perClass.crossJoin(broadcast(totals))
+            .select(
+              col("exposure_class"), col("approach"), col("n_exposures"),
+              col("total_ead"), col("collateral_covered"), col("guarantee_covered"),
+              col("unsecured_ead"), col("total_rwa"),
+              q6(col("total_rwa") / col("portfolio_rwa")).as("rwa_share"))
+            .orderBy(col("exposure_class"), col("approach")))
+        }
+      })
+    (sts, kSummary)
+  }
+}

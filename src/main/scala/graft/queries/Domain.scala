@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.DomainPipeline
+import Q._
+
+/** The composed domain-pipeline battery: the full reference pipeline
+  * (derive → conform → unify → FX → hierarchy → classify → CCF → CRM
+  * waterfall → SA risk weights → supporting factors → aggregate) as ONE
+  * oracle-checked query. The DuckDB oracle replicates every stage as a
+  * CTE chain whose rule tables are GENERATED from the same Scala rule
+  * data `DomainPipeline` compiles for Spark — one source of truth, two
+  * engines (reference `engine/registry.py:46-58`,
+  * `engine/pipeline.py:184-210`).
+  */
+object Domain {
+
+  // ---- SQL fragments generated from the shared rule data ---------------
+
+  private def d(v: Double): String = s"CAST($v AS DOUBLE)"
+
+  private val sectorValues = DomainPipeline.sectorMap
+    .map { case (seg, sec) => s"('$seg', '$sec')" }.mkString(", ")
+  private val fxValues = DomainPipeline.fxTable
+    .map { case (r, c, v) => s"('$r', '$c', ${d(v)})" }.mkString(", ")
+  private val ccfValues = DomainPipeline.ccfTable
+    .map { case (t, v) => s"('$t', ${d(v)})" }.mkString(", ")
+  private val haircutValues = DomainPipeline.haircutTable
+    .map { case (t, v) => s"('$t', ${d(v)})" }.mkString(", ")
+  private val collTypeValues = DomainPipeline.collTypeByMod
+    .map { case (m, t) => s"($m, '$t')" }.mkString(", ")
+  private val rwValues = DomainPipeline.rwTable
+    .map { case (c, q, w) => s"('$c', $q, ${d(w)})" }.mkString(", ")
+  private val sovereignList = DomainPipeline.sovereignCountries
+    .map(c => s"'$c'").mkString(", ")
+  private val guarantorRwCase = DomainPipeline.rwTable
+    .filter(_._1 == "institution")
+    .map { case (_, q, w) => s"WHEN guarantor_cqs = $q THEN ${d(w)}" }
+    .mkString("CASE ", " ", s" ELSE ${d(1.0)} END")
+
+  /** q90: the composed flagship. Single plan: orders scanned for the
+    * exposure side, lineitem for the CRM book; counterparty + rule joins
+    * broadcast; the CRM item join, the per-exposure waterfall window, and
+    * the final summary are the only data-sized shuffles.
+    */
+  val q90DomainPipeline = QueryDef(
+    "q90_domain_pipeline",
+    (s, dir) => DomainPipeline.summary(s, dir),
+    Some(s"""
+      WITH sector_map(segment, sector) AS (VALUES $sectorValues),
+      fx(fx_region, currency, fx_rate) AS (VALUES $fxValues),
+      ccf_rules(ccf_type, ccf) AS (VALUES $ccfValues),
+      haircut_rules(hc_type, haircut) AS (VALUES $haircutValues),
+      coll_type_map(mod_key, ct) AS (VALUES $collTypeValues),
+      rw_rules(rw_class, rw_cqs, rw) AS (VALUES $rwValues),
+      cpty AS (
+        SELECT 'CP-' || CAST(c_custkey AS VARCHAR) AS counterparty_reference,
+               'GRP-' || CAST(n_nationkey AS VARCHAR) AS parent_group,
+               n_nationkey AS country_key,
+               coalesce(sm.sector, 'corporate') AS sector,
+               n_name AS country, r_name AS region_name,
+               c_acctbal * 10000.0 AS turnover,
+               CASE WHEN c_acctbal >= 0 THEN 1 + c_custkey % 6 END AS own_cqs
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        LEFT JOIN sector_map sm ON c_mktsegment = sm.segment),
+      expo AS (
+        SELECT 'ORD-' || CAST(o_orderkey AS VARCHAR) AS exposure_reference,
+               'loan' AS exposure_type,
+               'CP-' || CAST(o_custkey AS VARCHAR) AS counterparty_reference,
+               o_totalprice AS drawn, 0.0 AS undrawn
+        FROM orders
+        UNION ALL
+        SELECT 'FAC-' || CAST(o_orderkey AS VARCHAR),
+               'facility_undrawn',
+               'CP-' || CAST(o_custkey AS VARCHAR),
+               0.0, o_totalprice * 0.25
+        FROM orders WHERE o_orderstatus = 'O'),
+      enriched AS (
+        SELECT e.*, c.parent_group, c.country_key, c.sector, c.country,
+               c.turnover, c.own_cqs, f.fx_rate
+        FROM expo e
+        LEFT JOIN cpty c USING (counterparty_reference)
+        LEFT JOIN fx f ON c.region_name = f.fx_region),
+      fxconv AS (
+        SELECT *, ${sql2("drawn * fx_rate")} AS drawn_base,
+               ${sql2("undrawn * fx_rate")} AS undrawn_base
+        FROM enriched),
+      hier AS (
+        SELECT *,
+          ${sqlDsumOver("drawn_base", 2, "PARTITION BY parent_group")} AS group_drawn,
+          min(own_cqs) OVER (PARTITION BY parent_group) AS group_best_cqs
+        FROM fxconv),
+      eff AS (
+        SELECT *, coalesce(own_cqs, group_best_cqs, 4) AS effective_cqs
+        FROM hier),
+      classified AS (
+        SELECT *,
+          CASE WHEN country IN ($sovereignList) AND effective_cqs <= 2
+                 THEN 'sovereign'
+               WHEN sector = 'individual' AND drawn_base < 100000 THEN 'retail'
+               WHEN sector = 'institution' THEN 'institution'
+               WHEN turnover < 50000000.0 THEN 'sme_corporate'
+               ELSE 'corporate' END AS exposure_class
+        FROM eff),
+      approached AS (
+        SELECT *,
+          CASE WHEN country_key % 2 = 0
+                AND exposure_class IN ('corporate', 'institution')
+               THEN 'IRB' ELSE 'SA' END AS approach
+        FROM classified),
+      eadc AS (
+        SELECT a.*, ${sql2("drawn_base + undrawn_base * coalesce(ccf, 1.0)")} AS ead_pre_crm
+        FROM approached a LEFT JOIN ccf_rules ON exposure_type = ccf_type),
+      ownrw AS (
+        SELECT e.*, coalesce(r.rw, 1.0) AS own_rw
+        FROM eadc e
+        LEFT JOIN rw_rules r
+          ON e.exposure_class = r.rw_class AND e.effective_cqs = r.rw_cqs),
+      coll_items AS (
+        SELECT 'ORD-' || CAST(l_orderkey AS VARCHAR) AS exposure_reference,
+               1 AS priority,
+               'COLL-' || CAST(l_orderkey AS VARCHAR) || '-' ||
+                 CAST(l_linenumber AS VARCHAR) AS item_ref,
+               coalesce(m.ct, 'other') AS coll_type,
+               l_extendedprice * 0.5 AS market_value
+        FROM lineitem LEFT JOIN coll_type_map m ON l_partkey % 5 = m.mod_key
+        WHERE l_returnflag = 'R'),
+      guar_items AS (
+        SELECT 'ORD-' || CAST(l_orderkey AS VARCHAR) AS exposure_reference,
+               2 AS priority,
+               'G-' || CAST(l_orderkey AS VARCHAR) AS item_ref,
+               1 + l_suppkey % 4 AS guarantor_cqs,
+               CASE WHEN l_tax > 0.04 THEN 0.75 ELSE 0.5 END AS coverage_pct
+        FROM lineitem WHERE l_linenumber = 1 AND l_discount >= 0.05),
+      items AS (
+        SELECT ci.exposure_reference, ci.priority, ci.item_ref,
+               ${sql2("ci.market_value * o.fx_rate * (1.0 - coalesce(h.haircut, 0.40))")} AS amount,
+               NULL::DOUBLE AS guarantor_rw,
+               o.ead_pre_crm
+        FROM coll_items ci
+        JOIN ownrw o USING (exposure_reference)
+        LEFT JOIN haircut_rules h ON ci.coll_type = h.hc_type
+        UNION ALL
+        SELECT gi.exposure_reference, gi.priority, gi.item_ref,
+               ${sql2("gi.coverage_pct * o.ead_pre_crm")} AS amount,
+               $guarantorRwCase AS guarantor_rw,
+               o.ead_pre_crm
+        FROM guar_items gi JOIN ownrw o USING (exposure_reference)),
+      wf AS (
+        SELECT *,
+          ${sqlDsumOver("amount", 2,
+            "PARTITION BY exposure_reference ORDER BY priority, item_ref " +
+            "ROWS UNBOUNDED PRECEDING")} AS cum
+        FROM items),
+      alloc AS (
+        SELECT *,
+          ${sql2("greatest(0.0, least(amount, ead_pre_crm - (cum - amount)))")} AS allocated
+        FROM wf),
+      per_exposure AS (
+        SELECT exposure_reference,
+          ${sqlDsum("CASE WHEN priority = 1 THEN allocated ELSE 0.0 END", 2)} AS coll_covered,
+          ${sqlDsum("CASE WHEN priority = 2 THEN allocated ELSE 0.0 END", 2)} AS guar_covered,
+          max(guarantor_rw) AS guarantor_rw
+        FROM alloc GROUP BY exposure_reference),
+      ledger AS (
+        SELECT o.*,
+          coalesce(p.coll_covered, 0.0) AS coll_covered,
+          coalesce(p.guar_covered, 0.0) AS guar_covered,
+          p.guarantor_rw,
+          greatest(0.0, ${sql2(
+            "o.ead_pre_crm - coalesce(p.coll_covered, 0.0) - coalesce(p.guar_covered, 0.0)")})
+            AS unsecured
+        FROM ownrw o LEFT JOIN per_exposure p USING (exposure_reference)),
+      rwac AS (
+        SELECT *,
+          ${sql2(s"coll_covered * ${DomainPipeline.collateralRw}")} +
+          ${sql2("guar_covered * least(own_rw, coalesce(guarantor_rw, own_rw))")} +
+          ${sql2("unsecured * own_rw")} AS rwa_pre_sf
+        FROM ledger),
+      sfd AS (
+        SELECT *,
+          CASE WHEN exposure_class = 'sme_corporate' THEN
+                 CASE WHEN group_drawn <= 1500000 THEN 0.7619
+                      WHEN group_drawn <= 3000000 THEN 0.85
+                      ELSE 1.0 END
+               ELSE 1.0 END AS sf_factor
+        FROM rwac),
+      final AS (SELECT *, ${sql2("rwa_pre_sf * sf_factor")} AS rwa FROM sfd),
+      summary AS (
+        SELECT exposure_class, approach, count(*) AS n_exposures,
+               ${sqlDsum("ead_pre_crm", 2)} AS total_ead,
+               ${sqlDsum("coll_covered", 2)} AS collateral_covered,
+               ${sqlDsum("guar_covered", 2)} AS guarantee_covered,
+               ${sqlDsum("unsecured", 2)} AS unsecured_ead,
+               ${sqlDsum("rwa", 2)} AS total_rwa
+        FROM final GROUP BY exposure_class, approach),
+      tot AS (SELECT ${sqlDsum("rwa", 2)} AS portfolio_rwa FROM final)
+      SELECT exposure_class, approach, n_exposures, total_ead,
+             collateral_covered, guarantee_covered, unsecured_ead, total_rwa,
+             ${sql6("total_rwa / portfolio_rwa")} AS rwa_share
+      FROM summary CROSS JOIN tot
+      ORDER BY exposure_class, approach
+    """.stripMargin.trim))
+
+  val all: Seq[QueryDef] = Seq(q90DomainPipeline)
+}
