@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.DomainPipeline
+import graft.rulebook.SaRwCascade
+import graft.sources.Tables
 import Q._
 
 /** The composed domain-pipeline battery: the full reference pipeline
@@ -204,5 +206,100 @@ object Domain {
       ORDER BY exposure_class, approach
     """.stripMargin.trim))
 
-  val all: Seq[QueryDef] = Seq(q90DomainPipeline)
+  // ---- q91: the B3.1 override cascade --------------------------------
+
+  /** Deterministic exposure-attribute derivation: every branch of the
+    * 24-branch cascade fires at every SF (modular arithmetic over the
+    * order/customer keys covers all class × flag × rating combinations).
+    * Shared by the Spark query and the oracle.
+    */
+  private val ucByMod: Seq[(Int, String)] = Seq(
+    0 -> "SOVEREIGN", 1 -> "PSE", 2 -> "INSTITUTION", 3 -> "RETAIL",
+    4 -> "RE_RESIDENTIAL", 5 -> "RE_COMMERCIAL", 6 -> "ADC",
+    7 -> "CORPORATE", 8 -> "COVERED_BOND", 9 -> "EQUITY")
+
+  /** q91: SA risk-weight override cascade — the reference's single biggest
+    * logic mass (reference `engine/sa/risk_weights.py:1034-1243`) compiled
+    * from `SaRwCascade` rulepack data by the dual-target `RwChain`
+    * combinator: 24 ordered branches (defaults, high-risk, sovereign/PSE,
+    * institution short-term gate, retail sub-classes, banded-LTV real
+    * estate, ADC, SME/corporate, covered bonds, equity) resolving both the
+    * weight AND the audit lineage label. The oracle CASE chains are
+    * generated from the same branch data. One scan, zero joins, one
+    * summary shuffle; the chain compiles in batches so codegen methods
+    * stay under the JVM 64KB rule at reference scale (849 whens).
+    */
+  val q91RwCascade = QueryDef(
+    "q91_rw_cascade",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val ucChain = ucByMod.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (None, (m, u)) => Some(when(col("o_orderkey") % 10 === m, u))
+        case (Some(acc), (m, u)) => Some(acc.when(col("o_orderkey") % 10 === m, u))
+      }.get.otherwise("OTHER")
+      val attrs = o.select(
+        col("o_totalprice").as("ead"),
+        ucChain.as("uc"),
+        when((col("o_custkey") % 8).between(1, 6),
+          (col("o_custkey") % 8).cast("int")).as("cqs"),
+        ((col("o_orderkey") % 8) * lit(0.125)).as("maturity_years"),
+        (lit(0.3) + (col("o_orderkey") % 60) * lit(0.01)).as("ltv"),
+        (col("o_orderkey") % 37 === 0).as("is_defaulted"),
+        (col("o_orderkey") % 74 === 0).as("provisions_ge_20"),
+        (col("o_custkey") % 41 === 0).as("is_high_risk"),
+        (col("o_orderkey") % 3 === 0).as("is_qrre_transactor"),
+        (col("o_orderkey") % 5 === 0).as("is_payroll_loan"),
+        (col("o_orderkey") % 7 =!= 0).as("qualifies_as_retail"),
+        (col("o_custkey") % 2 === 0).as("is_sme"),
+        (col("o_orderkey") % 2 === 0).as("is_speculative"))
+      val (label, rw) = SaRwCascade.chain.compile()
+      attrs
+        .withColumn("rw_label", label)
+        .withColumn("rw", rw)
+        .groupBy(col("rw_label"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          q6(min(col("rw"))).as("min_rw"),
+          q6(max(col("rw"))).as("max_rw"),
+          dsum(col("ead"), 2).as("total_ead"),
+          dsum(q2(col("ead") * col("rw")), 2).as("total_rwa"))
+        .orderBy(col("rw_label"))
+    },
+    Some {
+      val ucCase = ucByMod
+        .map { case (m, u) => s"WHEN o_orderkey % 10 = $m THEN '$u'" }
+        .mkString("CASE ", " ", " ELSE 'OTHER' END")
+      s"""
+      WITH attrs AS (
+        SELECT o_totalprice AS ead,
+               $ucCase AS uc,
+               CASE WHEN o_custkey % 8 BETWEEN 1 AND 6 THEN o_custkey % 8 END AS cqs,
+               (o_orderkey % 8) * 0.125 AS maturity_years,
+               0.3 + (o_orderkey % 60) * 0.01 AS ltv,
+               o_orderkey % 37 = 0 AS is_defaulted,
+               o_orderkey % 74 = 0 AS provisions_ge_20,
+               o_custkey % 41 = 0 AS is_high_risk,
+               o_orderkey % 3 = 0 AS is_qrre_transactor,
+               o_orderkey % 5 = 0 AS is_payroll_loan,
+               o_orderkey % 7 <> 0 AS qualifies_as_retail,
+               o_custkey % 2 = 0 AS is_sme,
+               o_orderkey % 2 = 0 AS is_speculative
+        FROM orders),
+      resolved AS (
+        SELECT ead,
+               ${SaRwCascade.chain.toSqlLabel} AS rw_label,
+               ${SaRwCascade.chain.toSqlRw} AS rw
+        FROM attrs)
+      SELECT rw_label, count(*) AS n_exposures,
+             ${sql6("min(rw)")} AS min_rw,
+             ${sql6("max(rw)")} AS max_rw,
+             ${sqlDsum("ead", 2)} AS total_ead,
+             ${sqlDsum(sql2("ead * rw"), 2)} AS total_rwa
+      FROM resolved
+      GROUP BY rw_label
+      ORDER BY rw_label
+      """.stripMargin.trim
+    })
+
+  val all: Seq[QueryDef] = Seq(q90DomainPipeline, q91RwCascade)
 }

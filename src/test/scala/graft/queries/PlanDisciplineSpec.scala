@@ -48,13 +48,27 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(plan.contains("*("), s"expected codegen stage in:\n$plan")
   }
 
+  test("the 24-branch RW cascade stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q91_rw_cascade")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected codegen stage in:\n$plan")
+  }
+
   test("no query's optimized plan exceeds the node ceiling") {
-    val ceiling = 250
+    // Higher ceilings for the two deliberately-large plans: the composed
+    // 9-stage domain pipeline (q90 — the reference materialises its stage
+    // edges for exactly this reason; the Orchestrator mode does too) and
+    // the 24-branch override cascade (q91 — batch-compiled for codegen).
+    val ceilings = Map(
+      "q90_domain_pipeline" -> 1500, "q91_rw_cascade" -> 1500)
+      .withDefaultValue(250)
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan
       val n = plan.collect { case p => p }.size +
         plan.expressions.map(_.collect { case e => e }.size).sum
-      assert(n < ceiling, s"$name optimized plan has $n nodes (ceiling $ceiling)")
+      assert(n < ceilings(name),
+        s"$name optimized plan has $n nodes (ceiling ${ceilings(name)})")
     }
   }
 }
