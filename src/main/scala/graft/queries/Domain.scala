@@ -301,5 +301,156 @@ object Domain {
       """.stripMargin.trim
     })
 
-  val all: Seq[QueryDef] = Seq(q90DomainPipeline, q91RwCascade)
+  // ---- q92: the full IRB calculator over a derived portfolio ----------
+
+  /** q92: `IrbKernel` end-to-end — both regimes (CRR 1.06 / B3.1), both
+    * approaches (F-IRB supervisory LGD incl. subordination and the B3.1
+    * 40% non-FSE rate; A-IRB own estimates with B3.1 input floors), all
+    * six class correlation variants, FSE multiplier, SME size
+    * adjustment + CRR supporting factor, defaulted branches, and the
+    * B3.1 UK-residential RWEA floor. PD is derived in [0.03, 0.12] so
+    * the oracle's Acklam CENTRAL branch replica is valid (same q51
+    * discipline); the kernel's PD floors are exercised separately by
+    * OracleDerivationsSpec against the reference's hand-derived values.
+    */
+  val q92IrbPortfolio = QueryDef(
+    "q92_irb_portfolio",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val classChain = when(col("o_orderkey") % 6 === 0, "corporate")
+        .when(col("o_orderkey") % 6 === 1, "corporate_sme")
+        .when(col("o_orderkey") % 6 === 2, "institution")
+        .when(col("o_orderkey") % 6 === 3, "retail_other")
+        .when(col("o_orderkey") % 6 === 4, "retail_mortgage")
+        .otherwise("retail_qrre")
+      val attrs = o.select(
+        when(col("o_custkey") % 2 === 0, "CRR").otherwise("BASEL_3_1").as("framework"),
+        when(col("o_orderkey") % 2 === 0, "FIRB").otherwise("AIRB").as("approach"),
+        classChain.as("exposure_class"),
+        col("o_totalprice").as("ead"),
+        (lit(0.03) + (col("o_orderkey") % 10) * lit(0.01)).as("pd_value"),
+        (lit(0.05) + (col("o_custkey") % 10) * lit(0.05)).as("lgd"),
+        (lit(1.0) + (col("o_orderkey") % 5).cast("double")).as("maturity"),
+        when(col("o_orderkey") % 11 === 0, "subordinated").otherwise("senior")
+          .as("seniority"),
+        (col("o_custkey") % 13 === 0).as("is_fse"),
+        (lit(1.0) + (col("o_custkey") % 50).cast("double")).as("sme_size_metric_m"),
+        ((lit(0.05) + (col("o_custkey") % 10) * lit(0.05)) * lit(0.5)).as("beel"),
+        (col("o_orderkey") % 17 === 0).as("is_defaulted"),
+        (col("o_orderkey") % 3 === 0).as("is_qrre_transactor"),
+        (col("o_custkey") % 3 =!= 0).as("is_uk_property"))
+      graft.engine.IrbKernel.calculate(attrs)
+        .groupBy(col("framework"), col("approach"), col("exposure_class"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          dsum(q6(col("risk_weight")), 6).as("sum_rw"),
+          dsum(q2(col("rwa")), 2).as("total_rwa"))
+        .orderBy(col("framework"), col("approach"), col("exposure_class"))
+    },
+    Some {
+      val g999 = graft.functions.NormalMath.normPpf(0.999)
+      s"""
+      WITH attrs AS (
+        SELECT CASE WHEN o_custkey % 2 = 0 THEN 'CRR' ELSE 'BASEL_3_1' END AS framework,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'FIRB' ELSE 'AIRB' END AS approach,
+               CASE WHEN o_orderkey % 6 = 0 THEN 'corporate'
+                    WHEN o_orderkey % 6 = 1 THEN 'corporate_sme'
+                    WHEN o_orderkey % 6 = 2 THEN 'institution'
+                    WHEN o_orderkey % 6 = 3 THEN 'retail_other'
+                    WHEN o_orderkey % 6 = 4 THEN 'retail_mortgage'
+                    ELSE 'retail_qrre' END AS exposure_class,
+               o_totalprice AS ead,
+               0.03 + (o_orderkey % 10) * 0.01 AS pd_value,
+               0.05 + (o_custkey % 10) * 0.05 AS lgd,
+               1.0 + (o_orderkey % 5) AS maturity,
+               CASE WHEN o_orderkey % 11 = 0 THEN 'subordinated' ELSE 'senior' END AS seniority,
+               o_custkey % 13 = 0 AS is_fse,
+               1.0 + (o_custkey % 50) AS sme_size_metric_m,
+               (0.05 + (o_custkey % 10) * 0.05) * 0.5 AS beel,
+               o_orderkey % 17 = 0 AS is_defaulted,
+               o_orderkey % 3 = 0 AS is_qrre_transactor,
+               o_custkey % 3 <> 0 AS is_uk_property
+        FROM orders),
+      resolved AS (
+        SELECT *,
+          pd_value AS pd_applied,
+          CASE WHEN approach = 'FIRB' THEN
+                 CASE WHEN seniority = 'subordinated' THEN 0.75
+                      WHEN framework = 'BASEL_3_1' AND NOT is_fse THEN 0.40
+                      ELSE 0.45 END
+               ELSE
+                 CASE WHEN framework = 'BASEL_3_1' THEN
+                        greatest(lgd,
+                          CASE WHEN exposure_class = 'retail_mortgage' THEN 0.05
+                               WHEN exposure_class = 'retail_qrre' THEN 0.50
+                               WHEN exposure_class = 'retail_other' THEN 0.30
+                               ELSE 0.25 END)
+                      ELSE lgd END END AS lgd_applied
+        FROM attrs),
+      corr AS (
+        SELECT *,
+          (CASE WHEN exposure_class = 'corporate_sme' THEN
+                 (0.12 * ((1.0 - exp(-50.0 * pd_applied)) / ${1.0 - math.exp(-50.0)}) +
+                  0.24 * (1.0 - ((1.0 - exp(-50.0 * pd_applied)) / ${1.0 - math.exp(-50.0)})))
+                 - 0.04 * (1.0 -
+                     (least(greatest(CASE WHEN framework = 'CRR' THEN 5.0 ELSE 4.4 END, sme_size_metric_m),
+                            CASE WHEN framework = 'CRR' THEN 50.0 ELSE 44.0 END)
+                      - CASE WHEN framework = 'CRR' THEN 5.0 ELSE 4.4 END)
+                     / (CASE WHEN framework = 'CRR' THEN 50.0 ELSE 44.0 END
+                        - CASE WHEN framework = 'CRR' THEN 5.0 ELSE 4.4 END))
+               WHEN exposure_class IN ('corporate', 'institution') THEN
+                 0.12 * ((1.0 - exp(-50.0 * pd_applied)) / ${1.0 - math.exp(-50.0)}) +
+                 0.24 * (1.0 - ((1.0 - exp(-50.0 * pd_applied)) / ${1.0 - math.exp(-50.0)}))
+               WHEN exposure_class = 'retail_mortgage' THEN 0.15
+               WHEN exposure_class = 'retail_qrre' THEN 0.04
+               ELSE
+                 0.03 * ((1.0 - exp(-35.0 * pd_applied)) / ${1.0 - math.exp(-35.0)}) +
+                 0.16 * (1.0 - ((1.0 - exp(-35.0 * pd_applied)) / ${1.0 - math.exp(-35.0)}))
+          END) * (CASE WHEN is_fse THEN 1.25 ELSE 1.0 END) AS correlation
+        FROM resolved),
+      rwcalc AS (
+        SELECT *,
+          CASE WHEN is_defaulted THEN
+                 CASE WHEN approach = 'FIRB' THEN 0.0
+                      ELSE greatest(0.0, 12.5 * (lgd_applied - beel)) END
+               ELSE
+                 (CASE WHEN exposure_class IN ('corporate', 'corporate_sme', 'institution') THEN
+                   lgd_applied * ((${Rwa.sqlNormCdf(
+                     s"((${Rwa.sqlNormPpfCentral("pd_applied")}) + sqrt(correlation) * ($g999)) / sqrt(1.0 - correlation)")})
+                     - pd_applied) * 12.5 *
+                   (CASE WHEN framework = 'CRR' THEN 1.06 ELSE 1.0 END) *
+                   ((1.0 + (maturity - 2.5) * pow(0.11852 - 0.05478 * ln(pd_applied), 2.0))
+                    / (1.0 - 1.5 * pow(0.11852 - 0.05478 * ln(pd_applied), 2.0)))
+                 ELSE
+                   lgd_applied * ((${Rwa.sqlNormCdf(
+                     s"((${Rwa.sqlNormPpfCentral("pd_applied")}) + sqrt(correlation) * ($g999)) / sqrt(1.0 - correlation)")})
+                     - pd_applied) * 12.5 *
+                   (CASE WHEN framework = 'CRR' THEN 1.06 ELSE 1.0 END)
+                 END)
+          END AS risk_weight
+        FROM corr),
+      rwafinal AS (
+        SELECT *,
+          CASE WHEN framework = 'BASEL_3_1' AND exposure_class = 'retail_mortgage'
+                    AND is_uk_property AND NOT is_defaulted
+               THEN greatest(rwa_sme, 0.1 * ead) ELSE rwa_sme END AS rwa
+        FROM (
+          SELECT *,
+            CASE WHEN framework = 'CRR' AND exposure_class = 'corporate_sme'
+                 THEN (risk_weight * ead) *
+                      ((least(ead, 2500000.0) * 0.7619 +
+                        greatest(ead - 2500000.0, 0.0) * 0.85) / ead)
+                 ELSE risk_weight * ead END AS rwa_sme
+          FROM rwcalc))
+      SELECT framework, approach, exposure_class,
+             count(*) AS n_exposures,
+             ${sqlDsum(sql6("risk_weight"), 6)} AS sum_rw,
+             ${sqlDsum(sql2("rwa"), 2)} AS total_rwa
+      FROM rwafinal
+      GROUP BY framework, approach, exposure_class
+      ORDER BY framework, approach, exposure_class
+      """.stripMargin.trim
+    })
+
+  val all: Seq[QueryDef] = Seq(q90DomainPipeline, q91RwCascade, q92IrbPortfolio)
 }

@@ -136,14 +136,14 @@ object Rwa {
   /** erf(ax) for 0 <= ax <= 0.46875 (Cody branch 1), SQL string.
     * xnum starts at A4*z, xden at z (written 1.0*z), each folding 3 coefs.
     */
-  private def sqlErf1(ax: String, z: String): String = {
+  private[queries] def sqlErf1(ax: String, z: String): String = {
     val num = horner(A(4).toString, A.take(3).map(_.toString), z)
     val den = horner("1.0", B.take(3).map(_.toString), z)
     s"($ax)*(($num)+(${A(3)}))/(($den)+(${B(3)}))"
   }
 
   /** erfc(ax) for 0.46875 < ax <= 4 (Cody branch 2), SQL string. */
-  private def sqlErfc2(ax: String): String = {
+  private[queries] def sqlErfc2(ax: String): String = {
     val num = s"(${horner(C(8).toString, C.take(7).map(_.toString), ax)})+(${C(7)})"
     val den = s"(${horner("1.0", D.take(7).map(_.toString), ax)})+(${D(7)})"
     val xsq = s"(floor(($ax)*16.0)/16.0)"
@@ -151,7 +151,7 @@ object Rwa {
   }
 
   /** Φ(x) = 0.5*erfc(-x/√2), branches 1+2 (valid for |x| ≤ 5.65), SQL. */
-  private def sqlNormCdf(x: String): String = {
+  private[queries] def sqlNormCdf(x: String): String = {
     val t = s"(-($x)*0.7071067811865476)"
     val ax = s"abs($t)"
     val z = s"($ax*$ax)"
@@ -161,7 +161,7 @@ object Rwa {
   }
 
   /** Φ⁻¹(p), Acklam CENTRAL branch only (valid for p ∈ [0.02425, 0.97575]). */
-  private def sqlNormPpfCentral(p: String): String = {
+  private[queries] def sqlNormPpfCentral(p: String): String = {
     val q = s"(($p)-0.5)"
     val r = s"($q*$q)"
     val num = s"(${horner(IA(0).toString, IA.slice(1, 5).map(_.toString), r)})+(${IA(5)})"
