@@ -452,5 +452,229 @@ object Domain {
       """.stripMargin.trim
     })
 
-  val all: Seq[QueryDef] = Seq(q90DomainPipeline, q91RwCascade, q92IrbPortfolio)
+  // ---- q93: reconciliation at depth -----------------------------------
+
+  /** q93: the full parallel-run reconciliation path (reference
+    * `analysis/reconciliation.py` + `engine/aggregator/_collapse.py`):
+    * our sub-row frame (0.25/0.75 guarantee legs per exposure) collapses
+    * to key grain (exact decimal sums, ratio recompute, min-categorical
+    * with heterogeneity flag), full-outer compares against a derived
+    * "legacy" book on TWO numeric components (abs tolerance) and ONE
+    * categorical component (normalise + value-map), rolls up the 5-way
+    * row bucket, and emits the bucket summary unioned with the ranked
+    * break worklist. Perturbations are deterministic (key modulus):
+    * %29 → 5.0 ead break, %13 → 0.004 within-tolerance, %31 → dropped
+    * from legacy (missing_right), %503 → legacy-only key (missing_left),
+    * %41 → unmapped class code (categorical break).
+    */
+  val q93Reconciliation = QueryDef(
+    "q93_reconciliation",
+    (s, dir) => {
+      import graft.analysis.Reconciliation
+      import graft.analysis.Reconciliation.{CategoricalComponent, NumericComponent}
+      val o = Tables.orders(s, dir)
+      val classChain = when(col("o_orderkey") % 4 === 0, "corporate")
+        .when(col("o_orderkey") % 4 === 1, "retail")
+        .when(col("o_orderkey") % 4 === 2, "sovereign")
+        .otherwise("institution")
+      val rwChain = when(col("o_orderkey") % 4 === 0, 1.0)
+        .when(col("o_orderkey") % 4 === 1, 0.75)
+        .when(col("o_orderkey") % 4 === 2, 0.2)
+        .otherwise(0.5)
+      // our side: two legs per exposure (guarantee-split sub-rows)
+      val legs = o.select(
+          concat(lit("ORD-"), col("o_orderkey").cast("string")).as("exposure_reference"),
+          col("o_totalprice"), classChain.as("exposure_class"), rwChain.as("rw"),
+          explode(array(
+            struct(lit("covered").as("kind"), lit(0.25).as("share")),
+            struct(lit("remainder").as("kind"), lit(0.75).as("share")))).as("leg"),
+          col("o_orderkey"))
+        .select(col("exposure_reference"), col("exposure_class"),
+          (col("o_totalprice") * col("leg.share")).as("ead"),
+          (col("o_totalprice") * col("leg.share") * col("rw")).as("rwa"),
+          when(col("o_orderkey") % 23 === 0 && col("leg.kind") === "covered",
+            "banking").otherwise("trading").as("book"))
+      val collapsed = Reconciliation.collapseToKeyGrain(
+        legs, Seq("exposure_reference"),
+        additive = Seq("ead" -> 4, "rwa" -> 6),
+        ratios = Seq(("risk_weight", "rwa", "ead")),
+        categoricals = Seq("exposure_class", "book"))
+      // legacy side: one row per loan, coded classes, seeded perturbations
+      val legacyCode = when(col("o_orderkey") % 41 === 0, "XXX")
+        .when(col("o_orderkey") % 4 === 0, "CORP")
+        .when(col("o_orderkey") % 4 === 1, "RET")
+        .when(col("o_orderkey") % 4 === 2, "SOV")
+        .otherwise("INST")
+      val legacyBase = o.filter(col("o_orderkey") % 31 =!= 0).select(
+        concat(lit("ORD-"), col("o_orderkey").cast("string")).as("exposure_reference"),
+        when(col("o_orderkey") % 29 === 0, col("o_totalprice") + 5.0)
+          .when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 0.004)
+          .otherwise(col("o_totalprice")).as("ead"),
+        (col("o_totalprice") * rwChain).as("rwa"),
+        legacyCode.as("exposure_class"))
+      val legacyExtra = o.filter(col("o_orderkey") % 503 === 0).select(
+        concat(lit("XTRA-"), col("o_orderkey").cast("string")).as("exposure_reference"),
+        col("o_totalprice").as("ead"),
+        (col("o_totalprice") * rwChain).as("rwa"),
+        legacyCode.as("exposure_class"))
+      val legacy = legacyBase.unionByName(legacyExtra)
+      val recon = Reconciliation.compareMulti(
+        collapsed, legacy, Seq("exposure_reference"),
+        numerics = Seq(NumericComponent("ead", absTol = 0.005),
+          NumericComponent("rwa", absTol = 0.01)),
+        categoricals = Seq(CategoricalComponent("exposure_class", valueMap = Seq(
+          "CORP" -> "CORPORATE", "RET" -> "RETAIL",
+          "SOV" -> "SOVEREIGN", "INST" -> "INSTITUTION"))))
+      val summaryRows = recon.groupBy(col("row_bucket")).agg(
+          count(lit(1)).as("n"),
+          count(when(col("ead_bucket") === "break", lit(1))).as("n_ead_break"),
+          count(when(col("exposure_class_bucket") === "break", lit(1)))
+            .as("n_class_break"),
+          dsum(q2(coalesce(abs(col("abs_delta_ead")), lit(0.0))), 2)
+            .as("sum_abs_delta_ead"))
+        .select(lit("summary").as("section"), col("row_bucket"),
+          lit(null).cast("string").as("ref_key"),
+          lit(null).cast("long").as("rank"),
+          col("n"), col("n_ead_break"), col("n_class_break"),
+          col("sum_abs_delta_ead"),
+          lit(null).cast("double").as("delta_ead"))
+      val worklistRows = Reconciliation.breakWorklist(
+          recon, Seq("exposure_reference"), "abs_delta_ead", limit = 5)
+        .select(lit("worklist").as("section"), col("row_bucket"),
+          col("exposure_reference").as("ref_key"), col("rank"),
+          lit(null).cast("long").as("n"),
+          lit(null).cast("long").as("n_ead_break"),
+          lit(null).cast("long").as("n_class_break"),
+          lit(null).cast("double").as("sum_abs_delta_ead"),
+          q2(coalesce(col("abs_delta_ead"), lit(0.0))).as("delta_ead"))
+      summaryRows.unionByName(worklistRows)
+        .orderBy(col("section"), col("row_bucket"),
+          coalesce(col("rank"), lit(0L)), coalesce(col("ref_key"), lit("")))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 4 = 0 THEN 'corporate'
+                    WHEN o_orderkey % 4 = 1 THEN 'retail'
+                    WHEN o_orderkey % 4 = 2 THEN 'sovereign'
+                    ELSE 'institution' END AS cls,
+               CASE WHEN o_orderkey % 4 = 0 THEN 1.0
+                    WHEN o_orderkey % 4 = 1 THEN 0.75
+                    WHEN o_orderkey % 4 = 2 THEN 0.2
+                    ELSE 0.5 END AS rw
+        FROM orders),
+      legs AS (
+        SELECT 'ORD-' || CAST(o_orderkey AS VARCHAR) AS exposure_reference,
+               cls AS exposure_class,
+               o_totalprice * leg.share AS ead,
+               o_totalprice * leg.share * rw AS rwa,
+               CASE WHEN o_orderkey % 23 = 0 AND leg.kind = 'covered'
+                    THEN 'banking' ELSE 'trading' END AS book
+        FROM o,
+             unnest([struct_pack(kind := 'covered', share := CAST(0.25 AS DOUBLE)),
+                     struct_pack(kind := 'remainder', share := CAST(0.75 AS DOUBLE))]) AS t(leg)),
+      collapsed AS (
+        SELECT exposure_reference,
+               CAST(sum(CAST(ead AS DECIMAL(38,4))) AS DOUBLE) AS ead,
+               CAST(sum(CAST(rwa AS DECIMAL(38,6))) AS DOUBLE) AS rwa,
+               min(exposure_class) AS exposure_class,
+               (count(DISTINCT exposure_class) > 1 OR count(DISTINCT book) > 1)
+                 AS recon_grain_heterogeneous
+        FROM legs GROUP BY exposure_reference),
+      legacy AS (
+        SELECT 'ORD-' || CAST(o_orderkey AS VARCHAR) AS exposure_reference,
+               CASE WHEN o_orderkey % 29 = 0 THEN o_totalprice + 5.0
+                    WHEN o_orderkey % 13 = 0 THEN o_totalprice + 0.004
+                    ELSE o_totalprice END AS ead,
+               o_totalprice * rw AS rwa,
+               CASE WHEN o_orderkey % 41 = 0 THEN 'XXX'
+                    WHEN o_orderkey % 4 = 0 THEN 'CORP'
+                    WHEN o_orderkey % 4 = 1 THEN 'RET'
+                    WHEN o_orderkey % 4 = 2 THEN 'SOV'
+                    ELSE 'INST' END AS exposure_class
+        FROM o WHERE o_orderkey % 31 <> 0
+        UNION ALL
+        SELECT 'XTRA-' || CAST(o_orderkey AS VARCHAR),
+               o_totalprice,
+               o_totalprice * rw,
+               CASE WHEN o_orderkey % 41 = 0 THEN 'XXX'
+                    WHEN o_orderkey % 4 = 0 THEN 'CORP'
+                    WHEN o_orderkey % 4 = 1 THEN 'RET'
+                    WHEN o_orderkey % 4 = 2 THEN 'SOV'
+                    ELSE 'INST' END
+        FROM o WHERE o_orderkey % 503 = 0),
+      joined AS (
+        SELECT coalesce(c.exposure_reference, l.exposure_reference) AS exposure_reference,
+               c.ead AS our_ead, l.ead AS legacy_ead,
+               c.rwa AS our_rwa, l.rwa AS legacy_rwa,
+               c.exposure_class AS our_cls, l.exposure_class AS legacy_cls,
+               c.exposure_reference IS NOT NULL AS our_present,
+               l.exposure_reference IS NOT NULL AS legacy_present
+        FROM collapsed c FULL OUTER JOIN legacy l USING (exposure_reference)),
+      bucketed AS (
+        SELECT *,
+          our_ead - legacy_ead AS abs_delta_ead,
+          CASE WHEN NOT our_present THEN 'missing_left'
+               WHEN NOT legacy_present THEN 'missing_right'
+               WHEN our_ead IS NULL AND legacy_ead IS NULL THEN 'exact_match'
+               WHEN our_ead IS NULL OR legacy_ead IS NULL THEN 'break'
+               WHEN abs(our_ead - legacy_ead) <= 1e-9 THEN 'exact_match'
+               WHEN abs(our_ead - legacy_ead) <= 0.005 THEN 'within_tolerance'
+               ELSE 'break' END AS ead_bucket,
+          CASE WHEN NOT our_present THEN 'missing_left'
+               WHEN NOT legacy_present THEN 'missing_right'
+               WHEN our_rwa IS NULL AND legacy_rwa IS NULL THEN 'exact_match'
+               WHEN our_rwa IS NULL OR legacy_rwa IS NULL THEN 'break'
+               WHEN abs(our_rwa - legacy_rwa) <= 1e-9 THEN 'exact_match'
+               WHEN abs(our_rwa - legacy_rwa) <= 0.01 THEN 'within_tolerance'
+               ELSE 'break' END AS rwa_bucket,
+          CASE WHEN NOT our_present THEN 'missing_left'
+               WHEN NOT legacy_present THEN 'missing_right'
+               WHEN our_cls IS NULL AND legacy_cls IS NULL THEN 'exact_match'
+               WHEN our_cls IS NULL OR legacy_cls IS NULL THEN 'break'
+               WHEN upper(trim(our_cls)) =
+                    (CASE WHEN upper(trim(legacy_cls)) = 'CORP' THEN 'CORPORATE'
+                          WHEN upper(trim(legacy_cls)) = 'RET' THEN 'RETAIL'
+                          WHEN upper(trim(legacy_cls)) = 'SOV' THEN 'SOVEREIGN'
+                          WHEN upper(trim(legacy_cls)) = 'INST' THEN 'INSTITUTION'
+                          ELSE upper(trim(legacy_cls)) END)
+                 THEN 'exact_match'
+               ELSE 'break' END AS exposure_class_bucket
+        FROM joined),
+      rolled AS (
+        SELECT *,
+          CASE WHEN NOT our_present THEN 'missing_left'
+               WHEN NOT legacy_present THEN 'missing_right'
+               WHEN ead_bucket = 'break' OR rwa_bucket = 'break'
+                    OR exposure_class_bucket = 'break' THEN 'break'
+               WHEN ead_bucket = 'within_tolerance' OR rwa_bucket = 'within_tolerance'
+                 THEN 'within_tolerance'
+               ELSE 'exact_match' END AS row_bucket
+        FROM bucketed),
+      summary AS (
+        SELECT 'summary' AS section, row_bucket,
+               NULL::VARCHAR AS ref_key, NULL::BIGINT AS rank,
+               count(*) AS n,
+               count(CASE WHEN ead_bucket = 'break' THEN 1 END) AS n_ead_break,
+               count(CASE WHEN exposure_class_bucket = 'break' THEN 1 END) AS n_class_break,
+               ${sqlDsum(sql2("coalesce(abs(abs_delta_ead), 0.0)"), 2)} AS sum_abs_delta_ead,
+               NULL::DOUBLE AS delta_ead
+        FROM rolled GROUP BY row_bucket),
+      worklist AS (
+        SELECT 'worklist' AS section, row_bucket,
+               exposure_reference AS ref_key,
+               CAST(row_number() OVER (
+                 ORDER BY coalesce(abs(abs_delta_ead), 0.0) DESC, exposure_reference)
+                 AS BIGINT) AS rank,
+               NULL::BIGINT AS n, NULL::BIGINT AS n_ead_break,
+               NULL::BIGINT AS n_class_break, NULL::DOUBLE AS sum_abs_delta_ead,
+               ${sql2("coalesce(abs_delta_ead, 0.0)")} AS delta_ead
+        FROM rolled WHERE row_bucket = 'break'
+        QUALIFY rank <= 5)
+      SELECT * FROM (SELECT * FROM summary UNION ALL SELECT * FROM worklist)
+      ORDER BY section, row_bucket, coalesce(rank, 0), coalesce(ref_key, '')
+    """.stripMargin.trim))
+
+  val all: Seq[QueryDef] = Seq(
+    q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation)
 }

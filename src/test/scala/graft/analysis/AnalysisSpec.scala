@@ -24,15 +24,16 @@ class AnalysisSpec extends SparkSpec {
       .toDF("k", "rwa")
     val theirs = Seq(("a", 100.0), ("b", 100.004), ("c", 150.0), ("e", 7.0))
       .toDF("k", "rwa")
-    val recon = Reconciliation.compare(ours, theirs, Seq("k"), "rwa")
-    val buckets = recon.select("k", "bucket").as[(String, String)].collect().toMap
+    val recon = Reconciliation.compareMulti(ours, theirs, Seq("k"),
+      Seq(Reconciliation.NumericComponent("rwa", absTol = 0.005)))
+    val buckets = recon.select("k", "row_bucket").as[(String, String)].collect().toMap
     assert(buckets == Map(
       "a" -> "exact_match", "b" -> "within_tolerance", "c" -> "break",
       "d" -> "missing_right", "e" -> "missing_left"))
-    val summary = Reconciliation.summary(recon)
-      .select("bucket", "n").as[(String, Long)].collect().toMap
+    val summary = Reconciliation.summary(recon, "abs_delta_rwa")
+      .select("row_bucket", "n").as[(String, Long)].collect().toMap
     assert(summary("break") == 1 && summary("exact_match") == 1)
-    val worklist = Reconciliation.breakWorklist(recon, Seq("k"))
+    val worklist = Reconciliation.breakWorklist(recon, Seq("k"), "abs_delta_rwa")
     assert(worklist.select("k").as[String].collect().toSeq == Seq("c"))
   }
 
