@@ -40,16 +40,11 @@ object Domain {
     .map { case (_, q, w) => s"WHEN guarantor_cqs = $q THEN ${d(w)}" }
     .mkString("CASE ", " ", s" ELSE ${d(1.0)} END")
 
-  /** q90: the composed flagship. Single plan: orders scanned for the
-    * exposure side, lineitem for the CRM book; counterparty + rule joins
-    * broadcast; the CRM item join, the per-exposure waterfall window, and
-    * the final summary are the only data-sized shuffles.
-    */
-  val q90DomainPipeline = QueryDef(
-    "q90_domain_pipeline",
-    (s, dir) => DomainPipeline.summary(s, dir),
-    Some(s"""
-      WITH sector_map(segment, sector) AS (VALUES $sectorValues),
+  /** The oracle replica of `DomainPipeline.ledger` as a reusable CTE
+    * chain (ends at `final` = the per-exposure ledger) — shared by q90's
+    * summary and q94's COREP template so both gates replicate the SAME
+    * pipeline. */
+  private[queries] val domainLedgerCtes: String = s"""sector_map(segment, sector) AS (VALUES $sectorValues),
       fx(fx_region, currency, fx_rate) AS (VALUES $fxValues),
       ccf_rules(ccf_type, ccf) AS (VALUES $ccfValues),
       haircut_rules(hc_type, haircut) AS (VALUES $haircutValues),
@@ -189,7 +184,18 @@ object Domain {
                       ELSE 1.0 END
                ELSE 1.0 END AS sf_factor
         FROM rwac),
-      final AS (SELECT *, ${sql2("rwa_pre_sf * sf_factor")} AS rwa FROM sfd),
+      final AS (SELECT *, ${sql2("rwa_pre_sf * sf_factor")} AS rwa FROM sfd)""".stripMargin.trim
+
+  /** q90: the composed flagship. Single plan: orders scanned for the
+    * exposure side, lineitem for the CRM book; counterparty + rule joins
+    * broadcast; the CRM item join, the per-exposure waterfall window, and
+    * the final summary are the only data-sized shuffles.
+    */
+  val q90DomainPipeline = QueryDef(
+    "q90_domain_pipeline",
+    (s, dir) => DomainPipeline.summary(s, dir),
+    Some(s"""
+      WITH $domainLedgerCtes,
       summary AS (
         SELECT exposure_class, approach, count(*) AS n_exposures,
                ${sqlDsum("ead_pre_crm", 2)} AS total_ead,
@@ -675,6 +681,129 @@ object Domain {
       ORDER BY section, row_bucket, coalesce(rank, 0), coalesce(ref_key, '')
     """.stripMargin.trim))
 
+  // ---- q94: COREP template + supervisory validations -------------------
+
+  /** C 07.00-style sheet geometry, shared by the Spark cells and the
+    * oracle: rows = exposure classes + the total row, columns = the
+    * Annex-II-style measure set (original exposure, unfunded protection,
+    * funded collateral, post-CRM net exposure, RWEA). */
+  private val corepClasses = Seq(
+    "corporate", "institution", "retail", "sme_corporate", "sovereign")
+  private val corepCols: Seq[(String, String)] = Seq(
+    "C0010" -> "ead_pre_crm", "C0060" -> "guar_covered",
+    "C0070" -> "coll_covered", "C0110" -> "unsecured", "C0220" -> "rwa")
+  private val corepRows: Seq[(String, Option[String])] =
+    corepClasses.map(c => s"R_$c" -> Some(c)) :+ ("R_TOTAL" -> None)
+  private def corepCellId(row: String, colId: String) = s"C07|$row|$colId"
+
+  private val corepRules: Seq[(String, Seq[String], Seq[String], Double)] =
+    // additivity: total row = sum of class rows, per column
+    corepCols.map { case (colId, _) =>
+      (s"v_add_$colId",
+        Seq(corepCellId("R_TOTAL", colId)),
+        corepClasses.map(c => corepCellId(s"R_$c", colId)),
+        0.01)
+    } ++
+    // CRM identity per row: net + outflows reconstitute the original
+    // exposure (tolerance covers the per-exposure cent-rounding of the
+    // waterfall legs aggregated across the book)
+    corepRows.map { case (row, _) =>
+      (s"v_crm_$row",
+        Seq("C0110", "C0060", "C0070").map(corepCellId(row, _)),
+        Seq(corepCellId(row, "C0010")),
+        1.0)
+    }
+
+  /** q94: COREP sheet content + validations — the whole C 07.00-style
+    * sheet is ONE conditional-aggregation pass over the composed q90
+    * ledger (30 cells), then every published-style cross-cell rule
+    * (column additivity, per-row CRM identity) evaluates in one more
+    * pass over the template (`TemplateGenerator` / `TemplateValidator`,
+    * reference `reporting/corep/generator.py` and the
+    * `reporting/validations` package). The oracle rebuilds the identical
+    * ledger (shared CTE chain with q90) and the identical cells/rules.
+    */
+  val q94CorepTemplate = QueryDef(
+    "q94_corep_template",
+    (s, dir) => {
+      import graft.reporting.{CellSpec, TemplateGenerator, TemplateRule, TemplateValidator}
+      val led = DomainPipeline.ledger(s, dir)
+      val cells = for {
+        (row, clsOpt) <- corepRows
+        (colId, measure) <- corepCols
+      } yield CellSpec(
+        corepCellId(row, colId),
+        clsOpt.fold(lit(true))(c => col("exposure_class") === c),
+        col(measure))
+      val template = TemplateGenerator.generate(led, cells)
+      val rules = corepRules.map { case (id, lhs, rhs, tol) =>
+        TemplateRule(id, lhs, rhs, tol) }
+      val checks = TemplateValidator.evaluate(template, rules)
+      val cellRows = template.select(
+        lit("cell").as("section"), col("cell_id").as("id"), col("value"),
+        lit(null).cast("double").as("lhs_total"),
+        lit(null).cast("double").as("rhs_total"),
+        lit(null).cast("double").as("diff"),
+        lit(null).cast("string").as("status"))
+      val checkRows = checks.select(
+        lit("validation").as("section"), col("rule_id").as("id"),
+        lit(null).cast("double").as("value"),
+        col("lhs_total"), col("rhs_total"), col("diff"), col("status"))
+      cellRows.unionByName(checkRows).orderBy(col("section"), col("id"))
+    },
+    Some {
+      val cellDefs = for {
+        ((row, clsOpt), ri) <- corepRows.zipWithIndex
+        ((colId, measure), ci) <- corepCols.zipWithIndex
+      } yield {
+        val pred = clsOpt.fold("TRUE")(c => s"exposure_class = '$c'")
+        val alias = s"cell_${ri}_$ci"
+        (corepCellId(row, colId), alias,
+          s"""sum(CAST(CASE WHEN $pred THEN $measure ELSE 0.0 END AS DECIMAL(38,2))) AS $alias""")
+      }
+      val aggSelect = cellDefs.map(_._3).mkString(",\n               ")
+      val cellUnion = cellDefs.map { case (id, alias, _) =>
+        s"SELECT '$id' AS id, CAST($alias AS DOUBLE) AS value FROM agg"
+      }.mkString("\n        UNION ALL ")
+      val ruleUnion = corepRules.map { case (id, lhs, rhs, _) =>
+        val lhsIn = lhs.map(c => s"'$c'").mkString(", ")
+        val rhsIn = rhs.map(c => s"'$c'").mkString(", ")
+        s"""SELECT '$id' AS rule_id,
+           CAST(sum(CASE WHEN id IN ($lhsIn) THEN CAST(value AS DECIMAL(38,2)) ELSE CAST(0.0 AS DECIMAL(38,2)) END) AS DOUBLE) AS lhs_total,
+           CAST(sum(CASE WHEN id IN ($rhsIn) THEN CAST(value AS DECIMAL(38,2)) ELSE CAST(0.0 AS DECIMAL(38,2)) END) AS DOUBLE) AS rhs_total
+         FROM cells"""
+      }.mkString("\n        UNION ALL ")
+      val tolCase = corepRules.map { case (id, _, _, tol) =>
+        s"WHEN rule_id = '$id' THEN $tol" }.mkString("CASE ", " ", " ELSE 0.01 END")
+      s"""
+      WITH $domainLedgerCtes,
+      agg AS (
+        SELECT $aggSelect
+        FROM final),
+      cells AS (
+        $cellUnion),
+      vals AS (
+        $ruleUnion),
+      vout AS (
+        SELECT rule_id, lhs_total, rhs_total,
+               lhs_total - rhs_total AS diff,
+               CASE WHEN abs(lhs_total - rhs_total) <= ($tolCase) THEN 'pass'
+                    ELSE 'fail' END AS status
+        FROM vals)
+      SELECT * FROM (
+        SELECT 'cell' AS section, id, value,
+               NULL::DOUBLE AS lhs_total, NULL::DOUBLE AS rhs_total,
+               NULL::DOUBLE AS diff, NULL::VARCHAR AS status
+        FROM cells
+        UNION ALL
+        SELECT 'validation', rule_id, NULL::DOUBLE,
+               lhs_total, rhs_total, diff, status
+        FROM vout)
+      ORDER BY section, id
+      """.stripMargin.trim
+    })
+
   val all: Seq[QueryDef] = Seq(
-    q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation)
+    q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation,
+    q94CorepTemplate)
 }
