@@ -803,7 +803,271 @@ object Domain {
       """.stripMargin.trim
     })
 
+  // ---- q95: the full SA calculator over a derived two-regime book ------
+
+  private def sqlLookupI(key: String, table: Seq[(Int, Double)], default: String): String =
+    table.map { case (k, v) => s"WHEN $key = $k THEN ${d(v)}" }
+      .mkString("CASE ", " ", s" ELSE $default END")
+
+  /** q95: `SaKernel` end-to-end — sovereign/RGLA/PSE/MDB routing with
+    * local-currency and equivalent-jurisdiction preferences, CRR
+    * sovereign-CQS fallback tables vs B3.1 ECRA/SCRA, retail sub-classes,
+    * the CRR Art. 125/126 and B3.1 Art. 124F/H real-estate blends and
+    * Table 6B bands, ADC, the defaulted 20% provision test, covered
+    * bonds, and the CRR SME/infrastructure RWEA factors. Attributes are
+    * modular-arithmetic derivations of the order/customer keys so every
+    * route fires; the oracle mirrors the kernel CASE-for-CASE with the
+    * lookup tables rendered from the same Scala data. The kernel's
+    * constants are independently pinned by SaOracleDerivationsSpec (104
+    * hand-derived regulatory values).
+    */
+  val q95SaPortfolio = QueryDef(
+    "q95_sa_portfolio",
+    (s, dir) => {
+      import graft.engine.SaKernel
+      val o = Tables.orders(s, dir)
+      val classChain =
+        when(col("o_orderkey") % 37 === 0, "defaulted")
+          .when(col("o_custkey") % 53 === 0, "high_risk")
+          .when(col("o_orderkey") % 12 === 0, "central_govt_central_bank")
+          .when(col("o_orderkey") % 12 === 1, "rgla")
+          .when(col("o_orderkey") % 12 === 2, "pse")
+          .when(col("o_orderkey") % 12 === 3, "mdb")
+          .when(col("o_orderkey") % 12 === 4, "international_organisation")
+          .when(col("o_orderkey") % 12 === 5, "institution")
+          .when(col("o_orderkey") % 12 === 6, "retail_other")
+          .when(col("o_orderkey") % 12 === 7, "retail_mortgage")
+          .when(col("o_orderkey") % 12 === 8, "commercial_mortgage")
+          .when(col("o_orderkey") % 12 === 9, "covered_bond")
+          .when(col("o_orderkey") % 12 === 10, "corporate_sme")
+          .otherwise("corporate")
+      val attrs = o.select(
+        when(col("o_custkey") % 2 === 0, "CRR").otherwise("BASEL_3_1").as("framework"),
+        lit("SA").as("approach"),
+        classChain.as("exposure_class"),
+        when(col("o_custkey") % 3 === 0, "mdb_named").otherwise("generic").as("entity_type"),
+        col("o_totalprice").as("ead"),
+        when((col("o_custkey") % 8).between(1, 6),
+          (col("o_custkey") % 8).cast("int")).as("cqs"),
+        when((col("o_orderkey") % 9).between(1, 6),
+          (col("o_orderkey") % 9).cast("int")).as("sovereign_cqs"),
+        when(col("o_custkey") % 5 === 0, "USD").when(col("o_custkey") % 5 === 1, "GBP")
+          .when(col("o_custkey") % 5 === 2, "EUR").when(col("o_custkey") % 5 === 3, "JPY")
+          .otherwise("ZAR").as("currency"),
+        when(col("o_custkey") % 4 === 0, "GBP").as("local_currency"),
+        (col("o_orderkey") % 2 === 0).as("cp_is_natural_person"),
+        (col("o_orderkey") % 7 =!= 0).as("qualifies_as_retail"),
+        (col("o_orderkey") % 5 === 0).as("is_payroll_loan"),
+        (col("o_orderkey") % 3 === 0).as("is_qrre_transactor"),
+        (lit(0.3) + (col("o_orderkey") % 80) * lit(0.01)).as("ltv"),
+        when(col("o_orderkey") % 12 === 7, "residential")
+          .when(col("o_custkey") % 2 === 0, "commercial").otherwise("residential")
+          .as("property_type"),
+        (col("o_custkey") % 3 === 1).as("has_income_cover"),
+        (col("o_orderkey") % 11 === 0).as("is_adc"),
+        (col("o_orderkey") % 22 === 0).as("is_presold"),
+        (col("o_orderkey") % 37 === 0).as("is_defaulted"),
+        when(col("o_orderkey") % 2 === 0, col("o_totalprice") * 0.25)
+          .otherwise(col("o_totalprice") * 0.1).as("provision_allocated"),
+        when(col("o_custkey") % 7 === 0, "A").when(col("o_custkey") % 7 === 1, "B")
+          .when(col("o_custkey") % 7 === 2, "C")
+          .when(col("o_custkey") % 7 === 3, "A_ENHANCED").as("scra_grade"),
+        (col("o_custkey") % 6 === 0).as("is_equivalent_jurisdiction"),
+        (col("o_orderkey") % 2 === 0).as("is_sme"),
+        (col("o_orderkey") % 4 === 0).as("is_investment_grade"),
+        (col("o_orderkey") % 8 === 0).as("use_investment_grade_assessment"),
+        (col("o_custkey") % 17 === 0).as("is_infrastructure"),
+        lit(null).cast("string").as("equity_type"),
+        lit(false).as("is_diversified"),
+        lit(false).as("is_exchange_traded"),
+        lit(null).cast("string").as("permission"),
+        lit(null).cast("string").as("slotting_category"),
+        lit(false).as("is_short_maturity"),
+        lit(false).as("is_hvcre"))
+      SaKernel.calculate(attrs)
+        .groupBy(col("framework"), col("exposure_class"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          dsum(q6(col("risk_weight")), 6).as("sum_rw"),
+          dsum(q2(col("rwa")), 2).as("total_rwa"))
+        .orderBy(col("framework"), col("exposure_class"))
+    },
+    Some {
+      import graft.engine.SaKernel._
+      val cpty = "CASE WHEN cp_is_natural_person THEN 0.75 ELSE 1.0 END"
+      def blend(secShare: Double, secRw: Double, restRw: String): String = {
+        val frac = s"least($secShare / ltv, 1.0)"
+        s"($frac) * $secRw + (1.0 - ($frac)) * ($restRw)"
+      }
+      val resiBands = b31IpreResiBands
+        .map { case (ub, v) => s"WHEN ltv <= $ub THEN ${d(v)}" }
+        .mkString("CASE ", " ", s" ELSE ${d(b31IpreResiTerminal)} END")
+      s"""
+      WITH attrs AS (
+        SELECT CASE WHEN o_custkey % 2 = 0 THEN 'CRR' ELSE 'BASEL_3_1' END AS framework,
+               CASE WHEN o_orderkey % 37 = 0 THEN 'defaulted'
+                    WHEN o_custkey % 53 = 0 THEN 'high_risk'
+                    WHEN o_orderkey % 12 = 0 THEN 'central_govt_central_bank'
+                    WHEN o_orderkey % 12 = 1 THEN 'rgla'
+                    WHEN o_orderkey % 12 = 2 THEN 'pse'
+                    WHEN o_orderkey % 12 = 3 THEN 'mdb'
+                    WHEN o_orderkey % 12 = 4 THEN 'international_organisation'
+                    WHEN o_orderkey % 12 = 5 THEN 'institution'
+                    WHEN o_orderkey % 12 = 6 THEN 'retail_other'
+                    WHEN o_orderkey % 12 = 7 THEN 'retail_mortgage'
+                    WHEN o_orderkey % 12 = 8 THEN 'commercial_mortgage'
+                    WHEN o_orderkey % 12 = 9 THEN 'covered_bond'
+                    WHEN o_orderkey % 12 = 10 THEN 'corporate_sme'
+                    ELSE 'corporate' END AS exposure_class,
+               CASE WHEN o_custkey % 3 = 0 THEN 'mdb_named' ELSE 'generic' END AS entity_type,
+               o_totalprice AS ead,
+               CASE WHEN o_custkey % 8 BETWEEN 1 AND 6 THEN o_custkey % 8 END AS cqs,
+               CASE WHEN o_orderkey % 9 BETWEEN 1 AND 6 THEN o_orderkey % 9 END AS sovereign_cqs,
+               CASE WHEN o_custkey % 5 = 0 THEN 'USD' WHEN o_custkey % 5 = 1 THEN 'GBP'
+                    WHEN o_custkey % 5 = 2 THEN 'EUR' WHEN o_custkey % 5 = 3 THEN 'JPY'
+                    ELSE 'ZAR' END AS currency,
+               CASE WHEN o_custkey % 4 = 0 THEN 'GBP' END AS local_currency,
+               o_orderkey % 2 = 0 AS cp_is_natural_person,
+               o_orderkey % 7 <> 0 AS qualifies_as_retail,
+               o_orderkey % 5 = 0 AS is_payroll_loan,
+               o_orderkey % 3 = 0 AS is_qrre_transactor,
+               0.3 + (o_orderkey % 80) * 0.01 AS ltv,
+               CASE WHEN o_orderkey % 12 = 7 THEN 'residential'
+                    WHEN o_custkey % 2 = 0 THEN 'commercial' ELSE 'residential' END AS property_type,
+               o_custkey % 3 = 1 AS has_income_cover,
+               o_orderkey % 11 = 0 AS is_adc,
+               o_orderkey % 22 = 0 AS is_presold,
+               o_orderkey % 37 = 0 AS is_defaulted,
+               CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 0.25
+                    ELSE o_totalprice * 0.1 END AS provision_allocated,
+               CASE WHEN o_custkey % 7 = 0 THEN 'A' WHEN o_custkey % 7 = 1 THEN 'B'
+                    WHEN o_custkey % 7 = 2 THEN 'C'
+                    WHEN o_custkey % 7 = 3 THEN 'A_ENHANCED' END AS scra_grade,
+               o_custkey % 6 = 0 AS is_equivalent_jurisdiction,
+               o_orderkey % 2 = 0 AS is_sme,
+               o_orderkey % 4 = 0 AS is_investment_grade,
+               o_orderkey % 8 = 0 AS use_investment_grade_assessment,
+               o_custkey % 17 = 0 AS is_infrastructure
+        FROM orders),
+      routed AS (
+        SELECT *,
+          framework = 'CRR' AS crr,
+          currency IS NOT NULL AND local_currency IS NOT NULL
+            AND currency = local_currency AS is_local
+        FROM attrs),
+      weighted AS (
+        SELECT *,
+          CASE
+            WHEN exposure_class = 'defaulted' THEN
+              CASE WHEN provision_allocated / (ead + provision_allocated) >= 0.2
+                   THEN 1.0 ELSE 1.5 END
+            WHEN exposure_class = 'high_risk' THEN 1.5
+            WHEN exposure_class = 'central_govt_central_bank' THEN
+              CASE WHEN is_local THEN 0.0
+                   ELSE ${sqlLookupI("cqs", sovereignT1, "CAST(1.0 AS DOUBLE)")} END
+            WHEN exposure_class = 'rgla' THEN
+              CASE WHEN crr THEN
+                     CASE WHEN is_local THEN 0.2
+                          WHEN sovereign_cqs IS NOT NULL
+                            THEN ${sqlLookupI("sovereign_cqs", crrInstitutionT5, "CAST(1.0 AS DOUBLE)")}
+                          ELSE 1.0 END
+                   WHEN cqs IS NOT NULL
+                     THEN ${sqlLookupI("cqs", b31RglaT1b, "CAST(1.0 AS DOUBLE)")}
+                   WHEN is_local THEN 0.2
+                   WHEN sovereign_cqs IS NOT NULL
+                     THEN ${sqlLookupI("sovereign_cqs", b31RglaT1a, "CAST(1.0 AS DOUBLE)")}
+                   ELSE 1.0 END
+            WHEN exposure_class = 'pse' THEN
+              CASE WHEN crr THEN
+                     CASE WHEN is_local OR coalesce(is_equivalent_jurisdiction, false)
+                          THEN ${sqlLookupI("sovereign_cqs", pseT2, "CAST(1.0 AS DOUBLE)")}
+                          ELSE 1.0 END
+                   WHEN cqs IS NOT NULL
+                     THEN ${sqlLookupI("cqs", b31PseT2a, "CAST(1.0 AS DOUBLE)")}
+                   ELSE ${sqlLookupI("sovereign_cqs", pseT2, "CAST(1.0 AS DOUBLE)")} END
+            WHEN exposure_class = 'mdb' THEN
+              CASE WHEN entity_type = 'mdb_named' THEN 0.0
+                   WHEN cqs IS NOT NULL
+                     THEN ${sqlLookupI("cqs", b31MdbT2b, "CAST(1.0 AS DOUBLE)")}
+                   ELSE 0.5 END
+            WHEN exposure_class = 'international_organisation' THEN 0.0
+            WHEN exposure_class = 'institution' THEN
+              CASE WHEN crr THEN
+                     CASE WHEN cqs IS NOT NULL
+                            THEN ${sqlLookupI("cqs", crrInstitutionT3, "CAST(1.0 AS DOUBLE)")}
+                          WHEN sovereign_cqs IS NOT NULL
+                            THEN ${sqlLookupI("sovereign_cqs", crrInstitutionT5, "CAST(1.0 AS DOUBLE)")}
+                          ELSE 1.0 END
+                   WHEN cqs IS NOT NULL
+                     THEN ${sqlLookupI("cqs", b31InstitutionT3, "CAST(1.0 AS DOUBLE)")}
+                   WHEN scra_grade = 'A_ENHANCED' THEN 0.3
+                   WHEN scra_grade = 'A' THEN 0.4
+                   WHEN scra_grade = 'B' THEN 0.75
+                   WHEN scra_grade = 'C' THEN 1.5
+                   ELSE 1.0 END
+            WHEN exposure_class IN ('retail_other', 'retail_qrre') THEN
+              CASE WHEN coalesce(is_payroll_loan, false) THEN 0.35
+                   WHEN NOT crr AND coalesce(is_qrre_transactor, false) THEN 0.45
+                   WHEN coalesce(qualifies_as_retail, false) THEN 0.75
+                   ELSE 1.0 END
+            WHEN exposure_class = 'retail_mortgage' THEN
+              CASE WHEN crr THEN ${blend(0.8, 0.35, cpty)}
+                   WHEN coalesce(has_income_cover, false) THEN $resiBands
+                   ELSE ${blend(0.55, 0.20, cpty)} END
+            WHEN exposure_class IN ('commercial_mortgage', 'residential_mortgage') THEN
+              CASE WHEN coalesce(is_adc, false) THEN
+                     CASE WHEN coalesce(is_presold, false) AND property_type = 'residential'
+                          THEN 1.0 ELSE 1.5 END
+                   WHEN crr THEN
+                     CASE WHEN coalesce(has_income_cover, false)
+                          THEN ${blend(0.5, 0.5, "1.0")} ELSE 1.0 END
+                   WHEN coalesce(has_income_cover, false) THEN
+                     CASE WHEN ltv <= 0.8 THEN 1.0 ELSE 1.1 END
+                   ELSE ${blend(0.55, 0.60, cpty)} END
+            WHEN exposure_class = 'covered_bond' THEN
+              ${sqlLookupI("cqs", coveredBondT6a, "CAST(1.0 AS DOUBLE)")}
+            WHEN exposure_class = 'corporate_sme' THEN
+              CASE WHEN crr THEN
+                     CASE WHEN cqs IS NOT NULL
+                            THEN ${sqlLookupI("cqs", crrCorporateT6, "CAST(1.0 AS DOUBLE)")}
+                          ELSE 1.0 END
+                   WHEN cqs IS NOT NULL
+                     THEN ${sqlLookupI("cqs", b31CorporateT6, "CAST(1.0 AS DOUBLE)")}
+                   ELSE 0.85 END
+            WHEN exposure_class = 'corporate' THEN
+              CASE WHEN crr THEN
+                     CASE WHEN cqs IS NOT NULL
+                            THEN ${sqlLookupI("cqs", crrCorporateT6, "CAST(1.0 AS DOUBLE)")}
+                          ELSE 1.0 END
+                   WHEN cqs IS NOT NULL
+                     THEN ${sqlLookupI("cqs", b31CorporateT6, "CAST(1.0 AS DOUBLE)")}
+                   WHEN coalesce(use_investment_grade_assessment, false)
+                        AND coalesce(is_investment_grade, false) THEN 0.65
+                   ELSE 1.0 END
+            ELSE 1.0
+          END AS risk_weight
+        FROM routed),
+      rwafinal AS (
+        SELECT *,
+          CASE WHEN crr AND exposure_class = 'corporate_sme' AND coalesce(is_sme, false)
+                 THEN (risk_weight * ead) *
+                      ((least(ead, 2500000.0) * 0.7619 +
+                        greatest(ead - 2500000.0, 0.0) * 0.85) / ead)
+               WHEN crr AND coalesce(is_infrastructure, false)
+                 THEN (risk_weight * ead) * 0.75
+               ELSE risk_weight * ead END AS rwa
+        FROM weighted)
+      SELECT framework, exposure_class,
+             count(*) AS n_exposures,
+             ${sqlDsum(sql6("risk_weight"), 6)} AS sum_rw,
+             ${sqlDsum(sql2("rwa"), 2)} AS total_rwa
+      FROM rwafinal
+      GROUP BY framework, exposure_class
+      ORDER BY framework, exposure_class
+      """.stripMargin.trim
+    })
+
   val all: Seq[QueryDef] = Seq(
     q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation,
-    q94CorepTemplate)
+    q94CorepTemplate, q95SaPortfolio)
 }
