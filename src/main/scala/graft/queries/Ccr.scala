@@ -215,6 +215,131 @@ object Ccr {
       FROM weighted
     """.stripMargin.trim))
 
+  /** q96: reduced BA-CVA (reference `engine/cva/ba_cva.py`; PRA PS1/26
+    * CVA Parts 4.2/4.3): per netting set the supervisory discount factor
+    * DF = (1−e^{−0.05·M})/(0.05·M); per counterparty
+    * SCVA_c = (1/α)·RW_c·Σ_NS[M·EAD·DF] (α = 1.4); portfolio
+    * K = √((ρ·ΣSCVA)² + (1−ρ²)·ΣSCVA²) with ρ = 0.5; capital =
+    * DS_BA-CVA·K (0.65), RWA = 12.5·capital. A genuinely NONLINEAR
+    * portfolio aggregate: two shuffles (netting-set → counterparty →
+    * single row), every Σ decimal-exact after per-row cent quantisation
+    * so the nonlinear tail is bit-stable cross-engine.
+    */
+  val q96BaCva = QueryDef(
+    "q96_ba_cva",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val rwChain = when(col("o_custkey") % 4 === 0, 0.015)
+        .when(col("o_custkey") % 4 === 1, 0.03)
+        .when(col("o_custkey") % 4 === 2, 0.06)
+        .otherwise(0.12)
+      val m = lit(1.0) + (col("o_orderkey") % 5).cast("double")
+      val df = (lit(1.0) - exp(lit(-0.05) * m)) / (lit(0.05) * m)
+      val ns = o.select(
+        col("o_custkey").as("counterparty"), rwChain.as("rw_c"),
+        q2((col("o_totalprice") * lit(0.01)) * m * df).as("m_ead_df"))
+      val perCpty = ns.groupBy(col("counterparty"), col("rw_c"))
+        .agg(dsum(col("m_ead_df"), 2).as("sum_m_ead_df"))
+        .select(col("counterparty"),
+          q2((lit(1.0) / 1.4) * col("rw_c") * col("sum_m_ead_df")).as("scva"))
+      perCpty.agg(
+          count(lit(1)).as("n_counterparties"),
+          dsum(col("scva"), 2).as("sum_scva"),
+          dsum(col("scva") * col("scva"), 4).as("sum_scva_sq"))
+        .select(
+          col("n_counterparties"), col("sum_scva"),
+          q2(sqrt(
+            (lit(0.5) * col("sum_scva")) * (lit(0.5) * col("sum_scva")) +
+              lit(0.75) * col("sum_scva_sq"))).as("k_reduced"))
+        .select(col("n_counterparties"), col("sum_scva"), col("k_reduced"),
+          q2(col("k_reduced") * lit(0.65)).as("cva_capital"),
+          q2(q2(col("k_reduced") * lit(0.65)) * lit(12.5)).as("cva_rwa"))
+    },
+    Some(s"""
+      WITH ns AS (
+        SELECT o_custkey AS counterparty,
+               CASE WHEN o_custkey % 4 = 0 THEN 0.015
+                    WHEN o_custkey % 4 = 1 THEN 0.03
+                    WHEN o_custkey % 4 = 2 THEN 0.06
+                    ELSE 0.12 END AS rw_c,
+               ${sql2("(o_totalprice * 0.01) * (1.0 + o_orderkey % 5) * " +
+                 "((1.0 - exp(-0.05 * (1.0 + o_orderkey % 5))) / (0.05 * (1.0 + o_orderkey % 5)))")}
+                 AS m_ead_df
+        FROM orders),
+      per_cpty AS (
+        SELECT counterparty,
+               ${sql2(s"(1.0 / 1.4) * rw_c * ${sqlDsum("m_ead_df", 2)}")} AS scva
+        FROM ns GROUP BY counterparty, rw_c),
+      totals AS (
+        SELECT count(*) AS n_counterparties,
+               ${sqlDsum("scva", 2)} AS sum_scva,
+               ${sqlDsum("scva * scva", 4)} AS sum_scva_sq
+        FROM per_cpty),
+      kcalc AS (
+        SELECT n_counterparties, sum_scva,
+               ${sql2("sqrt((0.5 * sum_scva) * (0.5 * sum_scva) + 0.75 * sum_scva_sq)")}
+                 AS k_reduced
+        FROM totals)
+      SELECT n_counterparties, sum_scva, k_reduced,
+             ${sql2("k_reduced * 0.65")} AS cva_capital,
+             ${sql2(s"(${sql2("k_reduced * 0.65")}) * 12.5")} AS cva_rwa
+      FROM kcalc
+    """.stripMargin.trim))
+
+  /** q97: failed DvP trades (reference `engine/ccr/failed_trades.py`;
+    * CRR Art. 378 Table 1): working-days-past-due banded multipliers
+    * (5-15 → 8%, 16-30 → 50%, 31-45 → 75%, 46+ → 100%) on the positive
+    * price difference; own-funds × 12.5 → RWA, attributed per
+    * regulatory band. Pure banded-chain + one summary shuffle.
+    */
+  val q97FailedTrades = QueryDef(
+    "q97_failed_trades",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val days = (col("l_orderkey") + col("l_linenumber")) % 60
+      val band = when(days < 5, "0_lt_5")
+        .when(days <= 15, "1_5_15")
+        .when(days <= 30, "2_16_30")
+        .when(days <= 45, "3_31_45")
+        .otherwise("4_46_plus")
+      val mult = when(days < 5, 0.0)
+        .when(days <= 15, 0.08)
+        .when(days <= 30, 0.5)
+        .when(days <= 45, 0.75)
+        .otherwise(1.0)
+      li.filter(col("l_linenumber") === 1)
+        .select(band.as("regulatory_band"),
+          q2(q2(col("l_extendedprice") * lit(0.01)) * mult).as("own_funds"))
+        .groupBy(col("regulatory_band"))
+        .agg(count(lit(1)).as("n_trades"),
+          dsum(col("own_funds"), 2).as("total_own_funds"),
+          dsum(col("own_funds") * lit(12.5), 4).as("total_rwa"))
+        .orderBy(col("regulatory_band"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT (l_orderkey + l_linenumber) % 60 AS days,
+               ${sql2("l_extendedprice * 0.01")} AS price_diff
+        FROM lineitem WHERE l_linenumber = 1),
+      banded AS (
+        SELECT CASE WHEN days < 5 THEN '0_lt_5'
+                    WHEN days <= 15 THEN '1_5_15'
+                    WHEN days <= 30 THEN '2_16_30'
+                    WHEN days <= 45 THEN '3_31_45'
+                    ELSE '4_46_plus' END AS regulatory_band,
+               ${sql2("price_diff * (CASE WHEN days < 5 THEN 0.0 " +
+                 "WHEN days <= 15 THEN 0.08 WHEN days <= 30 THEN 0.5 " +
+                 "WHEN days <= 45 THEN 0.75 ELSE 1.0 END)")} AS own_funds
+        FROM t)
+      SELECT regulatory_band, count(*) AS n_trades,
+             ${sqlDsum("own_funds", 2)} AS total_own_funds,
+             ${sqlDsum("own_funds * 12.5", 4)} AS total_rwa
+      FROM banded
+      GROUP BY regulatory_band
+      ORDER BY regulatory_band
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
-    q56SaCcrAddon, q57Slotting, q58CrmCascade, q59GuaranteeSubstitution)
+    q56SaCcrAddon, q57Slotting, q58CrmCascade, q59GuaranteeSubstitution,
+    q96BaCva, q97FailedTrades)
 }
