@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.DomainPipeline
 import graft.rulebook.SaRwCascade
@@ -1067,7 +1068,97 @@ object Domain {
       """.stripMargin.trim
     })
 
+  // ---- q98: securitisation allocator ----------------------------------
+
+  /** q98: the securitisation allocator (reference
+    * `engine/securitisation/allocator.py:84-90,250`): per exposure,
+    * build the `securitisation_pool_allocations` ARRAY<STRUCT<pool_reference,
+    * allocation_pct>> column — the one nested output type in the
+    * reference schema (`contracts/edges.py:757-758`) — as a
+    * deterministic sort_array(collect_list(struct(...))) over the
+    * per-pool weight shares, then explode it back and allocate EAD
+    * pro-rata, with a conservation section proving the shares
+    * reconstitute each exposure. The oracle computes the identical
+    * values at the exploded grain (the array is built and consumed
+    * in-plan; DuckDB never needs to materialise it).
+    */
+  val q98SecuritisationAllocator = QueryDef(
+    "q98_securitisation_allocator",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val slices = li.groupBy(
+          col("l_orderkey"),
+          concat(lit("POOL-"), (col("l_partkey") % 20).cast("string")).as("pool_reference"))
+        .agg(dsum(col("l_quantity"), 2).as("pool_weight"))
+      val wTot = Window.partitionBy(col("l_orderkey"))
+      val withPct = slices
+        .withColumn("total_weight", dsumOver(col("pool_weight"), 2, wTot))
+        .withColumn("allocation_pct", q6(col("pool_weight") / col("total_weight")))
+      // the nested output column, deterministic ordering
+      val allocations = withPct.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(
+          struct(col("pool_reference"), col("allocation_pct")))).as("securitisation_pool_allocations"))
+      val exploded = allocations
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          explode(col("securitisation_pool_allocations")).as("alloc"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("alloc.pool_reference").as("pool_reference"),
+          q2(col("o_totalprice") * col("alloc.allocation_pct")).as("allocated_ead"))
+      val perPool = exploded.groupBy(col("pool_reference"))
+        .agg(count(lit(1)).as("n"), dsum(col("allocated_ead"), 2).as("total_allocated"))
+        .select(lit("pool").as("section"), col("pool_reference").as("ref"),
+          col("n"), col("total_allocated"))
+      val conservation = exploded.groupBy(col("o_orderkey"), col("o_totalprice"))
+        .agg(dsum(col("allocated_ead"), 2).as("order_allocated"),
+          count(lit(1)).as("n_slices"))
+        .agg(
+          count(when(abs(col("order_allocated") - col("o_totalprice")) >
+            col("n_slices") * lit(0.01), lit(1))).as("n_violations"),
+          count(lit(1)).as("n_orders"))
+        .select(lit("conservation").as("section"), lit("check").as("ref"),
+          col("n_violations").as("n"), col("n_orders").cast("double").as("total_allocated"))
+      perPool.unionByName(conservation).orderBy(col("section"), col("ref"))
+    },
+    Some(s"""
+      WITH slices AS (
+        SELECT l_orderkey,
+               'POOL-' || CAST(l_partkey % 20 AS VARCHAR) AS pool_reference,
+               ${sqlDsum("l_quantity", 2)} AS pool_weight
+        FROM lineitem GROUP BY l_orderkey, pool_reference),
+      with_pct AS (
+        SELECT *,
+          ${sqlDsumOver("pool_weight", 2, "PARTITION BY l_orderkey")} AS total_weight
+        FROM slices),
+      pct AS (
+        SELECT l_orderkey, pool_reference,
+               ${sql6("pool_weight / total_weight")} AS allocation_pct
+        FROM with_pct),
+      exploded AS (
+        SELECT o_orderkey, o_totalprice, pool_reference,
+               ${sql2("o_totalprice * allocation_pct")} AS allocated_ead
+        FROM pct JOIN orders ON l_orderkey = o_orderkey),
+      per_pool AS (
+        SELECT 'pool' AS section, pool_reference AS ref, count(*) AS n,
+               ${sqlDsum("allocated_ead", 2)} AS total_allocated
+        FROM exploded GROUP BY pool_reference),
+      per_order AS (
+        SELECT o_orderkey, o_totalprice,
+               ${sqlDsum("allocated_ead", 2)} AS order_allocated,
+               count(*) AS n_slices
+        FROM exploded GROUP BY o_orderkey, o_totalprice),
+      conservation AS (
+        SELECT 'conservation' AS section, 'check' AS ref,
+               count(CASE WHEN abs(order_allocated - o_totalprice) > n_slices * 0.01
+                          THEN 1 END) AS n,
+               CAST(count(*) AS DOUBLE) AS total_allocated
+        FROM per_order)
+      SELECT * FROM (SELECT * FROM per_pool UNION ALL SELECT * FROM conservation)
+      ORDER BY section, ref
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation,
-    q94CorepTemplate, q95SaPortfolio)
+    q94CorepTemplate, q95SaPortfolio, q98SecuritisationAllocator)
 }
