@@ -1158,7 +1158,150 @@ object Domain {
       ORDER BY section, ref
     """.stripMargin.trim))
 
+  // ---- q99: transition matrix + attribution ----------------------------
+
+  /** q99: period-over-period migration matrix + the attribution
+    * roll-forward (reference `analysis/transition.py`,
+    * `analysis/attribution.py` neutral attributor): two derived
+    * snapshots (period B migrates classes on seeded keys and rescales
+    * EAD), the (from → to) matrix, and the per-class bridge
+    * closing = opening + inflow − outflow + growth with every term an
+    * exact decimal sum — plus an identity-check row proving the bridge
+    * closes to the cent. One join + class-grain shuffles.
+    */
+  val q99Transition = QueryDef(
+    "q99_transition",
+    (s, dir) => {
+      import graft.analysis.Transition
+      val o = Tables.orders(s, dir)
+      def classChain(k: org.apache.spark.sql.Column) =
+        when(k % 4 === 0, "corporate").when(k % 4 === 1, "retail")
+          .when(k % 4 === 2, "sovereign").otherwise("institution")
+      val periodA = o.select(
+        col("o_orderkey"), classChain(col("o_orderkey")).as("exposure_class"),
+        col("o_totalprice").as("ead"))
+      val shift = when(col("o_orderkey") % 19 === 0, 1)
+        .when(col("o_orderkey") % 23 === 0, 3).otherwise(0)
+      val factor = when(col("o_orderkey") % 3 === 0, 1.25)
+        .when(col("o_orderkey") % 3 === 1, 0.8).otherwise(1.0)
+      val periodB = o.select(
+        col("o_orderkey"),
+        classChain(col("o_orderkey") + shift).as("exposure_class"),
+        q2(col("o_totalprice") * factor).as("ead"))
+      val j = Transition.joined(periodA, periodB, "o_orderkey",
+        "exposure_class", "ead")
+      val matrix = Transition.migrationMatrix(j).select(
+        lit("matrix").as("section"), col("class_from"), col("class_to"),
+        col("n"), col("opening_measure").as("opening"),
+        col("closing_measure").as("closing"),
+        lit(null).cast("double").as("inflow"),
+        lit(null).cast("double").as("outflow"),
+        lit(null).cast("double").as("growth"))
+      val attr = Transition.attribution(j)
+      val attrRows = attr.select(
+        lit("attribution").as("section"), col("cls").as("class_from"),
+        lit(null).cast("string").as("class_to"),
+        lit(null).cast("long").as("n"),
+        col("opening"), col("closing"), col("inflow"), col("outflow"),
+        col("growth"))
+      val check = attr.agg(
+        count(when(abs(col("closing") -
+          (col("opening") + col("inflow") - col("outflow") + col("growth")))
+          > 0.005, lit(1))).as("n"))
+        .select(lit("check").as("section"),
+          lit("bridge_violations").as("class_from"),
+          lit(null).cast("string").as("class_to"), col("n"),
+          lit(null).cast("double").as("opening"),
+          lit(null).cast("double").as("closing"),
+          lit(null).cast("double").as("inflow"),
+          lit(null).cast("double").as("outflow"),
+          lit(null).cast("double").as("growth"))
+      matrix.unionByName(attrRows).unionByName(check)
+        .orderBy(col("section"), col("class_from"),
+          coalesce(col("class_to"), lit("")))
+    },
+    Some(s"""
+      WITH a AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 4 = 0 THEN 'corporate'
+                    WHEN o_orderkey % 4 = 1 THEN 'retail'
+                    WHEN o_orderkey % 4 = 2 THEN 'sovereign'
+                    ELSE 'institution' END AS class_from,
+               o_totalprice AS measure_from
+        FROM orders),
+      b AS (
+        SELECT o_orderkey,
+               CASE WHEN (o_orderkey + (CASE WHEN o_orderkey % 19 = 0 THEN 1
+                                             WHEN o_orderkey % 23 = 0 THEN 3
+                                             ELSE 0 END)) % 4 = 0 THEN 'corporate'
+                    WHEN (o_orderkey + (CASE WHEN o_orderkey % 19 = 0 THEN 1
+                                             WHEN o_orderkey % 23 = 0 THEN 3
+                                             ELSE 0 END)) % 4 = 1 THEN 'retail'
+                    WHEN (o_orderkey + (CASE WHEN o_orderkey % 19 = 0 THEN 1
+                                             WHEN o_orderkey % 23 = 0 THEN 3
+                                             ELSE 0 END)) % 4 = 2 THEN 'sovereign'
+                    ELSE 'institution' END AS class_to,
+               ${sql2("o_totalprice * (CASE WHEN o_orderkey % 3 = 0 THEN 1.25 " +
+                 "WHEN o_orderkey % 3 = 1 THEN 0.8 ELSE 1.0 END)")} AS measure_to
+        FROM orders),
+      j AS (SELECT * FROM a JOIN b USING (o_orderkey)),
+      matrix AS (
+        SELECT 'matrix' AS section, class_from, class_to,
+               count(*) AS n,
+               ${sqlDsum("measure_from", 2)} AS opening,
+               ${sqlDsum("measure_to", 2)} AS closing,
+               NULL::DOUBLE AS inflow, NULL::DOUBLE AS outflow,
+               NULL::DOUBLE AS growth
+        FROM j GROUP BY class_from, class_to),
+      opening AS (
+        SELECT class_from AS cls, ${sqlDsum("measure_from", 2)} AS opening
+        FROM j GROUP BY class_from),
+      closing AS (
+        SELECT class_to AS cls, ${sqlDsum("measure_to", 2)} AS closing
+        FROM j GROUP BY class_to),
+      inflow AS (
+        SELECT class_to AS cls, ${sqlDsum("measure_from", 2)} AS inflow
+        FROM j WHERE class_from <> class_to GROUP BY class_to),
+      outflow AS (
+        SELECT class_from AS cls, ${sqlDsum("measure_from", 2)} AS outflow
+        FROM j WHERE class_from <> class_to GROUP BY class_from),
+      growth AS (
+        SELECT class_to AS cls, ${sqlDsum("measure_to - measure_from", 2)} AS growth
+        FROM j GROUP BY class_to),
+      attr AS (
+        SELECT cls,
+               coalesce(opening, 0.0) AS opening,
+               coalesce(inflow, 0.0) AS inflow,
+               coalesce(outflow, 0.0) AS outflow,
+               coalesce(growth, 0.0) AS growth,
+               coalesce(closing, 0.0) AS closing
+        FROM opening
+        FULL OUTER JOIN closing USING (cls)
+        FULL OUTER JOIN inflow USING (cls)
+        FULL OUTER JOIN outflow USING (cls)
+        FULL OUTER JOIN growth USING (cls)),
+      attr_rows AS (
+        SELECT 'attribution' AS section, cls AS class_from,
+               NULL::VARCHAR AS class_to, NULL::BIGINT AS n,
+               opening, closing, inflow, outflow, growth
+        FROM attr),
+      chk AS (
+        SELECT 'check' AS section, 'bridge_violations' AS class_from,
+               NULL::VARCHAR AS class_to,
+               count(CASE WHEN abs(closing - (opening + inflow - outflow + growth))
+                          > 0.005 THEN 1 END) AS n,
+               NULL::DOUBLE AS opening, NULL::DOUBLE AS closing,
+               NULL::DOUBLE AS inflow, NULL::DOUBLE AS outflow,
+               NULL::DOUBLE AS growth
+        FROM attr)
+      SELECT * FROM (
+        SELECT * FROM matrix UNION ALL SELECT * FROM attr_rows
+        UNION ALL SELECT * FROM chk)
+      ORDER BY section, class_from, coalesce(class_to, '')
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation,
-    q94CorepTemplate, q95SaPortfolio, q98SecuritisationAllocator)
+    q94CorepTemplate, q95SaPortfolio, q98SecuritisationAllocator,
+    q99Transition)
 }
