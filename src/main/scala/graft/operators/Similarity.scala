@@ -20,32 +20,39 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  /** Deterministic cosine: per-element products cast to DECIMAL and summed
-    * exactly, so the score is independent of evaluation order (same
-    * discipline as [[graft.queries.Q.dsum]]); norms likewise. sqrt and the
-    * final divisions are correctly-rounded IEEE ops.
+  /** Exact decimal dot product: per-element products cast to DECIMAL and
+    * summed exactly, so the value is independent of evaluation order
+    * (same discipline as [[graft.queries.Q.dsum]]). The merge result is
+    * re-cast to the seed's exact decimal type — Spark's decimal addition
+    * widens/caps (38,14)+(38,14) → (38,13), and `aggregate` requires
+    * merge-type == seed-type; the cast is lossless while |acc| < 10^24.
     */
-  def cosineExact(a: Column, b: Column): Column = {
-    // the merge result is re-cast to the seed's exact decimal type —
-    // Spark's decimal addition widens/caps (38,14)+(38,14) → (38,13),
-    // and `aggregate` requires merge-type == seed-type; the cast is
-    // lossless while |acc| < 10^24
-    def dotD(x: Column, y: Column): Column =
-      aggregate(
-        zip_with(x, y, (p, q) => (p.cast("double") * q.cast("double"))
-          .cast(DecimalType(38, 14))),
-        lit(0).cast(DecimalType(38, 14)),
-        (acc, v) => (acc + v).cast(DecimalType(38, 14))).cast("double")
-    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
-  }
+  def dotExact(x: Column, y: Column): Column =
+    aggregate(
+      zip_with(x, y, (p, q) => (p.cast("double") * q.cast("double"))
+        .cast(DecimalType(38, 14))),
+      lit(0).cast(DecimalType(38, 14)),
+      (acc, v) => (acc + v).cast(DecimalType(38, 14))).cast("double")
+
+  /** Deterministic cosine from exact decimal dots; sqrt and the final
+    * divisions are correctly-rounded IEEE ops. Hot paths should
+    * precompute the per-vector norms ONCE (see bruteForceTopK /
+    * signLshNearDup) instead of calling this per pair — the value is
+    * bit-identical either way, but the per-pair form re-evaluates two
+    * lambda dot products that only depend on one side.
+    */
+  def cosineExact(a: Column, b: Column): Column =
+    dotExact(a, b) / (sqrt(dotExact(a, a)) * sqrt(dotExact(b, b)))
+
+  /** Plain double dot product (internal ranking only). */
+  private def dotPlain(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+  private def dot2(x: Column): Column = dotPlain(x, x)
 
   /** Fast double-precision cosine for internal ranking. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dotPlain(a, b) / (sqrt(dot2(a)) * sqrt(dot2(b)))
 
   /** Brute-force cosine top-k: every probe against every candidate.
     * Probes are broadcast (they are the small side by construction);
@@ -55,10 +62,20 @@ object Similarity {
       candidates: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int,
       exact: Boolean = true): DataFrame = {
+    // per-vector norms once (N + P lambda evaluations), not per pair
+    // (3·N·P) — bit-identical cosine, 3× less decimal-lambda work
     val cand = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+      .withColumn("cand_norm",
+        if (exact) sqrt(dotExact(col("cand_vec"), col("cand_vec")))
+        else sqrt(dot2(col("cand_vec"))))
     val prob = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
-    val cos = if (exact) cosineExact(col("probe_vec"), col("cand_vec"))
-              else cosine(col("probe_vec"), col("cand_vec"))
+      .withColumn("probe_norm",
+        if (exact) sqrt(dotExact(col("probe_vec"), col("probe_vec")))
+        else sqrt(dot2(col("probe_vec"))))
+    val cos =
+      (if (exact) dotExact(col("probe_vec"), col("cand_vec"))
+       else dotPlain(col("probe_vec"), col("cand_vec"))) /
+        (col("probe_norm") * col("cand_norm"))
     val scored = cand.crossJoin(broadcast(prob))
       .filter(col("cand_id") =!= col("probe_id"))
       .select(col("probe_id"), col("cand_id"), cos.as("cosine"))
@@ -106,11 +123,16 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // per-vector norms once, not per pair (bit-identical cosine)
+    val vn = v.withColumn("norm", sqrt(dotExact(col("vec"), col("vec"))))
     pairs
-      .join(v.select(col("nn_id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
-      .join(v.select(col("nn_id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .join(vn.select(col("nn_id").as("id_a"), col("vec").as("vec_a"),
+        col("norm").as("norm_a")), Seq("id_a"))
+      .join(vn.select(col("nn_id").as("id_b"), col("vec").as("vec_b"),
+        col("norm").as("norm_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosineExact(col("vec_a"), col("vec_b")).as("cosine"))
+        (dotExact(col("vec_a"), col("vec_b")) /
+          (col("norm_a") * col("norm_b"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 
