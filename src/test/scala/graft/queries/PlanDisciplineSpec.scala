@@ -48,6 +48,12 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(plan.contains("*("), s"expected codegen stage in:\n$plan")
   }
 
+  test("composed domain pipeline broadcasts its dimension/rule joins (q90)") {
+    val plan = SparkEntry.queries("q90_domain_pipeline")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"q90 should broadcast:\n$plan")
+  }
+
   test("the 24-branch RW cascade stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q91_rw_cascade")(spark, sfDir)
     df.collect()
