@@ -118,7 +118,10 @@ object Reconciliation {
     }
     val withCats = categoricals.foldLeft(withNumerics) { (acc, c) =>
       val ov = normalise(col(s"our_${c.name}"))
-      val lv = applyValueMap(normalise(col(s"legacy_${c.name}")), c.valueMap)
+      // re-normalise after the value-map so a map to canonical lowercase
+      // ("CORP" -> "corporate") still matches the normalised our-side
+      val lv = normalise(
+        applyValueMap(normalise(col(s"legacy_${c.name}")), c.valueMap))
       acc.withColumn(s"${c.name}_bucket", presenceChain(
         when(col(s"our_${c.name}").isNull && col(s"legacy_${c.name}").isNull,
           "exact_match")

@@ -1,0 +1,192 @@
+package graft.api
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.reporting.CellSpec
+
+/** Facade lifecycle tests (reference `api/service.py` CreditRiskCalc,
+  * `api/reconciliation.py` config IO, `api/export.py` exporters) over the
+  * sf0.001 fixture set. */
+class ApiSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // ---- config IO -------------------------------------------------------
+
+  test("ReconConfig parses the reference grammar and round-trips") {
+    val text =
+      """# analyst-edited mapping
+        |legacy_file = "legacy/results.csv"   # relative to config dir
+        |legacy_format = "csv"
+        |legacy_keys = ["EXPOSURE_REF"]
+        |our_keys = ["exposure_reference"]
+        |top_n = 25
+        |
+        |[components.rwa]
+        |legacy_column = "RWA_GBP"
+        |scale = 1000.0
+        |tol_kind = "abs"
+        |tol = 0.5
+        |
+        |[components.exposure_class]
+        |legacy_column = "ASSET_CLASS"
+        |value_map = { "CORP" = "corporate", "INST" = "institution" }
+        |""".stripMargin
+    val s = ReconConfig.loads(text, Paths.get("/cfg"))
+    assert(s.legacyFile == "/cfg/legacy/results.csv")
+    assert(s.legacyKeys == Seq("EXPOSURE_REF"))
+    assert(s.topN == 25)
+    val byName = s.components.toMap
+    assert(byName("rwa") ==
+      ComponentMapping("RWA_GBP", scale = 1000.0,
+        tolKind = Some("abs"), tol = Some(0.5)))
+    assert(byName("exposure_class").valueMap ==
+      Seq("CORP" -> "corporate", "INST" -> "institution"))
+    // round-trip through dump (absolute path survives verbatim)
+    val again = ReconConfig.loads(ReconConfig.dump(s), Paths.get("/cfg"))
+    assert(again == s)
+  }
+
+  test("ReconConfig rejects missing legacy_file and bad enums") {
+    assertThrows[IllegalArgumentException](ReconConfig.loads("top_n = 5"))
+    assertThrows[IllegalArgumentException](ReconConfig.loads(
+      "legacy_file = \"x.csv\"\nlegacy_format = \"xml\""))
+    assertThrows[IllegalArgumentException](ReconConfig.loads(
+      "legacy_file = \"x.csv\"\n[components.rwa]\ntol_kind = \"abs\""))
+  }
+
+  // ---- calculate -------------------------------------------------------
+
+  test("calculate() composes the pipeline and reports portfolio RWA") {
+    val calc = new CreditRiskCalc(spark, CalcConfig(dataPath = sfDir))
+    val res = calc.calculate()
+    assert(res.success && res.errors.isEmpty)
+    assert(res.summary.get.count() > 0)
+    assert(res.totalRwa > 0.0)
+    // lazy ledger: plan composes without executing until an action
+    assert(res.ledger.get.columns.contains("rwa"))
+  }
+
+  test("calculate() surfaces validation errors instead of throwing") {
+    val bad = new CreditRiskCalc(spark, CalcConfig(dataPath = "/nonexistent"))
+    val res = bad.calculate()
+    assert(!res.success && res.errors.exists(_.code == "DATA_PATH"))
+    assert(res.totalRwa == 0.0)
+
+    val empty = tmpDir("graft_empty")
+    val res2 = new CreditRiskCalc(spark, CalcConfig(dataPath = empty)).calculate()
+    assert(!res2.success && res2.errors.exists(_.code == "MISSING_TABLE"))
+  }
+
+  test("invalid config values are rejected at construction") {
+    assertThrows[IllegalArgumentException](CalcConfig(sfDir, framework = "B2"))
+    assertThrows[IllegalArgumentException](CalcConfig(sfDir, permissionMode = "auto"))
+  }
+
+  // ---- reconcile -------------------------------------------------------
+
+  test("reconcile() against a perturbed legacy dump buckets the break") {
+    val calc = new CreditRiskCalc(spark, CalcConfig(dataPath = sfDir))
+    val res = calc.calculate()
+    assert(res.success)
+
+    // fabricate the "legacy calculator output": our own ledger collapsed
+    // to key grain, legacy-style column names, one key perturbed by +1000
+    val keyed = res.ledger.get
+      .groupBy(col("exposure_reference"))
+      .agg(sum(col("rwa").cast("decimal(38,2)")).cast("double").as("rwa"),
+           min(col("exposure_class")).as("exposure_class"))
+    val firstKey = keyed.select(min(col("exposure_reference"))).first().getString(0)
+    val legacy = keyed.select(
+      col("exposure_reference").as("EXPOSURE_REF"),
+      (when(col("exposure_reference") === firstKey, col("rwa") + 1000.0)
+        .otherwise(col("rwa")) / 1000.0).as("RWA_K"), // legacy reports k-units
+      upper(substring(col("exposure_class"), 1, 4)).as("ASSET_CLASS"))
+
+    val dir = tmpDir("graft_recon")
+    legacy.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/legacy_csv")
+    val part = Files.list(Paths.get(s"$dir/legacy_csv")).toArray
+      .map(_.toString).filter(_.endsWith(".csv")).head
+
+    val cfg =
+      s"""legacy_file = "$part"
+         |legacy_format = "csv"
+         |legacy_keys = ["EXPOSURE_REF"]
+         |our_keys = ["exposure_reference"]
+         |top_n = 10
+         |
+         |[components.rwa]
+         |legacy_column = "RWA_K"
+         |scale = 1000.0
+         |tol_kind = "abs"
+         |tol = 0.5
+         |
+         |[components.exposure_class]
+         |legacy_column = "ASSET_CLASS"
+         |value_map = { "CORP" = "corporate", "INST" = "institution", "RETA" = "retail", "SME_" = "sme_corporate", "SOVE" = "sovereign" }
+         |""".stripMargin
+    val cfgPath = s"$dir/recon.toml"
+    Files.writeString(Paths.get(cfgPath), cfg)
+
+    val recon = calc.reconcile(cfgPath, calculation = Some(res))
+    assert(recon.success, recon.errors.mkString("; "))
+    val buckets = recon.summary.get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(buckets.getOrElse("break", 0L) == 1L, s"buckets: $buckets")
+    assert(!buckets.contains("missing_left") && !buckets.contains("missing_right"))
+    val top = recon.worklist.get.orderBy(col("rank")).first()
+    assert(top.getAs[String]("exposure_reference") == firstKey)
+    assert(top.getAs[String]("break_components") == "rwa")
+    // scale mapping: non-perturbed rows agree to the cent despite the
+    // k-unit round-trip
+    assert(buckets.getOrElse("exact_match", 0L) +
+      buckets.getOrElse("within_tolerance", 0L) == keyed.count() - 1)
+  }
+
+  test("reconcile() with a failed calculation surfaces calc errors") {
+    val bad = new CreditRiskCalc(spark, CalcConfig(dataPath = "/nonexistent"))
+    val r = bad.reconcile(
+      ReconSettings(legacyFile = "/nonexistent.csv"), calculation = None)
+    assert(!r.success && r.errors.exists(_.code == "DATA_PATH"))
+  }
+
+  // ---- exports ---------------------------------------------------------
+
+  test("export surface writes parquet, csv, xlsx and corep artifacts") {
+    val calc = new CreditRiskCalc(spark, CalcConfig(dataPath = sfDir))
+    val res = calc.calculate()
+    val dir = tmpDir("graft_export")
+
+    calc.exportToParquet(res.summary.get, s"$dir/summary_pq")
+    assert(spark.read.parquet(s"$dir/summary_pq").count() ==
+      res.summary.get.count())
+
+    calc.exportToCsv(res.summary.get, s"$dir/summary_csv")
+    assert(Files.list(Paths.get(s"$dir/summary_csv")).toArray
+      .exists(_.toString.endsWith(".csv")))
+
+    calc.exportToExcel(res.summary.get, s"$dir/summary.xlsx")
+    assert(Files.size(Paths.get(s"$dir/summary.xlsx")) > 0)
+
+    calc.exportToCorep(res.ledger.get, Seq(
+      CellSpec("C07|R_TOTAL|C0010", lit(true), col("ead_pre_crm")),
+      CellSpec("C07|R_TOTAL|C0220", lit(true), col("rwa"))),
+      s"$dir/corep.xlsx")
+    assert(Files.size(Paths.get(s"$dir/corep.xlsx")) > 0)
+  }
+
+  test("audit cache dir captures run artifacts with a manifest") {
+    val dir = tmpDir("graft_audit")
+    val calc = new CreditRiskCalc(spark,
+      CalcConfig(dataPath = sfDir, auditCacheDir = Some(dir)))
+    assert(calc.calculate().success)
+    assert(Files.exists(Paths.get(s"$dir/manifest.json")))
+    assert(spark.read.parquet(s"$dir/summary").count() > 0)
+  }
+}
