@@ -30,4 +30,23 @@ object Validation {
     }.toSeq
     (counts, errors)
   }
+
+  /** Distributed variant: the same single aggregation pass surfaced as a
+    * long-format (column_name, n_violations) frame — stays lazy, so it
+    * composes into a plan instead of forcing a driver action (the shape
+    * that holds when the validated frame is 100 TB).
+    */
+  def enumViolationsDf(
+      df: DataFrame, constraints: Seq[(String, Seq[String])]): DataFrame = {
+    require(constraints.nonEmpty)
+    val aggs = constraints.map { case (c, allowed) =>
+      count(when(col(c).isNotNull && !col(c).isin(allowed: _*), lit(1)))
+        .as(s"_viol_$c")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = constraints
+      .map { case (c, _) => s"'$c', `_viol_$c`" }.mkString(", ")
+    row.selectExpr(
+      s"stack(${constraints.size}, $stackArgs) AS (column_name, n_violations)")
+  }
 }

@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.engine.DomainPipeline
 import graft.rulebook.SaRwCascade
 import graft.sources.Tables
@@ -736,21 +738,40 @@ object Domain {
         corepCellId(row, colId),
         clsOpt.fold(lit(true))(c => col("exposure_class") === c),
         col(measure))
-      val template = TemplateGenerator.generate(led, cells)
-      val rules = corepRules.map { case (id, lhs, rhs, tol) =>
-        TemplateRule(id, lhs, rhs, tol) }
-      val checks = TemplateValidator.evaluate(template, rules)
-      val cellRows = template.select(
-        lit("cell").as("section"), col("cell_id").as("id"), col("value"),
-        lit(null).cast("double").as("lhs_total"),
-        lit(null).cast("double").as("rhs_total"),
-        lit(null).cast("double").as("diff"),
-        lit(null).cast("string").as("status"))
-      val checkRows = checks.select(
-        lit("validation").as("section"), col("rule_id").as("id"),
-        lit(null).cast("double").as("value"),
-        col("lhs_total"), col("rhs_total"), col("diff"), col("status"))
-      cellRows.unionByName(checkRows).orderBy(col("section"), col("id"))
+      // SINGLE-BRANCH plan: one aggregation over the ledger produces the
+      // wide 1-row frame; sheet cells AND every cross-cell rule total
+      // come out of it in ONE stack (cells as values, rule LHS/RHS as
+      // horizontal decimal sums computed in the projection before the
+      // stack). The ~300-node ledger subtree therefore appears exactly
+      // once in the plan — it is analysed, optimised, and executed once,
+      // where a union of cell and validation branches would carry (and
+      // re-optimise) it twice.
+      val row0 = TemplateGenerator.wideRow(led, cells)
+      def dsumH(ids: Seq[String]): Column =
+        ids.map(id => col(s"`$id`").cast(DecimalType(38, 2)))
+          .reduce(_ + _).cast("double")
+      val wide = row0.select(
+        cells.map(c => col(s"`${c.cellId}`")) ++
+        corepRules.flatMap { case (id, lhs, rhs, _) =>
+          Seq(dsumH(lhs).as(s"${id}__lhs"), dsumH(rhs).as(s"${id}__rhs")) }: _*)
+      val nullD = "CAST(NULL AS DOUBLE)"
+      val stackRows =
+        cells.map(c =>
+          s"'cell', '${c.cellId}', `${c.cellId}`, $nullD, $nullD") ++
+        corepRules.map { case (id, _, _, _) =>
+          s"'validation', '$id', $nullD, `${id}__lhs`, `${id}__rhs`" }
+      val stacked = wide.selectExpr(
+        s"stack(${stackRows.size}, ${stackRows.mkString(", ")}) " +
+          "AS (section, id, value, lhs_total, rhs_total)")
+      val tolChain = corepRules.foldLeft(Option.empty[Column]) {
+        case (None, (id, _, _, tol)) => Some(when(col("id") === id, tol))
+        case (Some(acc), (id, _, _, tol)) => Some(acc.when(col("id") === id, tol))
+      }.get.otherwise(0.01)
+      stacked
+        .withColumn("diff", col("lhs_total") - col("rhs_total"))
+        .withColumn("status", when(col("section") === "validation",
+          when(abs(col("diff")) <= tolChain, "pass").otherwise("fail")))
+        .orderBy(col("section"), col("id"))
     },
     Some {
       val cellDefs = for {

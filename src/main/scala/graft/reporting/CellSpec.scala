@@ -24,17 +24,24 @@ final case class CellSpec(
 
 object TemplateGenerator {
 
-  /** All cells in one pass → long-format (cell_id, value) frame. */
-  def generate(ledger: DataFrame, cells: Seq[CellSpec]): DataFrame = {
+  /** All cells in one aggregation → ONE wide row (cellId columns). */
+  def wideRow(ledger: DataFrame, cells: Seq[CellSpec]): DataFrame = {
     require(cells.nonEmpty)
     val aggs = cells.map(c =>
       sum(when(c.predicate, c.measure).otherwise(lit(0.0))
         .cast(DecimalType(38, c.scale))).cast("double").as(c.cellId))
-    val row = ledger.agg(aggs.head, aggs.tail: _*)
-    // unpivot to (cell_id, value) via stack
+    ledger.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Unpivot a [[wideRow]] to the long (cell_id, value) template. */
+  def stackCells(row: DataFrame, cells: Seq[CellSpec]): DataFrame = {
     val stackArgs = cells.map(c => s"'${c.cellId}', `${c.cellId}`").mkString(", ")
     row.select(expr(s"stack(${cells.size}, $stackArgs) AS (cell_id, value)"))
   }
+
+  /** All cells in one pass → long-format (cell_id, value) frame. */
+  def generate(ledger: DataFrame, cells: Seq[CellSpec]): DataFrame =
+    stackCells(wideRow(ledger, cells), cells)
 
   /** Cell drill-down: the ledger rows behind one cell (lineage). */
   def drilldown(ledger: DataFrame, cell: CellSpec): DataFrame =
@@ -70,6 +77,38 @@ object TemplateValidator {
     val stackArgs = rules.map(r =>
       s"'${r.ruleId}', `${r.ruleId}__lhs`, `${r.ruleId}__rhs`").mkString(", ")
     val long = row.select(expr(
+      s"stack(${rules.size}, $stackArgs) AS (rule_id, lhs_total, rhs_total)"))
+    val tolChain = rules.foldLeft(Option.empty[Column]) {
+      case (None, r) => Some(when(col("rule_id") === r.ruleId, r.tolerance))
+      case (Some(acc), r) => Some(acc.when(col("rule_id") === r.ruleId, r.tolerance))
+    }.get.otherwise(0.01)
+    long
+      .withColumn("diff", col("lhs_total") - col("rhs_total"))
+      .withColumn("status",
+        when(abs(col("diff")) <= tolChain, "pass").otherwise("fail"))
+  }
+
+  /** One-pass variant: evaluate the rules HORIZONTALLY on the wide 1-row
+    * cell frame (`ledger.agg(cell1, …, cellN)`) instead of re-aggregating
+    * the stacked template — the sheet and every validation then share a
+    * single scan of the ledger (one aggregation total, not two). Value
+    * semantics match [[evaluate]] exactly: each addend round-trips
+    * through DECIMAL(38,2) so the horizontal sum is the same exact
+    * decimal sum the vertical pass computes.
+    */
+  def evaluateWide(row: DataFrame, rules: Seq[TemplateRule]): DataFrame = {
+    require(rules.nonEmpty)
+    def dsumH(cellIds: Seq[String]): Column =
+      cellIds.map(id => col(s"`$id`").cast(DecimalType(38, 2)))
+        .reduce(_ + _).cast("double")
+    val ruleCols = rules.flatMap { r =>
+      Seq(dsumH(r.lhs).as(s"${r.ruleId}__lhs"),
+          dsumH(r.rhs).as(s"${r.ruleId}__rhs"))
+    }
+    val wide = row.select(ruleCols: _*)
+    val stackArgs = rules.map(r =>
+      s"'${r.ruleId}', `${r.ruleId}__lhs`, `${r.ruleId}__rhs`").mkString(", ")
+    val long = wide.select(expr(
       s"stack(${rules.size}, $stackArgs) AS (rule_id, lhs_total, rhs_total)"))
     val tolChain = rules.foldLeft(Option.empty[Column]) {
       case (None, r) => Some(when(col("rule_id") === r.ruleId, r.tolerance))
