@@ -79,8 +79,9 @@ final class CreditRiskCalc(spark: SparkSession, config: CalcConfig) {
     val errs = validate()
     if (errs.nonEmpty)
       return CalculationResult(success = false, config, None, None, errs)
-    val led = DomainPipeline.ledger(spark, config.dataPath)
-    val sm = DomainPipeline.summary(spark, config.dataPath)
+    val irb = config.permissionMode == "irb"
+    val led = DomainPipeline.ledger(spark, config.dataPath, irb)
+    val sm = DomainPipeline.summary(spark, config.dataPath, irb)
     config.auditCacheDir.foreach { dir =>
       Sinks.writeAuditCache(Map("ledger" -> led, "summary" -> sm), dir)
     }

@@ -229,21 +229,40 @@ object DomainPipeline {
 
   // ---- stage 4: classification ----------------------------------------
 
-  /** Exposure-class cascade + approach pick (reference `stages/classify`
-    * attribute cascade; model permissions as data — even country keys hold
-    * IRB permission). */
-  def classify(h: DataFrame): DataFrame = {
-    h.withColumn("exposure_class",
-        when(col("country").isin(sovereignCountries: _*) &&
-             col("effective_cqs") <= 2, "sovereign")
-          .when(col("sector") === "individual" && col("drawn_base") < 100000, "retail")
-          .when(col("sector") === "institution", "institution")
-          .when(col("turnover") < 50000000.0, "sme_corporate")
-          .otherwise("corporate"))
+  /** Model-permission grants as an input table (reference permission
+    * mode "irb", `api/service.py:47-53`: each row grants IRB approval for
+    * a model_id + exposure_class scoped by geography; exposures without a
+    * matching grant fall back to SA). Derived deterministically from the
+    * star schema: even country keys hold IRB permission for corporate and
+    * institution books — one grant row per (class, country). */
+  def modelPermissions(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .filter(col("n_nationkey") % 2 === 0)
+      .select(col("n_name").as("perm_country"),
+        explode(array(lit("corporate"), lit("institution"))).as("perm_class"))
+      .withColumn("model_id",
+        concat(lit("IRB-"), upper(substring(col("perm_class"), 1, 4)), lit("-1")))
+
+  /** Exposure-class cascade + approach routing (reference
+    * `stages/classify` attribute cascade + the model-permission join:
+    * grants are a small dimension → broadcast; unmatched rows take the SA
+    * fallback). `irbMode = false` is the reference's "standardised"
+    * permission mode — every exposure routes SA and grants are ignored. */
+  def classify(h: DataFrame, grants: DataFrame, irbMode: Boolean = true): DataFrame = {
+    val classed = h.withColumn("exposure_class",
+      when(col("country").isin(sovereignCountries: _*) &&
+           col("effective_cqs") <= 2, "sovereign")
+        .when(col("sector") === "individual" && col("drawn_base") < 100000, "retail")
+        .when(col("sector") === "institution", "institution")
+        .when(col("turnover") < 50000000.0, "sme_corporate")
+        .otherwise("corporate"))
+    classed
+      .join(broadcast(grants),
+        col("exposure_class") === col("perm_class") &&
+          col("country") === col("perm_country"), "left")
       .withColumn("approach",
-        when(col("country_key") % 2 === 0 &&
-             col("exposure_class").isin("corporate", "institution"), "IRB")
-          .otherwise("SA"))
+        when(lit(irbMode) && col("model_id").isNotNull, "IRB").otherwise("SA"))
+      .drop("perm_class", "perm_country", "model_id")
   }
 
   // ---- stage 5: CCF / EAD ---------------------------------------------
@@ -360,13 +379,15 @@ object DomainPipeline {
 
   // ---- composition -----------------------------------------------------
 
-  /** The full per-exposure audit ledger (wide frame), one lazy plan. */
-  def ledger(s: SparkSession, dir: String): DataFrame = {
+  /** The full per-exposure audit ledger (wide frame), one lazy plan.
+    * `irbMode = false` runs the reference's "standardised" permission
+    * mode (all exposures route SA). */
+  def ledger(s: SparkSession, dir: String, irbMode: Boolean = true): DataFrame = {
     val exp = exposuresUnified(s, dir)
     val cpty = counterparties(s, dir)
     val enriched = enrichFx(exp, cpty, s)
     val h = hierarchy(enriched)
-    val cls = classify(h)
+    val cls = classify(h, modelPermissions(s, dir), irbMode)
     val ead = eadCalc(cls, s)
     val withRw = ownRiskWeight(ead, s)
     val crm = crmWaterfall(withRw, collateral(s, dir), guarantees(s, dir), s)
@@ -374,8 +395,8 @@ object DomainPipeline {
   }
 
   /** The (class, approach) summary with portfolio shares — q90's output. */
-  def summary(s: SparkSession, dir: String): DataFrame = {
-    val led = ledger(s, dir)
+  def summary(s: SparkSession, dir: String, irbMode: Boolean = true): DataFrame = {
+    val led = ledger(s, dir, irbMode)
     val perClass = led.groupBy(col("exposure_class"), col("approach")).agg(
       count(lit(1)).as("n_exposures"),
       dsum(col("ead_pre_crm"), 2).as("total_ead"),
@@ -410,7 +431,8 @@ object DomainPipeline {
       new Stage {
         def name = "hierarchy_classify"
         def run(ctx: PipelineContext) =
-          ctx.put(kClassified, classify(hierarchy(ctx.get(kEnriched))))
+          ctx.put(kClassified,
+            classify(hierarchy(ctx.get(kEnriched)), modelPermissions(s, dir)))
         override def edgeFrames = Seq(kClassified)
       },
       new Stage {

@@ -215,6 +215,53 @@ object Domain {
       ORDER BY exposure_class, approach
     """.stripMargin.trim))
 
+  // ---- q85: model-permission routing ----------------------------------
+
+  /** q85: the permission-mode approach routing in isolation — the grants
+    * table (one IRB approval per model_id + exposure_class + geography,
+    * reference `api/service.py:47-53` permission modes), and the routed
+    * (class, approach) census after the broadcast grant join with SA
+    * fallback. The oracle rebuilds both from the same star schema. */
+  val q85ModelPermissions = QueryDef(
+    "q85_model_permissions",
+    (s, dir) => {
+      val grants = DomainPipeline.modelPermissions(s, dir)
+      val grantRows = grants.select(
+        lit("grant").as("section"), col("model_id"),
+        col("perm_class").as("exposure_class"),
+        col("perm_country").as("country"),
+        lit(null).cast("string").as("approach"),
+        lit(null).cast("long").as("n"))
+      val routed = DomainPipeline.ledger(s, dir)
+        .groupBy(col("exposure_class"), col("approach"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("routing").as("section"),
+          lit(null).cast("string").as("model_id"), col("exposure_class"),
+          lit(null).cast("string").as("country"), col("approach"), col("n"))
+      grantRows.unionByName(routed).orderBy(
+        col("section"), coalesce(col("model_id"), lit("")),
+        col("exposure_class"), coalesce(col("country"), lit("")),
+        coalesce(col("approach"), lit("")))
+    },
+    Some(s"""
+      WITH $domainLedgerCtes,
+      grants AS (
+        SELECT 'IRB-' || upper(substring(cls, 1, 4)) || '-1' AS model_id,
+               cls AS exposure_class, n_name AS country
+        FROM nation CROSS JOIN (VALUES ('corporate'), ('institution')) AS t(cls)
+        WHERE n_nationkey % 2 = 0)
+      SELECT * FROM (
+        SELECT 'grant' AS section, model_id, exposure_class, country,
+               CAST(NULL AS VARCHAR) AS approach, CAST(NULL AS BIGINT) AS n
+        FROM grants
+        UNION ALL
+        SELECT 'routing', CAST(NULL AS VARCHAR), exposure_class,
+               CAST(NULL AS VARCHAR), approach, count(*)
+        FROM final GROUP BY exposure_class, approach)
+      ORDER BY section, coalesce(model_id, ''), exposure_class,
+               coalesce(country, ''), coalesce(approach, '')
+    """.stripMargin.trim))
+
   // ---- q91: the B3.1 override cascade --------------------------------
 
   /** Deterministic exposure-attribute derivation: every branch of the
@@ -1322,6 +1369,7 @@ object Domain {
     """.stripMargin.trim))
 
   val all: Seq[QueryDef] = Seq(
+    q85ModelPermissions,
     q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation,
     q94CorepTemplate, q95SaPortfolio, q98SecuritisationAllocator,
     q99Transition)

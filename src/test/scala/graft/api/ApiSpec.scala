@@ -83,6 +83,23 @@ class ApiSpec extends SparkSpec {
     assert(!res2.success && res2.errors.exists(_.code == "MISSING_TABLE"))
   }
 
+  test("permission modes route approaches (standardised = all-SA fallback)") {
+    val sa = new CreditRiskCalc(spark,
+      CalcConfig(dataPath = sfDir, permissionMode = "standardised")).calculate()
+    assert(sa.success)
+    def approaches(r: CalculationResult): Set[String] =
+      r.summary.get.select("approach").distinct()
+        .collect().map(_.getString(0)).toSet
+    assert(approaches(sa) == Set("SA"))
+    val irb = new CreditRiskCalc(spark,
+      CalcConfig(dataPath = sfDir, permissionMode = "irb")).calculate()
+    assert(approaches(irb) == Set("SA", "IRB"))
+    // routing only relabels in this synthetic book (the RW kernel is
+    // SA-based either way) — total RWA is invariant across modes up to
+    // the float-summation order of the differing (class, approach) splits
+    assert(math.abs(sa.totalRwa - irb.totalRwa) < 0.01)
+  }
+
   test("invalid config values are rejected at construction") {
     assertThrows[IllegalArgumentException](CalcConfig(sfDir, framework = "B2"))
     assertThrows[IllegalArgumentException](CalcConfig(sfDir, permissionMode = "auto"))
