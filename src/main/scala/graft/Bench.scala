@@ -71,7 +71,10 @@ object Bench {
       .mkString("{", ",", "}")
     val perRound = results.map { case (k, v) =>
       jstr(k) + ":" + v.map(f3).mkString("[", ",", "]") }.mkString("{", ",", "}")
-    val fj = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+    // cap per-failure detail on stdout (the metric line must stay inside
+    // the driver's ~2000-char tail); full messages go to stderr
+    failures.foreach { case (k, v) => System.err.println(s"[bench-fail] $k: $v") }
+    val fj = failures.map { case (k, v) => jstr(k) + ":" + jstr(v.take(80)) }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v) => v.min }.sum
     val totalMean = results.map { case (_, v) => v.sum / v.size }.sum

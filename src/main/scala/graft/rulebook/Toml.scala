@@ -84,10 +84,15 @@ object Toml {
       arrays.get(name).map(_.last)
         .getOrElse(tables.getOrElseUpdate(name, new Node))
 
-    def freeze: Table =
-      scalars.toMap ++
-        tables.map { case (k, n) => k -> n.freeze } ++
-        arrays.map { case (k, buf) => k -> buf.toVector.map(_.freeze) }
+    /** Order-preserving freeze (authoring order is meaningful — e.g.
+      * component order drives downstream column order). */
+    def freeze: Table = {
+      val entries =
+        scalars.toSeq ++
+          tables.toSeq.map { case (k, n) => k -> (n.freeze: Any) } ++
+          arrays.toSeq.map { case (k, buf) => k -> (buf.toVector.map(_.freeze): Any) }
+      scala.collection.immutable.ListMap(entries: _*)
+    }
   }
 
   private def stripComment(line: String): String = {
@@ -109,12 +114,13 @@ object Toml {
     case s if s.startsWith("[") && s.endsWith("]") =>
       splitTopLevel(s.substring(1, s.length - 1)).map(x => parseValue(x.trim)).toVector
     case s if s.startsWith("{") && s.endsWith("}") =>
-      splitTopLevel(s.substring(1, s.length - 1)).map { entry =>
-        entry.split("=", 2) match {
-          case Array(k, vv) => parseValue(k.trim).toString -> parseValue(vv.trim)
-          case _ => throw new IllegalArgumentException(s"bad inline-table entry: '$entry'")
-        }
-      }.toMap: Table
+      scala.collection.immutable.ListMap(
+        splitTopLevel(s.substring(1, s.length - 1)).map { entry =>
+          entry.split("=", 2) match {
+            case Array(k, vv) => parseValue(k.trim).toString -> parseValue(vv.trim)
+            case _ => throw new IllegalArgumentException(s"bad inline-table entry: '$entry'")
+          }
+        }: _*): Table
     case "true" => true
     case "false" => false
     case s => s.toDouble
