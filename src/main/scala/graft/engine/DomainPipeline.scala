@@ -82,6 +82,24 @@ object DomainPipeline {
     ("retail", 1, 0.75), ("retail", 2, 0.75), ("retail", 3, 0.75),
     ("retail", 4, 0.75), ("retail", 5, 0.75), ("retail", 6, 0.75))
 
+  /** Candidate-regime (B3.1-style recalibration) SA risk weights — the
+    * second rulepack a parallel-run comparison evaluates (reference
+    * framework switch `api/service.py` CRR vs BASEL_3_1 + the per-regime
+    * rule packs under `rulebook/packs`). Differs from [[rwTable]] in the institution
+    * SCRA-style grades, the corporate investment grades, and the retail
+    * transactor band. */
+  val rwTableB31: Seq[(String, Int, Double)] = Seq(
+    ("sovereign", 1, 0.0), ("sovereign", 2, 0.2), ("sovereign", 3, 0.5),
+    ("sovereign", 4, 1.0), ("sovereign", 5, 1.0), ("sovereign", 6, 1.5),
+    ("institution", 1, 0.2), ("institution", 2, 0.4), ("institution", 3, 0.4),
+    ("institution", 4, 0.75), ("institution", 5, 1.0), ("institution", 6, 1.5),
+    ("corporate", 1, 0.2), ("corporate", 2, 0.5), ("corporate", 3, 0.65),
+    ("corporate", 4, 1.0), ("corporate", 5, 1.5), ("corporate", 6, 1.5),
+    ("sme_corporate", 1, 0.2), ("sme_corporate", 2, 0.5), ("sme_corporate", 3, 0.75),
+    ("sme_corporate", 4, 0.85), ("sme_corporate", 5, 1.0), ("sme_corporate", 6, 1.5),
+    ("retail", 1, 0.45), ("retail", 2, 0.45), ("retail", 3, 0.75),
+    ("retail", 4, 0.75), ("retail", 5, 0.75), ("retail", 6, 0.75))
+
   val sovereignCountries: Seq[String] =
     Seq("UNITED STATES", "GERMANY", "CHINA", "FRANCE", "JAPAN")
 
@@ -279,11 +297,21 @@ object DomainPipeline {
   def ownRiskWeight(e: DataFrame, s: SparkSession): DataFrame = {
     import s.implicits._
     val rw = broadcast(rwTable.toDF("rw_class", "rw_cqs", "rw"))
+    val rwB31 = broadcast(rwTableB31.toDF("b31_class", "b31_cqs", "rw_b31x"))
     e.join(rw,
         col("exposure_class") === col("rw_class") &&
         col("effective_cqs") === col("rw_cqs"), "left")
       .withColumn("own_rw", coalesce(col("rw"), lit(1.0)))
       .drop("rw_class", "rw_cqs", "rw")
+      // shadow regime: the candidate rule-set's weight resolved in the
+      // SAME scan (the reference runs the pipeline once per framework and
+      // compares materialised runs — at scale, one pass computing both
+      // regimes dominates two full runs)
+      .join(rwB31,
+        col("exposure_class") === col("b31_class") &&
+        col("effective_cqs") === col("b31_cqs"), "left")
+      .withColumn("own_rw_b31", coalesce(col("rw_b31x"), lit(1.0)))
+      .drop("b31_class", "b31_cqs", "rw_b31x")
   }
 
   // ---- stage 6: CRM waterfall -----------------------------------------
@@ -368,6 +396,13 @@ object DomainPipeline {
         q2(col("guar_covered") *
           least(col("own_rw"), coalesce(col("guarantor_rw"), col("own_rw")))) +
         q2(col("unsecured") * col("own_rw")))
+      // candidate-regime shadow: identical formula over the B3.1 weight,
+      // evaluated in the same projection (no second pipeline run)
+      .withColumn("rwa_pre_sf_b31",
+        q2(col("coll_covered") * lit(collateralRw)) +
+        q2(col("guar_covered") *
+          least(col("own_rw_b31"), coalesce(col("guarantor_rw"), col("own_rw_b31")))) +
+        q2(col("unsecured") * col("own_rw_b31")))
       .withColumn("sf_factor",
         when(col("exposure_class") === "sme_corporate",
           when(col("group_drawn") <= 1500000, 0.7619)
@@ -375,6 +410,7 @@ object DomainPipeline {
             .otherwise(1.0))
           .otherwise(1.0))
       .withColumn("rwa", q2(col("rwa_pre_sf") * col("sf_factor")))
+      .withColumn("rwa_b31", q2(col("rwa_pre_sf_b31") * col("sf_factor")))
   }
 
   // ---- composition -----------------------------------------------------

@@ -36,6 +36,8 @@ object Domain {
     .map { case (m, t) => s"($m, '$t')" }.mkString(", ")
   private val rwValues = DomainPipeline.rwTable
     .map { case (c, q, w) => s"('$c', $q, ${d(w)})" }.mkString(", ")
+  private val rwValuesB31 = DomainPipeline.rwTableB31
+    .map { case (c, q, w) => s"('$c', $q, ${d(w)})" }.mkString(", ")
   private val sovereignList = DomainPipeline.sovereignCountries
     .map(c => s"'$c'").mkString(", ")
   private val guarantorRwCase = DomainPipeline.rwTable
@@ -53,6 +55,7 @@ object Domain {
       haircut_rules(hc_type, haircut) AS (VALUES $haircutValues),
       coll_type_map(mod_key, ct) AS (VALUES $collTypeValues),
       rw_rules(rw_class, rw_cqs, rw) AS (VALUES $rwValues),
+      rw_rules_b31(b31_class, b31_cqs, rw_b31) AS (VALUES $rwValuesB31),
       cpty AS (
         SELECT 'CP-' || CAST(c_custkey AS VARCHAR) AS counterparty_reference,
                'GRP-' || CAST(n_nationkey AS VARCHAR) AS parent_group,
@@ -114,10 +117,13 @@ object Domain {
         SELECT a.*, ${sql2("drawn_base + undrawn_base * coalesce(ccf, 1.0)")} AS ead_pre_crm
         FROM approached a LEFT JOIN ccf_rules ON exposure_type = ccf_type),
       ownrw AS (
-        SELECT e.*, coalesce(r.rw, 1.0) AS own_rw
+        SELECT e.*, coalesce(r.rw, 1.0) AS own_rw,
+               coalesce(rb.rw_b31, 1.0) AS own_rw_b31
         FROM eadc e
         LEFT JOIN rw_rules r
-          ON e.exposure_class = r.rw_class AND e.effective_cqs = r.rw_cqs),
+          ON e.exposure_class = r.rw_class AND e.effective_cqs = r.rw_cqs
+        LEFT JOIN rw_rules_b31 rb
+          ON e.exposure_class = rb.b31_class AND e.effective_cqs = rb.b31_cqs),
       coll_items AS (
         SELECT 'ORD-' || CAST(l_orderkey AS VARCHAR) AS exposure_reference,
                1 AS priority,
@@ -177,7 +183,10 @@ object Domain {
         SELECT *,
           ${sql2(s"coll_covered * ${DomainPipeline.collateralRw}")} +
           ${sql2("guar_covered * least(own_rw, coalesce(guarantor_rw, own_rw))")} +
-          ${sql2("unsecured * own_rw")} AS rwa_pre_sf
+          ${sql2("unsecured * own_rw")} AS rwa_pre_sf,
+          ${sql2(s"coll_covered * ${DomainPipeline.collateralRw}")} +
+          ${sql2("guar_covered * least(own_rw_b31, coalesce(guarantor_rw, own_rw_b31))")} +
+          ${sql2("unsecured * own_rw_b31")} AS rwa_pre_sf_b31
         FROM ledger),
       sfd AS (
         SELECT *,
@@ -187,7 +196,8 @@ object Domain {
                       ELSE 1.0 END
                ELSE 1.0 END AS sf_factor
         FROM rwac),
-      final AS (SELECT *, ${sql2("rwa_pre_sf * sf_factor")} AS rwa FROM sfd)""".stripMargin.trim
+      final AS (SELECT *, ${sql2("rwa_pre_sf * sf_factor")} AS rwa,
+                       ${sql2("rwa_pre_sf_b31 * sf_factor")} AS rwa_b31 FROM sfd)""".stripMargin.trim
 
   /** q90: the composed flagship. Single plan: orders scanned for the
     * exposure side, lineitem for the CRM book; counterparty + rule joins
@@ -260,6 +270,82 @@ object Domain {
         FROM final GROUP BY exposure_class, approach)
       ORDER BY section, coalesce(model_id, ''), exposure_class,
                coalesce(country, ''), coalesce(approach, '')
+    """.stripMargin.trim))
+
+  // ---- q86: two-run (parallel-run) comparison --------------------------
+
+  private val comparisonGrid = Seq("corporate", "equity", "institution",
+    "retail", "sme_corporate", "sovereign")
+
+  /** q86: base-vs-candidate framework comparison (reference
+    * `analysis/comparison.py`): the base regime and the B3.1-style
+    * candidate rulepack are evaluated as SHADOW COLUMNS in one ledger
+    * pass (the reference runs the pipeline once per framework; at 100 TB
+    * one scan computing both regimes dominates two runs), then
+    * `Comparison.compareRuns` full-outer-joins the per-class run results
+    * and `scaffoldSummary` projects them onto the complete report grid —
+    * including the `equity` cell absent from both runs — with broadcast
+    * 1-row totals and share-of-delta. */
+  val q86RunComparison = QueryDef(
+    "q86_run_comparison",
+    (s, dir) => {
+      import s.implicits._
+      import graft.analysis.Comparison
+      val runs = DomainPipeline.ledger(s, dir)
+        .groupBy(col("exposure_class"))
+        .agg(dsum(col("rwa"), 2).as("rwa_base_m"),
+             dsum(col("rwa_b31"), 2).as("rwa_cand_m"))
+      val base = runs.select(col("exposure_class"), col("rwa_base_m").as("rwa"))
+      val cand = runs.select(col("exposure_class"), col("rwa_cand_m").as("rwa"))
+      val recon = Comparison.compareRuns(
+        base, cand, Seq("exposure_class"), Seq("rwa"))
+      val grid = broadcast(comparisonGrid.toDF("exposure_class"))
+      Comparison.scaffoldSummary(recon, grid, Seq("exposure_class"), Seq("rwa"))
+        .select(col("exposure_class"), col("rwa_base"), col("rwa_cand"),
+          col("in_base"), col("in_cand"), col("delta_rwa"), col("pct_rwa"),
+          col("total_rwa_base"), col("total_delta_rwa"),
+          col("share_of_delta_rwa"))
+        .orderBy(col("exposure_class"))
+    },
+    Some(s"""
+      WITH $domainLedgerCtes,
+      base AS (
+        SELECT exposure_class, ${sqlDsum("rwa", 2)} AS rwa
+        FROM final GROUP BY exposure_class),
+      cand AS (
+        SELECT exposure_class, ${sqlDsum("rwa_b31", 2)} AS rwa
+        FROM final GROUP BY exposure_class),
+      recon AS (
+        SELECT coalesce(b.exposure_class, c.exposure_class) AS exposure_class,
+               b.rwa AS rwa_base, c.rwa AS rwa_cand,
+               b.exposure_class IS NOT NULL AS in_base,
+               c.exposure_class IS NOT NULL AS in_cand,
+               coalesce(c.rwa, 0.0) - coalesce(b.rwa, 0.0) AS delta_rwa,
+               CASE WHEN abs(coalesce(b.rwa, 0.0)) > 1e-10 THEN
+                 ${sql6("(coalesce(c.rwa, 0.0) - coalesce(b.rwa, 0.0)) / b.rwa")}
+               END AS pct_rwa
+        FROM base b FULL OUTER JOIN cand c ON b.exposure_class = c.exposure_class),
+      grid(exposure_class) AS (VALUES ${comparisonGrid.map(c => s"('$c')").mkString(", ")}),
+      filled AS (
+        SELECT g.exposure_class,
+               coalesce(r.rwa_base, 0.0) AS rwa_base,
+               coalesce(r.rwa_cand, 0.0) AS rwa_cand,
+               coalesce(r.in_base, false) AS in_base,
+               coalesce(r.in_cand, false) AS in_cand,
+               coalesce(r.delta_rwa, 0.0) AS delta_rwa,
+               r.pct_rwa
+        FROM grid g LEFT JOIN recon r ON g.exposure_class = r.exposure_class),
+      tot AS (
+        SELECT ${sqlDsum("rwa_base", 2)} AS total_rwa_base,
+               ${sqlDsum("delta_rwa", 2)} AS total_delta_rwa
+        FROM recon)
+      SELECT f.exposure_class, f.rwa_base, f.rwa_cand, f.in_base, f.in_cand,
+             f.delta_rwa, f.pct_rwa, t.total_rwa_base, t.total_delta_rwa,
+             CASE WHEN abs(t.total_delta_rwa) > 1e-10 THEN
+               ${sql6("f.delta_rwa / t.total_delta_rwa")}
+             END AS share_of_delta_rwa
+      FROM filled f CROSS JOIN tot t
+      ORDER BY exposure_class
     """.stripMargin.trim))
 
   // ---- q91: the B3.1 override cascade --------------------------------
@@ -1369,7 +1455,7 @@ object Domain {
     """.stripMargin.trim))
 
   val all: Seq[QueryDef] = Seq(
-    q85ModelPermissions,
+    q85ModelPermissions, q86RunComparison,
     q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation,
     q94CorepTemplate, q95SaPortfolio, q98SecuritisationAllocator,
     q99Transition)
