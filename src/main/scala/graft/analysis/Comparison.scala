@@ -81,15 +81,21 @@ object Comparison {
   }
 
   /** Break rows ranked by |delta| materiality with a deterministic key
-    * tiebreak — the candidate-impact worklist. */
+    * tiebreak — the candidate-impact worklist.
+    *
+    * `orderBy(...).limit(n)` plans as TakeOrderedAndProject (per-
+    * partition top-n, then merge of survivors only) instead of an
+    * unpartitioned global-sort window, so the worklist stays
+    * distributed at any break volume. The rank window runs over the
+    * ≤limit survivors only (bounded input). */
   def impactWorklist(
       recon: DataFrame, keys: Seq[String], measure: String,
       limit: Int = 100): DataFrame = {
     val order = (abs(coalesce(col(s"delta_$measure"), lit(0.0))).desc +:
       keys.map(col)): Seq[Column]
     recon.filter(abs(coalesce(col(s"delta_$measure"), lit(0.0))) > ZeroGuard)
+      .orderBy(order: _*).limit(limit)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(order: _*)).cast("long"))
-      .filter(col("rank") <= limit)
   }
 }

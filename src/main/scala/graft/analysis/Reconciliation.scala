@@ -71,10 +71,14 @@ object Reconciliation {
 
   private def normalise(c: Column): Column = upper(trim(c))
 
+  /** Map keys/values are casefolded+stripped before matching, mirroring
+    * the reference's `_apply_value_map` (`reconciliation.py:1346-1351`)
+    * — a config with lowercase/mixed-case keys still matches the
+    * already-normalised legacy value. */
   private def applyValueMap(c: Column, vm: Seq[(String, String)]): Column =
     vm.foldLeft(Option.empty[Column]) {
-      case (None, (k, v)) => Some(when(c === k, v))
-      case (Some(acc), (k, v)) => Some(acc.when(c === k, v))
+      case (None, (k, v)) => Some(when(c === k.trim.toUpperCase, v.trim))
+      case (Some(acc), (k, v)) => Some(acc.when(c === k.trim.toUpperCase, v.trim))
     }.fold(c)(_.otherwise(c))
 
   /** Full-outer multi-measure compare. Output: keys, our_/legacy_ value
@@ -151,15 +155,21 @@ object Reconciliation {
       .orderBy(col("row_bucket"))
 
   /** Break worklist: breaks ranked by descending materiality with a
-    * deterministic key tiebreak (the reference's analyst queue). */
+    * deterministic key tiebreak (the reference's analyst queue).
+    *
+    * `orderBy(...).limit(n)` plans as TakeOrderedAndProject — each
+    * partition keeps its local top-n and only those survivors merge on
+    * the driver side — so a recon with millions of break rows never
+    * funnels through a single-partition global sort. The rank window
+    * then runs over the ≤limit survivors only (bounded input). */
   def breakWorklist(
       recon: DataFrame, keys: Seq[String], materialityCol: String,
       limit: Int = 100): DataFrame = {
     val order = (coalesce(abs(col(materialityCol)), lit(0.0)).desc +:
       keys.map(col)): Seq[Column]
     recon.filter(col("row_bucket") === "break")
+      .orderBy(order: _*).limit(limit)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(order: _*)).cast("long"))
-      .filter(col("rank") <= limit)
   }
 }

@@ -23,7 +23,7 @@ final case class ComponentMapping(
 final case class ReconSettings(
     legacyFile: String,
     legacyFormat: String = "csv", // "csv" | "parquet"
-    legacyKeys: Seq[String] = Nil,
+    legacyKeys: Seq[String] = Seq("exposure_reference"),
     ourKeys: Seq[String] = Seq("exposure_reference"),
     components: Seq[(String, ComponentMapping)] = Nil,
     topN: Int = 50)
@@ -59,12 +59,23 @@ object ReconConfig {
         }
       case _ => Nil
     }
+    val ourKeys = doc.get("our_keys").map(v => strList(Some(v)))
+      .filter(_.nonEmpty).getOrElse(Seq("exposure_reference"))
+    // omitted legacy_keys default to our_keys (the reference treats the
+    // names as normalised-equal); a mismatched explicit list is a config
+    // error surfaced here, not an unresolved-column failure at reconcile
+    val legacyKeys = strList(doc.get("legacy_keys")) match {
+      case Nil => ourKeys
+      case xs if xs.length == ourKeys.length => xs
+      case xs => throw new IllegalArgumentException(
+        s"legacy_keys (${xs.length}) and our_keys (${ourKeys.length}) " +
+          "must have the same length")
+    }
     ReconSettings(
       legacyFile = legacy,
       legacyFormat = fmt,
-      legacyKeys = strList(doc.get("legacy_keys")),
-      ourKeys = doc.get("our_keys").map(v => strList(Some(v)))
-        .filter(_.nonEmpty).getOrElse(Seq("exposure_reference")),
+      legacyKeys = legacyKeys,
+      ourKeys = ourKeys,
       components = comps,
       topN = doc.get("top_n").map(_.toString.toDouble.toInt).getOrElse(50))
   }

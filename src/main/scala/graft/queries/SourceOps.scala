@@ -88,7 +88,10 @@ object SourceOps {
   val q48CsvRoundtrip = QueryDef(
     "q48_csv_roundtrip",
     (s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q48_nation_csv"
+      // unique per JVM so a concurrent bench + correctness driver on the
+      // same host never race on write-overwrite-then-read
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q48_nation_csv_${java.lang.ProcessHandle.current.pid}"
       Sinks.writeCsv(Tables.nation(s, dir), tmp)
       val contract = EdgeContract("nation_csv", Seq(
         "n_nationkey" -> ColumnSpec(LongType, required = true),

@@ -108,17 +108,21 @@ object ConformanceTable {
       table: Table, field: String, combos: Seq[Map[String, Any]]): Coverage = {
     val (ex, in) = combos.partition(table.excluded)
     val verdicts = in.map(c => table.verdict(field, c))
-    val matchedVerdicts = in.flatMap(c =>
-      table.fields(field).find(r =>
+    // matched rules are keyed by position, not citation text — two rules
+    // sharing a citation must be censused independently
+    val rules = table.fields(field)
+    val matchedIdx = in.flatMap { c =>
+      val i = rules.indexWhere(r =>
         r.when.forall { case (d, a) => c.get(d).exists(v => a.contains(norm(v))) })
-        .map(_.citation)).toSet
+      if (i >= 0) Some(i) else None
+    }.toSet
     Coverage(
       generated = combos.size,
       excluded = ex.size,
       verdicted = verdicts.count(_.isDefined),
       missed = verdicts.count(_.isEmpty),
-      neverMatched = Map(field -> table.fields(field)
-        .filterNot(r => matchedVerdicts.contains(r.citation))
-        .map(r => s"${r.verdict}: ${r.citation}")))
+      neverMatched = Map(field -> rules.zipWithIndex
+        .collect { case (r, i) if !matchedIdx.contains(i) =>
+          s"${r.verdict}: ${r.citation}" }))
   }
 }

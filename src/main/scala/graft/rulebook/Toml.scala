@@ -149,12 +149,17 @@ object Toml {
     val sb = new StringBuilder
     var depth = 0
     var inStr = false
-    for (c <- s) {
-      if (c == '"') inStr = !inStr
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      // an escaped quote inside a string does not toggle (same rule as
+      // stripComment) — strings containing \" split correctly
+      if (c == '"' && (i == 0 || s.charAt(i - 1) != '\\')) inStr = !inStr
       if (!inStr && (c == '[' || c == '{')) depth += 1
       if (!inStr && (c == ']' || c == '}')) depth -= 1
       if (c == ',' && depth == 0 && !inStr) { out += sb.toString; sb.clear() }
       else sb.append(c)
+      i += 1
     }
     if (sb.toString.trim.nonEmpty) out += sb.toString
     out.toVector.filter(_.trim.nonEmpty)
