@@ -91,9 +91,17 @@ object Dedup {
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       maxBucket: Int = 2000): DataFrame = {
     val rows = k / bands
+    // The signature frame is a diamond: it feeds the band explode AND the
+    // two post-distinct signature joins. Catalyst does not CSE across
+    // join branches, so without materialisation the (dominant) shingle +
+    // k-hash compute runs three times per doc. Persisting trades that for
+    // one pass + ~(8*k+8) bytes/doc of cache — MEMORY_AND_DISK so a
+    // 100 TB corpus spills instead of evicting (measured 3.5s → ~1.4s at
+    // sf0.1). The cache is session-managed (bench clears between queries).
     val sig = df
       .select(col(idCol).as("mh_id"), shingles(col(textCol), shingleN).as("sh"))
       .select(col("mh_id"), minhashSignature(col("sh"), k).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(
       col("mh_id"),
       posexplode(transform(
