@@ -125,7 +125,22 @@ object DomainPipeline {
     "drawn" -> ColumnSpec(DoubleType),
     "undrawn" -> ColumnSpec(DoubleType),
     "maturity_years" -> ColumnSpec(DoubleType),
+    "is_defaulted" -> ColumnSpec(BooleanType, default = Some(false)),
     "committed" -> ColumnSpec(BooleanType, default = Some(true))))
+
+  /** (cqs → PD) proxy scale for the composed book's EL summary
+    * (reference IRB PD bands; shared by q100's Spark and oracle sides). */
+  val cqsPdTable: Seq[(Int, Double)] = Seq(
+    1 -> 0.0003, 2 -> 0.001, 3 -> 0.005, 4 -> 0.02, 5 -> 0.08, 6 -> 0.25)
+
+  /** Downturn LGD for the composed book's EL proxy (senior unsecured). */
+  val elLgd = 0.45
+
+  val provisionEdge: EdgeContract = EdgeContract("provisions", Seq(
+    "provision_reference" -> ColumnSpec(StringType, required = true),
+    "beneficiary_type" -> ColumnSpec(StringType, required = true),
+    "beneficiary_reference" -> ColumnSpec(StringType, required = true),
+    "amount" -> ColumnSpec(DoubleType)))
 
   val collateralEdge: EdgeContract = EdgeContract("collateral", Seq(
     "collateral_reference" -> ColumnSpec(StringType, required = true),
@@ -177,14 +192,16 @@ object DomainPipeline {
       concat(lit("CP-"), col("o_custkey").cast("string")).as("counterparty_reference"),
       col("o_totalprice").as("drawn"),
       lit(0.0).as("undrawn"),
-      (lit(1.0) + (col("o_orderkey") % 5).cast("double")).as("maturity_years"))
+      (lit(1.0) + (col("o_orderkey") % 5).cast("double")).as("maturity_years"),
+      (col("o_orderkey") % 41 === 0).as("is_defaulted"))
     val facilities = o.filter(col("o_orderstatus") === "O").select(
       concat(lit("FAC-"), col("o_orderkey").cast("string")).as("exposure_reference"),
       lit("facility_undrawn").as("exposure_type"),
       concat(lit("CP-"), col("o_custkey").cast("string")).as("counterparty_reference"),
       lit(0.0).as("drawn"),
       (col("o_totalprice") * lit(0.25)).as("undrawn"),
-      (lit(1.0) + (col("o_orderkey") % 5).cast("double")).as("maturity_years"))
+      (lit(1.0) + (col("o_orderkey") % 5).cast("double")).as("maturity_years"),
+      (col("o_orderkey") % 41 === 0).as("is_defaulted"))
     exposureEdge.conform(loans.unionByName(facilities))
   }
 
@@ -202,6 +219,35 @@ object DomainPipeline {
       typeChain.as("collateral_type"),
       (col("l_extendedprice") * lit(0.5)).as("market_value"))
     collateralEdge.conform(df)
+  }
+
+  /** Provision book (reference PROVISION_SCHEMA `data/schemas.py:916`):
+    * specific credit-risk adjustments at two beneficiary levels, derived
+    * deterministically from the star schema so the whole chain stays
+    * oracle-checkable:
+    *  - direct (loan-level): lineitems flagged 'A' — a provision against
+    *    that line's order exposure, 10% of the line value;
+    *  - counterparty-level: customers with a negative account balance —
+    *    a blanket provision to be allocated pro-rata across the
+    *    counterparty's exposures (reference `engine/crm/provisions.py`
+    *    multi-level allocation).
+    * Amounts are q2-quantised at the row so decimal sums are exact in
+    * both engines. */
+  def provisions(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val c = Tables.customer(s, dir)
+    val direct = li.filter(col("l_returnflag") === "A").select(
+      concat(lit("PROV-"), col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("provision_reference"),
+      lit("direct").as("beneficiary_type"),
+      concat(lit("ORD-"), col("l_orderkey").cast("string")).as("beneficiary_reference"),
+      q2(col("l_extendedprice") * lit(0.10)).as("amount"))
+    val cpLevel = c.filter(col("c_acctbal") < 0).select(
+      concat(lit("PROVCP-"), col("c_custkey").cast("string")).as("provision_reference"),
+      lit("counterparty").as("beneficiary_type"),
+      concat(lit("CP-"), col("c_custkey").cast("string")).as("beneficiary_reference"),
+      q2(-col("c_acctbal") * lit(50.0)).as("amount"))
+    provisionEdge.conform(direct.unionByName(cpLevel))
   }
 
   /** Guarantee book: first lineitem of discounted orders; guarantor rated
@@ -283,25 +329,82 @@ object DomainPipeline {
       .drop("perm_class", "perm_country", "model_id")
   }
 
-  // ---- stage 5: CCF / EAD ---------------------------------------------
+  // ---- stage 5: provisions + CCF / EAD --------------------------------
 
-  def eadCalc(c: DataFrame, s: SparkSession): DataFrame = {
+  /** Provision resolution + CCF/EAD (reference `engine/crm/provisions.py`
+    * resolve_provisions → CCF → EAD initialisation; CRR Art. 110-111):
+    *
+    *  - direct provisions join 1:1 on the exposure key;
+    *  - counterparty-level provisions allocate pro-rata by the gross-EAD
+    *    weight via a window over the counterparty key (the reference's
+    *    `allocate_multi_level` kernel; never a self-join);
+    *  - SA takes the drawn-first deduction (Art. 111(2)): provisions net
+    *    against drawn, the remainder against the undrawn nominal BEFORE
+    *    the CCF, so `ead_pre_crm = max(0, drawn − prov_drawn) +
+    *    (nominal − prov_nominal) · CCF`;
+    *  - IRB deducts nothing (provisions feed the EL shortfall/excess
+    *    comparison instead — q100); `provision_allocated` is tracked.
+    *
+    * Scale shape: the provision books aggregate to beneficiary grain
+    * BEFORE joining (one small shuffle each), the direct join shares the
+    * exposure key, and the pro-rata window shuffles on the counterparty
+    * key once. */
+  def eadCalc(c: DataFrame, prov: DataFrame, s: SparkSession): DataFrame = {
     import s.implicits._
     val ccf = broadcast(ccfTable.toDF("ccf_type", "ccf"))
+    val provDirect = prov.filter(col("beneficiary_type") === "direct")
+      .groupBy(col("beneficiary_reference").as("pd_ref"))
+      .agg(dsum(col("amount"), 2).as("prov_direct"))
+    val provCp = prov.filter(col("beneficiary_type") === "counterparty")
+      .groupBy(col("beneficiary_reference").as("pc_ref"))
+      .agg(dsum(col("amount"), 2).as("prov_cp"))
+    val wCp = Window.partitionBy(col("counterparty_reference"))
+    val isSa = col("approach") === "SA"
     c.join(ccf, col("exposure_type") === col("ccf_type"), "left")
+      .withColumn("ccf_eff", coalesce(col("ccf"), lit(1.0)))
+      .withColumn("ead_gross",
+        q2(col("drawn_base") + col("undrawn_base") * col("ccf_eff")))
+      .join(provDirect, col("exposure_reference") === col("pd_ref"), "left")
+      .join(provCp, col("counterparty_reference") === col("pc_ref"), "left")
+      .drop("pd_ref", "pc_ref")
+      .withColumn("cp_basis", dsumOver(col("ead_gross"), 2, wCp))
+      .withColumn("provision_allocated",
+        q2(coalesce(col("prov_direct"), lit(0.0)) +
+          when(col("cp_basis") > 0,
+            q2(coalesce(col("prov_cp"), lit(0.0)) * col("ead_gross") / col("cp_basis")))
+            .otherwise(0.0)))
+      .withColumn("provision_on_drawn",
+        when(isSa, least(col("provision_allocated"), greatest(col("drawn_base"), lit(0.0))))
+          .otherwise(0.0))
+      .withColumn("provision_on_nominal",
+        when(isSa, least(
+          greatest(col("provision_allocated") - col("provision_on_drawn"), lit(0.0)),
+          col("undrawn_base"))).otherwise(0.0))
+      .withColumn("provision_deducted",
+        q2(col("provision_on_drawn") + col("provision_on_nominal")))
       .withColumn("ead_pre_crm",
-        q2(col("drawn_base") + col("undrawn_base") * coalesce(col("ccf"), lit(1.0))))
+        q2(greatest(col("drawn_base") - col("provision_on_drawn"), lit(0.0)) +
+          (col("undrawn_base") - col("provision_on_nominal")) * col("ccf_eff")))
+      .drop("prov_direct", "prov_cp", "cp_basis")
   }
 
-  /** Own SA risk weight: (class, cqs) decision table, broadcast. */
+  /** Own SA risk weight: (class, cqs) decision table, broadcast. The
+    * defaulted book takes the CRR Art. 127 override in BOTH regimes:
+    * 100% when specific provisions reach 20% of the gross exposure value
+    * (the pre-deduction basis — the provision test is on the
+    * pre-adjustment value), else 150%. */
   def ownRiskWeight(e: DataFrame, s: SparkSession): DataFrame = {
     import s.implicits._
     val rw = broadcast(rwTable.toDF("rw_class", "rw_cqs", "rw"))
     val rwB31 = broadcast(rwTableB31.toDF("b31_class", "b31_cqs", "rw_b31x"))
+    val defaultedRw =
+      when(col("provision_allocated") >= col("ead_gross") * 0.2, 1.0).otherwise(1.5)
+    val isDefaultedSa = col("is_defaulted") && col("approach") === "SA"
     e.join(rw,
         col("exposure_class") === col("rw_class") &&
         col("effective_cqs") === col("rw_cqs"), "left")
-      .withColumn("own_rw", coalesce(col("rw"), lit(1.0)))
+      .withColumn("own_rw",
+        when(isDefaultedSa, defaultedRw).otherwise(coalesce(col("rw"), lit(1.0))))
       .drop("rw_class", "rw_cqs", "rw")
       // shadow regime: the candidate rule-set's weight resolved in the
       // SAME scan (the reference runs the pipeline once per framework and
@@ -310,7 +413,8 @@ object DomainPipeline {
       .join(rwB31,
         col("exposure_class") === col("b31_class") &&
         col("effective_cqs") === col("b31_cqs"), "left")
-      .withColumn("own_rw_b31", coalesce(col("rw_b31x"), lit(1.0)))
+      .withColumn("own_rw_b31",
+        when(isDefaultedSa, defaultedRw).otherwise(coalesce(col("rw_b31x"), lit(1.0))))
       .drop("b31_class", "b31_cqs", "rw_b31x")
   }
 
@@ -424,31 +528,36 @@ object DomainPipeline {
     val enriched = enrichFx(exp, cpty, s)
     val h = hierarchy(enriched)
     val cls = classify(h, modelPermissions(s, dir), irbMode)
-    val ead = eadCalc(cls, s)
+    val ead = eadCalc(cls, provisions(s, dir), s)
     val withRw = ownRiskWeight(ead, s)
     val crm = crmWaterfall(withRw, collateral(s, dir), guarantees(s, dir), s)
     rwaCalc(crm)
   }
 
-  /** The (class, approach) summary with portfolio shares — q90's output. */
-  def summary(s: SparkSession, dir: String, irbMode: Boolean = true): DataFrame = {
-    val led = ledger(s, dir, irbMode)
+  /** The (class, approach) roll-up of a ledger frame — shared by the lazy
+    * and staged execution modes so both emit the identical summary. */
+  private def summarise(led: DataFrame): DataFrame = {
     val perClass = led.groupBy(col("exposure_class"), col("approach")).agg(
       count(lit(1)).as("n_exposures"),
       dsum(col("ead_pre_crm"), 2).as("total_ead"),
       dsum(col("coll_covered"), 2).as("collateral_covered"),
       dsum(col("guar_covered"), 2).as("guarantee_covered"),
       dsum(col("unsecured"), 2).as("unsecured_ead"),
+      dsum(col("provision_deducted"), 2).as("provisions_deducted"),
       dsum(col("rwa"), 2).as("total_rwa"))
     val totals = led.agg(dsum(col("rwa"), 2).as("portfolio_rwa"))
     perClass.crossJoin(broadcast(totals))
       .select(
         col("exposure_class"), col("approach"), col("n_exposures"),
         col("total_ead"), col("collateral_covered"), col("guarantee_covered"),
-        col("unsecured_ead"), col("total_rwa"),
+        col("unsecured_ead"), col("provisions_deducted"), col("total_rwa"),
         q6(col("total_rwa") / col("portfolio_rwa")).as("rwa_share"))
       .orderBy(col("exposure_class"), col("approach"))
   }
+
+  /** The (class, approach) summary with portfolio shares — q90's output. */
+  def summary(s: SparkSession, dir: String, irbMode: Boolean = true): DataFrame =
+    summarise(ledger(s, dir, irbMode))
 
   /** The same pipeline as Orchestrator stages with materialised edges —
     * execution-mode parity is asserted by DomainPipelineSpec. */
@@ -474,7 +583,7 @@ object DomainPipeline {
       new Stage {
         def name = "calc_crm_rwa"
         def run(ctx: PipelineContext) = {
-          val withRw = ownRiskWeight(eadCalc(ctx.get(kClassified), s), s)
+          val withRw = ownRiskWeight(eadCalc(ctx.get(kClassified), provisions(s, dir), s), s)
           ctx.put(kLedger,
             rwaCalc(crmWaterfall(withRw, collateral(s, dir), guarantees(s, dir), s)))
         }
@@ -482,24 +591,8 @@ object DomainPipeline {
       },
       new Stage {
         def name = "aggregate"
-        def run(ctx: PipelineContext) = {
-          val led = ctx.get(kLedger)
-          val perClass = led.groupBy(col("exposure_class"), col("approach")).agg(
-            count(lit(1)).as("n_exposures"),
-            dsum(col("ead_pre_crm"), 2).as("total_ead"),
-            dsum(col("coll_covered"), 2).as("collateral_covered"),
-            dsum(col("guar_covered"), 2).as("guarantee_covered"),
-            dsum(col("unsecured"), 2).as("unsecured_ead"),
-            dsum(col("rwa"), 2).as("total_rwa"))
-          val totals = led.agg(dsum(col("rwa"), 2).as("portfolio_rwa"))
-          ctx.put(kSummary, perClass.crossJoin(broadcast(totals))
-            .select(
-              col("exposure_class"), col("approach"), col("n_exposures"),
-              col("total_ead"), col("collateral_covered"), col("guarantee_covered"),
-              col("unsecured_ead"), col("total_rwa"),
-              q6(col("total_rwa") / col("portfolio_rwa")).as("rwa_share"))
-            .orderBy(col("exposure_class"), col("approach")))
-        }
+        def run(ctx: PipelineContext) =
+          ctx.put(kSummary, summarise(ctx.get(kLedger)))
       })
     (sts, kSummary)
   }

@@ -72,13 +72,15 @@ object Domain {
         SELECT 'ORD-' || CAST(o_orderkey AS VARCHAR) AS exposure_reference,
                'loan' AS exposure_type,
                'CP-' || CAST(o_custkey AS VARCHAR) AS counterparty_reference,
-               o_totalprice AS drawn, 0.0 AS undrawn
+               o_totalprice AS drawn, 0.0 AS undrawn,
+               (o_orderkey % 41 = 0) AS is_defaulted
         FROM orders
         UNION ALL
         SELECT 'FAC-' || CAST(o_orderkey AS VARCHAR),
                'facility_undrawn',
                'CP-' || CAST(o_custkey AS VARCHAR),
-               0.0, o_totalprice * 0.25
+               0.0, o_totalprice * 0.25,
+               (o_orderkey % 41 = 0)
         FROM orders WHERE o_orderstatus = 'O'),
       enriched AS (
         SELECT e.*, c.parent_group, c.country_key, c.sector, c.country,
@@ -114,12 +116,57 @@ object Domain {
                THEN 'IRB' ELSE 'SA' END AS approach
         FROM classified),
       eadc AS (
-        SELECT a.*, ${sql2("drawn_base + undrawn_base * coalesce(ccf, 1.0)")} AS ead_pre_crm
+        SELECT a.*, coalesce(ccf, 1.0) AS ccf_eff,
+               ${sql2("drawn_base + undrawn_base * coalesce(ccf, 1.0)")} AS ead_gross
         FROM approached a LEFT JOIN ccf_rules ON exposure_type = ccf_type),
-      ownrw AS (
-        SELECT e.*, coalesce(r.rw, 1.0) AS own_rw,
-               coalesce(rb.rw_b31, 1.0) AS own_rw_b31
+      prov_direct AS (
+        SELECT 'ORD-' || CAST(l_orderkey AS VARCHAR) AS pd_ref,
+               ${sqlDsum(sql2("l_extendedprice * 0.10"), 2)} AS prov_direct
+        FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+      prov_cp AS (
+        SELECT 'CP-' || CAST(c_custkey AS VARCHAR) AS pc_ref,
+               ${sqlDsum(sql2("-c_acctbal * 50.0"), 2)} AS prov_cp
+        FROM customer WHERE c_acctbal < 0 GROUP BY 1),
+      provj AS (
+        SELECT e.*, pd.prov_direct, pc.prov_cp,
+               ${sqlDsumOver("ead_gross", 2, "PARTITION BY counterparty_reference")} AS cp_basis
         FROM eadc e
+        LEFT JOIN prov_direct pd ON e.exposure_reference = pd.pd_ref
+        LEFT JOIN prov_cp pc ON e.counterparty_reference = pc.pc_ref),
+      prova AS (
+        SELECT *, ${sql2(
+          "coalesce(prov_direct, 0.0) + (CASE WHEN cp_basis > 0 THEN " +
+          sql2("coalesce(prov_cp, 0.0) * ead_gross / cp_basis") +
+          " ELSE 0.0 END)")} AS provision_allocated
+        FROM provj),
+      provb AS (
+        SELECT *, CASE WHEN approach = 'SA'
+                       THEN least(provision_allocated, greatest(drawn_base, 0.0))
+                       ELSE 0.0 END AS provision_on_drawn
+        FROM prova),
+      provc AS (
+        SELECT *, CASE WHEN approach = 'SA'
+                       THEN least(greatest(provision_allocated - provision_on_drawn, 0.0),
+                                  undrawn_base)
+                       ELSE 0.0 END AS provision_on_nominal
+        FROM provb),
+      provd AS (
+        SELECT *, ${sql2("provision_on_drawn + provision_on_nominal")} AS provision_deducted,
+               ${sql2(
+                 "greatest(drawn_base - provision_on_drawn, 0.0) + " +
+                 "(undrawn_base - provision_on_nominal) * ccf_eff")} AS ead_pre_crm
+        FROM provc),
+      ownrw AS (
+        SELECT e.*,
+          CASE WHEN e.is_defaulted AND e.approach = 'SA'
+               THEN CASE WHEN e.provision_allocated >= e.ead_gross * 0.2
+                         THEN 1.0 ELSE 1.5 END
+               ELSE coalesce(r.rw, 1.0) END AS own_rw,
+          CASE WHEN e.is_defaulted AND e.approach = 'SA'
+               THEN CASE WHEN e.provision_allocated >= e.ead_gross * 0.2
+                         THEN 1.0 ELSE 1.5 END
+               ELSE coalesce(rb.rw_b31, 1.0) END AS own_rw_b31
+        FROM provd e
         LEFT JOIN rw_rules r
           ON e.exposure_class = r.rw_class AND e.effective_cqs = r.rw_cqs
         LEFT JOIN rw_rules_b31 rb
@@ -215,11 +262,13 @@ object Domain {
                ${sqlDsum("coll_covered", 2)} AS collateral_covered,
                ${sqlDsum("guar_covered", 2)} AS guarantee_covered,
                ${sqlDsum("unsecured", 2)} AS unsecured_ead,
+               ${sqlDsum("provision_deducted", 2)} AS provisions_deducted,
                ${sqlDsum("rwa", 2)} AS total_rwa
         FROM final GROUP BY exposure_class, approach),
       tot AS (SELECT ${sqlDsum("rwa", 2)} AS portfolio_rwa FROM final)
       SELECT exposure_class, approach, n_exposures, total_ead,
-             collateral_covered, guarantee_covered, unsecured_ead, total_rwa,
+             collateral_covered, guarantee_covered, unsecured_ead,
+             provisions_deducted, total_rwa,
              ${sql6("total_rwa / portfolio_rwa")} AS rwa_share
       FROM summary CROSS JOIN tot
       ORDER BY exposure_class, approach
@@ -1454,9 +1503,79 @@ object Domain {
       ORDER BY section, class_from, coalesce(class_to, '')
     """.stripMargin.trim))
 
+  // ---- q100: provisions vs expected loss (EL summary) ------------------
+
+  private val cqsPdCase = DomainPipeline.cqsPdTable
+    .map { case (q, p) => s"WHEN effective_cqs = $q THEN ${d(p)}" }
+    .mkString("CASE ", " ", s" ELSE ${d(0.25)} END")
+
+  /** q100: the portfolio EL summary over the composed book's IRB pool —
+    * provisions vs expected loss with the CRR Art. 159(3) two-branch rule
+    * (reference `engine/aggregator/_el_summary.py`): the defaulted and
+    * non-defaulted pools compare EL against provisions SEPARATELY, so a
+    * defaulted-pool excess can never offset a non-defaulted shortfall
+    * (no cross-subsidisation; shortfall is a CET1 deduction, excess is
+    * T2-recognisable only up to the Art. 62(d) 0.6%-of-IRB-RWA cap).
+    * EL per exposure = PD(effective_cqs | 1.0 if defaulted) · LGD · EAD;
+    * provisions enter via the multi-level allocation threaded through the
+    * pipeline (IRB rows carry `provision_allocated` undeducted —
+    * reference `engine/crm/provisions.py` IRB pass-through).
+    * Scale: one ledger pass, a 2-group aggregate — nothing new shuffles.
+    */
+  val q100Provisions = QueryDef(
+    "q100_provisions",
+    (s, dir) => {
+      val pdChain = DomainPipeline.cqsPdTable
+        .foldLeft(Option.empty[Column]) {
+          case (None, (q, p)) => Some(when(col("effective_cqs") === q, p))
+          case (Some(acc), (q, p)) => Some(acc.when(col("effective_cqs") === q, p))
+        }.get.otherwise(0.25)
+      val led = DomainPipeline.ledger(s, dir)
+        .filter(col("approach") === "IRB")
+        .withColumn("pd_eff", when(col("is_defaulted"), 1.0).otherwise(pdChain))
+        .withColumn("expected_loss",
+          q2(col("pd_eff") * lit(DomainPipeline.elLgd) * col("ead_pre_crm")))
+      led.groupBy(col("is_defaulted"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          dsum(col("expected_loss"), 2).as("expected_loss"),
+          dsum(col("provision_allocated"), 2).as("provisions_allocated"),
+          dsum(col("rwa"), 2).as("irb_rwa"))
+        .withColumn("el_shortfall",
+          q2(greatest(lit(0.0), col("expected_loss") - col("provisions_allocated"))))
+        .withColumn("el_excess",
+          q2(greatest(lit(0.0), col("provisions_allocated") - col("expected_loss"))))
+        .withColumn("t2_cap", q2(col("irb_rwa") * lit(0.006)))
+        .withColumn("el_excess_recognised", least(col("el_excess"), col("t2_cap")))
+        .orderBy(col("is_defaulted"))
+    },
+    Some(s"""
+      WITH $domainLedgerCtes,
+      irb AS (
+        SELECT *,
+          ${sql2(s"(CASE WHEN is_defaulted THEN 1.0 ELSE $cqsPdCase END) * " +
+            s"${DomainPipeline.elLgd} * ead_pre_crm")} AS expected_loss
+        FROM final WHERE approach = 'IRB'),
+      pools AS (
+        SELECT is_defaulted, count(*) AS n_exposures,
+               ${sqlDsum("expected_loss", 2)} AS expected_loss,
+               ${sqlDsum("provision_allocated", 2)} AS provisions_allocated,
+               ${sqlDsum("rwa", 2)} AS irb_rwa
+        FROM irb GROUP BY is_defaulted)
+      SELECT is_defaulted, n_exposures, expected_loss, provisions_allocated,
+             irb_rwa,
+             ${sql2("greatest(0.0, expected_loss - provisions_allocated)")} AS el_shortfall,
+             ${sql2("greatest(0.0, provisions_allocated - expected_loss)")} AS el_excess,
+             ${sql2("irb_rwa * 0.006")} AS t2_cap,
+             least(${sql2("greatest(0.0, provisions_allocated - expected_loss)")},
+                   ${sql2("irb_rwa * 0.006")}) AS el_excess_recognised
+      FROM pools
+      ORDER BY is_defaulted
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q85ModelPermissions, q86RunComparison,
     q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation,
     q94CorepTemplate, q95SaPortfolio, q98SecuritisationAllocator,
-    q99Transition)
+    q99Transition, q100Provisions)
 }

@@ -90,47 +90,61 @@ object LlmOps {
     },
     None)
 
-  /** q63: exact n-gram (word-set) Jaccard over same-source candidate
-    * pairs — the verifier tier of the dedup stack (`Dedup.jaccard`).
-    * Self-join bounded by the `source` partition key: at scale the pair
-    * space is per-bucket quadratic, never global. Oracle-exact (set ops
-    * have identical distinct semantics in both engines).
+  /** q63: exact n-gram Jaccard VERIFIER over MinHash-LSH candidates — the
+    * tier-2 → tier-3 composition the dedup stack promises: candidates come
+    * from `Dedup.minhashLshCandidates` (bucketed, ids-only, never a cross
+    * join), the exact 3-gram-shingle Jaccard is computed only on those
+    * pairs, and the final set keeps pairs at jaccard ≥ 0.9.
+    *
+    * ORACLE CONTRACT (exactness on the fixture): the DuckDB oracle is the
+    * global BRUTE-FORCE trigram Jaccard at the same threshold. The two
+    * agree iff LSH recall is 100% on the fixture; precision is exact by
+    * construction (every candidate is re-verified). With k=32 split into
+    * 16 bands of 2 rows, a J ≥ 0.9 pair is missed with probability
+    * (1 − 0.9²)¹⁶ ≈ 3e-12 — the verifier tier deliberately runs a
+    * higher-band (recall-biased) configuration than the q61 throughput
+    * tier (8 bands of 4), trading candidate volume for a recall bound
+    * that makes brute-force equivalence deterministic in practice.
+    * At 100 TB the plan shape is the scale path: banded signatures share
+    * one shuffle, buckets are capped, only id pairs ride the distinct,
+    * and the shingle arrays join back ids-only at candidate (not pair-
+    * space) cardinality.
     */
   val q63NgramJaccard = QueryDef(
     "q63_ngram_jaccard",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-        .select(col("source"), col("doc_id"), split(col("text"), " ").as("toks"))
-      val a = d.select(col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
-      val b = d.select(col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
-      a.join(b, Seq("source"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("source"),
-          q6(Dedup.jaccard(col("toks_a"), col("toks_b"))).as("jaccard"))
-        .groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          dsum(col("jaccard"), 6).as("sum_jaccard"),
-          count(when(col("jaccard") >= 0.8, lit(1))).as("n_high"))
-        .orderBy(col("source"))
+      val cands = Dedup
+        .minhashLshCandidates(d, "doc_id", "text", shingleN = 3, k = 32, bands = 16)
+        .select(col("id_a"), col("id_b"))
+      val sh = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      cands
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          q6(Dedup.jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.9)
+        .orderBy(col("id_a"), col("id_b"))
     },
     Some(s"""
       WITH toks AS (
-        SELECT source, doc_id, list_distinct(string_split(text, ' ')) AS dt
+        SELECT doc_id, string_split(text, ' ') AS t
         FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(0, greatest(len(t) - 3, 0)),
+                 i -> array_to_string(t[i+1:i+3], ' '))) AS dt
+        FROM toks),
       pairs AS (
-        SELECT a.source,
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                ${sql6(
                  "CAST(len(list_intersect(a.dt, b.dt)) AS DOUBLE) / " +
                  "(len(a.dt) + len(b.dt) - len(list_intersect(a.dt, b.dt)))")} AS jaccard
-        FROM toks a JOIN toks b
-          ON a.source = b.source AND a.doc_id < b.doc_id)
-      SELECT source, count(*) AS n_pairs,
-             ${sqlDsum("jaccard", 6)} AS sum_jaccard,
-             count(CASE WHEN jaccard >= 0.8 THEN 1 END) AS n_high
-      FROM pairs
-      GROUP BY source
-      ORDER BY source
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard
+      FROM pairs WHERE jaccard >= 0.9
+      ORDER BY id_a, id_b
     """.stripMargin.trim))
 
   /** q64: brute-force cosine top-k over the embedding column — the ANN

@@ -456,7 +456,71 @@ object Rwa {
       ORDER BY grp
     """.stripMargin.trim))
 
+  /** Transitional output-floor phase-in factors, one row per calendar
+    * year (reference `contracts/config.py:232-235`: 60% in 2027 rising to
+    * the fully-phased 72.5% in 2030; `analysis/transition.py` sweeps the
+    * pipeline across these dates). Shared Scala data compiled to BOTH the
+    * Spark frame and the oracle's VALUES clause. */
+  val floorSchedule: Seq[(Int, Double)] = Seq(
+    2027 -> 0.60, 2028 -> 0.65, 2029 -> 0.70, 2030 -> 0.725)
+
+  /** q101: transitional output-floor schedule — the year-by-year floor
+    * timeline (reference `analysis/transition.py:87-147`,
+    * `contracts/bundles.py:1020-1053` TransitionalScheduleBundle). The
+    * portfolio totals (U-TREA modelled / S-TREA standardised, the q52
+    * machinery) are computed ONCE as a 1-row aggregate and broadcast onto
+    * the 4-row schedule — at 100 TB the exposure scan happens once, not
+    * once per phase-in year (the reference re-runs the full pipeline per
+    * year because effective maturity shifts; our synthetic book is
+    * date-invariant, so the single-scan sweep is exact). */
+  val q101FloorSchedule = QueryDef(
+    "q101_floor_schedule",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val base = o.select(
+        (col("o_totalprice") * lit(0.60)).as("irb_rwa"),
+        (col("o_totalprice") * lit(1.0)).as("sa_rwa"))
+      val totals = base.agg(
+        dsum(col("irb_rwa"), 6).as("u_trea"),
+        dsum(col("sa_rwa"), 6).as("s_trea"))
+      val years = floorSchedule.toDF("phase_year", "floor_percentage")
+      years.crossJoin(broadcast(totals))
+        .select(
+          col("phase_year"), col("floor_percentage"),
+          q2(col("u_trea")).as("unfloored_rwa"),
+          q2(col("s_trea")).as("sa_rwa"),
+          q2(greatest(col("u_trea"), col("s_trea") * col("floor_percentage")))
+            .as("floored_rwa"),
+          q2(greatest(lit(0.0),
+            col("s_trea") * col("floor_percentage") - col("u_trea")))
+            .as("floor_impact"),
+          (col("u_trea") < col("s_trea") * col("floor_percentage"))
+            .as("floor_binds"))
+        .orderBy(col("phase_year"))
+    },
+    Some(s"""
+      WITH schedule(phase_year, floor_percentage) AS (VALUES ${
+        floorSchedule.map { case (y, p) => s"($y, CAST($p AS DOUBLE))" }.mkString(", ")}),
+      base AS (
+        SELECT o_totalprice * 0.60 AS irb_rwa,
+               o_totalprice * 1.0 AS sa_rwa
+        FROM orders),
+      totals AS (
+        SELECT ${sqlDsum("irb_rwa", 6)} AS u_trea,
+               ${sqlDsum("sa_rwa", 6)} AS s_trea
+        FROM base)
+      SELECT phase_year, floor_percentage,
+             ${sql2("u_trea")} AS unfloored_rwa,
+             ${sql2("s_trea")} AS sa_rwa,
+             ${sql2("greatest(u_trea, s_trea * floor_percentage)")} AS floored_rwa,
+             ${sql2("greatest(0.0, s_trea * floor_percentage - u_trea)")} AS floor_impact,
+             u_trea < s_trea * floor_percentage AS floor_binds
+      FROM schedule CROSS JOIN totals
+      ORDER BY phase_year
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q50SaRwaFlagship, q51IrbKernel, q52OutputFloor, q53SupportingFactor,
-    q54FccmNetting, q55ReSplit)
+    q54FccmNetting, q55ReSplit, q101FloorSchedule)
 }

@@ -94,10 +94,19 @@ class ApiSpec extends SparkSpec {
     val irb = new CreditRiskCalc(spark,
       CalcConfig(dataPath = sfDir, permissionMode = "irb")).calculate()
     assert(approaches(irb) == Set("SA", "IRB"))
-    // routing only relabels in this synthetic book (the RW kernel is
-    // SA-based either way) — total RWA is invariant across modes up to
-    // the float-summation order of the differing (class, approach) splits
-    assert(math.abs(sa.totalRwa - irb.totalRwa) < 0.01)
+    // provisions make the modes genuinely diverge (CRR Art. 111(2) vs
+    // IRB pass-through): the SA book deducts specific provisions from
+    // EAD, while IRB-routed rows deduct nothing (provisions feed the EL
+    // shortfall instead — q100). Assert those semantics directly.
+    import org.apache.spark.sql.functions.col
+    val saLedger = sa.ledger.get
+    assert(saLedger.filter(col("provision_deducted") > 0).count() > 0,
+      "SA mode must deduct provisions somewhere in the book")
+    val irbRows = irb.ledger.get.filter(col("approach") === "IRB")
+    assert(irbRows.filter(col("provision_deducted") =!= 0.0).count() == 0,
+      "IRB-routed rows must not deduct provisions")
+    assert(irbRows.filter(col("provision_allocated") > 0).count() > 0,
+      "IRB rows still track allocated provisions for the EL summary")
   }
 
   test("invalid config values are rejected at construction") {
