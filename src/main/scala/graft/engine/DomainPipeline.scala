@@ -156,8 +156,30 @@ object DomainPipeline {
 
   // ---- stage 1: derive + conform domain tables -------------------------
 
+  /** Multi-rating book (reference RATINGS_SCHEMA `data/schemas.py:929`):
+    * each non-negative-balance customer carries 1-3 agency assessments,
+    * cqs varying by agency — the input the best-rating pick resolves.
+    * Negative-balance customers are unrated (no rows). */
+  def ratings(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_acctbal") >= 0)
+      .select(col("c_custkey"),
+        explode(sequence(lit(0), col("c_custkey") % 3)).as("rating_agency"))
+      .select(
+        concat(lit("CP-"), col("c_custkey").cast("string")).as("counterparty_reference"),
+        col("rating_agency").cast("int").as("rating_agency"),
+        ((col("c_custkey") + col("rating_agency") * 7) % 6 + 1).cast("int").as("cqs"))
+
   /** Counterparties: customer ⋈ nation ⋈ region; parent group = nation
-    * (org_mappings analogue); rated iff balance non-negative. */
+    * (org_mappings analogue). `own_cqs` comes from the multi-rating
+    * book via the rank-1 best-rating pick (reference
+    * `stages/hierarchy/ratings.py:106-127`: lowest cqs wins,
+    * deterministic agency tie-break) — the inheritance join runs INSIDE
+    * the composed pipeline, not just as the isolated q22 demo. The pick
+    * windows on the counterparty key and the join back shares that same
+    * key, so the two exchanges co-partition; unrated counterparties get
+    * null and fall through to the group-best inheritance in
+    * [[hierarchy]]. */
   def counterparties(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
@@ -166,6 +188,12 @@ object DomainPipeline {
       case (None, (seg, sec)) => Some(when(col("c_mktsegment") === seg, sec))
       case (Some(acc), (seg, sec)) => Some(acc.when(col("c_mktsegment") === seg, sec))
     }.get.otherwise("corporate")
+    val wRating = Window.partitionBy(col("counterparty_reference"))
+      .orderBy(col("cqs"), col("rating_agency"))
+    val best = ratings(s, dir)
+      .withColumn("rn", row_number().over(wRating))
+      .filter(col("rn") === 1)
+      .select(col("counterparty_reference"), col("cqs").as("own_cqs"))
     val df = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .select(
@@ -175,9 +203,8 @@ object DomainPipeline {
         sectorChain.as("sector"),
         col("n_name").as("country"),
         col("r_name").as("region_name"),
-        (col("c_acctbal") * lit(10000.0)).as("turnover"),
-        when(col("c_acctbal") >= 0, (lit(1) + col("c_custkey") % 6).cast("int"))
-          .as("own_cqs"))
+        (col("c_acctbal") * lit(10000.0)).as("turnover"))
+      .join(best, Seq("counterparty_reference"), "left")
     counterpartyEdge.conform(df)
   }
 

@@ -56,6 +56,19 @@ object Domain {
       coll_type_map(mod_key, ct) AS (VALUES $collTypeValues),
       rw_rules(rw_class, rw_cqs, rw) AS (VALUES $rwValues),
       rw_rules_b31(b31_class, b31_cqs, rw_b31) AS (VALUES $rwValuesB31),
+      ratings AS (
+        SELECT 'CP-' || CAST(c_custkey AS VARCHAR) AS counterparty_reference,
+               ag.agency AS rating_agency,
+               1 + (c_custkey + ag.agency * 7) % 6 AS cqs
+        FROM customer CROSS JOIN (VALUES (0), (1), (2)) AS ag(agency)
+        WHERE c_acctbal >= 0 AND ag.agency <= c_custkey % 3),
+      best_rating AS (
+        SELECT counterparty_reference, cqs AS own_cqs FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY counterparty_reference
+            ORDER BY cqs, rating_agency) AS rn
+          FROM ratings)
+        WHERE rn = 1),
       cpty AS (
         SELECT 'CP-' || CAST(c_custkey AS VARCHAR) AS counterparty_reference,
                'GRP-' || CAST(n_nationkey AS VARCHAR) AS parent_group,
@@ -63,11 +76,13 @@ object Domain {
                coalesce(sm.sector, 'corporate') AS sector,
                n_name AS country, r_name AS region_name,
                c_acctbal * 10000.0 AS turnover,
-               CASE WHEN c_acctbal >= 0 THEN 1 + c_custkey % 6 END AS own_cqs
+               br.own_cqs
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
-        LEFT JOIN sector_map sm ON c_mktsegment = sm.segment),
+        LEFT JOIN sector_map sm ON c_mktsegment = sm.segment
+        LEFT JOIN best_rating br
+          ON br.counterparty_reference = 'CP-' || CAST(c_custkey AS VARCHAR)),
       expo AS (
         SELECT 'ORD-' || CAST(o_orderkey AS VARCHAR) AS exposure_reference,
                'loan' AS exposure_type,
