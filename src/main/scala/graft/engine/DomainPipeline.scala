@@ -544,6 +544,45 @@ object DomainPipeline {
       .withColumn("rwa_b31", q2(col("rwa_pre_sf_b31") * col("sf_factor")))
   }
 
+  // ---- stage 8: audit / lineage columns --------------------------------
+
+  /** Audit-ledger breadth (reference ledger schema
+    * `data/schemas.py:2877-3121`: `facility_hierarchy_path`,
+    * `exposure_class_reason`, `approach_selection_reason`, `ccf_source`,
+    * `calculation_warnings`): the columns that make the per-exposure
+    * ledger AUDITABLE — every derived decision carries its reason, and
+    * data-quality caveats accumulate into one warnings string
+    * (`concat_ws` skips the null branches in both engines, so the
+    * composite is deterministic with no array carrier). Pure projection —
+    * zero new shuffles at any scale. */
+  def auditColumns(led: DataFrame): DataFrame = led
+    .withColumn("hierarchy_path",
+      concat_ws("/", col("parent_group"), col("counterparty_reference"),
+        col("exposure_reference")))
+    .withColumn("exposure_class_reason",
+      when(col("exposure_class") === "sovereign", "sovereign_country_cqs_le_2")
+        .when(col("exposure_class") === "retail", "individual_below_size_threshold")
+        .when(col("exposure_class") === "institution", "sector_institution")
+        .when(col("exposure_class") === "sme_corporate", "turnover_below_sme_threshold")
+        .otherwise("corporate_default"))
+    .withColumn("approach_selection_reason",
+      when(col("approach") === "IRB", "irb_permission_grant")
+        .otherwise("sa_fallback"))
+    .withColumn("ccf_source",
+      when(col("exposure_type") === "facility_undrawn", "art_111_75pct_commitment")
+        .otherwise("art_111_full_risk"))
+    .withColumn("calculation_warnings",
+      concat_ws(";",
+        when(col("own_cqs").isNull, "UNRATED_CPTY"),
+        when(col("own_cqs").isNull && col("group_best_cqs").isNotNull,
+          "RATING_INHERITED_FROM_GROUP"),
+        when(col("fx_rate").isNull, "FX_RATE_MISSING"),
+        when(col("is_defaulted"), "DEFAULTED_EXPOSURE"),
+        when(col("provision_allocated") > col("ead_gross"),
+          "PROVISION_EXCEEDS_EXPOSURE"),
+        when(col("coll_covered") + col("guar_covered") >= col("ead_pre_crm"),
+          "FULLY_COVERED")))
+
   // ---- composition -----------------------------------------------------
 
   /** The full per-exposure audit ledger (wide frame), one lazy plan.
@@ -558,7 +597,7 @@ object DomainPipeline {
     val ead = eadCalc(cls, provisions(s, dir), s)
     val withRw = ownRiskWeight(ead, s)
     val crm = crmWaterfall(withRw, collateral(s, dir), guarantees(s, dir), s)
-    rwaCalc(crm)
+    auditColumns(rwaCalc(crm))
   }
 
   /** The (class, approach) roll-up of a ledger frame — shared by the lazy
@@ -612,7 +651,8 @@ object DomainPipeline {
         def run(ctx: PipelineContext) = {
           val withRw = ownRiskWeight(eadCalc(ctx.get(kClassified), provisions(s, dir), s), s)
           ctx.put(kLedger,
-            rwaCalc(crmWaterfall(withRw, collateral(s, dir), guarantees(s, dir), s)))
+            auditColumns(rwaCalc(
+              crmWaterfall(withRw, collateral(s, dir), guarantees(s, dir), s))))
         }
         override def edgeFrames = Seq(kLedger)
       },

@@ -339,7 +339,195 @@ object Ccr {
       ORDER BY regulatory_band
     """.stripMargin.trim))
 
+  /** Art. 224 Table-1-shaped supervisory haircut table for SFT collateral
+    * legs: debt securities banded by issuer CQS group × residual-maturity
+    * band; equity and gold take the flat 15% regardless of band. Shared
+    * Scala data → broadcast frame + oracle VALUES. */
+  val sftHaircutTable: Seq[(String, Int, Int, Double)] = {
+    val debt = Seq(
+      (1, 1, 0.005), (1, 2, 0.02), (1, 3, 0.04),
+      (2, 1, 0.01), (2, 2, 0.03), (2, 3, 0.06),
+      (3, 1, 0.15), (3, 2, 0.15), (3, 3, 0.15))
+      .map { case (g, b, h) => ("debt", g, b, h) }
+    val flat = for {
+      t <- Seq("equity", "gold"); g <- 1 to 3; b <- 1 to 3
+    } yield (t, g, b, 0.15)
+    debt ++ flat
+  }
+
+  private val sftHaircutValues = sftHaircutTable
+    .map { case (t, g, b, h) => s"('$t', $g, $b, CAST($h AS DOUBLE))" }
+    .mkString(", ")
+
+  /** q104: SFT collateral haircut legs → FCCM E* per netting set
+    * (reference SFT_COLLATERAL_SCHEMA `data/schemas.py:1664`, the
+    * CVA·(1−HC−HFX) term of Art. 223(5); haircuts Art. 224 Table 1 with
+    * the Table 4 same-currency HFX shortcut). Exposure legs and
+    * collateral legs are separate books; each collateral leg resolves a
+    * supervisory haircut from the (type, cqs-group, maturity-band)
+    * decision table (broadcast) plus an 8% FX-mismatch haircut, then both
+    * books aggregate to netting-set grain and
+    * `E* = max(0, ΣE − ΣC·(1−HC−HFX))` — an uncollateralised set keeps
+    * its full E (full-outer + zero-fill, reference "an uncollateralised
+    * SFT carries no collateral row").
+    * Scale: one shuffle per book on the netting-set key, rule join
+    * broadcast, set-grain output. */
+  val q104SftHaircutLegs = QueryDef(
+    "q104_sft_haircut_legs",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "N")
+      val hc = broadcast(sftHaircutTable.toDF("hc_type", "hc_grp", "hc_band", "hc"))
+      val eLegs = li.filter(col("l_linenumber") <= 2)
+        .select(concat(lit("NS-"), (col("l_orderkey") % 200).cast("string"))
+          .as("netting_set_id"), col("l_extendedprice").as("e_leg"))
+        .groupBy(col("netting_set_id"))
+        .agg(dsum(col("e_leg"), 2).as("e_gross"), count(lit(1)).as("n_exposure_legs"))
+      val cLegs = li.filter(col("l_linenumber") >= 3)
+        .select(
+          concat(lit("NS-"), (col("l_orderkey") % 200).cast("string"))
+            .as("netting_set_id"),
+          when(col("l_partkey") % 3 === 0, "debt")
+            .when(col("l_partkey") % 3 === 1, "equity").otherwise("gold")
+            .as("coll_type"),
+          (lit(1) + col("l_suppkey") % 6).cast("int").as("issuer_cqs"),
+          (lit(1) + col("l_partkey") % 7).cast("double").as("maturity_years"),
+          when(col("l_suppkey") % 3 === 0, 0.08).otherwise(0.0).as("hfx"),
+          q2(col("l_extendedprice") * 0.8).as("market_value"))
+        .withColumn("cqs_group",
+          when(col("issuer_cqs") <= 1, 1).when(col("issuer_cqs") <= 3, 2).otherwise(3))
+        .withColumn("mat_band",
+          when(col("maturity_years") <= 1, 1).when(col("maturity_years") <= 5, 2)
+            .otherwise(3))
+        .join(hc, col("coll_type") === col("hc_type") &&
+          col("cqs_group") === col("hc_grp") && col("mat_band") === col("hc_band"),
+          "left")
+        .withColumn("c_adjusted",
+          q2(col("market_value") * (lit(1.0) - coalesce(col("hc"), lit(0.25)) - col("hfx"))))
+        .groupBy(col("netting_set_id"))
+        .agg(dsum(col("c_adjusted"), 2).as("c_adj"), count(lit(1)).as("n_coll_legs"))
+      eLegs.join(cLegs, Seq("netting_set_id"), "full_outer")
+        .select(
+          col("netting_set_id"),
+          coalesce(col("n_exposure_legs"), lit(0L)).as("n_exposure_legs"),
+          coalesce(col("n_coll_legs"), lit(0L)).as("n_coll_legs"),
+          coalesce(col("e_gross"), lit(0.0)).as("e_gross"),
+          coalesce(col("c_adj"), lit(0.0)).as("c_adjusted"),
+          greatest(lit(0.0), q2(coalesce(col("e_gross"), lit(0.0)) -
+            coalesce(col("c_adj"), lit(0.0)))).as("e_star"),
+          (coalesce(col("c_adj"), lit(0.0)) >= coalesce(col("e_gross"), lit(0.0)))
+            .as("fully_collateralised"))
+        .orderBy(col("netting_set_id"))
+    },
+    Some(s"""
+      WITH hc_rules(hc_type, hc_grp, hc_band, hc) AS (VALUES $sftHaircutValues),
+      e_legs AS (
+        SELECT 'NS-' || CAST(l_orderkey % 200 AS VARCHAR) AS netting_set_id,
+               ${sqlDsum("l_extendedprice", 2)} AS e_gross,
+               count(*) AS n_exposure_legs
+        FROM lineitem WHERE l_returnflag = 'N' AND l_linenumber <= 2
+        GROUP BY 1),
+      c_raw AS (
+        SELECT 'NS-' || CAST(l_orderkey % 200 AS VARCHAR) AS netting_set_id,
+               CASE WHEN l_partkey % 3 = 0 THEN 'debt'
+                    WHEN l_partkey % 3 = 1 THEN 'equity' ELSE 'gold' END AS coll_type,
+               1 + l_suppkey % 6 AS issuer_cqs,
+               CAST(1 + l_partkey % 7 AS DOUBLE) AS maturity_years,
+               CASE WHEN l_suppkey % 3 = 0 THEN 0.08 ELSE 0.0 END AS hfx,
+               ${sql2("l_extendedprice * 0.8")} AS market_value
+        FROM lineitem WHERE l_returnflag = 'N' AND l_linenumber >= 3),
+      c_banded AS (
+        SELECT *,
+               CASE WHEN issuer_cqs <= 1 THEN 1 WHEN issuer_cqs <= 3 THEN 2
+                    ELSE 3 END AS cqs_group,
+               CASE WHEN maturity_years <= 1 THEN 1 WHEN maturity_years <= 5 THEN 2
+                    ELSE 3 END AS mat_band
+        FROM c_raw),
+      c_legs AS (
+        SELECT netting_set_id,
+               ${sqlDsum(sql2("market_value * (1.0 - coalesce(hc, 0.25) - hfx)"), 2)}
+                 AS c_adj,
+               count(*) AS n_coll_legs
+        FROM c_banded
+        LEFT JOIN hc_rules ON coll_type = hc_type AND cqs_group = hc_grp
+          AND mat_band = hc_band
+        GROUP BY netting_set_id)
+      SELECT netting_set_id,
+             coalesce(n_exposure_legs, 0) AS n_exposure_legs,
+             coalesce(n_coll_legs, 0) AS n_coll_legs,
+             coalesce(e_gross, 0.0) AS e_gross,
+             coalesce(c_adj, 0.0) AS c_adjusted,
+             greatest(0.0, ${sql2("coalesce(e_gross, 0.0) - coalesce(c_adj, 0.0)")})
+               AS e_star,
+             coalesce(c_adj, 0.0) >= coalesce(e_gross, 0.0) AS fully_collateralised
+      FROM e_legs FULL OUTER JOIN c_legs USING (netting_set_id)
+      ORDER BY netting_set_id
+    """.stripMargin.trim))
+
+  /** q105: default-fund-contribution capital — CRR Art. 308/309
+    * (reference `engine/ccr/default_fund.py:73-145`): per clearing-member
+    * contribution, `K_CM = K_CCP · DF_i / DF_CM` (the member's share of
+    * the CCP's hypothetical capital), `RWEA = K_CM × 12.5`
+    * (Art. 92(3)(ca)), attributed to the Art. 308(3)/309 regulatory
+    * bands (QCCP pre-funded / non-QCCP pre-funded / unfunded). DF_CM is
+    * the CCP-level total via a window over the CCP key — the same
+    * shuffle the final (ccp, band) roll-up reuses. */
+  val q105DefaultFund = QueryDef(
+    "q105_default_fund",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ccp_reference"))
+      Tables.supplier(s, dir)
+        .select(
+          concat(lit("CCP-"), (col("s_nationkey") % 4).cast("string")).as("ccp_reference"),
+          q2(greatest(col("s_acctbal"), lit(100.0))).as("df_i"),
+          (col("s_nationkey") % 2 === 0).as("is_qccp_ccp"),
+          (col("s_suppkey") % 5 === 0).as("is_unfunded_commitment"),
+          ((col("s_nationkey") % 4 + 1) * 1000000.0).as("k_ccp_published"))
+        .withColumn("df_cm", dsumOver(col("df_i"), 2, w))
+        .withColumn("k_cm", q2(col("k_ccp_published") * col("df_i") / col("df_cm")))
+        .withColumn("dfc_rwea", q2(col("k_cm") * 12.5))
+        .withColumn("regulatory_band",
+          when(col("is_qccp_ccp"), "dfc_qccp_prefunded")
+            .when(col("is_unfunded_commitment"), "dfc_non_qccp_unfunded")
+            .otherwise("dfc_non_qccp_prefunded"))
+        .groupBy(col("ccp_reference"), col("regulatory_band"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          dsum(col("df_i"), 2).as("total_df"),
+          dsum(col("k_cm"), 2).as("total_k_cm"),
+          dsum(col("dfc_rwea"), 2).as("total_rwea"))
+        .orderBy(col("ccp_reference"), col("regulatory_band"))
+    },
+    Some(s"""
+      WITH contrib AS (
+        SELECT 'CCP-' || CAST(s_nationkey % 4 AS VARCHAR) AS ccp_reference,
+               ${sql2("greatest(s_acctbal, 100.0)")} AS df_i,
+               (s_nationkey % 2 = 0) AS is_qccp_ccp,
+               (s_suppkey % 5 = 0) AS is_unfunded_commitment,
+               (s_nationkey % 4 + 1) * 1000000.0 AS k_ccp_published
+        FROM supplier),
+      alloc AS (
+        SELECT *,
+               ${sqlDsumOver("df_i", 2, "PARTITION BY ccp_reference")} AS df_cm
+        FROM contrib),
+      capital AS (
+        SELECT *,
+               ${sql2("k_ccp_published * df_i / df_cm")} AS k_cm,
+               ${sql2(sql2("k_ccp_published * df_i / df_cm") + " * 12.5")} AS dfc_rwea,
+               CASE WHEN is_qccp_ccp THEN 'dfc_qccp_prefunded'
+                    WHEN is_unfunded_commitment THEN 'dfc_non_qccp_unfunded'
+                    ELSE 'dfc_non_qccp_prefunded' END AS regulatory_band
+        FROM alloc)
+      SELECT ccp_reference, regulatory_band, count(*) AS n_members,
+             ${sqlDsum("df_i", 2)} AS total_df,
+             ${sqlDsum("k_cm", 2)} AS total_k_cm,
+             ${sqlDsum("dfc_rwea", 2)} AS total_rwea
+      FROM capital
+      GROUP BY ccp_reference, regulatory_band
+      ORDER BY ccp_reference, regulatory_band
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q56SaCcrAddon, q57Slotting, q58CrmCascade, q59GuaranteeSubstitution,
-    q96BaCva, q97FailedTrades)
+    q96BaCva, q97FailedTrades, q104SftHaircutLegs, q105DefaultFund)
 }

@@ -996,7 +996,7 @@ object Domain {
         s"WHEN rule_id = '$id' THEN $tol" }.mkString("CASE ", " ", " ELSE 0.01 END")
       s"""
       WITH $domainLedgerCtes,
-      agg AS (
+      agg AS MATERIALIZED (
         SELECT $aggSelect
         FROM final),
       cells AS (
@@ -1518,6 +1518,238 @@ object Domain {
       ORDER BY section, class_from, coalesce(class_to, '')
     """.stripMargin.trim))
 
+  // ---- q102: Pillar-3 CR4 disclosure -----------------------------------
+
+  /** q102: Pillar-3 template CR4 — "SA exposures and CRM effects"
+    * (reference `reporting/pillar3/cr4.py`; CRR Art. 444(e)): the SA
+    * credit-risk population by exposure class, exposures before CCF/CRM
+    * (on/off balance sheet), the post-CCF/post-CRM-deduction exposure
+    * value, RWEA and RWEA density, plus the total row.
+    *
+    * Spark-first shape: the class rows AND the total row come from ONE
+    * `rollup` aggregate (grouping-sets — a single shuffle producing both
+    * grains), not a union of two scans; density is derived post-agg on
+    * the 6-row result. Sum columns follow the decimal discipline (the
+    * CCF product is q2-quantised per row, then summed at scale 2 — the
+    * magnitude-safe form). */
+  val q102Pillar3Cr4 = QueryDef(
+    "q102_pillar3_cr4",
+    (s, dir) => {
+      val led = DomainPipeline.ledger(s, dir).filter(col("approach") === "SA")
+      led.rollup(col("exposure_class"))
+        .agg(
+          dsum(col("drawn_base"), 2).as("on_bs_pre"),
+          dsum(col("undrawn_base"), 2).as("off_bs_pre"),
+          dsum(greatest(col("drawn_base") - col("provision_on_drawn"), lit(0.0)), 2)
+            .as("on_bs_post"),
+          dsum(q2((col("undrawn_base") - col("provision_on_nominal")) * col("ccf_eff")), 2)
+            .as("off_bs_post"),
+          dsum(col("rwa"), 2).as("rwea"))
+        .select(
+          coalesce(col("exposure_class"), lit("total")).as("row_id"),
+          col("on_bs_pre"), col("off_bs_pre"), col("on_bs_post"),
+          col("off_bs_post"), col("rwea"),
+          when(col("on_bs_post") + col("off_bs_post") > 0,
+            q6(col("rwea") / (col("on_bs_post") + col("off_bs_post"))))
+            .as("rwea_density"))
+        .orderBy(col("row_id"))
+    },
+    Some(s"""
+      WITH $domainLedgerCtes,
+      rows_ AS (
+        SELECT coalesce(exposure_class, 'total') AS row_id,
+               ${sqlDsum("drawn_base", 2)} AS on_bs_pre,
+               ${sqlDsum("undrawn_base", 2)} AS off_bs_pre,
+               ${sqlDsum("greatest(drawn_base - provision_on_drawn, 0.0)", 2)} AS on_bs_post,
+               ${sqlDsum(sql2("(undrawn_base - provision_on_nominal) * ccf_eff"), 2)} AS off_bs_post,
+               ${sqlDsum("rwa", 2)} AS rwea
+        FROM final WHERE approach = 'SA'
+        GROUP BY ROLLUP (exposure_class))
+      SELECT row_id, on_bs_pre, off_bs_pre, on_bs_post, off_bs_post, rwea,
+             CASE WHEN on_bs_post + off_bs_post > 0
+                  THEN ${sql6("rwea / (on_bs_post + off_bs_post)")} END AS rwea_density
+      FROM rows_
+      ORDER BY row_id
+    """.stripMargin.trim))
+
+  // ---- q103: CIU holdings look-through ---------------------------------
+
+  /** q103: CIU (fund) holdings look-through — CRR Art. 132-132C
+    * (reference `engine/equity/calculator.py:414-520`
+    * `_resolve_look_through_rw` + `_append_ciu_branches`):
+    *
+    *  - the holdings book joins the (class, cqs) SA risk-weight table and
+    *    aggregates a value-weighted effective RW per fund (look-through)
+    *    plus the worst-asset RW (mandate-based proxy);
+    *  - each fund position resolves its RW by approach: look_through /
+    *    mandate_based take the computed fund RW × the Art. 132(4) 1.2
+    *    third-party multiplier (waived on unrestricted access), capped at
+    *    the 1250% fallback; unknown funds and the fallback approach take
+    *    1250% outright.
+    *
+    * Scale shape: holdings aggregate to fund grain BEFORE joining
+    * positions (the join carries 2 doubles per fund, not the holdings
+    * book); the RW table is broadcast; one shuffle on fund_reference.
+    */
+  val q103CiuLookthrough = QueryDef(
+    "q103_ciu_lookthrough",
+    (s, dir) => {
+      import s.implicits._
+      val pt = Tables.part(s, dir)
+      val o = Tables.orders(s, dir)
+      val rw = broadcast(DomainPipeline.rwTable.toDF("rw_class", "rw_cqs", "rw"))
+      val classChain = when(col("p_size") % 4 === 0, "sovereign")
+        .when(col("p_size") % 4 === 1, "institution")
+        .when(col("p_size") % 4 === 2, "corporate")
+        .otherwise("retail")
+      val holdings = pt.select(
+          concat(lit("FUND-"), (col("p_partkey") % 40).cast("string")).as("fund_reference"),
+          classChain.as("holding_class"),
+          (lit(1) + col("p_partkey") % 6).cast("int").as("holding_cqs"),
+          q2(col("p_retailprice") * col("p_size")).as("holding_value"))
+        .join(rw, col("holding_class") === col("rw_class") &&
+                  col("holding_cqs") === col("rw_cqs"), "left")
+        .withColumn("holding_rw", coalesce(col("rw"), lit(1.0)))
+      val fundRw = holdings.groupBy(col("fund_reference")).agg(
+        q6(dsum(col("holding_value") * col("holding_rw"), 6) /
+           dsum(col("holding_value"), 2)).as("fund_rw_lt"),
+        max(col("holding_rw")).as("fund_rw_mandate"))
+      val approachChain = when(col("o_orderkey") % 3 === 0, "look_through")
+        .when(col("o_orderkey") % 3 === 1, "mandate_based")
+        .otherwise("fallback")
+      val positions = o.filter(col("o_orderpriority") === "1-URGENT").select(
+        concat(lit("FUND-"), (col("o_orderkey") % 40).cast("string")).as("fund_reference"),
+        approachChain.as("ciu_approach"),
+        q2(col("o_totalprice") * 0.10).as("position_value"),
+        (col("o_custkey") % 2 === 0).as("third_party_calc"),
+        (col("o_custkey") % 4 === 0).as("unrestricted_access"))
+      positions.join(fundRw, Seq("fund_reference"), "left")
+        .withColumn("multiplier",
+          when(col("third_party_calc") && !col("unrestricted_access"), 1.2)
+            .otherwise(1.0))
+        .withColumn("effective_rw",
+          when(col("ciu_approach") === "fallback", 12.5)
+            .when(col("ciu_approach") === "mandate_based",
+              coalesce(least(q6(col("fund_rw_mandate") * col("multiplier")), lit(12.5)),
+                lit(12.5)))
+            .when(col("ciu_approach") === "look_through",
+              coalesce(least(q6(col("fund_rw_lt") * col("multiplier")), lit(12.5)),
+                lit(12.5)))
+            .otherwise(12.5))
+        .withColumn("rwa", q2(col("position_value") * col("effective_rw")))
+        .groupBy(col("ciu_approach"))
+        .agg(
+          count(lit(1)).as("n_positions"),
+          dsum(col("position_value"), 2).as("total_value"),
+          dsum(col("rwa"), 2).as("total_rwa"))
+        .orderBy(col("ciu_approach"))
+    },
+    Some(s"""
+      WITH rw_rules(rw_class, rw_cqs, rw) AS (VALUES $rwValues),
+      holdings AS (
+        SELECT 'FUND-' || CAST(p_partkey % 40 AS VARCHAR) AS fund_reference,
+               CASE WHEN p_size % 4 = 0 THEN 'sovereign'
+                    WHEN p_size % 4 = 1 THEN 'institution'
+                    WHEN p_size % 4 = 2 THEN 'corporate'
+                    ELSE 'retail' END AS holding_class,
+               1 + p_partkey % 6 AS holding_cqs,
+               ${sql2("p_retailprice * p_size")} AS holding_value
+        FROM part),
+      hrw AS (
+        SELECT h.*, coalesce(r.rw, 1.0) AS holding_rw
+        FROM holdings h
+        LEFT JOIN rw_rules r
+          ON h.holding_class = r.rw_class AND h.holding_cqs = r.rw_cqs),
+      fund_rw AS (
+        SELECT fund_reference,
+               ${sql6(s"${sqlDsum("holding_value * holding_rw", 6)} / " +
+                 sqlDsum("holding_value", 2))} AS fund_rw_lt,
+               max(holding_rw) AS fund_rw_mandate
+        FROM hrw GROUP BY fund_reference),
+      positions AS (
+        SELECT 'FUND-' || CAST(o_orderkey % 40 AS VARCHAR) AS fund_reference,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'look_through'
+                    WHEN o_orderkey % 3 = 1 THEN 'mandate_based'
+                    ELSE 'fallback' END AS ciu_approach,
+               ${sql2("o_totalprice * 0.10")} AS position_value,
+               (o_custkey % 2 = 0) AS third_party_calc,
+               (o_custkey % 4 = 0) AS unrestricted_access
+        FROM orders WHERE o_orderpriority = '1-URGENT'),
+      resolved AS (
+        SELECT p.*,
+               CASE WHEN third_party_calc AND NOT unrestricted_access
+                    THEN 1.2 ELSE 1.0 END AS multiplier,
+               f.fund_rw_lt, f.fund_rw_mandate
+        FROM positions p LEFT JOIN fund_rw f USING (fund_reference)),
+      weighted AS (
+        SELECT *,
+          CASE WHEN ciu_approach = 'fallback' THEN 12.5
+               WHEN ciu_approach = 'mandate_based'
+                 THEN coalesce(least(${sql6("fund_rw_mandate * multiplier")}, 12.5), 12.5)
+               WHEN ciu_approach = 'look_through'
+                 THEN coalesce(least(${sql6("fund_rw_lt * multiplier")}, 12.5), 12.5)
+               ELSE 12.5 END AS effective_rw
+        FROM resolved)
+      SELECT ciu_approach, count(*) AS n_positions,
+             ${sqlDsum("position_value", 2)} AS total_value,
+             ${sqlDsum(sql2("position_value * effective_rw"), 2)} AS total_rwa
+      FROM weighted
+      GROUP BY ciu_approach
+      ORDER BY ciu_approach
+    """.stripMargin.trim))
+
+  // ---- q106: audit-ledger census ---------------------------------------
+
+  /** q106: the audit-column census — proves the ledger's lineage/warning
+    * breadth (reference ledger schema `data/schemas.py:2877-3121`,
+    * `exposure_class_reason` / `approach_selection_reason` / `ccf_source`
+    * / `calculation_warnings`) end-to-end: the composed ledger's audit
+    * columns, grouped and counted with the RWA they cover. The warnings
+    * composite is a `concat_ws` over null-skipping branches — identical
+    * semantics in both engines, no array carrier needed. One ledger pass,
+    * one bounded-cardinality aggregate. */
+  val q106LedgerAudit = QueryDef(
+    "q106_ledger_audit",
+    (s, dir) => {
+      DomainPipeline.ledger(s, dir)
+        .groupBy(col("exposure_class_reason"), col("approach_selection_reason"),
+          col("ccf_source"), col("calculation_warnings"))
+        .agg(count(lit(1)).as("n_exposures"), dsum(col("rwa"), 2).as("total_rwa"))
+        .orderBy(col("exposure_class_reason"), col("approach_selection_reason"),
+          col("ccf_source"), col("calculation_warnings"))
+    },
+    Some(s"""
+      WITH $domainLedgerCtes,
+      audit AS (
+        SELECT *,
+          CASE WHEN exposure_class = 'sovereign' THEN 'sovereign_country_cqs_le_2'
+               WHEN exposure_class = 'retail' THEN 'individual_below_size_threshold'
+               WHEN exposure_class = 'institution' THEN 'sector_institution'
+               WHEN exposure_class = 'sme_corporate' THEN 'turnover_below_sme_threshold'
+               ELSE 'corporate_default' END AS exposure_class_reason,
+          CASE WHEN approach = 'IRB' THEN 'irb_permission_grant'
+               ELSE 'sa_fallback' END AS approach_selection_reason,
+          CASE WHEN exposure_type = 'facility_undrawn' THEN 'art_111_75pct_commitment'
+               ELSE 'art_111_full_risk' END AS ccf_source,
+          concat_ws(';',
+            CASE WHEN own_cqs IS NULL THEN 'UNRATED_CPTY' END,
+            CASE WHEN own_cqs IS NULL AND group_best_cqs IS NOT NULL
+                 THEN 'RATING_INHERITED_FROM_GROUP' END,
+            CASE WHEN fx_rate IS NULL THEN 'FX_RATE_MISSING' END,
+            CASE WHEN is_defaulted THEN 'DEFAULTED_EXPOSURE' END,
+            CASE WHEN provision_allocated > ead_gross
+                 THEN 'PROVISION_EXCEEDS_EXPOSURE' END,
+            CASE WHEN coll_covered + guar_covered >= ead_pre_crm
+                 THEN 'FULLY_COVERED' END) AS calculation_warnings
+        FROM final)
+      SELECT exposure_class_reason, approach_selection_reason, ccf_source,
+             calculation_warnings, count(*) AS n_exposures,
+             ${sqlDsum("rwa", 2)} AS total_rwa
+      FROM audit
+      GROUP BY 1, 2, 3, 4
+      ORDER BY 1, 2, 3, 4
+    """.stripMargin.trim))
+
   // ---- q100: provisions vs expected loss (EL summary) ------------------
 
   private val cqsPdCase = DomainPipeline.cqsPdTable
@@ -1592,5 +1824,6 @@ object Domain {
     q85ModelPermissions, q86RunComparison,
     q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation,
     q94CorepTemplate, q95SaPortfolio, q98SecuritisationAllocator,
-    q99Transition, q100Provisions)
+    q99Transition, q100Provisions, q102Pillar3Cr4, q103CiuLookthrough,
+    q106LedgerAudit)
 }
