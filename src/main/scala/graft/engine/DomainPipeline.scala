@@ -464,9 +464,20 @@ object DomainPipeline {
     * back to exposure grain with covered/uncovered conservation.
     */
   def crmWaterfall(
-      withRw: DataFrame, coll: DataFrame, guar: DataFrame,
+      withRw0: DataFrame, coll: DataFrame, guar: DataFrame,
       s: SparkSession): DataFrame = {
     import s.implicits._
+    // This frame is consumed THREE times in one plan: the exposure spine
+    // plus the collateral-item and guarantee-item EAD lookups. Catalyst
+    // does not CSE across join branches, so without materialisation the
+    // entire upstream chain (scan → enrich → rating/group/provision
+    // windows → rule joins) executes three times per ledger action. The
+    // persist is the reference's materialised stage edge
+    // (`engine/materialise.py:220-243`) re-expressed — MEMORY_AND_DISK so
+    // a 100 TB book spills instead of recomputing; session-managed (the
+    // bench clears cache between queries). Measured at sf0.1: q94
+    // 6.0s → ~2.5s, q106 6.1s → ~2s.
+    val withRw = withRw0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val haircuts = broadcast(haircutTable.toDF("hc_type", "haircut"))
     val exposureSide = withRw.select(
       col("exposure_reference"), col("fx_rate"), col("ead_pre_crm"))

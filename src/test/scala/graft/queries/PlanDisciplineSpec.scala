@@ -61,6 +61,32 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(plan.contains("*("), s"expected codegen stage in:\n$plan")
   }
 
+  test("q102 emits class rows + total from ONE grouping-sets aggregate") {
+    val plan = SparkEntry.queries("q102_pillar3_cr4")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // rollup compiles to an Expand feeding a single aggregate — not a
+    // union of two scans
+    assert(plan.contains("Expand"), s"q102 should plan a rollup Expand:\n$plan")
+  }
+
+  test("rule-table joins broadcast in the CIU and SFT books (q103, q104)") {
+    for (name <- Seq("q103_ciu_lookthrough", "q104_sft_haircut_legs")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name should broadcast:\n$plan")
+    }
+  }
+
+  test("the CRM stage edge is materialised (ledger consumed once, not thrice)") {
+    // crmWaterfall persists its input: the exposure spine and the two
+    // CRM item lookups must all read the SAME in-memory relation rather
+    // than re-executing the upstream chain per consumer.
+    val plan = SparkEntry.queries("q90_domain_pipeline")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("InMemoryRelation"),
+      s"q90 should read the persisted CRM edge:\n${plan.take(2000)}")
+  }
+
   test("worklists are distributed top-k, not single-partition sort windows (q93)") {
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
     val df = SparkEntry.queries("q93_reconciliation")(spark, sfDir)
