@@ -481,27 +481,41 @@ object DomainPipeline {
     val haircuts = broadcast(haircutTable.toDF("hc_type", "haircut"))
     val exposureSide = withRw.select(
       col("exposure_reference"), col("fx_rate"), col("ead_pre_crm"))
-    val collItems = coll
+    // One unified item book, ONE join to the exposure side. A union of
+    // separately-joined collateral and guarantee frames would scan each
+    // book's source once AND shuffle-join the exposure side twice; the
+    // diagonal union (null-padded type-specific columns) halves both —
+    // the item join is the data-sized shuffle of this stage at 100 TB.
+    val rawItems = coll.select(
+        col("exposure_reference"),
+        lit(1).as("priority"),
+        col("collateral_reference").as("item_ref"),
+        col("collateral_type"),
+        col("market_value"),
+        lit(null).cast("int").as("guarantor_cqs"),
+        lit(null).cast("double").as("coverage_pct"))
+      .unionByName(guar.select(
+        col("exposure_reference"),
+        lit(2).as("priority"),
+        col("guarantee_reference").as("item_ref"),
+        lit(null).cast("string").as("collateral_type"),
+        lit(null).cast("double").as("market_value"),
+        col("guarantor_cqs"),
+        col("coverage_pct")))
+    val items = rawItems
       .join(haircuts, col("collateral_type") === col("hc_type"), "left")
       .join(exposureSide, Seq("exposure_reference"))
       .select(
         col("exposure_reference"),
-        lit(1).as("priority"),
-        col("collateral_reference").as("item_ref"),
-        q2(col("market_value") * col("fx_rate") *
-          (lit(1.0) - coalesce(col("haircut"), lit(0.40)))).as("amount"),
-        lit(null).cast("double").as("guarantor_rw"),
+        col("priority"),
+        col("item_ref"),
+        when(col("priority") === 1,
+          q2(col("market_value") * col("fx_rate") *
+            (lit(1.0) - coalesce(col("haircut"), lit(0.40)))))
+          .otherwise(q2(col("coverage_pct") * col("ead_pre_crm"))).as("amount"),
+        when(col("priority") === 2, guarantorRwChain(col("guarantor_cqs")))
+          .cast("double").as("guarantor_rw"),
         col("ead_pre_crm"))
-    val guarItems = guar
-      .join(exposureSide, Seq("exposure_reference"))
-      .select(
-        col("exposure_reference"),
-        lit(2).as("priority"),
-        col("guarantee_reference").as("item_ref"),
-        q2(col("coverage_pct") * col("ead_pre_crm")).as("amount"),
-        guarantorRwChain(col("guarantor_cqs")).as("guarantor_rw"),
-        col("ead_pre_crm"))
-    val items = collItems.unionByName(guarItems)
     val wWf = Window.partitionBy(col("exposure_reference"))
       .orderBy(col("priority"), col("item_ref"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -36,6 +36,30 @@ class DedupSpec extends SparkSpec {
     assert(est == 1.0, "identical docs must agree on every minhash")
   }
 
+  test("verifier tier: LSH candidates + exact jaccard == brute force at 0.9 (q63 shape)") {
+    // the q63 composition: tier-2 candidates (16 bands of 2 rows — the
+    // recall-biased verifier configuration) re-verified with exact
+    // 3-gram jaccard must reproduce the brute-force >= 0.9 pair set
+    val sh = corpus.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    val viaLsh = Dedup.minhashLshCandidates(corpus, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16)
+      .select("id_a", "id_b")
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter(col("j") >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaLsh == brute, s"verifier tier diverged: lsh=$viaLsh brute=$brute")
+    assert(brute.contains((1L, 2L)), "fixture must contain a >=0.9 pair")
+  }
+
   test("simhash: identical docs at distance 0, near dups close, unrelated far") {
     val cands = Dedup.simhashCandidates(corpus, "doc_id", "text", maxHamming = 20)
     val m = cands.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
