@@ -509,6 +509,7 @@ object DomainPipeline {
         col("exposure_reference"),
         col("priority"),
         col("item_ref"),
+        col("collateral_type"),
         when(col("priority") === 1,
           q2(col("market_value") * col("fx_rate") *
             (lit(1.0) - coalesce(col("haircut"), lit(0.40)))))
@@ -516,22 +517,47 @@ object DomainPipeline {
         when(col("priority") === 2, guarantorRwChain(col("guarantor_cqs")))
           .cast("double").as("guarantor_rw"),
         col("ead_pre_crm"))
+    // TOTAL order: the synthetic books can carry duplicate item
+    // references (the harness lineitem table repeats (orderkey,
+    // linenumber) pairs), and a greedy cutoff landing on a tie would
+    // allocate engine-dependently — invisible in the covered TOTAL
+    // (tie-invariant) but visible in the per-type split. Tie-break by
+    // every column that affects downstream attribution; the null
+    // columns are constant within each priority class, so engine
+    // null-ordering defaults never engage.
     val wWf = Window.partitionBy(col("exposure_reference"))
-      .orderBy(col("priority"), col("item_ref"))
+      .orderBy(col("priority"), col("item_ref"), col("collateral_type"),
+        col("amount"), col("guarantor_rw"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val alloc = items
       .withColumn("cum", dsumOver(col("amount"), 2, wWf))
       .withColumn("allocated",
         q2(greatest(lit(0.0),
           least(col("amount"), col("ead_pre_crm") - (col("cum") - col("amount"))))))
+    // Per-type collateral tracking (reference ledger columns for COREP
+    // C 08.01 cols 0170-0210, `data/schemas.py:2966-2971`): the same
+    // allocated legs split by collateral family — an exact partition of
+    // coll_covered, proven by q94's v_colltype rules.
+    val isColl = col("priority") === 1
     val perExposure = alloc.groupBy(col("exposure_reference")).agg(
-      dsum(when(col("priority") === 1, col("allocated")).otherwise(0.0), 2)
+      dsum(when(isColl, col("allocated")).otherwise(0.0), 2)
         .as("coll_covered"),
+      dsum(when(isColl && col("collateral_type").isin("financial", "gold"),
+        col("allocated")).otherwise(0.0), 2).as("collateral_financial_value"),
+      dsum(when(isColl && col("collateral_type").isin("re_residential", "re_commercial"),
+        col("allocated")).otherwise(0.0), 2).as("collateral_re_value"),
+      dsum(when(isColl && col("collateral_type") === "other",
+        col("allocated")).otherwise(0.0), 2).as("collateral_other_value"),
       dsum(when(col("priority") === 2, col("allocated")).otherwise(0.0), 2)
         .as("guar_covered"),
       max(col("guarantor_rw")).as("guarantor_rw"))
     withRw.join(perExposure, Seq("exposure_reference"), "left")
       .withColumn("coll_covered", coalesce(col("coll_covered"), lit(0.0)))
+      .withColumn("collateral_financial_value",
+        coalesce(col("collateral_financial_value"), lit(0.0)))
+      .withColumn("collateral_re_value", coalesce(col("collateral_re_value"), lit(0.0)))
+      .withColumn("collateral_other_value",
+        coalesce(col("collateral_other_value"), lit(0.0)))
       .withColumn("guar_covered", coalesce(col("guar_covered"), lit(0.0)))
       .withColumn("unsecured",
         greatest(lit(0.0),

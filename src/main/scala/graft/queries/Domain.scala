@@ -203,7 +203,7 @@ object Domain {
                CASE WHEN l_tax > 0.04 THEN 0.75 ELSE 0.5 END AS coverage_pct
         FROM lineitem WHERE l_linenumber = 1 AND l_discount >= 0.05),
       items AS (
-        SELECT ci.exposure_reference, ci.priority, ci.item_ref,
+        SELECT ci.exposure_reference, ci.priority, ci.item_ref, ci.coll_type,
                ${sql2("ci.market_value * o.fx_rate * (1.0 - coalesce(h.haircut, 0.40))")} AS amount,
                NULL::DOUBLE AS guarantor_rw,
                o.ead_pre_crm
@@ -212,6 +212,7 @@ object Domain {
         LEFT JOIN haircut_rules h ON ci.coll_type = h.hc_type
         UNION ALL
         SELECT gi.exposure_reference, gi.priority, gi.item_ref,
+               NULL::VARCHAR AS coll_type,
                ${sql2("gi.coverage_pct * o.ead_pre_crm")} AS amount,
                $guarantorRwCase AS guarantor_rw,
                o.ead_pre_crm
@@ -219,7 +220,8 @@ object Domain {
       wf AS (
         SELECT *,
           ${sqlDsumOver("amount", 2,
-            "PARTITION BY exposure_reference ORDER BY priority, item_ref " +
+            "PARTITION BY exposure_reference " +
+            "ORDER BY priority, item_ref, coll_type, amount, guarantor_rw " +
             "ROWS UNBOUNDED PRECEDING")} AS cum
         FROM items),
       alloc AS (
@@ -229,12 +231,24 @@ object Domain {
       per_exposure AS (
         SELECT exposure_reference,
           ${sqlDsum("CASE WHEN priority = 1 THEN allocated ELSE 0.0 END", 2)} AS coll_covered,
+          ${sqlDsum(
+            "CASE WHEN priority = 1 AND coll_type IN ('financial', 'gold') " +
+            "THEN allocated ELSE 0.0 END", 2)} AS collateral_financial_value,
+          ${sqlDsum(
+            "CASE WHEN priority = 1 AND coll_type IN ('re_residential', 're_commercial') " +
+            "THEN allocated ELSE 0.0 END", 2)} AS collateral_re_value,
+          ${sqlDsum(
+            "CASE WHEN priority = 1 AND coll_type = 'other' " +
+            "THEN allocated ELSE 0.0 END", 2)} AS collateral_other_value,
           ${sqlDsum("CASE WHEN priority = 2 THEN allocated ELSE 0.0 END", 2)} AS guar_covered,
           max(guarantor_rw) AS guarantor_rw
         FROM alloc GROUP BY exposure_reference),
       ledger AS (
         SELECT o.*,
           coalesce(p.coll_covered, 0.0) AS coll_covered,
+          coalesce(p.collateral_financial_value, 0.0) AS collateral_financial_value,
+          coalesce(p.collateral_re_value, 0.0) AS collateral_re_value,
+          coalesce(p.collateral_other_value, 0.0) AS collateral_other_value,
           coalesce(p.guar_covered, 0.0) AS guar_covered,
           p.guarantor_rw,
           greatest(0.0, ${sql2(
@@ -891,7 +905,11 @@ object Domain {
     "corporate", "institution", "retail", "sme_corporate", "sovereign")
   private val corepCols: Seq[(String, String)] = Seq(
     "C0010" -> "ead_pre_crm", "C0060" -> "guar_covered",
-    "C0070" -> "coll_covered", "C0110" -> "unsecured", "C0220" -> "rwa")
+    "C0070" -> "coll_covered", "C0110" -> "unsecured", "C0220" -> "rwa",
+    // per-type collateral tracking (C 08.01 cols 0170-0210 analogue)
+    "C0170" -> "collateral_financial_value",
+    "C0180" -> "collateral_re_value",
+    "C0210" -> "collateral_other_value")
   private val corepRows: Seq[(String, Option[String])] =
     corepClasses.map(c => s"R_$c" -> Some(c)) :+ ("R_TOTAL" -> None)
   private def corepCellId(row: String, colId: String) = s"C07|$row|$colId"
@@ -912,6 +930,14 @@ object Domain {
         Seq("C0110", "C0060", "C0070").map(corepCellId(row, _)),
         Seq(corepCellId(row, "C0010")),
         1.0)
+    } ++
+    // per-type collateral cells partition the funded-collateral total
+    // exactly (same allocated legs, split by family)
+    corepRows.map { case (row, _) =>
+      (s"v_colltype_$row",
+        Seq("C0170", "C0180", "C0210").map(corepCellId(row, _)),
+        Seq(corepCellId(row, "C0070")),
+        0.01)
     }
 
   /** q94: COREP sheet content + validations — the whole C 07.00-style

@@ -203,7 +203,52 @@ object Relational {
       ORDER BY l_orderkey
     """.stripMargin.trim))
 
+  /** q107: skew-safe aggregation over a hot low-cardinality key — the
+    * 100 TB pattern the straight plan cannot survive: `l_returnflag` has
+    * THREE values, so a naive `groupBy(flag).agg(collect/distinct)`
+    * funnels the whole book through ≤3 reducers.
+    *
+    *  - the SUM side salts explicitly: partial decimal sums per
+    *    (flag, salt-of-64) spread across 192 reducers, then the tiny
+    *    second-stage regroup collapses the salt — the salt never leaves
+    *    the plan, so the oracle is the plain GROUP BY;
+    *  - the DISTINCT side two-stages: distinct on the full (flag, key)
+    *    pair first (shuffle balanced by the pair, not the hot flag),
+    *    then a count per flag over the deduped — never
+    *    `count(DISTINCT)` on the hot key's reducer.
+    *
+    * The salt uses Spark-internal `hash()` — legitimate engine-internal
+    * state because the regroup eliminates it from the result. */
+  val q107SkewSaltedAgg = QueryDef(
+    "q107_skew_salted_agg",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val salted = li
+        .groupBy(col("l_returnflag"), pmod(hash(col("l_orderkey")), lit(64)).as("salt"))
+        .agg(
+          dsum(col("l_extendedprice"), 2).as("partial_value"),
+          count(lit(1)).as("partial_n"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          dsum(col("partial_value"), 2).as("total_value"),
+          sum(col("partial_n")).as("n_rows"))
+      val distinctParts = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_distinct_parts"))
+      salted.join(distinctParts, Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      SELECT l_returnflag,
+             ${sqlDsum("l_extendedprice", 2)} AS total_value,
+             count(*) AS n_rows,
+             count(DISTINCT l_partkey) AS n_distinct_parts
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q01Agg, q02PortfolioScalars, q03BranchSplit, q04MultiLevelAgg,
-    q05ExplodePool, q06CollectList)
+    q05ExplodePool, q06CollectList, q107SkewSaltedAgg)
 }
