@@ -104,5 +104,37 @@ object Events {
       ORDER BY user_id
     """.stripMargin.trim))
 
-  val all: Seq[QueryDef] = Seq(q80TumblingWindow, q81Sessionize)
+  /** q82: ingest dedup under at-least-once delivery — the batch analogue
+    * of `EventStreams.dedupedEvents` (watermark-bounded streaming
+    * `dropDuplicatesWithinWatermark`): a deterministic re-delivery
+    * (every 7th event arrives twice) is collapsed back to unique events;
+    * the census shows received vs unique vs dropped per type. The
+    * distinct shuffles on event_id (unique-grain key), never on the hot
+    * event_type. */
+  val q82IngestDedup = QueryDef(
+    "q82_ingest_dedup",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val delivered = e.unionByName(e.filter(col("event_id") % 7 === 0))
+      delivered.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_received"),
+          countDistinct(col("event_id")).as("n_unique"),
+          (count(lit(1)) - countDistinct(col("event_id"))).as("n_dupes_dropped"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH delivered AS (
+        SELECT * FROM events
+        UNION ALL
+        SELECT * FROM events WHERE event_id % 7 = 0)
+      SELECT event_type, count(*) AS n_received,
+             count(DISTINCT event_id) AS n_unique,
+             count(*) - count(DISTINCT event_id) AS n_dupes_dropped
+      FROM delivered
+      GROUP BY event_type
+      ORDER BY event_type
+    """.stripMargin.trim))
+
+  val all: Seq[QueryDef] = Seq(q80TumblingWindow, q81Sessionize, q82IngestDedup)
 }

@@ -46,6 +46,17 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Ingest dedup at the edge: at-least-once sources re-deliver events;
+    * keep first-seen per event_id with state BOUNDED by the watermark
+    * (`dropDuplicatesWithinWatermark` — a plain streaming
+    * `dropDuplicates` keeps every key seen forever, the 100 TB state
+    * killer). The batch analogue with an oracle is q82. */
+  def dedupedEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
+
+  final case class Delivered(
+    event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
   final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class SessionState(start: Long, lastMs: Long, n: Int)
   final case class SessionOut(user_id: Long, startMs: Long, endMs: Long, n_events: Int)

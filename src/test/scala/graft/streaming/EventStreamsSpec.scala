@@ -34,6 +34,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup drops re-delivered events across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Delivered]
+    val q = EventStreams.dedupedEvents(input.toDF(), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_events")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        EventStreams.Delivered(1L, ts(0), 1L, "click", 1.0),
+        EventStreams.Delivered(2L, ts(1), 1L, "view", 2.0),
+        EventStreams.Delivered(1L, ts(0), 1L, "click", 1.0)) // same-batch dup
+      q.processAllAvailable()
+      // re-delivery in a LATER micro-batch, still within the watermark
+      input.addData(
+        EventStreams.Delivered(2L, ts(2), 1L, "view", 2.0),
+        EventStreams.Delivered(3L, ts(3), 2L, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_events").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L),
+        s"each event id must survive exactly once, got $ids")
+    } finally q.stop()
+  }
+
   test("session_window groups events within the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
