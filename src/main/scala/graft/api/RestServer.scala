@@ -1,0 +1,203 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Thin REST facade over [[CreditRiskCalc]] (reference `api/rest.py`:
+  * frameworks / validate / calculate / results / results-summary /
+  * lineage routes on an APIRouter). Spark-first posture: every endpoint
+  * is a lazy-frame consumer — `calculate` materialises ONLY the
+  * summary + scalar totals and caches the RESULT HANDLE (lazy ledger
+  * included), so `results` pagination and `lineage` drill-down run their
+  * own bounded actions (limit/filter pushed into the plan) instead of
+  * collecting the book to the server. Zero new dependencies: the JDK
+  * `com.sun.net.httpserver` and a minimal flat-JSON codec.
+  *
+  * Not a production server (single JVM, no auth) — it is the reference's
+  * `rest.py` surface re-expressed, spec-driven by `RestServerSpec`.
+  */
+final class RestServer(spark: SparkSession, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val runs = new java.util.concurrent.ConcurrentHashMap[String, CalculationResult]()
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // ---- minimal JSON (flat objects; strings/numbers/booleans) -----------
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def jval(v: Any): String = v match {
+    case null => "null"
+    case None => "null"
+    case Some(x) => jval(x)
+    case s: String => jstr(s)
+    case b: Boolean => b.toString
+    case d: Double => if (d.isNaN || d.isInfinite) jstr(d.toString) else d.toString
+    case m: Map[_, _] => jobj(m.asInstanceOf[Map[String, Any]])
+    case xs: Seq[_] => xs.map(jval).mkString("[", ",", "]")
+    case other => other.toString
+  }
+
+  private def jobj(fields: Map[String, Any]): String =
+    fields.map { case (k, v) => jstr(k) + ":" + jval(v) }.mkString("{", ",", "}")
+
+  /** Flat-JSON field extraction for request bodies — the calculate
+    * payload is a flat object of scalars, so a targeted scan suffices
+    * (no nested-JSON parser; nested bodies are a 422). */
+  private def jsonField(body: String, key: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + java.util.regex.Pattern.quote(key) +
+        "\"\\s*:\\s*(\"((?:[^\"\\\\]|\\\\.)*)\"|[^,}\\s]+)")
+      .matcher(body)
+    if (m.find()) Option(m.group(2)).orElse(Option(m.group(1))) else None
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split("&").toSeq
+      .filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  private def respond(ex: HttpExchange, status: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def error(ex: HttpExchange, status: Int, message: String): Unit =
+    respond(ex, status, jobj(Map("error" -> message)))
+
+  private def rowsAsJson(df: DataFrame, limit: Int): String = {
+    val cols = df.columns.toSeq
+    val rows = df.limit(limit).collect().toSeq.map { r =>
+      jobj(cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+    }
+    rows.mkString("[", ",", "]")
+  }
+
+  // ---- routes ----------------------------------------------------------
+
+  private def handle(path: String)(fn: HttpExchange => Unit): Unit =
+    server.createContext(path, (ex: HttpExchange) =>
+      try fn(ex)
+      catch { case e: Throwable => error(ex, 500, Option(e.getMessage).getOrElse("internal error")) })
+
+  handle("/api/frameworks") { ex =>
+    respond(ex, 200, jval(Seq(
+      Map[String, Any]("id" -> "CRR", "description" -> "current regime rulepack"),
+      Map[String, Any]("id" -> "BASEL_3_1", "description" -> "candidate regime rulepack"))))
+  }
+
+  handle("/api/validate") { ex =>
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    jsonField(body, "dataPath") match {
+      case None => error(ex, 422, "dataPath is required")
+      case Some(dir) =>
+        val res = new CreditRiskCalc(spark, CalcConfig(dataPath = dir)).calculate()
+        respond(ex, 200, jobj(Map(
+          "valid" -> res.errors.isEmpty,
+          "errors" -> res.errors.map(e => Map[String, Any](
+            "code" -> e.code, "message" -> e.message)))))
+    }
+  }
+
+  handle("/api/calculate") { ex =>
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    jsonField(body, "dataPath") match {
+      case None => error(ex, 422, "dataPath is required")
+      case Some(dir) =>
+        val mode = jsonField(body, "permissionMode").getOrElse("irb")
+        val framework = jsonField(body, "framework").getOrElse("CRR")
+        try {
+          val cfg = CalcConfig(dataPath = dir, permissionMode = mode, framework = framework)
+          val res = new CreditRiskCalc(spark, cfg).calculate()
+          val runId = s"run-${runSeq.incrementAndGet()}"
+          runs.put(runId, res)
+          respond(ex, 200, jobj(Map(
+            "run_id" -> runId, "success" -> res.success,
+            "total_rwa" -> res.totalRwa,
+            "errors" -> res.errors.map(_.code))))
+        } catch {
+          case e: IllegalArgumentException => error(ex, 422, e.getMessage)
+        }
+    }
+  }
+
+  private def withRun(ex: HttpExchange)(fn: CalculationResult => Unit): Unit =
+    queryParams(ex).get("run_id").flatMap(id => Option(runs.get(id))) match {
+      case None => error(ex, 404, "unknown run_id")
+      case Some(res) => fn(res)
+    }
+
+  handle("/api/results") { ex =>
+    withRun(ex) { res =>
+      val p = queryParams(ex)
+      val offset = p.getOrElse("offset", "0").toInt
+      val limit = math.min(p.getOrElse("limit", "100").toInt, 1000)
+      res.summary match {
+        case None => error(ex, 404, "run has no summary")
+        case Some(sm) =>
+          // bounded page: offset+limit rows collected, never the book
+          val page = sm.limit(offset + limit).collect().drop(offset).toSeq
+          val cols = sm.columns.toSeq
+          respond(ex, 200, jobj(Map(
+            "offset" -> offset, "n" -> page.size,
+            "rows" -> page.map(r =>
+              cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap))))
+      }
+    }
+  }
+
+  handle("/api/results/summary") { ex =>
+    withRun(ex) { res =>
+      val dim = queryParams(ex).getOrElse("dimension", "class") match {
+        case "class" => "exposure_class"
+        case "approach" => "approach"
+        case _ => null
+      }
+      if (dim == null) error(ex, 422, "dimension must be class or approach")
+      else res.ledger match {
+        case None => error(ex, 404, "run has no ledger")
+        case Some(led) =>
+          val grouped = led.groupBy(col(dim)).agg(
+            count(lit(1)).as("n_exposures"),
+            sum(col("rwa")).as("total_rwa")).orderBy(col(dim))
+          respond(ex, 200, rowsAsJson(grouped, 100))
+      }
+    }
+  }
+
+  handle("/api/lineage") { ex =>
+    withRun(ex) { res =>
+      queryParams(ex).get("exposure") match {
+        case None => error(ex, 422, "exposure is required")
+        case Some(ref) => res.ledger match {
+          case None => error(ex, 404, "run has no ledger")
+          case Some(led) =>
+            // the drill-down filter pushes into the ledger plan
+            respond(ex, 200,
+              rowsAsJson(led.filter(col("exposure_reference") === ref), 10))
+        }
+      }
+    }
+  }
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+}

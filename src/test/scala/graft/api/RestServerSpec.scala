@@ -1,0 +1,55 @@
+package graft.api
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+import graft.SparkSpec
+
+class RestServerSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def http(
+      port: Int, path: String, method: String = "GET",
+      body: String = null): (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (body != null) {
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(body.getBytes(StandardCharsets.UTF_8)) finally os.close()
+    }
+    val status = conn.getResponseCode
+    val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val text = new String(is.readAllBytes(), StandardCharsets.UTF_8)
+    (status, text)
+  }
+
+  test("REST lifecycle: frameworks -> calculate -> results -> summary -> lineage") {
+    val srv = new RestServer(spark)
+    val port = srv.start()
+    try {
+      val (fs, fb) = http(port, "/api/frameworks")
+      assert(fs == 200 && fb.contains("BASEL_3_1"))
+
+      val (cs, cb) = http(port, "/api/calculate", "POST",
+        s"""{"dataPath": "$sfDir", "permissionMode": "irb"}""")
+      assert(cs == 200 && cb.contains("\"success\":true"), cb)
+      val runId = "run-\\d+".r.findFirstIn(cb).get
+
+      val (rs, rb) = http(port, s"/api/results?run_id=$runId&limit=3")
+      assert(rs == 200 && rb.contains("exposure_class"), rb)
+
+      val (ss, sb) = http(port, s"/api/results/summary?run_id=$runId&dimension=approach")
+      assert(ss == 200 && sb.contains("\"approach\":\"IRB\""), sb)
+
+      val (ls, lb) = http(port, s"/api/lineage?run_id=$runId&exposure=ORD-1")
+      assert(ls == 200 && lb.contains("\"exposure_reference\":\"ORD-1\""), lb)
+
+      // error semantics mirror the reference: unknown run 404, bad input 422
+      assert(http(port, "/api/results?run_id=run-999")._1 == 404)
+      assert(http(port, s"/api/results/summary?run_id=$runId&dimension=bogus")._1 == 422)
+      assert(http(port, "/api/calculate", "POST", "{}")._1 == 422)
+    } finally srv.stop()
+  }
+}
