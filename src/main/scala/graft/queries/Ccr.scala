@@ -527,7 +527,142 @@ object Ccr {
       ORDER BY ccp_reference, regulatory_band
     """.stripMargin.trim))
 
+  private val tranchedGuarantorRwCase = graft.engine.DomainPipeline.rwTable
+    .filter(_._1 == "institution")
+    .map { case (_, q, w) => s"WHEN guarantor_cqs = $q THEN CAST($w AS DOUBLE)" }
+    .mkString("CASE ", " ", " ELSE 1.0 END")
+
+  /** q108: tranched guarantee substitution + maturity mismatch — CRR
+    * Art. 234 / Art. 239 (reference `engine/crm/guarantees.py:759-782,
+    * 1512-1660`, GUARANTEE_SCHEMA attachment/detachment
+    * `data/schemas.py:900-908`):
+    *
+    *  - a guarantee protecting a mezzanine band [a, d) splits the
+    *    exposure into a retained first-loss tranche [0, a), the
+    *    substituted band, and a retained senior tranche [d, EAD];
+    *  - the recognised band scales by the Art. 239(3) maturity-mismatch
+    *    factor (t − 0.25)/(T − 0.25) with t, T floored at 0.25 and T
+    *    capped at 5y, and Art. 237(1) derecognises protection whose RAW
+    *    residual is under 3 months and shorter than the exposure;
+    *  - the keep-one pick per exposure is a rank-1 window with a TOTAL
+    *    order over the derived attributes (duplicate source rows are
+    *    attribute-identical, so the pick is deterministic).
+    */
+  val q108TranchedGuarantee = QueryDef(
+    "q108_tranched_guarantee",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val guarantorRw = graft.engine.DomainPipeline.rwTable
+        .filter(_._1 == "institution")
+        .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+          case (None, (_, q, w)) => Some(when(col("guarantor_cqs") === q, w))
+          case (Some(acc), (_, q, w)) => Some(acc.when(col("guarantor_cqs") === q, w))
+        }.get.otherwise(1.0)
+      val rawG = li.filter(col("l_linenumber") === 2).select(
+        concat(lit("ORD-"), col("l_orderkey").cast("string")).as("exposure_reference"),
+        when(col("l_discount") < 0.05, q2(col("l_extendedprice") * 0.2))
+          .otherwise(0.0).as("attach"),
+        q2(when(col("l_discount") < 0.05, q2(col("l_extendedprice") * 0.2))
+          .otherwise(0.0) + col("l_extendedprice") * 2.0).as("detach"),
+        (lit(1) + col("l_suppkey") % 4).cast("int").as("guarantor_cqs"),
+        (lit(0.1) + (col("l_partkey") % 6).cast("double")).as("t_raw"))
+      val wPick = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("exposure_reference"))
+        .orderBy(col("attach"), col("detach"), col("guarantor_cqs"), col("t_raw"))
+      val oneG = rawG.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1).drop("rn")
+      val expo = o.select(
+        concat(lit("ORD-"), col("o_orderkey").cast("string")).as("exposure_reference"),
+        col("o_totalprice").as("ead"),
+        (lit(1.0) + (col("o_orderkey") % 7).cast("double")).as("big_t_raw"))
+      expo.join(oneG, Seq("exposure_reference"))
+        .withColumn("t_eff", greatest(col("t_raw"), lit(0.25)))
+        .withColumn("big_t_eff",
+          greatest(least(col("big_t_raw"), lit(5.0)), lit(0.25)))
+        .withColumn("scale",
+          when(col("t_raw") < 0.25 && col("t_raw") < col("big_t_raw"), 0.0)
+            .when(col("t_eff") < col("big_t_eff"),
+              q6((col("t_eff") - 0.25) / (col("big_t_eff") - 0.25)))
+            .otherwise(1.0))
+        .withColumn("a_clip", least(col("attach"), col("ead")))
+        .withColumn("d_clip", least(col("detach"), col("ead")))
+        .withColumn("band", greatest(col("d_clip") - col("a_clip"), lit(0.0)))
+        .withColumn("covered", q2(col("band") * col("scale")))
+        .withColumn("senior", greatest(col("ead") - col("d_clip"), lit(0.0)))
+        .withColumn("grw", guarantorRw)
+        .withColumn("rwa",
+          q2(col("a_clip") + (col("band") - col("covered")) + col("senior")) +
+          q2(col("covered") * least(lit(1.0), col("grw"))))
+        .groupBy(col("guarantor_cqs"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          dsum(col("a_clip"), 2).as("first_loss_retained"),
+          dsum(col("covered"), 2).as("substituted_band"),
+          dsum(col("senior"), 2).as("senior_retained"),
+          count(when(col("scale") > 0 && col("scale") < 1, lit(1))).as("n_mismatch_scaled"),
+          count(when(col("scale") === 0.0, lit(1))).as("n_derecognised"),
+          dsum(col("rwa"), 2).as("total_rwa"))
+        .orderBy(col("guarantor_cqs"))
+    },
+    Some(s"""
+      WITH raw_g AS (
+        SELECT 'ORD-' || CAST(l_orderkey AS VARCHAR) AS exposure_reference,
+               CASE WHEN l_discount < 0.05 THEN ${sql2("l_extendedprice * 0.2")}
+                    ELSE 0.0 END AS attach,
+               ${sql2(
+                 "(CASE WHEN l_discount < 0.05 THEN " + sql2("l_extendedprice * 0.2") +
+                 " ELSE 0.0 END) + l_extendedprice * 2.0")} AS detach,
+               1 + l_suppkey % 4 AS guarantor_cqs,
+               0.1 + CAST(l_partkey % 6 AS DOUBLE) AS t_raw
+        FROM lineitem WHERE l_linenumber = 2),
+      one_g AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY exposure_reference
+            ORDER BY attach, detach, guarantor_cqs, t_raw) AS rn
+          FROM raw_g) WHERE rn = 1),
+      expo AS (
+        SELECT 'ORD-' || CAST(o_orderkey AS VARCHAR) AS exposure_reference,
+               o_totalprice AS ead,
+               1.0 + CAST(o_orderkey % 7 AS DOUBLE) AS big_t_raw
+        FROM orders),
+      joined AS (
+        SELECT e.*, g.attach, g.detach, g.guarantor_cqs, g.t_raw,
+               greatest(g.t_raw, 0.25) AS t_eff,
+               greatest(least(e.big_t_raw, 5.0), 0.25) AS big_t_eff
+        FROM expo e JOIN one_g g USING (exposure_reference)),
+      scaled AS (
+        SELECT *,
+          CASE WHEN t_raw < 0.25 AND t_raw < big_t_raw THEN 0.0
+               WHEN t_eff < big_t_eff THEN ${sql6("(t_eff - 0.25) / (big_t_eff - 0.25)")}
+               ELSE 1.0 END AS scale,
+          least(attach, ead) AS a_clip,
+          least(detach, ead) AS d_clip
+        FROM joined),
+      banded AS (
+        SELECT *,
+          greatest(d_clip - a_clip, 0.0) AS band,
+          ${sql2("greatest(d_clip - a_clip, 0.0) * scale")} AS covered,
+          greatest(ead - d_clip, 0.0) AS senior,
+          $tranchedGuarantorRwCase AS grw
+        FROM scaled)
+      SELECT guarantor_cqs, count(*) AS n_exposures,
+             ${sqlDsum("a_clip", 2)} AS first_loss_retained,
+             ${sqlDsum("covered", 2)} AS substituted_band,
+             ${sqlDsum("senior", 2)} AS senior_retained,
+             count(CASE WHEN scale > 0 AND scale < 1 THEN 1 END) AS n_mismatch_scaled,
+             count(CASE WHEN scale = 0.0 THEN 1 END) AS n_derecognised,
+             ${sqlDsum(
+               sql2("a_clip + (band - covered) + senior") +
+               " + " + sql2("covered * least(1.0, grw)"), 2)} AS total_rwa
+      FROM banded
+      GROUP BY guarantor_cqs
+      ORDER BY guarantor_cqs
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q56SaCcrAddon, q57Slotting, q58CrmCascade, q59GuaranteeSubstitution,
-    q96BaCva, q97FailedTrades, q104SftHaircutLegs, q105DefaultFund)
+    q96BaCva, q97FailedTrades, q104SftHaircutLegs, q105DefaultFund,
+    q108TranchedGuarantee)
 }
