@@ -466,8 +466,87 @@ object LlmOps {
       FROM nd
     """.stripMargin.trim))
 
+  /** q72: vocabulary building — the tokenizer-training corpus statistic:
+    * explode tokens, count per token (map-side partial combine — the
+    * token key is high-cardinality, so the shuffle is balanced by
+    * construction), then the global top-k via `orderBy(...).limit(k)`
+    * (TakeOrderedAndProject: per-partition top-k then a k-row merge —
+    * never a single-partition sort). Ties break on the token string so
+    * the cut is deterministic. */
+  val q72VocabTopk = QueryDef(
+    "q72_vocab_topk",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(30)
+    },
+    Some("""
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE len(token) > 0
+      GROUP BY token
+      ORDER BY n DESC, token
+      LIMIT 30
+    """.stripMargin.trim))
+
+  /** q73: fixed-window chunking with overlap — the training-example
+    * packer: each document splits into windows of `win` tokens with
+    * `stride` step (posexplode over computed offsets; pure per-row
+    * array math, embarrassingly parallel). Output: per-source chunk
+    * census + boundary token accounting. */
+  val q73Chunking = QueryDef(
+    "q73_chunking",
+    (s, dir) => {
+      val win = 64
+      val stride = 48
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_toks", size(col("toks")))
+      val chunks = d.select(
+        col("source"), col("doc_id"), col("n_toks"),
+        posexplode(transform(
+          sequence(lit(0),
+            greatest(ceil((col("n_toks") - win).cast("double") / stride).cast("int"),
+              lit(0))),
+          i => slice(col("toks"), i * stride + lit(1), lit(win)))))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "chunk")
+        .withColumn("chunk_len", size(col("chunk")))
+      chunks.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("chunk_len")).as("total_chunk_tokens"),
+          count(when(col("chunk_len") < win, lit(1))).as("n_partial_tail_chunks"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT source, doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n_toks
+        FROM documents),
+      chunks AS (
+        SELECT source, doc_id, n_toks,
+               len(t[i * 48 + 1 : i * 48 + 64]) AS chunk_len
+        FROM toks,
+        LATERAL (SELECT unnest(generate_series(0,
+          greatest(CAST(ceil((n_toks - 64) / 48.0) AS INT), 0))) AS i))
+      SELECT source, count(*) AS n_chunks,
+             count(DISTINCT doc_id) AS n_docs,
+             CAST(sum(chunk_len) AS BIGINT) AS total_chunk_tokens,
+             count(CASE WHEN chunk_len < 64 THEN 1 END) AS n_partial_tail_chunks
+      FROM chunks
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q64CosineTopk, q65AnnIvf, q66LangId, q67QualityScore,
-    q68TokenCount, q69Fingerprint, q70Multimodal, q71EmbeddingNearDup)
+    q68TokenCount, q69Fingerprint, q70Multimodal, q71EmbeddingNearDup,
+    q72VocabTopk, q73Chunking)
 }
