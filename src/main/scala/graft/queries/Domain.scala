@@ -1776,6 +1776,154 @@ object Domain {
       ORDER BY 1, 2, 3, 4
     """.stripMargin.trim))
 
+  // ---- q109: IRB double-default treatment ------------------------------
+
+  /** q109: the Art. 153(3) double-default treatment for guaranteed A-IRB
+    * corporate exposures (reference `engine/irb/guarantee.py:670-740`):
+    * an eligible guarantee may take `RW_dd = RW_obligor × (0.15 + 160 ·
+    * PD_guarantor)` instead of substitution. Eligibility per Art. 202:
+    * corporate underlying, guarantor an institution / sovereign / rated
+    * corporate (CQS ≤ 2), guarantor PD available, A-IRB book. The
+    * beneficial gate compares DD against the substitution RW (the SA
+    * guarantor chain) unfloored — Art. 153(3) carries no
+    * no-better-than-direct floor — and the guaranteed leg never exceeds
+    * the direct RW. Obligor RW comes from the shared `IrbKernel` scalar
+    * formulae; the oracle replicates them via the Cody/Acklam SQL
+    * replicas (obligor PDs kept inside Acklam's central branch — the
+    * guarantor PD never passes through a ppf, so it can take realistic
+    * small values that make both DD and substitution branches fire).
+    * One scan, broadcast-free arithmetic, a 4-group output. */
+  val q109DoubleDefault = QueryDef(
+    "q109_double_default",
+    (s, dir) => {
+      import graft.engine.IrbKernel
+      val o = Tables.orders(s, dir)
+      val attrs = o.select(
+        col("o_totalprice").as("ead"),
+        (lit(0.03) + (col("o_orderkey") % 10) * lit(0.01)).as("pd_obligor"),
+        (lit(1.0) + (col("o_orderkey") % 5).cast("double")).as("maturity"),
+        when(col("o_orderkey") % 4 === 0, 0.0)
+          .when(col("o_custkey") % 2 === 0, 0.75).otherwise(0.5).as("coverage"),
+        when(col("o_custkey") % 4 === 0, "institution")
+          .when(col("o_custkey") % 4 === 1, "central_govt_central_bank")
+          .otherwise("corporate").as("guarantor_type"),
+        (lit(1) + col("o_custkey") % 3).cast("int").as("guarantor_cqs"),
+        (lit(0.0005) + (col("o_custkey") % 10) * lit(0.0015)).as("guarantor_pd"))
+      val corr = IrbKernel.correlationCorporate(col("pd_obligor"))
+      val condPd = IrbKernel.conditionalPd(col("pd_obligor"), corr)
+      val rwObligor = q6(lit(0.45) * (condPd - col("pd_obligor")) * lit(12.5) *
+        lit(1.06) * IrbKernel.maturityAdjustment(col("pd_obligor"), col("maturity")))
+      // substitution RW resolved in the GUARANTOR's class context
+      // (Art. 235: the covered leg takes the protection provider's
+      // risk weight under its own class row)
+      val rwSub = {
+        val typeToClass = Seq(
+          "central_govt_central_bank" -> "sovereign",
+          "institution" -> "institution", "corporate" -> "corporate")
+        typeToClass.flatMap { case (gt, cls) =>
+          DomainPipeline.rwTable.filter(_._1 == cls)
+            .map { case (_, q, w) => (gt, q, w) }
+        }.foldLeft(Option.empty[Column]) {
+          case (None, (gt, q, w)) =>
+            Some(when(col("guarantor_type") === gt && col("guarantor_cqs") === q, w))
+          case (Some(acc), (gt, q, w)) =>
+            Some(acc.when(col("guarantor_type") === gt && col("guarantor_cqs") === q, w))
+        }.get.otherwise(1.0)
+      }
+      val staged = attrs
+        .withColumn("rw_obligor", rwObligor)
+        .withColumn("eligible",
+          col("coverage") > 0 && (
+            col("guarantor_type").isin("institution", "central_govt_central_bank") ||
+            (col("guarantor_type") === "corporate" && col("guarantor_cqs") <= 2)))
+        .withColumn("dd_mult",
+          lit(0.15) + lit(160.0) * greatest(col("guarantor_pd"), lit(0.0003)))
+        .withColumn("rw_dd", q6(col("rw_obligor") * col("dd_mult")))
+        .withColumn("rw_sub", rwSub)
+        .withColumn("dd_applied", col("eligible") && col("rw_dd") < col("rw_sub"))
+        .withColumn("rw_guaranteed",
+          least(when(col("eligible"), least(col("rw_dd"), col("rw_sub")))
+            .otherwise(col("rw_sub")), col("rw_obligor")))
+        .withColumn("rwa",
+          q2(col("ead") * col("coverage") * col("rw_guaranteed")) +
+          q2(col("ead") * (lit(1.0) - col("coverage")) * col("rw_obligor")))
+      staged.groupBy(col("guarantor_type"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          count(when(col("eligible"), lit(1))).as("n_eligible"),
+          count(when(col("dd_applied"), lit(1))).as("n_dd_applied"),
+          dsum(q2(col("ead") * col("coverage")), 2).as("guaranteed_ead"),
+          dsum(col("rwa"), 2).as("total_rwa"))
+        .orderBy(col("guarantor_type"))
+    },
+    Some {
+      val g999 = graft.functions.NormalMath.normPpf(0.999)
+      val k50 = 1.0 - math.exp(-50.0)
+      val subCase = Seq(
+        "central_govt_central_bank" -> "sovereign",
+        "institution" -> "institution", "corporate" -> "corporate")
+        .flatMap { case (gt, cls) =>
+          DomainPipeline.rwTable.filter(_._1 == cls).map { case (_, q, w) =>
+            s"WHEN guarantor_type = '$gt' AND guarantor_cqs = $q THEN ${d(w)}"
+          }
+        }
+        .mkString("CASE ", " ", s" ELSE ${d(1.0)} END")
+      s"""
+      WITH attrs AS (
+        SELECT o_totalprice AS ead,
+               0.03 + (o_orderkey % 10) * 0.01 AS pd_obligor,
+               1.0 + (o_orderkey % 5) AS maturity,
+               CASE WHEN o_orderkey % 4 = 0 THEN 0.0
+                    WHEN o_custkey % 2 = 0 THEN 0.75 ELSE 0.5 END AS coverage,
+               CASE WHEN o_custkey % 4 = 0 THEN 'institution'
+                    WHEN o_custkey % 4 = 1 THEN 'central_govt_central_bank'
+                    ELSE 'corporate' END AS guarantor_type,
+               1 + o_custkey % 3 AS guarantor_cqs,
+               0.0005 + (o_custkey % 10) * 0.0015 AS guarantor_pd
+        FROM orders),
+      corr AS (
+        SELECT *,
+          (0.12 * ((1.0 - exp(-50.0 * pd_obligor)) / $k50) +
+           0.24 * (1.0 - ((1.0 - exp(-50.0 * pd_obligor)) / $k50))) AS correlation,
+          (1.0 + (maturity - 2.5) *
+             (0.11852 - 0.05478 * ln(pd_obligor)) * (0.11852 - 0.05478 * ln(pd_obligor))) /
+          (1.0 - 1.5 * (0.11852 - 0.05478 * ln(pd_obligor)) * (0.11852 - 0.05478 * ln(pd_obligor)))
+            AS ma
+        FROM attrs),
+      rwbase AS (
+        SELECT *,
+          ${sql6(
+            "0.45 * ((" + Rwa.sqlNormCdf(
+              s"((${Rwa.sqlNormPpfCentral("pd_obligor")}) + sqrt(correlation) * ($g999)) " +
+              "/ sqrt(1.0 - correlation)") + ") - pd_obligor) * 12.5 * 1.06 * ma")}
+            AS rw_obligor
+        FROM corr),
+      staged AS (
+        SELECT *,
+          coverage > 0 AND (guarantor_type IN ('institution', 'central_govt_central_bank')
+            OR (guarantor_type = 'corporate' AND guarantor_cqs <= 2)) AS eligible,
+          ${sql6("rw_obligor * (0.15 + 160.0 * greatest(guarantor_pd, 0.0003))")} AS rw_dd,
+          $subCase AS rw_sub
+        FROM rwbase),
+      gated AS (
+        SELECT *,
+          eligible AND rw_dd < rw_sub AS dd_applied,
+          least(CASE WHEN eligible THEN least(rw_dd, rw_sub) ELSE rw_sub END,
+                rw_obligor) AS rw_guaranteed
+        FROM staged)
+      SELECT guarantor_type, count(*) AS n_exposures,
+             count(CASE WHEN eligible THEN 1 END) AS n_eligible,
+             count(CASE WHEN dd_applied THEN 1 END) AS n_dd_applied,
+             ${sqlDsum(sql2("ead * coverage"), 2)} AS guaranteed_ead,
+             ${sqlDsum(
+               sql2("ead * coverage * rw_guaranteed") + " + " +
+               sql2("ead * (1.0 - coverage) * rw_obligor"), 2)} AS total_rwa
+      FROM gated
+      GROUP BY guarantor_type
+      ORDER BY guarantor_type
+      """.stripMargin.trim
+    })
+
   // ---- q100: provisions vs expected loss (EL summary) ------------------
 
   private val cqsPdCase = DomainPipeline.cqsPdTable
@@ -1851,5 +1999,5 @@ object Domain {
     q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation,
     q94CorepTemplate, q95SaPortfolio, q98SecuritisationAllocator,
     q99Transition, q100Provisions, q102Pillar3Cr4, q103CiuLookthrough,
-    q106LedgerAudit)
+    q106LedgerAudit, q109DoubleDefault)
 }
