@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** M:N collateral link allocation — split one finite collateral item
+  * across many beneficiary exposures (reference
+  * `engine/crm/link_allocation.py`: the `collateral_links` table,
+  * CRR Art. 230-231 sequential allocation).
+  *
+  * The fill is a JOINT, two-sided residual greedy: link edges are walked
+  * in one global order (explicit priority first, then descending
+  * beneficiary metric, then deterministic tie-breaks) and each edge
+  * absorbs `min(item supply remaining, beneficiary demand remaining,
+  * per-link cap)`, decrementing BOTH residuals — demand filled by one
+  * item is invisible to later items, which spill to the next-best
+  * beneficiary. Σ slices per item never exceeds its value by
+  * construction.
+  *
+  * Like the reference ("a bounded Python walk is used because the
+  * two-sided residual cannot be expressed as a single vectorised
+  * cumulative sum ... a one-time pre-pass over the small
+  * collateral_links edge set"), this is a size-guarded DRIVER kernel —
+  * the sanctioned pattern for small-edge-set graph work
+  * (`operators/Hierarchy.scala`). The links table is orders of magnitude
+  * smaller than the exposure book; the guard makes the assumption
+  * explicit. When an edge set outgrows the guard, pre-partition it by
+  * connected component (edges sharing no item/beneficiary never
+  * interact) and run the kernel per component.
+  */
+object LinkAllocation {
+
+  /** Input columns: collateral_reference (string), beneficiary_reference
+    * (string), priority (int, nullable — explicit priorities fill
+    * first), metric (double — higher fills first among null-priority
+    * edges), item_value (double, constant per item), demand (double,
+    * constant per beneficiary), max_pledge (double, nullable per-link
+    * cap). Returns the edges + an allocated `slice` column. */
+  def allocateSlices(links: DataFrame, maxEdges: Long = 5000000L): DataFrame = {
+    val spark = links.sparkSession
+    val rows = links.selectExpr(
+      "collateral_reference", "beneficiary_reference",
+      "CAST(priority AS INT) AS priority", "CAST(metric AS DOUBLE) AS metric",
+      "CAST(item_value AS DOUBLE) AS item_value", "CAST(demand AS DOUBLE) AS demand",
+      "CAST(max_pledge AS DOUBLE) AS max_pledge").collect()
+    require(rows.length <= maxEdges,
+      s"link edge set ${rows.length} exceeds the driver-kernel guard $maxEdges — " +
+        "partition by connected component first")
+
+    final case class Edge(
+      cRef: String, bRef: String, priNull: Int, pri: Int, metric: Double,
+      value: Double, demand: Double, cap: Double)
+    val fanout = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val edges = rows.map { r =>
+      val pri = if (r.isNullAt(2)) null else Int.box(r.getInt(2))
+      val demand = math.max(r.getDouble(5), 0.0)
+      val cap =
+        if (r.isNullAt(6)) demand else math.max(math.min(demand, r.getDouble(6)), 0.0)
+      Edge(r.getString(0), r.getString(1),
+        if (pri == null) 1 else 0, if (pri == null) 0 else pri.intValue(),
+        r.getDouble(3), r.getDouble(4), demand, cap)
+    }
+    // the reference's global order: explicit priorities, then descending
+    // metric, then beneficiary, then most-constrained item first
+    val ordered = edges.sortBy(e =>
+      (e.priNull, e.pri, -e.metric, e.bRef, fanout(e.cRef), e.cRef))
+
+    val eps = 1e-9
+    val supplyRem = scala.collection.mutable.HashMap.empty[String, Double]
+    val demandRem = scala.collection.mutable.HashMap.empty[String, Double]
+    val out = ordered.map { e =>
+      val s = supplyRem.getOrElse(e.cRef, e.value)
+      val d = demandRem.getOrElse(e.bRef, e.demand)
+      val takeRaw = math.min(math.min(s, d), e.cap)
+      val take = if (takeRaw < eps) 0.0 else takeRaw
+      supplyRem(e.cRef) = s - take
+      demandRem(e.bRef) = d - take
+      Row(e.cRef, e.bRef, take)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq),
+      StructType(Seq(
+        StructField("collateral_reference", StringType),
+        StructField("beneficiary_reference", StringType),
+        StructField("slice", DoubleType))))
+  }
+}

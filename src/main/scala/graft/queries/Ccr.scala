@@ -661,8 +661,95 @@ object Ccr {
       ORDER BY guarantor_cqs
     """.stripMargin.trim))
 
+  /** q110: M:N collateral link allocation (reference
+    * `engine/crm/link_allocation.py`, the `collateral_links` table; CRR
+    * Art. 230-231): each of 50 finite collateral items is linked to many
+    * exposures and split by the two-sided residual greedy
+    * (`operators.LinkAllocation` — the reference's own driver-walk
+    * pre-pass, size-guarded). The ORACLE fixture keeps one link per
+    * beneficiary, where the kernel provably reduces to the
+    * window-cumulative-cap split (the reference: "reduces to the legacy
+    * single-item cumulative-cap split when an item links exactly one
+    * beneficiary") — so DuckDB replicates it as a per-item ordered
+    * cumsum; the genuinely two-sided behaviour (demand spill across
+    * items) is pinned by LinkAllocationSpec instead. */
+  val q110LinkAllocation = QueryDef(
+    "q110_link_allocation",
+    (s, dir) => {
+      import graft.operators.LinkAllocation
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+        .orderBy(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val one = Tables.lineitem(s, dir).filter(col("l_linenumber") === 1)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      val links = one.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          concat(lit("COLL-"), (col("l_partkey") % 50).cast("string"))
+            .as("collateral_reference"),
+          concat(lit("ORD-"), col("l_orderkey").cast("string"))
+            .as("beneficiary_reference"),
+          lit(null).cast("int").as("priority"),
+          ((col("l_orderkey") % 4).cast("double") * 0.25 + 0.5).as("metric"),
+          ((col("l_partkey") % 50 + 1).cast("double") * 5000.0).as("item_value"),
+          col("o_totalprice").as("demand"),
+          when(col("l_orderkey") % 5 === 0, q2(col("o_totalprice") * 0.2))
+            .cast("double").as("max_pledge"))
+      val sliced = LinkAllocation.allocateSlices(links)
+      val items = links.select(col("collateral_reference"), col("item_value")).distinct()
+      sliced.groupBy(col("collateral_reference"))
+        .agg(
+          count(lit(1)).as("n_links"),
+          dsum(col("slice"), 2).as("allocated"),
+          count(when(col("slice") > 0.005, lit(1))).as("n_funded"))
+        .join(items, Seq("collateral_reference"))
+        .withColumn("exhausted", col("allocated") >= col("item_value") - 0.005)
+        .select(col("collateral_reference"), col("n_links"), col("item_value"),
+          col("allocated"), col("n_funded"), col("exhausted"))
+        .orderBy(col("collateral_reference"))
+    },
+    Some(s"""
+      WITH one AS (
+        SELECT * FROM (
+          SELECT l.*, row_number() OVER (
+            PARTITION BY l_orderkey
+            ORDER BY l_partkey, l_suppkey, l_extendedprice) AS rn
+          FROM lineitem l WHERE l_linenumber = 1)
+        WHERE rn = 1),
+      edges AS (
+        SELECT 'COLL-' || CAST(l_partkey % 50 AS VARCHAR) AS collateral_reference,
+               'ORD-' || CAST(l_orderkey AS VARCHAR) AS beneficiary_reference,
+               (l_orderkey % 4) * 0.25 + 0.5 AS metric,
+               CAST(l_partkey % 50 + 1 AS DOUBLE) * 5000.0 AS item_value,
+               o_totalprice AS demand,
+               CASE WHEN l_orderkey % 5 = 0 THEN ${sql2("o_totalprice * 0.2")} END
+                 AS max_pledge
+        FROM one JOIN orders ON l_orderkey = o_orderkey),
+      eff AS (
+        SELECT *, greatest(least(demand, coalesce(max_pledge, demand)), 0.0)
+          AS demand_eff
+        FROM edges),
+      cum AS (
+        SELECT *, ${sqlDsumOver("demand_eff", 2,
+          "PARTITION BY collateral_reference " +
+          "ORDER BY metric DESC, beneficiary_reference ROWS UNBOUNDED PRECEDING")}
+          AS cum_demand
+        FROM eff),
+      sliced AS (
+        SELECT *, greatest(0.0,
+          least(demand_eff, item_value - (cum_demand - demand_eff))) AS slice
+        FROM cum)
+      SELECT collateral_reference, count(*) AS n_links, item_value,
+             ${sqlDsum("slice", 2)} AS allocated,
+             count(CASE WHEN slice > 0.005 THEN 1 END) AS n_funded,
+             ${sqlDsum("slice", 2)} >= item_value - 0.005 AS exhausted
+      FROM sliced
+      GROUP BY collateral_reference, item_value
+      ORDER BY collateral_reference
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q56SaCcrAddon, q57Slotting, q58CrmCascade, q59GuaranteeSubstitution,
     q96BaCva, q97FailedTrades, q104SftHaircutLegs, q105DefaultFund,
-    q108TranchedGuarantee)
+    q108TranchedGuarantee, q110LinkAllocation)
 }
