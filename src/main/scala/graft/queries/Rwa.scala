@@ -520,7 +520,120 @@ object Rwa {
       ORDER BY phase_year
     """.stripMargin.trim))
 
+  /** q111: Financial Collateral Simple Method — CRR Art. 222 (reference
+    * `engine/crm/simple_method.py`): the collateralised fraction takes
+    * the COLLATERAL's risk weight floored at 20% per item
+    * (Art. 222(1)/(3)), with the Art. 222(4) same-currency carve-out to
+    * 0% for cash and 0%-RW sovereign paper; EAD is NOT reduced (that is
+    * the Comprehensive Method's mechanism — q54/q104). Items allocate
+    * against EAD lowest-RW-first (most beneficial) via the ordered
+    * cumulative-sum waterfall; the remainder stays at the obligor RW.
+    */
+  val q111SimpleMethod = QueryDef(
+    "q111_simple_method",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val expo = o.select(
+        concat(lit("ORD-"), col("o_orderkey").cast("string")).as("exposure_reference"),
+        col("o_totalprice").as("ead"),
+        when(col("o_orderkey") % 3 === 0, 0.5).when(col("o_orderkey") % 3 === 1, 1.0)
+          .otherwise(1.5).as("own_rw"))
+      val items = li.filter(col("l_returnflag") === "R" && col("l_linenumber") === 1)
+        .select(
+          concat(lit("ORD-"), col("l_orderkey").cast("string")).as("exposure_reference"),
+          concat(lit("FC-"), col("l_orderkey").cast("string"), lit("-"),
+            col("l_partkey").cast("string")).as("item_ref"),
+          when(col("l_partkey") % 3 === 0, "cash")
+            .when(col("l_partkey") % 3 === 1, "sovereign_cqs1")
+            .otherwise("institution_cqs2").as("issuer_type"),
+          q2(col("l_extendedprice") * 0.4).as("value"),
+          (col("l_suppkey") % 2 === 0).as("same_currency"))
+        .withColumn("item_rw",
+          when(col("issuer_type").isin("cash", "sovereign_cqs1"), 0.0).otherwise(0.3))
+        .withColumn("secured_rw",
+          when(col("item_rw") === 0.0 && col("same_currency"), 0.0)
+            .otherwise(greatest(col("item_rw"), lit(0.2))))
+      val wWf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("exposure_reference"))
+        .orderBy(col("secured_rw"), col("item_ref"), col("value"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val alloc = items.join(expo, Seq("exposure_reference"))
+        .withColumn("cum", dsumOver(col("value"), 2, wWf))
+        .withColumn("allocated",
+          q2(greatest(lit(0.0), least(col("value"), col("ead") - (col("cum") - col("value"))))))
+      val byIssuer = alloc.groupBy(col("issuer_type")).agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("allocated"), 2).as("covered"),
+        dsum(q2(col("allocated") * col("secured_rw")), 2).as("rwa"))
+      val unsec = alloc.groupBy(col("exposure_reference"), col("ead"), col("own_rw"))
+        .agg(dsum(col("allocated"), 2).as("covered"))
+        .select(lit("unsecured_remainder").as("issuer_type"),
+          col("ead"), col("own_rw"), col("covered"))
+        .groupBy(col("issuer_type")).agg(
+          count(lit(1)).as("n_items"),
+          dsum(q2(col("ead") - col("covered")), 2).as("covered"),
+          dsum(q2(q2(col("ead") - col("covered")) * col("own_rw")), 2).as("rwa"))
+      byIssuer.unionByName(unsec).orderBy(col("issuer_type"))
+    },
+    Some(s"""
+      WITH expo AS (
+        SELECT 'ORD-' || CAST(o_orderkey AS VARCHAR) AS exposure_reference,
+               o_totalprice AS ead,
+               CASE WHEN o_orderkey % 3 = 0 THEN 0.5
+                    WHEN o_orderkey % 3 = 1 THEN 1.0 ELSE 1.5 END AS own_rw
+        FROM orders),
+      items AS (
+        SELECT 'ORD-' || CAST(l_orderkey AS VARCHAR) AS exposure_reference,
+               'FC-' || CAST(l_orderkey AS VARCHAR) || '-' ||
+                 CAST(l_partkey AS VARCHAR) AS item_ref,
+               CASE WHEN l_partkey % 3 = 0 THEN 'cash'
+                    WHEN l_partkey % 3 = 1 THEN 'sovereign_cqs1'
+                    ELSE 'institution_cqs2' END AS issuer_type,
+               ${sql2("l_extendedprice * 0.4")} AS value,
+               (l_suppkey % 2 = 0) AS same_currency
+        FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber = 1),
+      rwd AS (
+        SELECT *,
+          CASE WHEN issuer_type IN ('cash', 'sovereign_cqs1') THEN 0.0
+               ELSE 0.3 END AS item_rw
+        FROM items),
+      secured AS (
+        SELECT *,
+          CASE WHEN item_rw = 0.0 AND same_currency THEN 0.0
+               ELSE greatest(item_rw, 0.2) END AS secured_rw
+        FROM rwd),
+      wf AS (
+        SELECT s.*, e.ead, e.own_rw,
+          ${sqlDsumOver("value", 2,
+            "PARTITION BY s.exposure_reference " +
+            "ORDER BY secured_rw, item_ref, value ROWS UNBOUNDED PRECEDING")} AS cum
+        FROM secured s JOIN expo e USING (exposure_reference)),
+      alloc AS (
+        SELECT *,
+          ${sql2("greatest(0.0, least(value, ead - (cum - value)))")} AS allocated
+        FROM wf),
+      by_issuer AS (
+        SELECT issuer_type, count(*) AS n_items,
+               ${sqlDsum("allocated", 2)} AS covered,
+               ${sqlDsum(sql2("allocated * secured_rw"), 2)} AS rwa
+        FROM alloc GROUP BY issuer_type),
+      per_expo AS (
+        SELECT exposure_reference, ead, own_rw,
+               ${sqlDsum("allocated", 2)} AS covered
+        FROM alloc GROUP BY exposure_reference, ead, own_rw),
+      unsec AS (
+        SELECT 'unsecured_remainder' AS issuer_type, count(*) AS n_items,
+               ${sqlDsum(sql2("ead - covered"), 2)} AS covered,
+               ${sqlDsum(sql2(sql2("ead - covered") + " * own_rw"), 2)} AS rwa
+        FROM per_expo)
+      SELECT * FROM (
+        SELECT * FROM by_issuer UNION ALL SELECT * FROM unsec)
+      ORDER BY issuer_type
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q50SaRwaFlagship, q51IrbKernel, q52OutputFloor, q53SupportingFactor,
-    q54FccmNetting, q55ReSplit, q101FloorSchedule)
+    q54FccmNetting, q55ReSplit, q101FloorSchedule, q111SimpleMethod)
 }
