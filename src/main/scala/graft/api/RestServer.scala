@@ -19,11 +19,28 @@ import scala.jdk.CollectionConverters._
   *
   * Not a production server (single JVM, no auth) — it is the reference's
   * `rest.py` surface re-expressed, spec-driven by `RestServerSpec`.
+  * Memory posture: the run store is an LRU capped at `maxRuns`; the CRM
+  * stage-edge persists each run materialises are session-scoped
+  * (MEMORY_AND_DISK, so pressure spills rather than evicting hot data) —
+  * a long-lived deployment should recycle the session or call
+  * `spark.catalog.clearCache()` on a maintenance cadence.
   */
 final class RestServer(spark: SparkSession, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  private val runs = new java.util.concurrent.ConcurrentHashMap[String, CalculationResult]()
+  // a thread pool so one long Spark action does not serialise every
+  // endpoint behind the single dispatcher thread
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+  server.setExecutor(pool)
+  /** Bounded run store: access-ordered LRU, oldest run evicted past the
+    * cap so a long-lived server does not grow without bound. */
+  private val maxRuns = 32
+  private val runs = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, CalculationResult](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, CalculationResult]): Boolean =
+        size() > maxRuns
+    })
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // ---- minimal JSON (flat objects; strings/numbers/booleans) -----------
@@ -54,7 +71,9 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
 
   /** Flat-JSON field extraction for request bodies — the calculate
     * payload is a flat object of scalars, so a targeted scan suffices
-    * (no nested-JSON parser; nested bodies are a 422). */
+    * (no nested-JSON parser). A nested value (object/array) for a
+    * requested key is rejected by the caller as a 422 via
+    * [[isNestedValue]]. */
   private def jsonField(body: String, key: String): Option[String] = {
     val m = java.util.regex.Pattern
       .compile("\"" + java.util.regex.Pattern.quote(key) +
@@ -62,6 +81,9 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
       .matcher(body)
     if (m.find()) Option(m.group(2)).orElse(Option(m.group(1))) else None
   }
+
+  private def isNestedValue(v: String): Boolean =
+    v.startsWith("{") || v.startsWith("[")
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getQuery).getOrElse("").split("&").toSeq
@@ -107,6 +129,8 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     jsonField(body, "dataPath") match {
       case None => error(ex, 422, "dataPath is required")
+      case Some(dir) if isNestedValue(dir) =>
+        error(ex, 422, "dataPath must be a flat string value")
       case Some(dir) =>
         val res = new CreditRiskCalc(spark, CalcConfig(dataPath = dir)).calculate()
         respond(ex, 200, jobj(Map(
@@ -120,6 +144,8 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     jsonField(body, "dataPath") match {
       case None => error(ex, 422, "dataPath is required")
+      case Some(dir) if isNestedValue(dir) =>
+        error(ex, 422, "dataPath must be a flat string value")
       case Some(dir) =>
         val mode = jsonField(body, "permissionMode").getOrElse("irb")
         val framework = jsonField(body, "framework").getOrElse("CRR")
@@ -147,11 +173,14 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
   handle("/api/results") { ex =>
     withRun(ex) { res =>
       val p = queryParams(ex)
-      val offset = p.getOrElse("offset", "0").toInt
-      val limit = math.min(p.getOrElse("limit", "100").toInt, 1000)
-      res.summary match {
-        case None => error(ex, 404, "run has no summary")
-        case Some(sm) =>
+      val offsetOpt = p.getOrElse("offset", "0").toIntOption.filter(_ >= 0)
+      val limitOpt = p.getOrElse("limit", "100").toIntOption.filter(_ > 0)
+      ((offsetOpt, limitOpt, res.summary): @unchecked) match {
+        case (None, _, _) | (_, None, _) =>
+          error(ex, 422, "offset must be a non-negative int, limit a positive int")
+        case (Some(_), Some(_), None) => error(ex, 404, "run has no summary")
+        case (Some(offset), Some(l), Some(sm)) =>
+          val limit = math.min(l, 1000)
           // bounded page: offset+limit rows collected, never the book
           val page = sm.limit(offset + limit).collect().drop(offset).toSeq
           val cols = sm.columns.toSeq
@@ -198,6 +227,6 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
   }
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
   def boundPort: Int = server.getAddress.getPort
 }

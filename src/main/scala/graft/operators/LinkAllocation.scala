@@ -38,20 +38,27 @@ object LinkAllocation {
     * cap). Returns the edges + an allocated `slice` column. */
   def allocateSlices(links: DataFrame, maxEdges: Long = 5000000L): DataFrame = {
     val spark = links.sparkSession
-    val rows = links.selectExpr(
+    val narrowed = links.selectExpr(
       "collateral_reference", "beneficiary_reference",
       "CAST(priority AS INT) AS priority", "CAST(metric AS DOUBLE) AS metric",
       "CAST(item_value AS DOUBLE) AS item_value", "CAST(demand AS DOUBLE) AS demand",
-      "CAST(max_pledge AS DOUBLE) AS max_pledge").collect()
-    require(rows.length <= maxEdges,
-      s"link edge set ${rows.length} exceeds the driver-kernel guard $maxEdges — " +
+      "CAST(max_pledge AS DOUBLE) AS max_pledge")
+    // guard BEFORE the collect it bounds — an oversized edge set must
+    // fail with the partitioning hint, not OOM the driver
+    val n = narrowed.count()
+    require(n <= maxEdges,
+      s"link edge set $n exceeds the driver-kernel guard $maxEdges — " +
         "partition by connected component first")
+    val rows = narrowed.collect()
 
     final case class Edge(
       cRef: String, bRef: String, priNull: Int, pri: Int, metric: Double,
       value: Double, demand: Double, cap: Double)
     val fanout = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
     val edges = rows.map { r =>
+      require(!r.isNullAt(3) && !r.isNullAt(4) && !r.isNullAt(5),
+        s"link edge (${r.getString(0)}, ${r.getString(1)}) has a null " +
+          "metric/item_value/demand — only priority and max_pledge are nullable")
       val pri = if (r.isNullAt(2)) null else Int.box(r.getInt(2))
       val demand = math.max(r.getDouble(5), 0.0)
       val cap =

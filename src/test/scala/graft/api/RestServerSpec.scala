@@ -50,6 +50,10 @@ class RestServerSpec extends SparkSpec {
       assert(http(port, "/api/results?run_id=run-999")._1 == 404)
       assert(http(port, s"/api/results/summary?run_id=$runId&dimension=bogus")._1 == 422)
       assert(http(port, "/api/calculate", "POST", "{}")._1 == 422)
+      assert(http(port, s"/api/results?run_id=$runId&limit=abc")._1 == 422)
+      assert(http(port, s"/api/results?run_id=$runId&offset=-5")._1 == 422)
+      assert(http(port, "/api/calculate", "POST",
+        """{"dataPath": {"nested": "x"}}""")._1 == 422)
     } finally srv.stop()
   }
 }
