@@ -544,9 +544,67 @@ object LlmOps {
       ORDER BY source
     """.stripMargin.trim))
 
+  /** q74: int8 scalar quantisation of the embedding column — the
+    * vector-store compression step (4× smaller than float32, the
+    * difference between RAM-resident and disk-bound ANN at corpus
+    * scale): per-dimension min/max over the corpus (a 64-row aggregate,
+    * broadcast back), codes = floor((v−min)/range·255+0.5), and the
+    * reconstruction-error audit that decides whether the compressed
+    * index is usable. All arithmetic is the engine-portable floor form;
+    * per-element errors are q6-quantised before the decimal sum (the
+    * magnitude-safe scale). */
+  val q74EmbeddingQuantise = QueryDef(
+    "q74_embedding_quantise",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val elems = e.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+      val dimStats = elems.groupBy(col("dim")).agg(
+        min(col("v")).as("dmin"), max(col("v")).as("dmax"))
+      val coded = elems.join(broadcast(dimStats), Seq("dim"))
+        .withColumn("range", col("dmax") - col("dmin"))
+        .withColumn("code",
+          when(col("range") > 0,
+            floor((col("v") - col("dmin")) / col("range") * 255.0 + 0.5))
+            .otherwise(0.0))
+        .withColumn("dq", col("dmin") + col("code") / 255.0 * col("range"))
+        .withColumn("err", q6(abs(col("v") - col("dq"))))
+      coded.agg(
+        countDistinct(col("vec_id")).as("n_vectors"),
+        (max(col("dim")) + 1).as("n_dims"),
+        dsum(col("err"), 6).as("total_abs_err"),
+        q6(dsum(col("err"), 6) / count(lit(1))).as("avg_abs_err"),
+        max(col("err")).as("max_abs_err"))
+    },
+    Some(s"""
+      WITH elems AS (
+        SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+      dim_stats AS (
+        SELECT dim, min(v) AS dmin, max(v) AS dmax FROM elems GROUP BY dim),
+      coded AS (
+        SELECT e.vec_id, e.dim, e.v, d.dmin, d.dmax - d.dmin AS range_,
+               CASE WHEN d.dmax - d.dmin > 0
+                    THEN floor((e.v - d.dmin) / (d.dmax - d.dmin) * 255.0 + 0.5)
+                    ELSE 0.0 END AS code
+        FROM elems e JOIN dim_stats d USING (dim)),
+      errs AS (
+        SELECT vec_id, dim,
+               ${sql6("abs(v - (dmin + code / 255.0 * range_))")} AS err
+        FROM coded)
+      SELECT count(DISTINCT vec_id) AS n_vectors,
+             max(dim) + 1 AS n_dims,
+             ${sqlDsum("err", 6)} AS total_abs_err,
+             ${sql6(s"${sqlDsum("err", 6)} / count(*)")} AS avg_abs_err,
+             max(err) AS max_abs_err
+      FROM errs
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q64CosineTopk, q65AnnIvf, q66LangId, q67QualityScore,
     q68TokenCount, q69Fingerprint, q70Multimodal, q71EmbeddingNearDup,
-    q72VocabTopk, q73Chunking)
+    q72VocabTopk, q73Chunking, q74EmbeddingQuantise)
 }
