@@ -748,8 +748,119 @@ object Ccr {
       ORDER BY collateral_reference
     """.stripMargin.trim))
 
+  private val institutionRwCase = graft.engine.DomainPipeline.rwTable
+    .filter(_._1 == "institution")
+    .map { case (_, q, w) => s"WHEN provider_cqs = $q THEN CAST($w AS DOUBLE)" }
+    .mkString("CASE ", " ", " ELSE 1.0 END")
+
+  /** q112: other-funded-credit-protection routing + the CRM021
+    * unrecognised-type census (reference `engine/crm/life_insurance.py`,
+    * `third_party_deposit.py`, `collateral_type_check.py`):
+    *
+    *  - pledged life policies (Art. 232(3)): surrender value less the
+    *    Art. 233(3) 8% FX haircut on currency mismatch, risk-weighted at
+    *    the insurer's institution-table RW;
+    *  - third-party deposits (Art. 200(a)/232(2)): cash held at ANOTHER
+    *    institution is a guarantee by the holder — full value at the
+    *    holder's RW, partitioned OUT of the ordinary collateral channel;
+    *  - ordinary financial collateral keeps the supervisory-haircut
+    *    channel;
+    *  - anything whose type matches no category is NOT silently floored
+    *    to "other": it earns a census row NAMING the offending value
+    *    (the reference's CRM021 — a one-string typo otherwise changes
+    *    RWA with no trace), with zero recognised benefit.
+    */
+  val q112OfcpRouting = QueryDef(
+    "q112_ofcp_routing",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val providerRw = graft.engine.DomainPipeline.rwTable
+        .filter(_._1 == "institution")
+        .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+          case (None, (_, q, w)) => Some(when(col("provider_cqs") === q, w))
+          case (Some(acc), (_, q, w)) => Some(acc.when(col("provider_cqs") === q, w))
+        }.get.otherwise(1.0)
+      val items = li.filter(col("l_returnflag") === "N" && col("l_linenumber") === 5)
+        .select(
+          when(col("l_partkey") % 5 === 0, "life_policy")
+            .when(col("l_partkey") % 5 === 1, "third_party_deposit")
+            .when(col("l_partkey") % 5 === 2, "financial")
+            .when(col("l_partkey") % 5 === 3, "re_residental") // deliberate typo book
+            .otherwise("cash_").as("collateral_type"),
+          q2(col("l_extendedprice") * 0.3).as("value"),
+          (lit(1) + col("l_suppkey") % 6).cast("int").as("provider_cqs"),
+          (col("l_suppkey") % 3 === 0).as("fx_mismatch"))
+      val routed = items
+        .withColumn("channel",
+          when(col("collateral_type") === "life_policy", "life_insurance")
+            .when(col("collateral_type") === "third_party_deposit",
+              "third_party_deposit_guarantee")
+            .when(col("collateral_type") === "financial", "ordinary_collateral")
+            .otherwise("CRM021_unrecognised"))
+        .withColumn("offending_type",
+          when(col("channel") === "CRM021_unrecognised", col("collateral_type")))
+        .withColumn("protection_value",
+          when(col("channel") === "life_insurance",
+            q2(col("value") * when(col("fx_mismatch"), 0.92).otherwise(1.0)))
+            .when(col("channel") === "third_party_deposit_guarantee", col("value"))
+            .when(col("channel") === "ordinary_collateral", q2(col("value") * 0.85))
+            .otherwise(0.0))
+        .withColumn("secured_rw",
+          when(col("channel").isin("life_insurance", "third_party_deposit_guarantee"),
+            providerRw)
+            .when(col("channel") === "ordinary_collateral", 0.2)
+            .otherwise(0.0))
+        .withColumn("rwa", q2(col("protection_value") * col("secured_rw")))
+      routed.groupBy(col("channel"), col("offending_type"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          dsum(col("protection_value"), 2).as("protection_value"),
+          dsum(col("rwa"), 2).as("secured_rwa"))
+        .orderBy(col("channel"), coalesce(col("offending_type"), lit("")))
+    },
+    Some(s"""
+      WITH items AS (
+        SELECT CASE WHEN l_partkey % 5 = 0 THEN 'life_policy'
+                    WHEN l_partkey % 5 = 1 THEN 'third_party_deposit'
+                    WHEN l_partkey % 5 = 2 THEN 'financial'
+                    WHEN l_partkey % 5 = 3 THEN 're_residental'
+                    ELSE 'cash_' END AS collateral_type,
+               ${sql2("l_extendedprice * 0.3")} AS value,
+               1 + l_suppkey % 6 AS provider_cqs,
+               (l_suppkey % 3 = 0) AS fx_mismatch
+        FROM lineitem WHERE l_returnflag = 'N' AND l_linenumber = 5),
+      routed AS (
+        SELECT *,
+          CASE WHEN collateral_type = 'life_policy' THEN 'life_insurance'
+               WHEN collateral_type = 'third_party_deposit'
+                 THEN 'third_party_deposit_guarantee'
+               WHEN collateral_type = 'financial' THEN 'ordinary_collateral'
+               ELSE 'CRM021_unrecognised' END AS channel
+        FROM items),
+      valued AS (
+        SELECT *,
+          CASE WHEN channel = 'CRM021_unrecognised' THEN collateral_type END
+            AS offending_type,
+          CASE WHEN channel = 'life_insurance'
+                 THEN ${sql2("value * (CASE WHEN fx_mismatch THEN 0.92 ELSE 1.0 END)")}
+               WHEN channel = 'third_party_deposit_guarantee' THEN value
+               WHEN channel = 'ordinary_collateral' THEN ${sql2("value * 0.85")}
+               ELSE 0.0 END AS protection_value,
+          CASE WHEN channel IN ('life_insurance', 'third_party_deposit_guarantee')
+                 THEN $institutionRwCase
+               WHEN channel = 'ordinary_collateral' THEN 0.2
+               ELSE 0.0 END AS secured_rw
+        FROM routed)
+      SELECT channel, offending_type, count(*) AS n_items,
+             ${sqlDsum("protection_value", 2)} AS protection_value,
+             ${sqlDsum(sql2("protection_value * secured_rw"), 2)} AS secured_rwa
+      FROM valued
+      GROUP BY channel, offending_type
+      ORDER BY channel, coalesce(offending_type, '')
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q56SaCcrAddon, q57Slotting, q58CrmCascade, q59GuaranteeSubstitution,
     q96BaCva, q97FailedTrades, q104SftHaircutLegs, q105DefaultFund,
-    q108TranchedGuarantee, q110LinkAllocation)
+    q108TranchedGuarantee, q110LinkAllocation, q112OfcpRouting)
 }
