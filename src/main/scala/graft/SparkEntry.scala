@@ -9,8 +9,8 @@ object SparkEntry {
   /** All operator demonstrations, assembled from the per-area batteries. */
   private def defs: Seq[QueryDef] =
     Relational.all ++ Joins.all ++ Windows.all ++ Scalars.all ++
-      SourceOps.all ++ Rwa.all ++ Ccr.all ++ LlmOps.all ++ Events.all ++
-      Domain.all
+      SourceOps.all ++ Rwa.all ++ Ccr.all ++ Ofcp.all ++ LlmOps.all ++
+      Events.all ++ Domain.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The composed domain pipeline (derive → conform → unify → FX →

@@ -636,10 +636,34 @@ object DomainPipeline {
 
   // ---- composition -----------------------------------------------------
 
-  /** The full per-exposure audit ledger (wide frame), one lazy plan.
+  /** Session-scoped memo of the sealed ledger edge, keyed by
+    * (session, data dir, permission regime). The reference materialises
+    * each stage edge at most once per run (`engine/materialise.py:220-243`,
+    * one-materialisation-per-edge); without the memo every ledger consumer
+    * (q85/q86/q90/q93/q94/q100/q102/q106) re-built an identical plan whose
+    * persist entries did not unify, re-paying the full CRM fill per query
+    * (~1.4 s × 8 at sf0.1). Returning the SAME DataFrame object guarantees
+    * cache-hit by identity rather than relying on canonical-plan matching. */
+  private val ledgerMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, Boolean), DataFrame]()
+
+  /** The full per-exposure audit ledger (wide frame), one lazy plan,
+    * memoised + persisted per (session, dir, regime).
     * `irbMode = false` runs the reference's "standardised" permission
-    * mode (all exposures route SA). */
+    * mode (all exposures route SA). If an external cache sweep (e.g. the
+    * bench's between-query `clearCache`) evicted the data, the persist
+    * marker is re-registered so the next action refills it once. */
   def ledger(s: SparkSession, dir: String, irbMode: Boolean = true): DataFrame = {
+    val df = ledgerMemo.getOrElseUpdate((s, dir, irbMode),
+      buildLedger(s, dir, irbMode)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
+  /** The un-memoised ledger plan (the composition itself). */
+  private def buildLedger(s: SparkSession, dir: String, irbMode: Boolean): DataFrame = {
     val exp = exposuresUnified(s, dir)
     val cpty = counterparties(s, dir)
     val enriched = enrichFx(exp, cpty, s)
