@@ -75,12 +75,16 @@ object IrbKernel {
     normal.norm_cdf(
       (normal.norm_ppf(pd) + sqrt(r) * lit(g999)) / sqrt(lit(1.0) - r))
 
-  /** CRR Art. 501(1) SME supporting factor on RWEA. */
-  def smeSupportingFactor(totalOwed: Column): Column = {
-    val threshold = lit(2500000.0)
-    (least(totalOwed, threshold) * lit(0.7619) +
-      greatest(totalOwed - threshold, lit(0.0)) * lit(0.85)) / totalOwed
-  }
+  /** CRR Art. 501(1) SME supporting factor on RWEA: 0.7619 on the first
+    * EUR 2.5 m of total owed, 0.85 beyond. The threshold parameter is in
+    * the book currency — the reference converts the EUR threshold into
+    * GBP at eur_gbp_rate = 0.8732 (reference `engine/irb/formulas.py:685`,
+    * → 2,183,000); the repo's synthetic EUR-denominated book uses the
+    * nominal 2,500,000 default. */
+  def smeSupportingFactor(
+      totalOwed: Column, threshold: Double = 2500000.0): Column =
+    (least(totalOwed, lit(threshold)) * lit(0.7619) +
+      greatest(totalOwed - lit(threshold), lit(0.0)) * lit(0.85)) / totalOwed
 
   // ---- parameter resolution (floors + supervisory values) -------------
 
@@ -137,8 +141,16 @@ object IrbKernel {
         pdFloor(col("framework"), col("exposure_class"), col("is_qrre_transactor"))))
       .withColumn("lgd_applied", lgdResolve(col("framework"), col("approach"),
         col("exposure_class"), col("lgd"), col("seniority"), col("is_fse")))
+    // Art. 153(4): the firm-size adjustment is driven by the SIZE METRIC
+    // (annual sales / total assets), not the class label — any corporate
+    // exposure with a valid size metric takes it (reference
+    // `engine/irb/formulas.py:741-774` gates on turnover presence, and
+    // acceptance CRR-B4 is a plain CORPORATE with the adjustment). At or
+    // above the cap the clamped adjustment is exactly 0, so no upper
+    // gate is needed; a null metric falls to the plain corporate curve.
+    val smeEligible = col("exposure_class").isin("corporate", "corporate_sme")
     val baseCorr =
-      when(col("exposure_class") === "corporate_sme",
+      when(smeEligible && col("sme_size_metric_m").isNotNull,
         when(col("framework") === "CRR",
           correlationSme(col("pd_applied"), col("sme_size_metric_m"), 5.0, 50.0))
           .otherwise(

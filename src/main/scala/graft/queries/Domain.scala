@@ -609,7 +609,7 @@ object Domain {
         FROM attrs),
       corr AS (
         SELECT *,
-          (CASE WHEN exposure_class = 'corporate_sme' THEN
+          (CASE WHEN exposure_class IN ('corporate_sme', 'corporate') THEN
                  (0.12 * ((1.0 - exp(-50.0 * pd_applied)) / ${1.0 - math.exp(-50.0)}) +
                   0.24 * (1.0 - ((1.0 - exp(-50.0 * pd_applied)) / ${1.0 - math.exp(-50.0)})))
                  - 0.04 * (1.0 -
@@ -618,7 +618,7 @@ object Domain {
                       - CASE WHEN framework = 'CRR' THEN 5.0 ELSE 4.4 END)
                      / (CASE WHEN framework = 'CRR' THEN 50.0 ELSE 44.0 END
                         - CASE WHEN framework = 'CRR' THEN 5.0 ELSE 4.4 END))
-               WHEN exposure_class IN ('corporate', 'institution') THEN
+               WHEN exposure_class = 'institution' THEN
                  0.12 * ((1.0 - exp(-50.0 * pd_applied)) / ${1.0 - math.exp(-50.0)}) +
                  0.24 * (1.0 - ((1.0 - exp(-50.0 * pd_applied)) / ${1.0 - math.exp(-50.0)}))
                WHEN exposure_class = 'retail_mortgage' THEN 0.15
@@ -1994,10 +1994,110 @@ object Domain {
       ORDER BY is_defaulted
     """.stripMargin.trim))
 
+  /** q115: cross-artifact tie-outs (reference `reporting/tieouts.py`) —
+    * the sealed ledger is reshaped into three independently-aggregated
+    * artifacts (per-class sheet, (class, approach) summary, per-approach
+    * OV1-style roll-up) and an explicit curated list of comparable
+    * aggregate pairs is asserted to foot, emitted as DATA (one row per
+    * tie, accumulate-don't-throw); pairs whose reporting bases differ by
+    * regulation are recorded as non-comparable rows with the reason
+    * rather than naively equated. The oracle rebuilds the identical
+    * ledger and the identical reshapes, so every comparable tie must
+    * come out 'pass' with a bit-identical delta. */
+  val q115Tieouts = QueryDef(
+    "q115_tieouts",
+    (s, dir) => graft.reporting.Tieouts.fromLedger(
+      DomainPipeline.ledger(s, dir), DomainPipeline.summary(s, dir)),
+    Some {
+      val ncValues = graft.reporting.Tieouts.nonComparable
+        .map { case (id, note) => s"('$id', '${note.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""
+      WITH $domainLedgerCtes,
+      fin AS MATERIALIZED (SELECT * FROM final),
+      sheet AS MATERIALIZED (
+        SELECT exposure_class,
+               ${sqlDsum("ead_pre_crm", 2)} AS sheet_ead,
+               ${sqlDsum("rwa", 2)} AS sheet_rwa
+        FROM fin GROUP BY exposure_class),
+      summ AS MATERIALIZED (
+        SELECT exposure_class, approach,
+               ${sqlDsum("ead_pre_crm", 2)} AS total_ead,
+               ${sqlDsum("coll_covered", 2)} AS collateral_covered,
+               ${sqlDsum("guar_covered", 2)} AS guarantee_covered,
+               ${sqlDsum("unsecured", 2)} AS unsecured_ead,
+               ${sqlDsum("rwa", 2)} AS total_rwa
+        FROM fin GROUP BY exposure_class, approach),
+      ov1 AS (
+        SELECT approach, ${sqlDsum("rwa", 2)} AS ov1_rwa
+        FROM fin GROUP BY approach),
+      wide AS (
+        SELECT * FROM
+          (SELECT ${sqlDsum("sheet_ead", 2)} AS sheet_ead_total,
+                  ${sqlDsum("sheet_rwa", 2)} AS sheet_rwa_total FROM sheet)
+          CROSS JOIN
+          (SELECT ${sqlDsum("total_rwa", 2)} AS summ_rwa_total,
+                  coalesce(${sqlDsum(
+                    "CASE WHEN approach = 'SA' THEN total_rwa END", 2)}, 0.0)
+                    AS summ_sa_rwa,
+                  coalesce(${sqlDsum(
+                    "CASE WHEN approach = 'IRB' THEN total_rwa END", 2)}, 0.0)
+                    AS summ_irb_rwa,
+                  ${sqlDsum("collateral_covered", 2)} +
+                  ${sqlDsum("guarantee_covered", 2)} +
+                  ${sqlDsum("unsecured_ead", 2)} AS summ_crm_total
+           FROM summ)
+          CROSS JOIN
+          (SELECT ${sqlDsum("ov1_rwa", 2)} AS ov1_rwa_total,
+                  coalesce(${sqlDsum(
+                    "CASE WHEN approach = 'SA' THEN ov1_rwa END", 2)}, 0.0)
+                    AS ov1_sa_rwa,
+                  coalesce(${sqlDsum(
+                    "CASE WHEN approach = 'IRB' THEN ov1_rwa END", 2)}, 0.0)
+                    AS ov1_irb_rwa
+           FROM ov1)
+          CROSS JOIN (SELECT count(*) AS n_exposures FROM fin)),
+      scalar_ties AS (
+        SELECT 'rwea_total_sheet_vs_ov1' AS tie_id, sheet_rwa_total AS lhs_total,
+               ov1_rwa_total AS rhs_total, 0.01 AS tol FROM wide
+        UNION ALL
+        SELECT 'rwea_total_summary_vs_ov1', summ_rwa_total, ov1_rwa_total, 0.01
+        FROM wide
+        UNION ALL
+        SELECT 'rwea_sa_summary_vs_ov1', summ_sa_rwa, ov1_sa_rwa, 0.01 FROM wide
+        UNION ALL
+        SELECT 'rwea_irb_summary_vs_ov1', summ_irb_rwa, ov1_irb_rwa, 0.01 FROM wide
+        UNION ALL
+        SELECT 'crm_conservation_cross', summ_crm_total, sheet_ead_total,
+               0.01 * CAST(n_exposures AS DOUBLE) FROM wide),
+      class_ties AS (
+        SELECT 'ead_class_' || s.exposure_class AS tie_id,
+               s.sheet_ead AS lhs_total, c.cls_ead AS rhs_total, 0.01 AS tol
+        FROM sheet s JOIN (
+          SELECT exposure_class, ${sqlDsum("total_ead", 2)} AS cls_ead
+          FROM summ GROUP BY exposure_class) c USING (exposure_class)),
+      comparables AS (
+        SELECT tie_id, TRUE AS comparable, lhs_total, rhs_total, tol,
+               lhs_total - rhs_total AS delta,
+               CASE WHEN abs(lhs_total - rhs_total) <= tol
+                    THEN 'pass' ELSE 'fail' END AS status,
+               NULL::VARCHAR AS basis_note
+        FROM (SELECT * FROM scalar_ties UNION ALL SELECT * FROM class_ties)),
+      nc(tie_id, basis_note) AS (VALUES $ncValues)
+      SELECT * FROM (
+        SELECT * FROM comparables
+        UNION ALL
+        SELECT tie_id, FALSE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+               NULL::DOUBLE, NULL::VARCHAR, basis_note
+        FROM nc)
+      ORDER BY tie_id
+      """.stripMargin.trim
+    })
+
   val all: Seq[QueryDef] = Seq(
     q85ModelPermissions, q86RunComparison,
     q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation,
     q94CorepTemplate, q95SaPortfolio, q98SecuritisationAllocator,
     q99Transition, q100Provisions, q102Pillar3Cr4, q103CiuLookthrough,
-    q106LedgerAudit, q109DoubleDefault)
+    q106LedgerAudit, q109DoubleDefault, q115Tieouts)
 }
