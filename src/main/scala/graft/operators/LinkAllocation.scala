@@ -43,13 +43,21 @@ object LinkAllocation {
       "CAST(priority AS INT) AS priority", "CAST(metric AS DOUBLE) AS metric",
       "CAST(item_value AS DOUBLE) AS item_value", "CAST(demand AS DOUBLE) AS demand",
       "CAST(max_pledge AS DOUBLE) AS max_pledge")
-    // guard BEFORE the collect it bounds — an oversized edge set must
-    // fail with the partitioning hint, not OOM the driver
-    val n = narrowed.count()
-    require(n <= maxEdges,
-      s"link edge set $n exceeds the driver-kernel guard $maxEdges — " +
+    // guard AND collect in one bounded action: fetch maxEdges+1 rows —
+    // overflow means the edge set exceeds the driver-kernel guard, and
+    // it must fail with the partitioning hint, not OOM the driver. One
+    // execution of the upstream plan, not a count() followed by a
+    // second full collect().
+    val guardLimit = math.min(maxEdges, Int.MaxValue - 2L).toInt + 1
+    val rows = narrowed.limit(guardLimit).collect()
+    require(rows.length < guardLimit,
+      s"link edge set exceeds the driver-kernel guard $maxEdges — " +
         "partition by connected component first")
-    val rows = narrowed.collect()
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "link edge has a null collateral_reference or beneficiary_reference " +
+          "— reference columns are part of the edge contract")
+    }
 
     final case class Edge(
       cRef: String, bRef: String, priNull: Int, pri: Int, metric: Double,

@@ -105,6 +105,13 @@ object LlmOps {
     * higher-band (recall-biased) configuration than the q61 throughput
     * tier (8 bands of 4), trading candidate volume for a recall bound
     * that makes brute-force equivalence deterministic in practice.
+    * CAP CAVEAT: the band bound assumes no bucket was dropped —
+    * `maxBucket = 2000` also discards over-full buckets wholesale, so a
+    * corpus with > 2000 near-identical docs in one band bucket could
+    * lose recall the (1 − 0.9²)¹⁶ bound does not cover. The harness
+    * fixture's duplicate groups are orders of magnitude below the cap
+    * (exact-tier boilerplate collapses first); a corpus where that is
+    * not true must raise `maxBucket` to keep the oracle equivalence.
     * At 100 TB the plan shape is the scale path: banded signatures share
     * one shuffle, buckets are capped, only id pairs ride the distinct,
     * and the shingle arrays join back ids-only at candidate (not pair-
@@ -114,13 +121,14 @@ object LlmOps {
     "q63_ngram_jaccard",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val cands = Dedup
-        .minhashLshCandidates(d, "doc_id", "text", shingleN = 3, k = 32, bands = 16)
-        .select(col("id_a"), col("id_b"))
-      val sh = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      // the verify tier reuses the candidate tier's PERSISTED shingle
+      // arrays — the corpus is tokenised once, not once per tier
+      val (cands0, sh) = Dedup.minhashLshCandidatesWithShingles(
+        d, "doc_id", "text", shingleN = 3, k = 32, bands = 16)
+      val cands = cands0.select(col("id_a"), col("id_b"))
       cands
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .join(sh.select(col("mh_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("mh_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           q6(Dedup.jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
         .filter(col("jaccard") >= 0.9)
@@ -170,8 +178,8 @@ object LlmOps {
                CAST(CAST(pv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(38,14)) AS pq,
                CAST(CAST(pv[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE) AS DECIMAL(38,14)) AS pp,
                CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(38,14)) AS qq
-        FROM probes CROSS JOIN cand
-        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+        FROM probes CROSS JOIN cand,
+        LATERAL (SELECT unnest(generate_series(1, len(pv))) AS i) s
         WHERE probe_id <> cand_id),
       dots AS (
         SELECT probe_id, cand_id,
@@ -449,8 +457,8 @@ object LlmOps {
                CAST(CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE) AS DECIMAL(38,14)) AS pq,
                CAST(CAST(va.embedding[i] AS DOUBLE) * CAST(va.embedding[i] AS DOUBLE) AS DECIMAL(38,14)) AS pp,
                CAST(CAST(vb.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE) AS DECIMAL(38,14)) AS qq
-        FROM pairs JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
-        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+        FROM pairs JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b,
+        LATERAL (SELECT unnest(generate_series(1, len(va.embedding))) AS i) s),
       cos AS (
         SELECT id_a, id_b,
                CAST(sum(pq) AS DOUBLE) / (sqrt(CAST(sum(pp) AS DOUBLE)) * sqrt(CAST(sum(qq) AS DOUBLE))) AS cosine
@@ -580,8 +588,8 @@ object LlmOps {
     Some(s"""
       WITH elems AS (
         SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
-        FROM embeddings
-        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+        FROM embeddings,
+        LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s),
       dim_stats AS (
         SELECT dim, min(v) AS dmin, max(v) AS dmax FROM elems GROUP BY dim),
       coded AS (

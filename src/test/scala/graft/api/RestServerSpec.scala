@@ -56,4 +56,54 @@ class RestServerSpec extends SparkSpec {
         """{"dataPath": {"nested": "x"}}""")._1 == 422)
     } finally srv.stop()
   }
+
+  test("results pagination: deep offset pages in-plan and keyset cursor walks the set") {
+    val srv = new RestServer(spark)
+    val port = srv.start()
+    try {
+      val (cs, cb) = http(port, "/api/calculate", "POST",
+        s"""{"dataPath": "$sfDir", "permissionMode": "irb"}""")
+      assert(cs == 200, cb)
+      val runId = "run-\\d+".r.findFirstIn(cb).get
+
+      // page 1 via offset, page 2 via deep offset — row_number filter
+      // runs inside the plan (no offset-deep driver collect)
+      val (s1, b1) = http(port, s"/api/results?run_id=$runId&limit=2&offset=0")
+      val (s2, b2) = http(port, s"/api/results?run_id=$runId&limit=2&offset=2")
+      assert(s1 == 200 && s2 == 200)
+      assert(b1 != b2, "deep-offset page must differ from the first page")
+
+      // keyset walk: page 1's next_after cursor fetches strictly-later
+      // rows and the two pages agree with the offset pages
+      val cursor = java.net.URLEncoder.encode(
+        "\"next_after\":\"([^\"]+)\"".r
+          .findFirstMatchIn(b1).map(_.group(1)).get, "UTF-8")
+      val (s3, b3) = http(port,
+        s"/api/results?run_id=$runId&limit=2&after=$cursor")
+      assert(s3 == 200)
+      // field order inside a row object is map-order; compare the two
+      // key fields independently
+      def rows(b: String) = (
+        "\"exposure_class\":\"[a-z_]+\"".r.findAllIn(b).toSeq,
+        "\"approach\":\"[A-Z]+\"".r.findAllIn(b).toSeq)
+      assert(rows(b3) == rows(b2),
+        s"keyset page ${rows(b3)} != offset page ${rows(b2)}")
+    } finally srv.stop()
+  }
+
+  test("dataRoot allowlist: a path outside the configured root is rejected") {
+    val srv = new RestServer(spark, dataRoot = Some("/root/testdata"))
+    val port = srv.start()
+    try {
+      // inside the root (relative to it): accepted
+      val (okS, okB) = http(port, "/api/calculate", "POST",
+        """{"dataPath": "sf0.001", "permissionMode": "irb"}""")
+      assert(okS == 200 && okB.contains("\"success\":true"), okB)
+      // escape attempts: rejected before the loader sees them
+      assert(http(port, "/api/calculate", "POST",
+        """{"dataPath": "/etc"}""")._1 == 422)
+      assert(http(port, "/api/validate", "POST",
+        """{"dataPath": "../repo"}""")._1 == 422)
+    } finally srv.stop()
+  }
 }
