@@ -208,4 +208,67 @@ object Dedup {
     val inter = size(array_intersect(da, db)).cast("double")
     inter / (size(da) + size(db) - size(array_intersect(da, db)))
   }
+
+  /** Connected components over a near-dup PAIR set — the transitive-
+    * closure step a real dedup pipeline needs after pair verification
+    * (A~B and B~C must collapse to ONE survivor even when A~C was never
+    * emitted as a pair). Min-label propagation to fixpoint: every node
+    * starts as its own label; each round every node takes the minimum of
+    * its own and its neighbours' labels; convergence in O(component
+    * diameter) rounds — near-dup components are shallow (dup chains, not
+    * long paths), so the bound is small in practice and `maxIter` caps
+    * pathological inputs.
+    *
+    * Scale shape: each round is one shuffle join of the (ids-only) edge
+    * list against the label frame plus a groupBy-min — both sized by the
+    * PAIR set, which LSH already bounded to ~linear; the corpus payload
+    * never enters the loop. The per-round early-exit check is a bounded
+    * `limit(1)` action, the Spark-idiomatic fixpoint (same pattern as
+    * `Hierarchy.resolveByFixpoint`).
+    *
+    * Returns (id, component) with component = min id reachable — the
+    * deterministic cluster survivor. */
+  def connectedComponents(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // ids keep their native type: the survivor is the NUMERIC min for an
+    // integral id (a string cast would silently switch to lexicographic
+    // order — "10" < "9" — and diverge from any numeric oracle)
+    val edges = pairs
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("src").as("cc_id")).distinct()
+      .withColumn("cc_label", col("cc_id"))
+      .persist(lvl)
+
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      val neighbourMin = edges
+        .join(labels, edges("dst") === labels("cc_id"))
+        .groupBy(col("src")).agg(min(col("cc_label")).as("cc_nmin"))
+      val next = labels
+        .join(neighbourMin, labels("cc_id") === neighbourMin("src"), "left")
+        .select(col("cc_id"),
+          least(col("cc_label"), coalesce(col("cc_nmin"), col("cc_label")))
+            .as("cc_label"),
+          (col("cc_nmin").isNotNull && col("cc_nmin") < col("cc_label"))
+            .as("cc_moved"))
+        .persist(lvl)
+      // full count first: materialises EVERY partition of `next` into
+      // its cache before the previous frame is unpersisted — otherwise
+      // lazily-uncached partitions would recompute through the whole
+      // unpersisted iteration lineage later
+      next.count()
+      converged = next.filter(col("cc_moved")).limit(1).count() == 0
+      labels.unpersist(false)
+      labels = next.drop("cc_moved")
+      round += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("cc_id").as("id"), col("cc_label").as("component"))
+  }
 }

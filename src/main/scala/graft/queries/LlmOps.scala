@@ -155,6 +155,177 @@ object LlmOps {
       ORDER BY id_a, id_b
     """.stripMargin.trim))
 
+  /** q75: dedup CLUSTERS — the transitive-closure step that completes
+    * the funnel (candidates → exact verify → connected components →
+    * survivor per cluster): A~B and B~C must collapse to one survivor
+    * even when A~C never surfaced as a pair. Pairs are the q63
+    * hash-exact verified set (so the oracle can rebuild them brute-force)
+    * and components come from `Dedup.connectedComponents` (min-label
+    * propagation to fixpoint — each round one ids-only shuffle join
+    * sized by the LSH-bounded pair set, never the corpus). The oracle
+    * computes the same components with a recursive CTE (min reachable
+    * id per node). Output: one row per non-trivial cluster with the
+    * deterministic survivor, member count and the sorted member list.
+    */
+  val q75DedupClusters = QueryDef(
+    "q75_dedup_clusters",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val (cands0, sh) = Dedup.minhashLshCandidatesWithShingles(
+        d, "doc_id", "text", shingleN = 3, k = 32, bands = 16)
+      val verified = cands0.select(col("id_a"), col("id_b"))
+        .join(sh.select(col("mh_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("mh_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          q6(Dedup.jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.9)
+      val cc = Dedup.connectedComponents(verified)
+      cc.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          concat_ws(",",
+            transform(sort_array(collect_list(col("id"))), _.cast("string")))
+            .as("members"))
+        .select(col("component").as("survivor_id"), col("n_members"), col("members"))
+        .orderBy(col("survivor_id"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(0, greatest(len(t) - 3, 0)),
+                 i -> array_to_string(t[i+1:i+3], ' '))) AS dt
+        FROM toks),
+      pairs AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE ${sql6(
+          "CAST(len(list_intersect(a.dt, b.dt)) AS DOUBLE) / " +
+          "(len(a.dt) + len(b.dt) - len(list_intersect(a.dt, b.dt)))")} >= 0.9),
+      edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs),
+      reach AS (
+        WITH RECURSIVE walk(id, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id)
+        SELECT id, min(label) AS component FROM walk GROUP BY id)
+      SELECT component AS survivor_id, count(*) AS n_members,
+             string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+      FROM reach
+      GROUP BY component
+      ORDER BY survivor_id
+    """.stripMargin.trim))
+
+  /** q76: quality-filter FUNNEL — the C4-style composition of the text
+    * operators into one sequential attrition pipeline (ingest →
+    * language-id gate → min-length gate → quality gate → exact dedup of
+    * the survivors), reported as one row per stage with counts and the
+    * drop rate. Scale shape: every gate is a boolean FLAG computed in a
+    * single projection pass; the sequential stage counts are conditional
+    * aggregates over ONE scan (never one scan per stage), and the only
+    * shuffle is the dedup digest window — which must run over stage-3
+    * SURVIVORS (the kept doc is chosen among docs that passed the prior
+    * gates, not the raw corpus).
+    */
+  val q76FilterFunnel = QueryDef(
+    "q76_filter_funnel",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks = split(col("text"), " ")
+      val flags = d.select(col("doc_id"), col("text"),
+        (TextAnalysis.languageId(toks) === "en").as("f_lang"),
+        (TextAnalysis.tokenCount(col("text")) >= 10).as("f_len"),
+        (q6(TextAnalysis.qualityScore(col("text"))) >= 0.5).as("f_quality"),
+        md5(concat_ws(" ", slice(toks, 1, 3))).as("digest"))
+        .withColumn("f12", col("f_lang") && col("f_len"))
+        .withColumn("f123", col("f12") && col("f_quality"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
+      val staged = flags.withColumn("keeper",
+        col("f123") &&
+          col("doc_id") === min(when(col("f123"), col("doc_id"))).over(w))
+      val agg = staged.agg(
+        count(lit(1)).as("n0"),
+        count(when(col("f_lang"), lit(1))).as("n1"),
+        count(when(col("f12"), lit(1))).as("n2"),
+        count(when(col("f123"), lit(1))).as("n3"),
+        count(when(col("keeper"), lit(1))).as("n4"))
+      val stacked = agg.selectExpr(
+        """stack(5,
+          0, 'ingest', n0, n0,
+          1, 'language_id', n0, n1,
+          2, 'min_length', n1, n2,
+          3, 'quality_score', n2, n3,
+          4, 'exact_dedup', n3, n4
+        ) AS (stage_idx, stage, n_in, n_out)""")
+      stacked
+        .withColumn("n_dropped", col("n_in") - col("n_out"))
+        .withColumn("drop_pct",
+          when(col("n_in") > 0,
+            q6((col("n_in") - col("n_out")).cast("double") / col("n_in")))
+            .otherwise(lit(0.0)))
+        .orderBy(col("stage_idx"))
+    },
+    Some {
+      val scoreSql = TextAnalysis.markerLexicons.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_intersect(list_distinct(string_split(text, ' ')), $lst)) AS s_$lang"
+      }.mkString(",\n               ")
+      val langs = TextAnalysis.markerLexicons.map(_._1)
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val chain = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+      val qualitySql = sql6(
+        "(CASE WHEN length(text) < 50 THEN 0.2 WHEN length(text) < 200 THEN 0.6 ELSE 1.0 END) * 0.4 + " +
+        "(CASE WHEN (length(text) - (n_tokens - 1.0)) / n_tokens < 2.0 THEN 0.3 " +
+        "      WHEN (length(text) - (n_tokens - 1.0)) / n_tokens <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.4 + " +
+        "(CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['the','a','of','and'])) AS DOUBLE) / 4.0) * 0.2")
+      s"""
+      WITH scored AS (
+        SELECT doc_id, text,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+               md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS digest,
+               $scoreSql
+        FROM documents),
+      flagged AS (
+        SELECT doc_id, digest,
+               (CASE $chain ELSE 'und' END) = 'en' AS f_lang,
+               (length(text) - length(replace(text, ' ', '')) + 1) >= 10 AS f_len,
+               $qualitySql >= 0.5 AS f_quality
+        FROM (SELECT *, $best AS best FROM scored)),
+      staged AS (
+        SELECT *, f_lang AND f_len AS f12,
+               f_lang AND f_len AND f_quality AS f123
+        FROM flagged),
+      kept AS (
+        SELECT *, f123 AND doc_id = min(CASE WHEN f123 THEN doc_id END)
+                 OVER (PARTITION BY digest) AS keeper
+        FROM staged),
+      agg AS (
+        SELECT count(*) AS n0,
+               count(CASE WHEN f_lang THEN 1 END) AS n1,
+               count(CASE WHEN f12 THEN 1 END) AS n2,
+               count(CASE WHEN f123 THEN 1 END) AS n3,
+               count(CASE WHEN keeper THEN 1 END) AS n4
+        FROM kept),
+      stages AS (
+        SELECT 0 AS stage_idx, 'ingest' AS stage, n0 AS n_in, n0 AS n_out FROM agg
+        UNION ALL SELECT 1, 'language_id', n0, n1 FROM agg
+        UNION ALL SELECT 2, 'min_length', n1, n2 FROM agg
+        UNION ALL SELECT 3, 'quality_score', n2, n3 FROM agg
+        UNION ALL SELECT 4, 'exact_dedup', n3, n4 FROM agg)
+      SELECT stage_idx, stage, n_in, n_out, n_in - n_out AS n_dropped,
+             CASE WHEN n_in > 0
+                  THEN ${sql6("CAST(n_in - n_out AS DOUBLE) / n_in")}
+                  ELSE 0.0 END AS drop_pct
+      FROM stages
+      ORDER BY stage_idx
+      """.stripMargin.trim
+    })
+
   /** q64: brute-force cosine top-k over the embedding column — the ANN
     * exactness baseline (`Similarity.bruteForceTopK`, decimal-exact dot
     * products so ranking is engine-stable). Probes broadcast against all
@@ -612,6 +783,7 @@ object LlmOps {
 
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
+    q75DedupClusters, q76FilterFunnel,
     q64CosineTopk, q65AnnIvf, q66LangId, q67QualityScore,
     q68TokenCount, q69Fingerprint, q70Multimodal, q71EmbeddingNearDup,
     q72VocabTopk, q73Chunking, q74EmbeddingQuantise)

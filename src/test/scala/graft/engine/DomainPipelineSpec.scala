@@ -40,6 +40,29 @@ class DomainPipelineSpec extends SparkSpec {
     assert(over.count() == 0, s"over-allocation: ${over.head(3).toSeq}")
   }
 
+  test("ledger memo: one frame per (dir, regime); eviction rebuilds; release unpersists") {
+    import org.apache.spark.storage.StorageLevel
+    val a = DomainPipeline.ledger(spark, sfDir)
+    // memo hit: the SAME DataFrame object, persisted — consumers share
+    // one materialisation by identity, not by canonical-plan matching
+    assert(DomainPipeline.ledger(spark, sfDir) eq a)
+    assert(a.storageLevel != StorageLevel.NONE)
+    // distinct regimes are distinct memo entries
+    assert(DomainPipeline.ledger(spark, sfDir, irbMode = false) ne a)
+    // an external cache sweep evicts the data -> the next call must
+    // REBUILD a fresh plan (never re-persist the stale frame)
+    spark.catalog.clearCache()
+    val b = DomainPipeline.ledger(spark, sfDir)
+    assert(b ne a)
+    assert(b.storageLevel != StorageLevel.NONE)
+    // release drops the entry and unpersists; the next call is fresh
+    DomainPipeline.releaseLedger(spark, sfDir)
+    assert(b.storageLevel == StorageLevel.NONE)
+    assert(DomainPipeline.ledger(spark, sfDir) ne b)
+    DomainPipeline.releaseLedger(spark, sfDir)
+    DomainPipeline.releaseLedger(spark, sfDir, irbMode = false)
+  }
+
   test("ledger is per-exposure, carries the audit columns, matches contracts") {
     val led = DomainPipeline.ledger(spark, sfDir)
     val cols = led.columns.toSet

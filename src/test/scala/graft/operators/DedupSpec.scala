@@ -86,4 +86,35 @@ class DedupSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(sh == Seq("w1 w2 w3", "w2 w3 w4"))
   }
+
+  test("connected components: chains collapse transitively to the min-id survivor") {
+    // 1-2, 2-3, 3-4 is a chain (1~4 never emitted as a pair) plus a
+    // disjoint 2-cycle 10-11: transitivity must find {1,2,3,4} and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: numeric min survivor, not lexicographic") {
+    // string order would pick "10" over "9"; numeric order must pick 9
+    val pairs = Seq((10L, 9L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(9L -> 9L, 10L -> 9L))
+  }
+
+  test("connected components on the planted corpus match the dup groups") {
+    val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(cands).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {1,2,3} near/exact dups -> survivor 1; {5,6} -> survivor 5; 4 alone
+    assert(cc.getOrElse(2L, -1L) == 1L && cc.getOrElse(3L, -1L) == 1L)
+    assert(cc.getOrElse(6L, -1L) == 5L)
+    assert(!cc.contains(4L)) // no pair -> not in the component frame
+  }
 }
