@@ -136,5 +136,82 @@ object Events {
       ORDER BY event_type
     """.stripMargin.trim))
 
-  val all: Seq[QueryDef] = Seq(q80TumblingWindow, q81Sessionize, q82IngestDedup)
+  /** q83: interval ATTRIBUTION join — each purchase picks up the same
+    * user's clicks in the preceding 30 minutes (click-through
+    * attribution), then a daily roll-up of purchases / attributed
+    * purchases / click volume / attributed value / worst click-to-buy
+    * gap. Batch twin of `EventStreams.attributionJoin` (the watermarked
+    * stream-stream interval join — state bounded by watermark +
+    * interval). Scale shape: both sides shuffle once on user_id and the
+    * range predicate evaluates inside the join; the per-purchase
+    * aggregate collapses click fan-out BEFORE the daily roll-up so the
+    * wide purchase row never multiplies through the day shuffle. All
+    * time arithmetic is integral ns→ms DIV (ns epochs exceed 2^53).
+    */
+  val q83AttributionJoin = QueryDef(
+    "q83_attribution_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val base = e.select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts DIV 1000000").as("ts_ms"), col("value"))
+      val clicks = base.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_ms").as("c_ts"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts_ms").as("p_ts"), col("value").as("p_value"))
+      val joined = purchases.join(clicks,
+        col("c_user") === col("p_user") &&
+          col("c_ts") >= col("p_ts") - lit(1800000L) &&
+          col("c_ts") < col("p_ts"), "left")
+      val perPurchase = joined
+        .groupBy(col("p_id"), col("p_ts"), col("p_value"))
+        .agg(count(col("c_ts")).as("n_clicks"),
+          max(col("c_ts")).as("last_click_ts"))
+      perPurchase
+        .select(
+          expr("p_ts DIV 86400000").as("day_bucket"),
+          col("p_value"), col("n_clicks"),
+          (col("n_clicks") > 0).as("attributed"),
+          (col("p_ts") - col("last_click_ts")).as("gap_ms"))
+        .groupBy(col("day_bucket"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          count(when(col("attributed"), lit(1))).as("n_attributed"),
+          sum(col("n_clicks")).as("n_clicks_in_window"),
+          dsum(when(col("attributed"), col("p_value")), 2).as("attributed_value"),
+          max(col("gap_ms")).as("max_click_gap_ms"))
+        .orderBy(col("day_bucket"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT event_id, user_id, event_type,
+               epoch_ms(ts) AS ts_ms, value
+        FROM events),
+      clicks AS (
+        SELECT user_id AS c_user, ts_ms AS c_ts FROM base
+        WHERE event_type = 'click'),
+      purchases AS (
+        SELECT event_id AS p_id, user_id AS p_user, ts_ms AS p_ts,
+               value AS p_value
+        FROM base WHERE event_type = 'purchase'),
+      per_purchase AS (
+        SELECT p_id, p_ts, p_value,
+               count(c_ts) AS n_clicks, max(c_ts) AS last_click_ts
+        FROM purchases LEFT JOIN clicks
+          ON c_user = p_user AND c_ts >= p_ts - 1800000 AND c_ts < p_ts
+        GROUP BY p_id, p_ts, p_value)
+      SELECT p_ts // 86400000 AS day_bucket,
+             count(*) AS n_purchases,
+             count(CASE WHEN n_clicks > 0 THEN 1 END) AS n_attributed,
+             CAST(sum(n_clicks) AS BIGINT) AS n_clicks_in_window,
+             ${sqlDsum("CASE WHEN n_clicks > 0 THEN p_value END", 2)}
+               AS attributed_value,
+             max(p_ts - last_click_ts) AS max_click_gap_ms
+      FROM per_purchase
+      GROUP BY 1
+      ORDER BY day_bucket
+    """.stripMargin.trim))
+
+  val all: Seq[QueryDef] = Seq(
+    q80TumblingWindow, q81Sessionize, q82IngestDedup, q83AttributionJoin)
 }

@@ -54,6 +54,26 @@ object EventStreams {
   def dedupedEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream ATTRIBUTION join: each purchase joins the same user's
+    * clicks inside the preceding `windowDur` interval — the canonical
+    * watermarked interval join. Both sides carry watermarks and the join
+    * condition bounds event time on BOTH ends, so Spark can expire join
+    * state (state ∝ users active inside watermark + interval, never the
+    * stream history — the 100 TB posture; an unbounded-time stream-stream
+    * join would buffer forever). Batch twin with the DuckDB oracle: q83.
+    */
+  def attributionJoin(
+      clicks: DataFrame, purchases: DataFrame,
+      windowDur: String = "30 minutes", lateness: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", lateness)
+    p.join(c,
+      col("c_user") === col("user_id") &&
+        col("c_ts") >= col("ts") - expr(s"INTERVAL $windowDur") &&
+        col("c_ts") < col("ts"))
+  }
+
   final case class Delivered(
     event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 

@@ -34,6 +34,46 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches its batch twin on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clickRows = Seq(
+      EventStreams.Event(ts(0), 1L, "click", 0.0),   // 10 min before buy -> in
+      EventStreams.Event(ts(5), 1L, "click", 0.0),   //  5 min before buy -> in
+      EventStreams.Event(ts(9), 2L, "click", 0.0),   // other user -> out
+      EventStreams.Event(ts(-40), 1L, "click", 0.0)) // 50 min before -> outside 30m
+    val buyRows = Seq(
+      EventStreams.Event(ts(10), 1L, "purchase", 9.99),
+      EventStreams.Event(ts(20), 3L, "purchase", 5.0)) // no clicks -> no join rows
+    val clicks = MemoryStream[EventStreams.Event]
+    val buys = MemoryStream[EventStreams.Event]
+    val q = EventStreams.attributionJoin(clicks.toDF(), buys.toDF())
+      .writeStream.format("memory").queryName("attr_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(clickRows: _*)
+      buys.addData(buyRows: _*)
+      q.processAllAvailable()
+      // advance both watermarks so the interval state closes
+      clicks.addData(EventStreams.Event(ts(400), 9L, "click", 0.0))
+      buys.addData(EventStreams.Event(ts(400), 9L, "purchase", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("attr_join")
+        .select(col("user_id"), col("ts"), col("c_ts")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      // batch twin: the same interval join as plain DataFrame code
+      val batch = buyRows.toDF().join(
+        clickRows.toDF().select(col("user_id").as("c_user"), col("ts").as("c_ts")),
+        col("c_user") === col("user_id") &&
+          col("c_ts") >= col("ts") - expr("INTERVAL 30 minutes") &&
+          col("c_ts") < col("ts"))
+        .select(col("user_id"), col("ts"), col("c_ts")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(batch.size == 2) // exactly the two in-window user-1 clicks
+    } finally q.stop()
+  }
+
   test("streaming ingest dedup drops re-delivered events across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
