@@ -326,6 +326,114 @@ object LlmOps {
       """.stripMargin.trim
     })
 
+  /** q77: deterministic train/validation/test split — the stable
+    * hash-bucket split a reproducible corpus build needs
+    * (`Sampling.stableBucket`): a pure function of the document key, so
+    * re-runs and incremental ingests route every doc identically with no
+    * rand() (partition-order-dependent) and no seed state. 90/5/5 by
+    * md5-prefix bucket, censused per (source, split) with token volume —
+    * the stratification report that catches a skewed split. Pure
+    * map-side projection + one aggregation shuffle at any scale.
+    */
+  val q77StableSplit = QueryDef(
+    "q77_stable_split",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val bucket = graft.operators.Sampling.stableBucket(
+        concat(lit("DOC-"), col("doc_id").cast("string")), 100)
+      d.select(col("source"), col("text"),
+          graft.operators.Sampling.splitLabel(bucket, 90, 5).as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .orderBy(col("source"), col("split"))
+    },
+    Some(s"""
+      WITH bucketed AS (
+        SELECT source, text,
+               ${graft.operators.Sampling.sqlStableBucket(
+                 "'DOC-' || CAST(doc_id AS VARCHAR)", 100)} AS bucket
+        FROM documents),
+      labelled AS (
+        SELECT source, text,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'validation'
+                    ELSE 'test' END AS split
+        FROM bucketed)
+      SELECT source, split, count(*) AS n_docs,
+             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+               AS BIGINT) AS n_tokens
+      FROM labelled
+      GROUP BY source, split
+      ORDER BY source, split
+    """.stripMargin.trim))
+
+  /** q78: sequence PACKING census — pretraining packs documents into
+    * fixed context windows by concatenating the token stream and cutting
+    * at capacity boundaries; a document whose span crosses a boundary
+    * straddles two windows. Per-source running token offsets via an
+    * ordered window (integral arithmetic end to end), then bin indices
+    * by integer division — per source: window count, straddler count,
+    * mean fill. Scale shape: one shuffle on (source) for the running
+    * sum, one aggregation — the token stream itself is never
+    * materialised.
+    */
+  val q78SequencePacking = QueryDef(
+    "q78_sequence_packing",
+    (s, dir) => {
+      val cap = 2048L
+      val d = Tables.documents(s, dir)
+      val seq0 = d.select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val packed = seq0
+        .withColumn("cum_end", sum(col("n_tokens")).over(w))
+        .withColumn("cum_start", col("cum_end") - col("n_tokens"))
+        .withColumn("bin_start", expr(s"cum_start DIV $cap"))
+        .withColumn("bin_end", expr(s"(cum_end - 1) DIV $cap"))
+      packed.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (expr(s"(max(cum_end) + ${cap - 1}) DIV $cap")).as("n_windows"),
+          count(when(col("bin_end") > col("bin_start"), lit(1))).as("n_straddlers"),
+          q6(sum(col("n_tokens")).cast("double") /
+            (expr(s"(max(cum_end) + ${cap - 1}) DIV $cap") * lit(cap)).cast("double"))
+            .as("fill_ratio"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH seq AS (
+        SELECT source, doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+      packed AS (
+        SELECT *,
+          sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum_end
+        FROM seq),
+      binned AS (
+        SELECT *, cum_end - n_tokens AS cum_start,
+               (cum_end - n_tokens) // 2048 AS bin_start,
+               (cum_end - 1) // 2048 AS bin_end
+        FROM packed)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             (max(cum_end) + 2047) // 2048 AS n_windows,
+             count(CASE WHEN bin_end > bin_start THEN 1 END) AS n_straddlers,
+             ${sql6("CAST(sum(n_tokens) AS DOUBLE) / " +
+               "CAST(((max(cum_end) + 2047) // 2048) * 2048 AS DOUBLE)")}
+               AS fill_ratio
+      FROM binned
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim))
+
   /** q64: brute-force cosine top-k over the embedding column — the ANN
     * exactness baseline (`Similarity.bruteForceTopK`, decimal-exact dot
     * products so ranking is engine-stable). Probes broadcast against all
@@ -783,7 +891,7 @@ object LlmOps {
 
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
-    q75DedupClusters, q76FilterFunnel,
+    q75DedupClusters, q76FilterFunnel, q77StableSplit, q78SequencePacking,
     q64CosineTopk, q65AnnIvf, q66LangId, q67QualityScore,
     q68TokenCount, q69Fingerprint, q70Multimodal, q71EmbeddingNearDup,
     q72VocabTopk, q73Chunking, q74EmbeddingQuantise)
