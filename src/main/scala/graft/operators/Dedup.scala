@@ -258,12 +258,11 @@ object Dedup {
           (col("cc_nmin").isNotNull && col("cc_nmin") < col("cc_label"))
             .as("cc_moved"))
         .persist(lvl)
-      // full count first: materialises EVERY partition of `next` into
-      // its cache before the previous frame is unpersisted — otherwise
-      // lazily-uncached partitions would recompute through the whole
-      // unpersisted iteration lineage later
-      next.count()
-      converged = next.filter(col("cc_moved")).limit(1).count() == 0
+      // ONE action per round: counting the moved rows evaluates (and
+      // therefore caches) every partition of `next` before the previous
+      // frame is unpersisted — otherwise lazily-uncached partitions
+      // would recompute through the unpersisted iteration lineage later
+      converged = next.filter(col("cc_moved")).count() == 0
       labels.unpersist(false)
       labels = next.drop("cc_moved")
       round += 1

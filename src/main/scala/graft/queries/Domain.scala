@@ -2094,10 +2094,67 @@ object Domain {
       """.stripMargin.trim
     })
 
+  /** q116: C 09-style GEOGRAPHIC breakdown (reference
+    * `reporting/corep/c09.py`): per (obligor country, exposure class)
+    * original exposure, defaulted split, RWEA and RWA density, with the
+    * country subtotals and the grand total emitted by ONE `ROLLUP` pass
+    * — the grouping-sets shape (a single shuffle computes all three
+    * grains; a union of three groupBys would scan the ledger three
+    * times). Basis note: the split keys the IMMEDIATE obligor's country
+    * (the ledger's counterparty nation) — the reference records the
+    * two-basis geographic pairs as non-comparable (`tieouts.py`), which
+    * is why this sheet is not tied to the ultimate-risk basis.
+    */
+  val q116GeoBreakdown = QueryDef(
+    "q116_geo_breakdown",
+    (s, dir) => {
+      val led = DomainPipeline.ledger(s, dir)
+      led.rollup(col("country"), col("exposure_class"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          dsum(col("ead_pre_crm"), 2).as("original_exposure"),
+          count(when(col("is_defaulted"), lit(1))).as("n_defaulted"),
+          dsum(when(col("is_defaulted"), col("ead_pre_crm")), 2)
+            .as("defaulted_exposure"),
+          dsum(col("rwa"), 2).as("rwea"))
+        .select(
+          coalesce(col("country"), lit("ALL")).as("country"),
+          coalesce(col("exposure_class"), lit("ALL")).as("exposure_class"),
+          col("n_exposures"), col("original_exposure"), col("n_defaulted"),
+          coalesce(col("defaulted_exposure"), lit(0.0)).as("defaulted_exposure"),
+          col("rwea"),
+          when(col("original_exposure") > lit(0.0),
+            q6(col("rwea") / col("original_exposure"))).otherwise(lit(0.0))
+            .as("rwa_density"))
+        .orderBy(col("country"), col("exposure_class"))
+    },
+    Some(s"""
+      WITH $domainLedgerCtes,
+      rolled AS (
+        SELECT coalesce(country, 'ALL') AS country,
+               coalesce(exposure_class, 'ALL') AS exposure_class,
+               count(*) AS n_exposures,
+               ${sqlDsum("ead_pre_crm", 2)} AS original_exposure,
+               count(CASE WHEN is_defaulted THEN 1 END) AS n_defaulted,
+               coalesce(${sqlDsum(
+                 "CASE WHEN is_defaulted THEN ead_pre_crm END", 2)}, 0.0)
+                 AS defaulted_exposure,
+               ${sqlDsum("rwa", 2)} AS rwea
+        FROM final
+        GROUP BY ROLLUP(country, exposure_class))
+      SELECT country, exposure_class, n_exposures, original_exposure,
+             n_defaulted, defaulted_exposure, rwea,
+             CASE WHEN original_exposure > 0.0
+                  THEN ${sql6("rwea / original_exposure")} ELSE 0.0 END
+               AS rwa_density
+      FROM rolled
+      ORDER BY country, exposure_class
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q85ModelPermissions, q86RunComparison,
     q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation,
     q94CorepTemplate, q95SaPortfolio, q98SecuritisationAllocator,
     q99Transition, q100Provisions, q102Pillar3Cr4, q103CiuLookthrough,
-    q106LedgerAudit, q109DoubleDefault, q115Tieouts)
+    q106LedgerAudit, q109DoubleDefault, q115Tieouts, q116GeoBreakdown)
 }
