@@ -2151,10 +2151,142 @@ object Domain {
       ORDER BY country, exposure_class
     """.stripMargin.trim))
 
+  /** Art. 452(h) CR9 PD-band edges: (label, upper bound as a fraction);
+    * defaulted obligors are FORCED to the 100% band (reference
+    * `reporting/pillar3/cr9.py` — "All defaulted exposures shall be
+    * included in the bucket representing PD of 100%"). Half-open
+    * allocation (pd < upper). */
+  private val cr9Bands: Seq[(String, Double)] = Seq(
+    ("01_lt_0.05", 0.0005), ("02_0.05_0.25", 0.0025),
+    ("03_0.25_0.75", 0.0075), ("04_0.75_2.5", 0.025),
+    ("05_2.5_10", 0.10), ("06_10_100", 1.0))
+
+  /** q117: CR9-style IRB PD back-testing (reference
+    * `reporting/pillar3/cr9.py`): exposures banded on the assigned PD
+    * (defaulted rows forced to the 100% band), then per band the
+    * distinct-obligor count, defaulted-obligor count, observed default
+    * rate, EAD-weighted PD and mean PD — the model-validation sheet that
+    * compares what the models PREDICTED against what DEFAULTED. Sparse
+    * emission: only populated bands appear, plus the Total row from the
+    * same ROLLUP pass (distinct obligors across the whole book, counted
+    * once). One shuffle; every ratio is a quotient of decimal-exact
+    * sums.
+    */
+  val q117PdBacktesting = QueryDef(
+    "q117_pd_backtesting",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val attrs = o.select(
+        concat(lit("CP-"), col("o_custkey").cast("string")).as("obligor"),
+        col("o_totalprice").as("ead"),
+        (lit(0.0001) + (col("o_orderkey") % 100) * lit(0.003)).as("pd"),
+        (col("o_orderkey") % 41 === 0).as("is_defaulted"))
+      val band = cr9Bands.foldLeft(when(col("is_defaulted"), "07_default_100")) {
+        case (acc, (label, upper)) => acc.when(col("pd") < upper, label)
+      }.otherwise("07_default_100")
+      attrs.withColumn("pd_band", band)
+        .rollup(col("pd_band"))
+        .agg(
+          countDistinct(col("obligor")).as("n_obligors"),
+          countDistinct(when(col("is_defaulted"), col("obligor")))
+            .as("n_defaulted_obligors"),
+          count(lit(1)).as("n_exposures"),
+          q6(dsum(col("pd") * col("ead"), 6) / dsum(col("ead"), 2) * lit(100.0))
+            .as("ead_weighted_pd_pct"),
+          q6(dsum(col("pd"), 6) / count(lit(1)) * lit(100.0)).as("mean_pd_pct"))
+        .select(
+          coalesce(col("pd_band"), lit("TOTAL")).as("pd_band"),
+          col("n_obligors"), col("n_defaulted_obligors"), col("n_exposures"),
+          q6(col("n_defaulted_obligors").cast("double") /
+            col("n_obligors").cast("double") * lit(100.0))
+            .as("observed_default_rate_pct"),
+          col("ead_weighted_pd_pct"), col("mean_pd_pct"))
+        .orderBy(col("pd_band"))
+    },
+    Some {
+      val bandChain = cr9Bands.map { case (label, upper) =>
+        s"WHEN pd < $upper THEN '$label'" }.mkString(" ")
+      s"""
+      WITH attrs AS (
+        SELECT 'CP-' || CAST(o_custkey AS VARCHAR) AS obligor,
+               o_totalprice AS ead,
+               0.0001 + (o_orderkey % 100) * 0.003 AS pd,
+               o_orderkey % 41 = 0 AS is_defaulted
+        FROM orders),
+      banded AS (
+        SELECT *, CASE WHEN is_defaulted THEN '07_default_100'
+                       $bandChain
+                       ELSE '07_default_100' END AS pd_band
+        FROM attrs),
+      rolled AS (
+        SELECT coalesce(pd_band, 'TOTAL') AS pd_band,
+               count(DISTINCT obligor) AS n_obligors,
+               count(DISTINCT CASE WHEN is_defaulted THEN obligor END)
+                 AS n_defaulted_obligors,
+               count(*) AS n_exposures,
+               ${sql6(s"${sqlDsum("pd * ead", 6)} / ${sqlDsum("ead", 2)} * 100.0")}
+                 AS ead_weighted_pd_pct,
+               ${sql6(s"${sqlDsum("pd", 6)} / count(*) * 100.0")} AS mean_pd_pct
+        FROM banded
+        GROUP BY ROLLUP(pd_band))
+      SELECT pd_band, n_obligors, n_defaulted_obligors, n_exposures,
+             ${sql6("CAST(n_defaulted_obligors AS DOUBLE) / " +
+               "CAST(n_obligors AS DOUBLE) * 100.0")}
+               AS observed_default_rate_pct,
+             ead_weighted_pd_pct, mean_pd_pct
+      FROM rolled
+      ORDER BY pd_band
+      """.stripMargin.trim
+    })
+
+  /** q118: CR5-style SA risk-weight band census (reference
+    * `reporting/pillar3/cr5.py`): the SA slice of the sealed ledger
+    * pivoted by applied risk weight — exposure pre-CRM, the post-CRM
+    * unsecured remainder, and the of-which-unrated split (null own CQS,
+    * never silently filled) per band, plus the Total row from the same
+    * ROLLUP pass. The rollup-null band key is surfaced as the 9.99
+    * sort-last sentinel. One filter + one shuffle over the memoised
+    * ledger.
+    */
+  val q118RwBands = QueryDef(
+    "q118_rw_bands",
+    (s, dir) => {
+      val sa = DomainPipeline.ledger(s, dir).filter(col("approach") === "SA")
+      sa.rollup(col("own_rw"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          dsum(col("ead_pre_crm"), 2).as("exposure_pre_crm"),
+          dsum(col("unsecured"), 2).as("unsecured_post_crm"),
+          count(when(col("own_cqs").isNull, lit(1))).as("n_unrated"),
+          coalesce(dsum(when(col("own_cqs").isNull, col("ead_pre_crm")), 2),
+            lit(0.0)).as("unrated_exposure"))
+        .select(
+          coalesce(q2(col("own_rw")), lit(9.99)).as("rw_band"),
+          col("n_exposures"), col("exposure_pre_crm"),
+          col("unsecured_post_crm"), col("n_unrated"), col("unrated_exposure"))
+        .orderBy(col("rw_band"))
+    },
+    Some(s"""
+      WITH $domainLedgerCtes,
+      sa AS (SELECT * FROM final WHERE approach = 'SA')
+      SELECT coalesce(${sql2("own_rw")}, 9.99) AS rw_band,
+             count(*) AS n_exposures,
+             ${sqlDsum("ead_pre_crm", 2)} AS exposure_pre_crm,
+             ${sqlDsum("unsecured", 2)} AS unsecured_post_crm,
+             count(CASE WHEN own_cqs IS NULL THEN 1 END) AS n_unrated,
+             coalesce(${sqlDsum(
+               "CASE WHEN own_cqs IS NULL THEN ead_pre_crm END", 2)}, 0.0)
+               AS unrated_exposure
+      FROM sa
+      GROUP BY ROLLUP(own_rw)
+      ORDER BY rw_band
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q85ModelPermissions, q86RunComparison,
     q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation,
     q94CorepTemplate, q95SaPortfolio, q98SecuritisationAllocator,
     q99Transition, q100Provisions, q102Pillar3Cr4, q103CiuLookthrough,
-    q106LedgerAudit, q109DoubleDefault, q115Tieouts, q116GeoBreakdown)
+    q106LedgerAudit, q109DoubleDefault, q115Tieouts, q116GeoBreakdown,
+    q117PdBacktesting, q118RwBands)
 }
