@@ -369,10 +369,17 @@ object Domain {
     (s, dir) => {
       import s.implicits._
       import graft.analysis.Comparison
+      // `runs` (a ~6-row per-class aggregate) is a DIAMOND: base + cand
+      // + the scaffold's two total branches all consume it. Persist the
+      // tiny aggregate so the ledger subtree executes exactly once per
+      // run even when the ledger cache itself is cold — without it the
+      // four branches could each re-drive the full ledger fill
+      // (bench-observed bimodal 1.0 s / 6.2 s depending on cache state).
       val runs = DomainPipeline.ledger(s, dir)
         .groupBy(col("exposure_class"))
         .agg(dsum(col("rwa"), 2).as("rwa_base_m"),
              dsum(col("rwa_b31"), 2).as("rwa_cand_m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val base = runs.select(col("exposure_class"), col("rwa_base_m").as("rwa"))
       val cand = runs.select(col("exposure_class"), col("rwa_cand_m").as("rwa"))
       val recon = Comparison.compareRuns(
