@@ -34,6 +34,41 @@ object Similarity {
       lit(0).cast(DecimalType(38, 14)),
       (acc, v) => (acc + v).cast(DecimalType(38, 14))).cast("double")
 
+  /** Exact decimal squared L2 distance between two double-array columns
+    * (same engine-stable construction as [[dotExact]]: per-element terms
+    * cast to DECIMAL(38,14), decimal-summed in any order). */
+  def sqDistExact(x: Column, y: Column): Column =
+    aggregate(
+      zip_with(x, y, (p, q) => ((p.cast("double") - q.cast("double")) *
+        (p.cast("double") - q.cast("double"))).cast(DecimalType(38, 14))),
+      lit(0).cast(DecimalType(38, 14)),
+      (acc, v) => (acc + v).cast(DecimalType(38, 14))).cast("double")
+
+  /** Product-quantisation sub-distances: for every (vector, centroid,
+    * subspace) the exact decimal squared distance between the two
+    * subvectors. `m` subspaces × `dSub` dims each; centroids frame:
+    * (k, c). The m lambda distances are materialised as named columns in
+    * their own select BEFORE the posexplode (Catalyst does not CSE
+    * lambda-bearing trees), and the centroid side is broadcast — the
+    * candidate side carries only its own vector through one pass.
+    * Returns (pq_id, k, sub, dist). */
+  def pqSubDistances(
+      vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, m: Int, dSub: Int): DataFrame = {
+    val pairs = vectors
+      .select(col(idCol).as("pq_id"), col(vecCol).as("pq_v"))
+      .crossJoin(broadcast(centroids.select(col("k"), col("c"))))
+    val subCols = (0 until m).map { j =>
+      sqDistExact(
+        expr(s"slice(pq_v, ${j * dSub + 1}, $dSub)"),
+        expr(s"slice(c, ${j * dSub + 1}, $dSub)")).as(s"_d$j")
+    }
+    pairs.select(Seq(col("pq_id"), col("k")) ++ subCols: _*)
+      .select(col("pq_id"), col("k"),
+        posexplode(array((0 until m).map(j => col(s"_d$j")): _*))
+          .as(Seq("sub", "dist")))
+  }
+
   /** Deterministic cosine from exact decimal dots; sqrt and the final
     * divisions are correctly-rounded IEEE ops. Hot paths should
     * precompute the per-vector norms ONCE (see bruteForceTopK /

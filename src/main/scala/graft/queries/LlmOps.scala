@@ -434,6 +434,87 @@ object LlmOps {
       ORDER BY source
     """.stripMargin.trim))
 
+  /** q119: product-quantisation ANN (PQ + ADC) — the vector-store
+    * compression path beyond int8 (q74): 64-dim vectors split into 8
+    * subspaces of 8 dims, each subvector coded to its nearest of 16
+    * centroids, and probe distances computed by ASYMMETRIC DISTANCE
+    * COMPUTATION — the probe precomputes its 16×8 subspace distance
+    * table and every candidate is scored by 8 TABLE LOOKUPS on its codes
+    * (the candidate's raw vector never rides the scoring join — at
+    * corpus scale only 8 bytes of codes per vector move). Codebook here
+    * is the DETERMINISTIC seeding (the first 16 vectors) so the oracle
+    * can replicate training bit-exactly; the production path refines
+    * with spark.ml k-means exactly as q65's IVF does. Every distance is
+    * the decimal-exact construction (`Similarity.sqDistExact`), so
+    * assignment argmins and ADC rankings are engine-stable.
+    */
+  val q119PqAnn = QueryDef(
+    "q119_pq_ann",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val vecs = e.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val cents = vecs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("k"), col("v").as("c"))
+      // (vec, centroid, sub) distances — a diamond (codes + probe table)
+      val dists = Similarity.pqSubDistances(vecs, cents, "vec_id", "v", 8, 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pq_id"), col("sub")).orderBy(col("dist"), col("k"))
+      val codes = dists.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("pq_id").as("cand_id"), col("sub"), col("k"))
+      val ptable = dists.filter(col("pq_id") < 4)
+        .select(col("pq_id").as("probe_id"), col("k"), col("sub"),
+          q6(col("dist")).as("pdist"))
+      val adc = codes.join(ptable, Seq("sub", "k"))
+        .filter(col("cand_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("cand_id"))
+        .agg(dsum(col("pdist"), 6).as("adc_dist"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("adc_dist"), col("cand_id"))
+      adc.withColumn("top_rank", row_number().over(wTop))
+        .filter(col("top_rank") <= 5)
+        .select(col("probe_id"), col("top_rank"), col("cand_id"),
+          q6(col("adc_dist")).as("adc_dist"))
+        .orderBy(col("probe_id"), col("top_rank"))
+    },
+    Some(s"""
+      WITH elems AS MATERIALIZED (
+        SELECT vec_id, i, (i - 1) // 8 AS sub, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings,
+        LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s),
+      cent AS MATERIALIZED (
+        SELECT vec_id AS k, i, x AS cx FROM elems WHERE vec_id < 16),
+      dists AS MATERIALIZED (
+        SELECT e.vec_id, c.k, e.sub,
+               CAST(sum(CAST((e.x - c.cx) * (e.x - c.cx) AS DECIMAL(38,14)))
+                 AS DOUBLE) AS dist
+        FROM elems e JOIN cent c USING (i)
+        GROUP BY e.vec_id, c.k, e.sub),
+      codes AS (
+        SELECT vec_id AS cand_id, sub, k FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY dist, k) AS rn
+          FROM dists)
+        WHERE rn = 1),
+      ptable AS (
+        SELECT vec_id AS probe_id, k, sub, ${sql6("dist")} AS pdist
+        FROM dists WHERE vec_id < 4),
+      adc AS (
+        SELECT probe_id, cand_id, ${sqlDsum("pdist", 6)} AS adc_dist
+        FROM codes JOIN ptable USING (sub, k)
+        WHERE cand_id <> probe_id
+        GROUP BY probe_id, cand_id),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY probe_id ORDER BY adc_dist, cand_id) AS top_rank
+        FROM adc)
+      SELECT probe_id, top_rank, cand_id, ${sql6("adc_dist")} AS adc_dist
+      FROM ranked WHERE top_rank <= 5
+      ORDER BY probe_id, top_rank
+    """.stripMargin.trim))
+
   /** q64: brute-force cosine top-k over the embedding column — the ANN
     * exactness baseline (`Similarity.bruteForceTopK`, decimal-exact dot
     * products so ranking is engine-stable). Probes broadcast against all
@@ -892,7 +973,7 @@ object LlmOps {
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q75DedupClusters, q76FilterFunnel, q77StableSplit, q78SequencePacking,
-    q64CosineTopk, q65AnnIvf, q66LangId, q67QualityScore,
+    q64CosineTopk, q65AnnIvf, q119PqAnn, q66LangId, q67QualityScore,
     q68TokenCount, q69Fingerprint, q70Multimodal, q71EmbeddingNearDup,
     q72VocabTopk, q73Chunking, q74EmbeddingQuantise)
 }

@@ -57,4 +57,26 @@ class SimilaritySpec extends SparkSpec {
     val meanRecall = recalls.sum / recalls.size
     assert(meanRecall >= 0.5, s"IVF nprobe=4/8 mean recall too low: $meanRecall")
   }
+
+  test("PQ assignment: a vector equal to a centroid codes to it in every subspace") {
+    // 16-dim vectors, m=4 subspaces of 4 dims; centroids = vecs 0..3.
+    def vec(seed: Int): Seq[Double] =
+      (0 until 16).map(i => math.sin(seed * 31 + i).abs + seed)
+    val vecs = ((0 to 3).map(k => (k.toLong, vec(k))) :+
+      (7L, vec(2)) :+                            // exact copy of centroid 2
+      (8L, vec(1).map(_ + 0.001))).toDF("vec_id", "v") // near centroid 1
+    val cents = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("k"), col("v").as("c"))
+    val dists = Similarity.pqSubDistances(vecs, cents, "vec_id", "v", 4, 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pq_id"), col("sub")).orderBy(col("dist"), col("k"))
+    val codes = dists.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    for (sub <- 0 until 4) {
+      assert(codes((7L, sub)) == 2L, s"copy of centroid 2, sub $sub")
+      assert(codes((8L, sub)) == 1L, s"near centroid 1, sub $sub")
+      assert(codes((3L, sub)) == 3L, s"centroid 3 codes to itself, sub $sub")
+    }
+  }
 }
