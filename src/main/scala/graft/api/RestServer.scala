@@ -71,15 +71,31 @@ final class RestServer(
   }
 
   /** Allowlist gate: with a `dataRoot` configured, the requested path
-    * must normalise to a location under it. Returns the normalised path
-    * or the 422 message. */
+    * must resolve to a location under it. The containment check runs on
+    * REAL paths (symlinks resolved via `toRealPath` on the deepest
+    * existing prefix), so a symlink planted under the root that points
+    * outside it cannot smuggle an arbitrary filesystem path through the
+    * parquet loader. Returns the normalised path or the 422 message. */
   private def resolveDataPath(dir: String): Either[String, String] =
     dataRoot match {
       case None => Right(dir)
       case Some(root) =>
         val rootP = java.nio.file.Paths.get(root).toAbsolutePath.normalize()
         val p = rootP.resolve(dir).toAbsolutePath.normalize()
-        if (p.startsWith(rootP)) Right(p.toString)
+        // Walk up to the deepest existing ancestor and canonicalise it:
+        // the not-yet-existing tail cannot host a symlink, so real-path
+        // containment of the existing prefix is containment of the whole.
+        var existing = p
+        while (existing != null && !java.nio.file.Files.exists(
+            existing, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          existing = existing.getParent
+        val contained =
+          try {
+            val realRoot = rootP.toRealPath()
+            existing != null && existing.toRealPath().startsWith(realRoot) &&
+              p.startsWith(rootP)
+          } catch { case _: java.io.IOException => false }
+        if (contained) Right(p.toString)
         else Left(s"dataPath must resolve under the configured data root")
     }
 
@@ -174,7 +190,22 @@ final class RestServer(
       case Some(dir) => resolveDataPath(dir) match {
         case Left(msg) => error(ex, 422, msg)
         case Right(path) =>
-          val res = new CreditRiskCalc(spark, CalcConfig(dataPath = path)).calculate()
+          val cfg = CalcConfig(dataPath = path)
+          val res = new CreditRiskCalc(spark, cfg).calculate()
+          // /validate results never enter the run store, so they carry
+          // no eviction accounting: release the ledger this validation
+          // materialised unless a STORED run shares the (path, regime)
+          // key — otherwise repeated validates on distinct paths grow
+          // the Spark cache without bound.
+          val irb = cfg.permissionMode == "irb"
+          val shared = runs.synchronized {
+            runs.values.asScala.exists { r =>
+              r.config.dataPath == path &&
+                (r.config.permissionMode == "irb") == irb
+            }
+          }
+          if (!shared)
+            graft.engine.DomainPipeline.releaseLedger(spark, path, irb)
           respond(ex, 200, jobj(Map(
             "valid" -> res.errors.isEmpty,
             "errors" -> res.errors.map(e => Map[String, Any](

@@ -478,7 +478,7 @@ object DomainPipeline {
     // bench clears cache between queries). Measured at sf0.1: q94
     // 6.0s → ~2.5s, q106 6.1s → ~2s.
     val withRw = withRw0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pendingEdges.synchronized(pendingEdges += withRw)
+    pendingEdges.get += withRw
     val haircuts = broadcast(haircutTable.toDF("hc_type", "haircut"))
     val exposureSide = withRw.select(
       col("exposure_reference"), col("fx_rate"), col("ead_pre_crm"))
@@ -650,8 +650,14 @@ object DomainPipeline {
 
   /** Stage edges persisted during the in-flight ledger build (crmWaterfall
     * registers its CRM edge here; `ledger` drains the buffer into the memo
-    * entry so `releaseLedger` can unpersist the WHOLE edge set). */
-  private val pendingEdges = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    * entry so `releaseLedger` can unpersist the WHOLE edge set).
+    * THREAD-LOCAL: a crmWaterfall invoked outside `ledger` (stage mode,
+    * specs) on another thread must never leak its edge into a build that
+    * happens to be in flight — each thread drains only what it itself
+    * registered. */
+  private val pendingEdges =
+    ThreadLocal.withInitial[scala.collection.mutable.ArrayBuffer[DataFrame]](
+      () => new scala.collection.mutable.ArrayBuffer[DataFrame])
 
   /** The full per-exposure audit ledger (wide frame), one lazy plan,
     * memoised + persisted per (session, dir, regime).
@@ -665,20 +671,34 @@ object DomainPipeline {
     * per join branch (measured: q86 6.5 s → 12 s round-over-round). */
   def ledger(s: SparkSession, dir: String, irbMode: Boolean = true): DataFrame = {
     val key = (s, dir, irbMode)
-    ledgerMemo.get(key)
+    def live: Option[DataFrame] = ledgerMemo.get(key)
       .filter(_._1.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
       .map(_._1)
-      .getOrElse {
-        pendingEdges.synchronized(pendingEdges.clear())
+    // Check-then-act must be atomic and edge registration must be
+    // attributable to exactly one build: the REST server executes
+    // requests on a thread pool, so two concurrent consumers of the same
+    // (or a different) key would otherwise interleave — one build's CRM
+    // stage edge cleared by, or drained into, the other's memo entry,
+    // leaving releaseLedger to unpersist a live run's edge or leak the
+    // loser's. Builds are plan construction only (no Spark action:
+    // persist() is lazy), so serialising them is microseconds — the lock
+    // is never held across an executor round-trip.
+    buildLock.synchronized {
+      live.getOrElse {
+        pendingEdges.get.clear()
         val df = buildLedger(s, dir, irbMode)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val edges = pendingEdges.synchronized {
-          val e = pendingEdges.toList; pendingEdges.clear(); e
-        }
+        val edges = pendingEdges.get.toList
+        pendingEdges.get.clear()
         ledgerMemo.put(key, (df, edges))
         df
       }
+    }
   }
+
+  /** Serialises ledger builds: guards the memo check-then-act AND scopes
+    * `pendingEdges` to the single in-flight build. */
+  private val buildLock = new Object
 
   /** Release one memoised ledger edge: drop the memo entry and unpersist
     * the ledger AND the stage edges its build persisted (the CRM

@@ -240,9 +240,17 @@ object Dedup {
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(lvl)
-    var labels = edges.select(col("src").as("cc_id")).distinct()
+    val seed = edges.select(col("src").as("cc_id")).distinct()
       .withColumn("cc_label", col("cc_id"))
       .persist(lvl)
+    // `labels` is the plan consumed by the next round; `persistedGen` is
+    // the frame that actually carries the cache entry. From round 2 on
+    // labels is a Project OVER the persisted frame — unpersisting the
+    // projection is a silent no-op (CacheManager matches on sameResult),
+    // so the generation handle must be kept separately or every round's
+    // cache entry leaks until an external clearCache.
+    var labels = seed
+    var persistedGen = seed
 
     var round = 0
     var converged = false
@@ -263,11 +271,19 @@ object Dedup {
       // frame is unpersisted — otherwise lazily-uncached partitions
       // would recompute through the unpersisted iteration lineage later
       converged = next.filter(col("cc_moved")).count() == 0
-      labels.unpersist(false)
+      persistedGen.unpersist(false)
+      persistedGen = next
       labels = next.drop("cc_moved")
       round += 1
     }
     edges.unpersist(false)
+    // No-silent-caps convention: a non-converged exit would return
+    // incorrect component labels (paths longer than maxIter rounds keep
+    // stale labels) — fail loudly instead of publishing wrong clusters.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "raise maxIter (component diameter exceeds the round budget)")
     labels.select(col("cc_id").as("id"), col("cc_label").as("component"))
   }
 }

@@ -395,15 +395,23 @@ object LlmOps {
         .withColumn("cum_start", col("cum_end") - col("n_tokens"))
         .withColumn("bin_start", expr(s"cum_start DIV $cap"))
         .withColumn("bin_end", expr(s"(cum_end - 1) DIV $cap"))
+      // fill_ratio with ZERO IEEE arithmetic in its derivation: round-
+      // half-up to parts-per-million in pure BIGINT (exact), then one
+      // final division by 10^6 — an exact-integer dividend over a power
+      // of ten, whose correctly-rounded IEEE quotient is bit-identical
+      // in every engine. (At a token count where 2·tokens·10^6 would
+      // overflow BIGINT, widen the ppm term to DECIMAL(38,0).)
       packed.groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
           (expr(s"(max(cum_end) + ${cap - 1}) DIV $cap")).as("n_windows"),
           count(when(col("bin_end") > col("bin_start"), lit(1))).as("n_straddlers"),
-          q6(sum(col("n_tokens")).cast("double") /
-            (expr(s"(max(cum_end) + ${cap - 1}) DIV $cap") * lit(cap)).cast("double"))
-            .as("fill_ratio"))
+          expr(s"""(2L * sum(n_tokens) * 1000000L + ((max(cum_end) + ${cap - 1}) DIV $cap) * $cap)
+                   DIV (2L * ((max(cum_end) + ${cap - 1}) DIV $cap) * $cap)""")
+            .as("fill_ppm"))
+        .withColumn("fill_ratio", col("fill_ppm").cast("double") / lit(1000000.0))
+        .drop("fill_ppm")
         .orderBy(col("source"))
     },
     Some(s"""
@@ -426,9 +434,10 @@ object LlmOps {
              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
              (max(cum_end) + 2047) // 2048 AS n_windows,
              count(CASE WHEN bin_end > bin_start THEN 1 END) AS n_straddlers,
-             ${sql6("CAST(sum(n_tokens) AS DOUBLE) / " +
-               "CAST(((max(cum_end) + 2047) // 2048) * 2048 AS DOUBLE)")}
-               AS fill_ratio
+             CAST((2 * sum(n_tokens) * 1000000 +
+                     ((max(cum_end) + 2047) // 2048) * 2048)
+                  // (2 * ((max(cum_end) + 2047) // 2048) * 2048) AS DOUBLE)
+               / 1000000.0 AS fill_ratio
       FROM binned
       GROUP BY source
       ORDER BY source
