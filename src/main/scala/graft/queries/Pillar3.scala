@@ -1,0 +1,401 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.DomainPipeline
+import Q._
+
+/** The Pillar-3 IRB disclosure tail (reference `reporting/pillar3/cr6.py`,
+  * `cr7.py`, `cr8.py`): the by-PD-range IRB sheet, the CRM-effects sheet
+  * and the RWEA flow statement, each a declarative reshape of the SAME
+  * memoised domain ledger (`DomainPipeline.ledger`) — no sheet re-runs
+  * the pipeline.
+  *
+  * Regime handling mirrors the reference's per-framework generator loop
+  * (`cr6.py` `_CR6_SPECS` is keyed (framework, class)): the ledger
+  * carries BOTH regimes' weights in one frame (`own_rw`/`own_rw_b31`,
+  * `rwa`/`rwa_b31`), so a broadcast 2-row framework axis cross-joined
+  * into the projection renders both sheets from ONE ledger scan — at
+  * 100 TB one pass computing both regimes dominates two full runs.
+  */
+object Pillar3 {
+
+  private def d(v: Double): String = s"CAST($v AS DOUBLE)"
+
+  // ---- CR6 geometry (reference `reporting/pillar3/templates.py:473-491`
+  //      CR6_PD_RANGES) -------------------------------------------------
+
+  /** (row_ref, label, lower, upper) — half-open [lower, upper) bands over
+    * the allocation PD. Refs 1/7/10/13 are PARENT bands (each equals the
+    * sum of the sub-bands that follow it — `templates.py:493-496`), ref
+    * 17 is the forced defaulted band, ref 18 the Total row; the range
+    * join assigns a row to every band containing it, so parents and the
+    * total come out of the same single shuffle. 9.99 stands in for the
+    * reference's `inf` upper bound (PD is capped at 1.0). */
+  private[queries] val cr6Bands: Seq[(Int, String, Double, Double)] = Seq(
+    (1, "0.00 to <0.15", 0.0000, 0.0015),
+    (2, "0.00 to <0.10", 0.0000, 0.0010),
+    (3, "0.10 to <0.15", 0.0010, 0.0015),
+    (4, "0.15 to <0.25", 0.0015, 0.0025),
+    (5, "0.25 to <0.50", 0.0025, 0.0050),
+    (6, "0.50 to <0.75", 0.0050, 0.0075),
+    (7, "0.75 to <2.50", 0.0075, 0.0250),
+    (8, "0.75 to <1.75", 0.0075, 0.0175),
+    (9, "1.75 to <2.5", 0.0175, 0.0250),
+    (10, "2.50 to <10.00", 0.0250, 0.1000),
+    (11, "2.5 to <5", 0.0250, 0.0500),
+    (12, "5 to <10", 0.0500, 0.1000),
+    (13, "10.00 to <100.00", 0.1000, 1.0000),
+    (14, "10 to <20", 0.1000, 0.2000),
+    (15, "20 to <30", 0.2000, 0.3000),
+    (16, "30.00 to <100.00", 0.3000, 1.0000),
+    (17, "100.00 (Default)", 1.0000, 9.99),
+    (18, "Total", 0.0000, 9.99))
+
+  /** Per-framework regulatory PD input floor (CRR Art. 160(1) 0.03%;
+    * B3.1/PS1/26 candidate recalibration 0.05%). */
+  private[queries] val pdFloorByFramework: Seq[(String, Double)] =
+    Seq("CRR" -> 0.0003, "BASEL_3_1" -> 0.0005)
+
+  /** LGD input floor (senior unsecured representative rate). */
+  private val lgdFloor = 0.05
+
+  /** The IRB-permitted classes of the domain rulebook (the permission
+    * grants routing `DomainPipeline.classify` — only these classes can
+    * carry `approach = 'IRB'`), the sheet axis like the reference's
+    * `IRB_EXPOSURE_CLASSES` filter. */
+  private val irbClasses = Seq("corporate", "institution")
+
+  private val bandValues = cr6Bands
+    .map { case (r, l, lo, hi) => s"($r, '$l', ${d(lo)}, ${d(hi)})" }.mkString(", ")
+  private val fwValues = pdFloorByFramework
+    .map { case (f, fl) => s"('$f', ${d(fl)})" }.mkString(", ")
+  private val irbClassValues = irbClasses.map(c => s"('$c')").mkString(", ")
+
+  /** q120: Pillar-3 CR6 — IRB exposures by exposure class and PD range
+    * (reference `reporting/pillar3/cr6.py`, CRR Art. 452(g)). Semantics
+    * carried over exactly:
+    *
+    *  - PD-band allocation is HALF-OPEN [lower, upper) on the derived
+    *    allocation PD; defaulted rows are FORCED to the 100% band
+    *    ("All defaulted exposures shall be included in the bucket
+    *    representing PD of 100%" — `cr6.py _with_alloc_pd`).
+    *  - The allocation BASIS is regime-split like `_alloc_pd_source`:
+    *    B3.1 allocates on the PRE-input-floor PD, CRR on the floored PD.
+    *  - Reported PD/LGD columns are the EAD-weighted POST-floor values
+    *    ×100 (cols f/h); maturity is EAD-weighted (col i); obligors are
+    *    counted DISTINCT (col g); RWA density is RWEA/EAD (col k).
+    *  - Average CCF (col d) weights over the OFF-balance-sheet
+    *    population only.
+    *  - An EMPTY band renders as an all-null row (the reference's
+    *    `_null_empty_bands` contract): the fixed framework×class×band
+    *    axis left-joins the aggregate, so absent buckets surface as
+    *    null cells, never dropped rows.
+    *
+    * IRB parameters (PD/LGD/maturity) are deterministic derivations of
+    * the exposure key — the synthetic book carries no model outputs —
+    * with the PD span covering every band of the scale so the allocation
+    * machinery is exercised end to end.
+    *
+    * Scale shape: one projection over the persisted ledger, a broadcast
+    * 18-row band range-join (each row lands in ≤4 bands), ONE shuffle
+    * for the groupBy — the sheet is a single aggregation pass regardless
+    * of book size. Weighted numerators quantise per-row (q2) and sum at
+    * scale 2 per the dsum magnitude rule.
+    */
+  val q120Pillar3Cr6 = QueryDef(
+    "q120_pillar3_cr6",
+    (s, dir) => {
+      import s.implicits._
+      val bands = broadcast(cr6Bands.toDF("row_ref", "pd_range", "lo", "hi"))
+      val fw = broadcast(pdFloorByFramework.toDF("framework", "pd_floor"))
+      val k = expr("CAST(substring(exposure_reference, 5) AS BIGINT)")
+      val irb = DomainPipeline.ledger(s, dir)
+        .filter(col("approach") === "IRB")
+        .select(
+          col("exposure_reference"), col("exposure_type"),
+          col("counterparty_reference"), col("is_defaulted"),
+          col("exposure_class"), col("drawn_base"), col("undrawn_base"),
+          col("ccf_eff"), col("ead_pre_crm").as("ead"),
+          col("rwa"), col("rwa_b31"), k.as("k"))
+      val attrs = irb.crossJoin(fw)
+        .withColumn("pd", lit(0.0001) + (col("k") % 997).cast("double") * lit(0.001))
+        .withColumn("lgd", (col("k") % 60).cast("double") * lit(0.01))
+        .withColumn("maturity", lit(1.0) + (col("k") % 5).cast("double"))
+        .withColumn("pd_floored", greatest(col("pd"), col("pd_floor")))
+        .withColumn("lgd_floored", greatest(col("lgd"), lit(lgdFloor)))
+        .withColumn("rwea_leg",
+          when(col("framework") === "CRR", col("rwa")).otherwise(col("rwa_b31")))
+        .withColumn("alloc_pd",
+          when(col("is_defaulted"), lit(1.0))
+            .when(col("framework") === "CRR", col("pd_floored"))
+            .otherwise(col("pd")))
+      val offBs = col("exposure_type") === "facility_undrawn"
+      val agg = attrs
+        .join(bands, col("alloc_pd") >= col("lo") && col("alloc_pd") < col("hi"))
+        .groupBy(col("framework"), col("exposure_class"), col("row_ref"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          countDistinct(col("counterparty_reference")).as("n_obligors"),
+          dsum(col("drawn_base"), 2).as("gross_on_bs"),
+          dsum(col("undrawn_base"), 2).as("gross_off_bs"),
+          dsum(when(offBs, q2(col("ccf_eff") * col("ead"))), 2).as("ccf_num"),
+          dsum(when(offBs, col("ead")), 2).as("ccf_den"),
+          dsum(col("ead"), 2).as("ead_total"),
+          dsum(q2(col("pd_floored") * col("ead")), 2).as("pd_num"),
+          dsum(q2(col("lgd_floored") * col("ead")), 2).as("lgd_num"),
+          dsum(q2(col("maturity") * col("ead")), 2).as("mat_num"),
+          dsum(col("rwea_leg"), 2).as("rwea"),
+          dsum(q2(col("pd_floored") * col("lgd_floored") * col("ead")), 2)
+            .as("expected_loss"))
+      val axis = broadcast(
+        (for {
+          (f, _) <- pdFloorByFramework
+          c <- irbClasses
+          (ref, label, _, _) <- cr6Bands
+        } yield (f, c, ref, label))
+          .toDF("framework", "exposure_class", "row_ref", "pd_range"))
+      axis.join(agg, Seq("framework", "exposure_class", "row_ref"), "left")
+        .select(
+          col("framework"), col("exposure_class"), col("row_ref"),
+          col("pd_range"), col("n_exposures"), col("n_obligors"),
+          col("gross_on_bs"), col("gross_off_bs"),
+          when(col("ccf_den") > 0, q6(col("ccf_num") / col("ccf_den"))).as("avg_ccf"),
+          col("ead_total"),
+          when(col("ead_total") > 0, q6(col("pd_num") / col("ead_total") * 100))
+            .as("ead_w_pd_pct"),
+          when(col("ead_total") > 0, q6(col("lgd_num") / col("ead_total") * 100))
+            .as("ead_w_lgd_pct"),
+          when(col("ead_total") > 0, q6(col("mat_num") / col("ead_total")))
+            .as("ead_w_maturity"),
+          col("rwea"),
+          when(col("ead_total") > 0, q6(col("rwea") / col("ead_total")))
+            .as("rwa_density"),
+          col("expected_loss"))
+        .orderBy(col("framework"), col("exposure_class"), col("row_ref"))
+    },
+    Some(s"""
+      WITH ${Domain.domainLedgerCtes},
+      bands(row_ref, pd_range, lo, hi) AS (VALUES $bandValues),
+      fw(framework, pd_floor) AS (VALUES $fwValues),
+      irb AS (
+        SELECT exposure_reference, exposure_type, counterparty_reference,
+               is_defaulted, exposure_class, drawn_base, undrawn_base,
+               ccf_eff, ead_pre_crm AS ead, rwa, rwa_b31,
+               CAST(substr(exposure_reference, 5) AS BIGINT) AS k
+        FROM final WHERE approach = 'IRB'),
+      attrs AS (
+        SELECT i.*, f.framework,
+               0.0001 + (k % 997) * 0.001 AS pd,
+               (k % 60) * 0.01 AS lgd,
+               1.0 + (k % 5) AS maturity,
+               greatest(0.0001 + (k % 997) * 0.001, f.pd_floor) AS pd_floored,
+               greatest((k % 60) * 0.01, ${d(lgdFloor)}) AS lgd_floored,
+               CASE WHEN f.framework = 'CRR' THEN rwa ELSE rwa_b31 END AS rwea_leg
+        FROM irb i CROSS JOIN fw f),
+      cr6alloc AS (
+        SELECT *, CASE WHEN is_defaulted THEN 1.0
+                       WHEN framework = 'CRR' THEN pd_floored
+                       ELSE pd END AS alloc_pd
+        FROM attrs),
+      banded AS (
+        SELECT a.*, b.row_ref
+        FROM cr6alloc a JOIN bands b ON a.alloc_pd >= b.lo AND a.alloc_pd < b.hi),
+      agg AS (
+        SELECT framework, exposure_class, row_ref,
+               count(*) AS n_exposures,
+               count(DISTINCT counterparty_reference) AS n_obligors,
+               ${sqlDsum("drawn_base", 2)} AS gross_on_bs,
+               ${sqlDsum("undrawn_base", 2)} AS gross_off_bs,
+               ${sqlDsum(
+                 s"CASE WHEN exposure_type = 'facility_undrawn' THEN ${sql2("ccf_eff * ead")} END", 2)}
+                 AS ccf_num,
+               ${sqlDsum(
+                 "CASE WHEN exposure_type = 'facility_undrawn' THEN ead END", 2)}
+                 AS ccf_den,
+               ${sqlDsum("ead", 2)} AS ead_total,
+               ${sqlDsum(sql2("pd_floored * ead"), 2)} AS pd_num,
+               ${sqlDsum(sql2("lgd_floored * ead"), 2)} AS lgd_num,
+               ${sqlDsum(sql2("maturity * ead"), 2)} AS mat_num,
+               ${sqlDsum("rwea_leg", 2)} AS rwea,
+               ${sqlDsum(sql2("pd_floored * lgd_floored * ead"), 2)} AS expected_loss
+        FROM banded GROUP BY 1, 2, 3),
+      axis AS (
+        SELECT f.framework, c.exposure_class, b.row_ref, b.pd_range
+        FROM fw f
+        CROSS JOIN (VALUES $irbClassValues) c(exposure_class)
+        CROSS JOIN bands b)
+      SELECT ax.framework, ax.exposure_class, ax.row_ref, ax.pd_range,
+             g.n_exposures, g.n_obligors, g.gross_on_bs, g.gross_off_bs,
+             CASE WHEN g.ccf_den > 0 THEN ${sql6("g.ccf_num / g.ccf_den")} END
+               AS avg_ccf,
+             g.ead_total,
+             CASE WHEN g.ead_total > 0
+                  THEN ${sql6("g.pd_num / g.ead_total * 100")} END AS ead_w_pd_pct,
+             CASE WHEN g.ead_total > 0
+                  THEN ${sql6("g.lgd_num / g.ead_total * 100")} END AS ead_w_lgd_pct,
+             CASE WHEN g.ead_total > 0
+                  THEN ${sql6("g.mat_num / g.ead_total")} END AS ead_w_maturity,
+             g.rwea,
+             CASE WHEN g.ead_total > 0
+                  THEN ${sql6("g.rwea / g.ead_total")} END AS rwa_density,
+             g.expected_loss
+      FROM axis ax
+      LEFT JOIN agg g USING (framework, exposure_class, row_ref)
+      ORDER BY ax.framework, ax.exposure_class, ax.row_ref
+    """.stripMargin.trim))
+
+  /** q122: CR8-style RWEA flow statement (reference
+    * `reporting/pillar3/cr8.py`, CRR Art. 438(h)). The reference's CR8
+    * reports opening RWEA (prior run), closing RWEA (current run) and
+    * leaves the per-driver rows null ("they need exposure-level
+    * period-over-period lineage two point-in-time snapshots cannot
+    * provide"). This engine HAS that lineage: the ledger carries both
+    * regimes' weights per exposure in one frame, so the CRR run plays
+    * the prior period, the B3.1 run the current, and the per-exposure
+    * delta decomposes EXACTLY into driver rows:
+    *
+    *  - asset_quality: the delta on the defaulted book;
+    *  - methodology: the delta where the recalibrated rule table moved
+    *    the exposure's own risk weight;
+    *  - other: the residual (substitution interplay — the guarantor leg
+    *    min() flips without an own-weight move).
+    *
+    * model_updates stays null — the ledger carries no model-version
+    * lineage, the reference's own recorded limitation. The flow identity
+    * opening + drivers = closing holds bit-exactly (2-decimal deltas
+    * partition the book; all sums decimal-exact).
+    *
+    * Scale shape: ONE aggregation over the persisted IRB slice computes
+    * every row's sum; the 6-row sheet is a stack over that single-row
+    * aggregate — one ledger scan total.
+    */
+  val q122Cr8Flow = QueryDef(
+    "q122_cr8_flow",
+    (s, dir) => {
+      val irb = DomainPipeline.ledger(s, dir).filter(col("approach") === "IRB")
+      val delta = q2(col("rwa_b31") - col("rwa"))
+      val moved = col("own_rw_b31") =!= col("own_rw")
+      val agg = irb.agg(
+        dsum(col("rwa"), 2).as("opening"),
+        dsum(when(col("is_defaulted"), delta).otherwise(0.0), 2).as("asset_quality"),
+        dsum(when(!col("is_defaulted") && moved, delta).otherwise(0.0), 2)
+          .as("methodology"),
+        dsum(when(!col("is_defaulted") && !moved, delta).otherwise(0.0), 2)
+          .as("other_flow"),
+        dsum(col("rwa_b31"), 2).as("closing"))
+      agg.selectExpr(
+        """stack(6,
+             1, 'opening_rwea',  opening,
+             2, 'asset_quality', asset_quality,
+             3, 'model_updates', CAST(NULL AS DOUBLE),
+             4, 'methodology',   methodology,
+             8, 'other',         other_flow,
+             9, 'closing_rwea',  closing)
+           AS (row_ref, driver, rwea_amount)""")
+        .orderBy(col("row_ref"))
+    },
+    Some(s"""
+      WITH ${Domain.domainLedgerCtes},
+      agg AS MATERIALIZED (
+        SELECT
+          ${sqlDsum("rwa", 2)} AS opening,
+          ${sqlDsum(
+            s"CASE WHEN is_defaulted THEN ${sql2("rwa_b31 - rwa")} ELSE 0.0 END", 2)}
+            AS asset_quality,
+          ${sqlDsum(
+            s"CASE WHEN NOT is_defaulted AND own_rw_b31 <> own_rw THEN ${sql2("rwa_b31 - rwa")} ELSE 0.0 END", 2)}
+            AS methodology,
+          ${sqlDsum(
+            s"CASE WHEN NOT is_defaulted AND own_rw_b31 = own_rw THEN ${sql2("rwa_b31 - rwa")} ELSE 0.0 END", 2)}
+            AS other_flow,
+          ${sqlDsum("rwa_b31", 2)} AS closing
+        FROM final WHERE approach = 'IRB')
+      SELECT * FROM (
+        SELECT 1 AS row_ref, 'opening_rwea' AS driver, opening AS rwea_amount FROM agg
+        UNION ALL SELECT 2, 'asset_quality', asset_quality FROM agg
+        UNION ALL SELECT 3, 'model_updates', NULL::DOUBLE FROM agg
+        UNION ALL SELECT 4, 'methodology', methodology FROM agg
+        UNION ALL SELECT 8, 'other', other_flow FROM agg
+        UNION ALL SELECT 9, 'closing_rwea', closing FROM agg)
+      ORDER BY row_ref
+    """.stripMargin.trim))
+
+  /** q123: CR7-style CRM (guarantee-substitution) effects on RWEA
+    * (reference `reporting/pillar3/cr7.py`, CRR Art. 453(j)). The
+    * reference records col a (pre-credit-derivatives RWEA) = col b
+    * (actual) because its ledger "carries no hypothetical
+    * pre-credit-derivative RWEA" — an explicitly recorded add-to-contract
+    * candidate. This ledger DOES carry the decomposition (covered legs +
+    * own/guarantor weights), so col a is computed genuinely: the same
+    * RWA formula with the guarantee leg kept at the OBLIGOR's own weight
+    * (collateral still applies — CR7 measures the unfunded-protection
+    * substitution effect only), mirroring `rwaCalc`'s leg/rounding shape
+    * so the b-side reproduces the ledger's `rwa` bit-for-bit.
+    *
+    * One ROLLUP pass per the q116 grouping-sets discipline: per-class
+    * rows and the framework total come from a single shuffle over the
+    * persisted IRB slice.
+    */
+  val q123Cr7CrmEffects = QueryDef(
+    "q123_cr7_crm_effects",
+    (s, dir) => {
+      import s.implicits._
+      val fw = broadcast(pdFloorByFramework.toDF("framework", "pd_floor"))
+      val collRw = DomainPipeline.collateralRw
+      val irb = DomainPipeline.ledger(s, dir)
+        .filter(col("approach") === "IRB")
+        .crossJoin(fw)
+      val own = when(col("framework") === "CRR", col("own_rw"))
+        .otherwise(col("own_rw_b31"))
+      val preCd = q2(
+        (q2(col("coll_covered") * lit(collRw)) +
+          q2(col("guar_covered") * own) +
+          q2(col("unsecured") * own)) * col("sf_factor"))
+      val actual = when(col("framework") === "CRR", col("rwa"))
+        .otherwise(col("rwa_b31"))
+      irb
+        .withColumn("pre_cd_leg", preCd)
+        .withColumn("actual_leg", actual)
+        .rollup(col("framework"), col("exposure_class"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          dsum(col("pre_cd_leg"), 2).as("pre_cd_rwea"),
+          dsum(col("actual_leg"), 2).as("actual_rwea"))
+        .filter(col("framework").isNotNull)
+        .select(
+          col("framework"),
+          coalesce(col("exposure_class"), lit("TOTAL")).as("exposure_class"),
+          col("n_exposures"), col("pre_cd_rwea"), col("actual_rwea"),
+          q2(col("pre_cd_rwea") - col("actual_rwea")).as("crm_effect"))
+        .orderBy(col("framework"), col("exposure_class"))
+    },
+    Some(s"""
+      WITH ${Domain.domainLedgerCtes},
+      fw(framework, pd_floor) AS (VALUES $fwValues),
+      legs AS (
+        SELECT f.framework, l.exposure_class,
+          ${sql2(
+            s"(${sql2(s"coll_covered * ${d(DomainPipeline.collateralRw)}")} + " +
+            s"${sql2("guar_covered * (CASE WHEN f.framework = 'CRR' THEN own_rw ELSE own_rw_b31 END)")} + " +
+            s"${sql2("unsecured * (CASE WHEN f.framework = 'CRR' THEN own_rw ELSE own_rw_b31 END)")}) * sf_factor")}
+            AS pre_cd_leg,
+          CASE WHEN f.framework = 'CRR' THEN l.rwa ELSE l.rwa_b31 END AS actual_leg
+        FROM final l CROSS JOIN fw f
+        WHERE l.approach = 'IRB'),
+      rolled AS (
+        SELECT framework, exposure_class,
+               count(*) AS n_exposures,
+               ${sqlDsum("pre_cd_leg", 2)} AS pre_cd_rwea,
+               ${sqlDsum("actual_leg", 2)} AS actual_rwea
+        FROM legs GROUP BY ROLLUP(framework, exposure_class))
+      SELECT framework,
+             coalesce(exposure_class, 'TOTAL') AS exposure_class,
+             n_exposures, pre_cd_rwea, actual_rwea,
+             ${sql2("pre_cd_rwea - actual_rwea")} AS crm_effect
+      FROM rolled
+      WHERE framework IS NOT NULL
+      ORDER BY framework, exposure_class
+    """.stripMargin.trim))
+
+  val all: Seq[QueryDef] = Seq(q120Pillar3Cr6, q122Cr8Flow, q123Cr7CrmEffects)
+}
