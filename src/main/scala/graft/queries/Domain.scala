@@ -921,10 +921,20 @@ object Domain {
     corepClasses.map(c => s"R_$c" -> Some(c)) :+ ("R_TOTAL" -> None)
   private def corepCellId(row: String, colId: String) = s"C07|$row|$colId"
 
-  private val corepRules: Seq[(String, Seq[String], Seq[String], Double)] =
+  /** One supervisory cross-cell rule: `op` compares the decimal sums of
+    * the LHS and RHS cell sets ("eq" within tolerance, "le"/"ge" with
+    * tolerance slack), carrying the publisher's severity so a WARNING
+    * breach renders distinctly from an ERROR breach — the catalogue
+    * record shape of the `reporting/validations/rules` JSON catalogues
+    * (id, severity, formula) reduced to the sum-comparison core. */
+  private final case class CorepRule(
+      id: String, severity: String, op: String,
+      lhs: Seq[String], rhs: Seq[String], tol: Double)
+
+  private val corepRules: Seq[CorepRule] =
     // additivity: total row = sum of class rows, per column
     corepCols.map { case (colId, _) =>
-      (s"v_add_$colId",
+      CorepRule(s"v_add_$colId", "ERROR", "eq",
         Seq(corepCellId("R_TOTAL", colId)),
         corepClasses.map(c => corepCellId(s"R_$c", colId)),
         0.01)
@@ -933,7 +943,7 @@ object Domain {
     // exposure (tolerance covers the per-exposure cent-rounding of the
     // waterfall legs aggregated across the book)
     corepRows.map { case (row, _) =>
-      (s"v_crm_$row",
+      CorepRule(s"v_crm_$row", "ERROR", "eq",
         Seq("C0110", "C0060", "C0070").map(corepCellId(row, _)),
         Seq(corepCellId(row, "C0010")),
         1.0)
@@ -941,25 +951,76 @@ object Domain {
     // per-type collateral cells partition the funded-collateral total
     // exactly (same allocated legs, split by family)
     corepRows.map { case (row, _) =>
-      (s"v_colltype_$row",
+      CorepRule(s"v_colltype_$row", "ERROR", "eq",
         Seq("C0170", "C0180", "C0210").map(corepCellId(row, _)),
         Seq(corepCellId(row, "C0070")),
         0.01)
     }
 
-  /** q94: COREP sheet content + validations — the whole C 07.00-style
-    * sheet is ONE conditional-aggregation pass over the composed q90
-    * ledger (30 cells), then every published-style cross-cell rule
-    * (column additivity, per-row CRM identity) evaluates in one more
-    * pass over the template (`TemplateGenerator` / `TemplateValidator`,
-    * reference `reporting/corep/generator.py` and the
-    * `reporting/validations` package). The oracle rebuilds the identical
-    * ledger (shared CTE chain with q90) and the identical cells/rules.
+  /** Catalogue slice (reference
+    * `reporting/validations/rules/crr-eba-v3.0-credit-risk.json` — the
+    * EBA v3.0(3.0.1) credit-risk rule catalogue, 1,011 records; loaded
+    * as data by `reporting/validations/rules.py`): ten representative
+    * LIVE C 07.00 rule families hand-translated onto this sheet's column
+    * analogues, ids and severities preserved, with per-row instances
+    * keyed `id@row` the way the catalogue scopes a rule to its `rows`
+    * list. Shapes ported: the v0305_m CRM-components identity, the
+    * v0307_m funded-collateral family partition, v0310_m / v0313_m
+    * total-row additivity (published at WARNING severity), the v8726_m
+    * post-CRM <= pre-CRM and v1641_m covered <= original monotonicity
+    * inequalities, and the v3697_s / v3698_s / v3700_s / v3703_s
+    * non-negativity sign rules (empty RHS compares against zero). */
+  private val corepCatalogue: Seq[CorepRule] = {
+    def classCells(colId: String) =
+      corepClasses.map(c => corepCellId(s"R_$c", colId))
+    Seq(
+      CorepRule("v0310_m", "WARNING", "eq",
+        Seq(corepCellId("R_TOTAL", "C0220")), classCells("C0220"), 0.01),
+      CorepRule("v0313_m", "WARNING", "eq",
+        Seq(corepCellId("R_TOTAL", "C0010")), classCells("C0010"), 0.01)) ++
+    corepRows.flatMap { case (row, _) => Seq(
+      CorepRule(s"v0305_m@$row", "ERROR", "eq",
+        Seq(corepCellId(row, "C0010")),
+        Seq("C0110", "C0060", "C0070").map(corepCellId(row, _)), 1.0),
+      CorepRule(s"v0307_m@$row", "ERROR", "eq",
+        Seq(corepCellId(row, "C0070")),
+        Seq("C0170", "C0180", "C0210").map(corepCellId(row, _)), 0.01),
+      CorepRule(s"v8726_m@$row", "WARNING", "le",
+        Seq(corepCellId(row, "C0110")), Seq(corepCellId(row, "C0010")), 0.01),
+      CorepRule(s"v1641_m@$row", "ERROR", "le",
+        Seq(corepCellId(row, "C0070")), Seq(corepCellId(row, "C0010")), 0.01),
+      CorepRule(s"v3698_s@$row", "ERROR", "ge",
+        Seq(corepCellId(row, "C0010")), Nil, 0.0),
+      CorepRule(s"v3697_s@$row", "ERROR", "ge",
+        Seq(corepCellId(row, "C0220")), Nil, 0.0),
+      CorepRule(s"v3700_s@$row", "ERROR", "ge",
+        Seq(corepCellId(row, "C0110")), Nil, 0.0),
+      CorepRule(s"v3703_s@$row:C0170", "ERROR", "ge",
+        Seq(corepCellId(row, "C0170")), Nil, 0.0),
+      CorepRule(s"v3703_s@$row:C0180", "ERROR", "ge",
+        Seq(corepCellId(row, "C0180")), Nil, 0.0),
+      CorepRule(s"v3703_s@$row:C0210", "ERROR", "ge",
+        Seq(corepCellId(row, "C0210")), Nil, 0.0))
+    }
+  }
+
+  private val corepAllRules: Seq[CorepRule] = corepRules ++ corepCatalogue
+
+  /** q94: COREP sheet content + supervisory validations — the whole
+    * C 07.00-style sheet is ONE conditional-aggregation pass over the
+    * composed q90 ledger (48 cells), then every cross-cell rule — the
+    * engine's own identities AND the ported EBA catalogue slice
+    * (`corepCatalogue`, ids + severities in the output frame) — evaluates
+    * horizontally on the same single-row aggregate (`TemplateGenerator` /
+    * `TemplateValidator` discipline, reference
+    * `reporting/corep/generator.py` + the `reporting/validations`
+    * package). The oracle rebuilds the identical ledger (shared CTE chain
+    * with q90) and the identical cells/rules.
     */
   val q94CorepTemplate = QueryDef(
     "q94_corep_template",
     (s, dir) => {
-      import graft.reporting.{CellSpec, TemplateGenerator, TemplateRule, TemplateValidator}
+      import graft.reporting.{CellSpec, TemplateGenerator}
       val led = DomainPipeline.ledger(s, dir)
       val cells = for {
         (row, clsOpt) <- corepRows
@@ -978,29 +1039,41 @@ object Domain {
       // re-optimise) it twice.
       val row0 = TemplateGenerator.wideRow(led, cells)
       def dsumH(ids: Seq[String]): Column =
-        ids.map(id => col(s"`$id`").cast(DecimalType(38, 2)))
+        if (ids.isEmpty) lit(0.0)
+        else ids.map(id => col(s"`$id`").cast(DecimalType(38, 2)))
           .reduce(_ + _).cast("double")
       val wide = row0.select(
         cells.map(c => col(s"`${c.cellId}`")) ++
-        corepRules.flatMap { case (id, lhs, rhs, _) =>
-          Seq(dsumH(lhs).as(s"${id}__lhs"), dsumH(rhs).as(s"${id}__rhs")) }: _*)
+        corepAllRules.flatMap { r =>
+          Seq(dsumH(r.lhs).as(s"${r.id}__lhs"), dsumH(r.rhs).as(s"${r.id}__rhs")) }: _*)
       val nullD = "CAST(NULL AS DOUBLE)"
+      val nullS = "CAST(NULL AS STRING)"
       val stackRows =
         cells.map(c =>
-          s"'cell', '${c.cellId}', `${c.cellId}`, $nullD, $nullD") ++
-        corepRules.map { case (id, _, _, _) =>
-          s"'validation', '$id', $nullD, `${id}__lhs`, `${id}__rhs`" }
+          s"'cell', '${c.cellId}', $nullS, `${c.cellId}`, $nullD, $nullD") ++
+        corepAllRules.map { r =>
+          s"'validation', '${r.id}', '${r.severity}', $nullD, `${r.id}__lhs`, `${r.id}__rhs`" }
       val stacked = wide.selectExpr(
         s"stack(${stackRows.size}, ${stackRows.mkString(", ")}) " +
-          "AS (section, id, value, lhs_total, rhs_total)")
-      val tolChain = corepRules.foldLeft(Option.empty[Column]) {
-        case (None, (id, _, _, tol)) => Some(when(col("id") === id, tol))
-        case (Some(acc), (id, _, _, tol)) => Some(acc.when(col("id") === id, tol))
-      }.get.otherwise(0.01)
+          "AS (section, id, severity, value, lhs_total, rhs_total)")
+      // status: per-rule comparison compiled to one when-chain — "eq"
+      // within tolerance, "le"/"ge" with tolerance slack on the breach
+      // side only.
+      val passChain = corepAllRules.foldLeft(Option.empty[Column]) { (acc, r) =>
+        val cond = r.op match {
+          case "eq" => abs(col("diff")) <= r.tol
+          case "le" => col("diff") <= r.tol
+          case _ => -col("diff") <= r.tol
+        }
+        acc match {
+          case None => Some(when(col("id") === r.id, cond))
+          case Some(a) => Some(a.when(col("id") === r.id, cond))
+        }
+      }.get.otherwise(lit(false))
       stacked
         .withColumn("diff", col("lhs_total") - col("rhs_total"))
         .withColumn("status", when(col("section") === "validation",
-          when(abs(col("diff")) <= tolChain, "pass").otherwise("fail")))
+          when(passChain, "pass").otherwise("fail")))
         .orderBy(col("section"), col("id"))
     },
     Some {
@@ -1017,38 +1090,47 @@ object Domain {
       val cellUnion = cellDefs.map { case (id, alias, _) =>
         s"SELECT '$id' AS id, CAST($alias AS DOUBLE) AS value FROM agg"
       }.mkString("\n        UNION ALL ")
-      val ruleUnion = corepRules.map { case (id, lhs, rhs, _) =>
-        val lhsIn = lhs.map(c => s"'$c'").mkString(", ")
-        val rhsIn = rhs.map(c => s"'$c'").mkString(", ")
-        s"""SELECT '$id' AS rule_id,
-           CAST(sum(CASE WHEN id IN ($lhsIn) THEN CAST(value AS DECIMAL(38,2)) ELSE CAST(0.0 AS DECIMAL(38,2)) END) AS DOUBLE) AS lhs_total,
-           CAST(sum(CASE WHEN id IN ($rhsIn) THEN CAST(value AS DECIMAL(38,2)) ELSE CAST(0.0 AS DECIMAL(38,2)) END) AS DOUBLE) AS rhs_total
+      def sideSql(ids: Seq[String]): String =
+        if (ids.isEmpty) "CAST(0.0 AS DOUBLE)"
+        else {
+          val in = ids.map(c => s"'$c'").mkString(", ")
+          s"CAST(sum(CASE WHEN id IN ($in) THEN CAST(value AS DECIMAL(38,2)) ELSE CAST(0.0 AS DECIMAL(38,2)) END) AS DOUBLE)"
+        }
+      val ruleUnion = corepAllRules.map { r =>
+        s"""SELECT '${r.id}' AS rule_id, '${r.severity}' AS severity,
+           ${sideSql(r.lhs)} AS lhs_total,
+           ${sideSql(r.rhs)} AS rhs_total
          FROM cells"""
       }.mkString("\n        UNION ALL ")
-      val tolCase = corepRules.map { case (id, _, _, tol) =>
-        s"WHEN rule_id = '$id' THEN $tol" }.mkString("CASE ", " ", " ELSE 0.01 END")
+      val statusCase = corepAllRules.map { r =>
+        val cond = r.op match {
+          case "eq" => s"abs(lhs_total - rhs_total) <= ${r.tol}"
+          case "le" => s"lhs_total - rhs_total <= ${r.tol}"
+          case _ => s"rhs_total - lhs_total <= ${r.tol}"
+        }
+        s"WHEN rule_id = '${r.id}' THEN CASE WHEN $cond THEN 'pass' ELSE 'fail' END"
+      }.mkString("CASE ", " ", " ELSE 'fail' END")
       s"""
       WITH $domainLedgerCtes,
       agg AS MATERIALIZED (
         SELECT $aggSelect
         FROM final),
-      cells AS (
+      cells AS MATERIALIZED (
         $cellUnion),
       vals AS (
         $ruleUnion),
       vout AS (
-        SELECT rule_id, lhs_total, rhs_total,
+        SELECT rule_id, severity, lhs_total, rhs_total,
                lhs_total - rhs_total AS diff,
-               CASE WHEN abs(lhs_total - rhs_total) <= ($tolCase) THEN 'pass'
-                    ELSE 'fail' END AS status
+               $statusCase AS status
         FROM vals)
       SELECT * FROM (
-        SELECT 'cell' AS section, id, value,
+        SELECT 'cell' AS section, id, NULL::VARCHAR AS severity, value,
                NULL::DOUBLE AS lhs_total, NULL::DOUBLE AS rhs_total,
                NULL::DOUBLE AS diff, NULL::VARCHAR AS status
         FROM cells
         UNION ALL
-        SELECT 'validation', rule_id, NULL::DOUBLE,
+        SELECT 'validation', rule_id, severity, NULL::DOUBLE,
                lhs_total, rhs_total, diff, status
         FROM vout)
       ORDER BY section, id
