@@ -214,10 +214,10 @@ object Dedup {
     * (A~B and B~C must collapse to ONE survivor even when A~C was never
     * emitted as a pair). Min-label propagation to fixpoint: every node
     * starts as its own label; each round every node takes the minimum of
-    * its own and its neighbours' labels; convergence in O(component
-    * diameter) rounds — near-dup components are shallow (dup chains, not
-    * long paths), so the bound is small in practice and `maxIter` caps
-    * pathological inputs.
+    * its own and its neighbours' labels, then additionally follows the
+    * label's own label (pointer doubling) — convergence in O(log
+    * component diameter) rounds, and `maxIter` caps pathological
+    * inputs.
     *
     * Scale shape: each round is one shuffle join of the (ids-only) edge
     * list against the label frame plus a groupBy-min — both sized by the
@@ -258,19 +258,37 @@ object Dedup {
       val neighbourMin = edges
         .join(labels, edges("dst") === labels("cc_id"))
         .groupBy(col("src")).agg(min(col("cc_label")).as("cc_nmin"))
-      val next = labels
+      // half-step: own label vs the neighbours' minimum
+      val stepped = labels
         .join(neighbourMin, labels("cc_id") === neighbourMin("src"), "left")
         .select(col("cc_id"),
           least(col("cc_label"), coalesce(col("cc_nmin"), col("cc_label")))
-            .as("cc_label"),
-          (col("cc_nmin").isNotNull && col("cc_nmin") < col("cc_label"))
-            .as("cc_moved"))
+            .as("cc_half"),
+          col("cc_label").as("cc_prev"))
+        .persist(lvl) // consumed by BOTH sides of the hop self-join below
+      // POINTER DOUBLING: additionally take the label OF the current
+      // label (every label value is itself a node id, so the lookup is a
+      // self-join on the label frame). One hop per round turns the
+      // propagation distance from `round` into `2^round`, so convergence
+      // needs O(log diameter) rounds instead of O(diameter) — at toy
+      // scale each round's fixed job latency dominates, and at 100 TB a
+      // long dup-chain component no longer costs a round per link.
+      val hop = stepped.select(
+        col("cc_id").as("h_id"), col("cc_half").as("h_label"))
+      val nextLabel = least(col("cc_half"),
+        coalesce(col("h_label"), col("cc_half")))
+      val next = stepped
+        .join(hop, stepped("cc_half") === hop("h_id"), "left")
+        .select(col("cc_id"),
+          nextLabel.as("cc_label"),
+          (nextLabel < col("cc_prev")).as("cc_moved"))
         .persist(lvl)
       // ONE action per round: counting the moved rows evaluates (and
       // therefore caches) every partition of `next` before the previous
-      // frame is unpersisted — otherwise lazily-uncached partitions
+      // frames are unpersisted — otherwise lazily-uncached partitions
       // would recompute through the unpersisted iteration lineage later
       converged = next.filter(col("cc_moved")).count() == 0
+      stepped.unpersist(false)
       persistedGen.unpersist(false)
       persistedGen = next
       labels = next.drop("cc_moved")

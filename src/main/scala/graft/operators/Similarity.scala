@@ -131,11 +131,25 @@ object Similarity {
     * (vectors joined back after the distinct), and a bucket-size cap so
     * a degenerate sign pattern (e.g. all-positive embeddings) cannot go
     * quadratic.
+    *
+    * HAMMING PRE-FILTER: before the (expensive) exact decimal cosine,
+    * each pair is screened on the Hamming distance of the vectors' full
+    * 64-bit sign signatures (two packed 32-bit halves; integer XOR +
+    * bit_count — effectively free next to a 64-term decimal dot
+    * product). For random-hyperplane LSH E[hamming] = 64·acos(cos)/π,
+    * so a pair at the q71 operating point (cosine 0.3) sits at ~26 of
+    * 64 with σ≈4; `hammingMax` = 40 is >3σ above it — the screen only
+    * drops pairs whose signs are majority-OPPOSED (strongly negative
+    * cosine), which no near-dup threshold admits. At scale the bucket
+    * join's junk pairs (random collisions on one 8-bit band) dominate
+    * the candidate set, and this removes them before they cost a
+    * decimal verification.
     */
   def signLshNearDup(
       df: DataFrame, idCol: String, vecCol: String,
       bands: Int = 4, rowsPerBand: Int = 8,
-      minCosine: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+      minCosine: Double = 0.8, maxBucket: Int = 1000,
+      hammingMax: Int = 40): DataFrame = {
     val v = df.select(col(idCol).as("nn_id"), col(vecCol).as("vec"))
     val banded = v.select(
       col("nn_id"),
@@ -158,13 +172,29 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    // per-vector norms once, not per pair (bit-identical cosine)
+    // per-vector norms + packed sign signature once, not per pair
+    // (bit-identical cosine; the signature is the acc*2+bit fold over 32
+    // components per half — a vector shorter than 64 dims zero-pads via
+    // try_element_at's null)
+    def sigHalf(lo: Int): Column =
+      aggregate(
+        sequence(lit(lo), lit(lo + 31)), lit(0L),
+        (acc, j) => acc * lit(2L) +
+          when(try_element_at(col("vec"), j.cast("int")) >= 0, lit(1L))
+            .otherwise(lit(0L)))
     val vn = v.withColumn("norm", sqrt(dotExact(col("vec"), col("vec"))))
+      .withColumn("sig1", sigHalf(1))
+      .withColumn("sig2", sigHalf(33))
     pairs
       .join(vn.select(col("nn_id").as("id_a"), col("vec").as("vec_a"),
-        col("norm").as("norm_a")), Seq("id_a"))
+        col("norm").as("norm_a"), col("sig1").as("sig_a1"),
+        col("sig2").as("sig_a2")), Seq("id_a"))
       .join(vn.select(col("nn_id").as("id_b"), col("vec").as("vec_b"),
-        col("norm").as("norm_b")), Seq("id_b"))
+        col("norm").as("norm_b"), col("sig1").as("sig_b1"),
+        col("sig2").as("sig_b2")), Seq("id_b"))
+      .filter(
+        (bit_count(col("sig_a1").bitwiseXOR(col("sig_b1"))) +
+          bit_count(col("sig_a2").bitwiseXOR(col("sig_b2")))) <= hammingMax)
       .select(col("id_a"), col("id_b"),
         (dotExact(col("vec_a"), col("vec_b")) /
           (col("norm_a") * col("norm_b"))).as("cosine"))

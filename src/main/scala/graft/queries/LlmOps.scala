@@ -821,12 +821,27 @@ object LlmOps {
       pairs AS (
         SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
         FROM capped a JOIN capped c ON a.b = c.b AND a.key = c.key AND a.vec_id < c.vec_id),
+      sig AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(1, 33),
+                 j -> CASE WHEN embedding[j] >= 0 THEN 2.0**(32 - j) ELSE 0.0 END))
+                 AS BIGINT) AS sig1,
+               CAST(list_sum(list_transform(range(33, 65),
+                 j -> CASE WHEN embedding[j] >= 0 THEN 2.0**(64 - j) ELSE 0.0 END))
+                 AS BIGINT) AS sig2
+        FROM v),
+      prefiltered AS (
+        SELECT p.id_a, p.id_b
+        FROM pairs p
+        JOIN sig sa ON sa.vec_id = p.id_a
+        JOIN sig sb ON sb.vec_id = p.id_b
+        WHERE bit_count(xor(sa.sig1, sb.sig1)) + bit_count(xor(sa.sig2, sb.sig2)) <= 40),
       terms AS (
         SELECT id_a, id_b,
                CAST(CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE) AS DECIMAL(38,14)) AS pq,
                CAST(CAST(va.embedding[i] AS DOUBLE) * CAST(va.embedding[i] AS DOUBLE) AS DECIMAL(38,14)) AS pp,
                CAST(CAST(vb.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE) AS DECIMAL(38,14)) AS qq
-        FROM pairs JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b,
+        FROM prefiltered JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b,
         LATERAL (SELECT unnest(generate_series(1, len(va.embedding))) AS i) s),
       cos AS (
         SELECT id_a, id_b,
