@@ -212,6 +212,77 @@ object Events {
       ORDER BY day_bucket
     """.stripMargin.trim))
 
+  /** q127: backward AS-OF join — each purchase enriched with the same
+    * user's most recent view at-or-before it (`AsofJoin.backward`, the
+    * merge-shaped formulation: one shuffle on user_id, a running
+    * last-ignoring-nulls window, NO range-join pair explosion), with a
+    * 1-hour staleness tolerance voiding matches against long-dead
+    * context. Roll-up per user: trade count, matched count, total and
+    * worst view→purchase lag, and the decimal-exact sum of the matched
+    * view values. Tie discipline: a view at exactly the purchase
+    * timestamp matches (side tag orders it first) and concurrent views
+    * resolve to the highest event_id — both pinned in the oracle's
+    * identical window ordering. Lag arithmetic is integral ms (ns
+    * epochs exceed 2^53, so ts goes through the integral DIV ladder).
+    */
+  val q127AsofJoin = QueryDef(
+    "q127_asof_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val base = e.select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000000").as("ts_ms"), col("event_type"), col("value"))
+      val quotes = base.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          q2(col("value")).as("view_value"))
+      val trades = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ms"), col("event_id"))
+      val joined = graft.operators.AsofJoin.backward(
+        trades, quotes, by = "user_id", on = "ts_ms", seq = "event_id",
+        payload = Seq("view_value"), tolerance = Some(3600000L))
+      joined.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_trades"),
+          count(col("asof_on")).as("n_matched"),
+          sum(col("ts_ms") - col("asof_on")).as("total_lag_ms"),
+          max(col("ts_ms") - col("asof_on")).as("max_lag_ms"),
+          dsum(col("asof_view_value"), 2).as("matched_view_value"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+        FROM events),
+      u AS (
+        SELECT user_id, ts_ms, event_id, 0 AS side,
+               ${sql2("value")} AS view_value
+        FROM base WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, ts_ms, event_id, 1, NULL
+        FROM base WHERE event_type = 'purchase'),
+      carried AS (
+        SELECT *,
+          last_value(CASE WHEN side = 0 THEN ts_ms END IGNORE NULLS) OVER w
+            AS m_ts,
+          last_value(CASE WHEN side = 0 THEN view_value END IGNORE NULLS) OVER w
+            AS m_value
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      matched AS (
+        SELECT user_id, ts_ms,
+               CASE WHEN m_ts >= ts_ms - 3600000 THEN m_ts END AS a_ts,
+               CASE WHEN m_ts >= ts_ms - 3600000 THEN m_value END AS a_value
+        FROM carried WHERE side = 1)
+      SELECT user_id, count(*) AS n_trades, count(a_ts) AS n_matched,
+             CAST(sum(ts_ms - a_ts) AS BIGINT) AS total_lag_ms,
+             max(ts_ms - a_ts) AS max_lag_ms,
+             ${sqlDsum("a_value", 2)} AS matched_view_value
+      FROM matched
+      GROUP BY user_id
+      ORDER BY user_id
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
-    q80TumblingWindow, q81Sessionize, q82IngestDedup, q83AttributionJoin)
+    q80TumblingWindow, q81Sessionize, q82IngestDedup, q83AttributionJoin,
+    q127AsofJoin)
 }

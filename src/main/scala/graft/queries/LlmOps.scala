@@ -994,10 +994,241 @@ object LlmOps {
       FROM errs
     """.stripMargin.trim))
 
+  /** q124: benchmark DECONTAMINATION — the eval-integrity gate every
+    * pretraining corpus needs: any training document sharing an 8-token
+    * n-gram with the held-out benchmark set is flagged as contaminated
+    * (the GPT-3/PaLM-style n-gram collision rule). The benchmark here is
+    * the deterministic 10% md5-bucket slice of the corpus
+    * (`Sampling.stableBucket` ≥ 90 — a pure function of the key, so the
+    * benchmark membership is re-run stable), which also plants real
+    * collisions: near-duplicate documents straddling the split surface
+    * exactly as contamination should.
+    *
+    * Scale shape: shingles are DISTINCT per document before the explode
+    * (a document repeating one 8-gram contributes it once), the join key
+    * is the md5 of the gram — fixed 32-byte keys riding the shuffle, not
+    * arbitrary-length text — and the membership test is a LEFT SEMI join
+    * against the distinct benchmark-gram set followed by a distinct on
+    * doc ids: ids-only frames everywhere past the first projection. At
+    * 100 TB this is two shuffles (gram-hash semi-join, id distinct) and
+    * the corpus text never moves twice.
+    */
+  val q124Decontamination = QueryDef(
+    "q124_decontamination",
+    (s, dir) => {
+      val n = 8
+      val d = Tables.documents(s, dir)
+      val bucket = graft.operators.Sampling.stableBucket(
+        concat(lit("DOC-"), col("doc_id").cast("string")), 100)
+      val toks = split(col("text"), " ")
+      val grams = d.select(col("doc_id"), (bucket >= 90).as("is_bench"),
+          explode(array_distinct(transform(
+            sequence(lit(0), greatest(size(toks) - n, lit(0))),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("gram"))
+        .select(col("doc_id"), col("is_bench"), md5(col("gram")).as("gh"))
+      val benchGrams = grams.filter(col("is_bench")).select("gh").distinct()
+      val contaminated = grams.filter(!col("is_bench"))
+        .join(benchGrams, Seq("gh"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("hit", lit(1))
+      d.select(col("doc_id"), col("source"), (bucket >= 90).as("is_bench"))
+        .join(contaminated, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("is_bench"), lit(1))).as("n_bench"),
+          count(when(!col("is_bench") && col("hit").isNotNull, lit(1)))
+            .as("n_contaminated"),
+          count(when(!col("is_bench") && col("hit").isNull, lit(1)))
+            .as("n_clean"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t,
+               (${graft.operators.Sampling.sqlStableBucket(
+                 "'DOC-' || CAST(doc_id AS VARCHAR)", 100)}) >= 90 AS is_bench
+        FROM documents),
+      grams AS (
+        SELECT doc_id, is_bench, md5(g) AS gh FROM (
+          SELECT doc_id, is_bench,
+                 unnest(list_distinct(list_transform(
+                   generate_series(0, greatest(len(t) - 8, 0)),
+                   i -> array_to_string(t[i+1:i+8], ' ')))) AS g
+          FROM b)),
+      bench AS (SELECT DISTINCT gh FROM grams WHERE is_bench),
+      cont AS (
+        SELECT DISTINCT doc_id FROM grams
+        WHERE NOT is_bench AND gh IN (SELECT gh FROM bench))
+      SELECT source, count(*) AS n_docs,
+             count(CASE WHEN is_bench THEN 1 END) AS n_bench,
+             count(CASE WHEN NOT is_bench
+                         AND doc_id IN (SELECT doc_id FROM cont)
+                        THEN 1 END) AS n_contaminated,
+             count(CASE WHEN NOT is_bench
+                         AND doc_id NOT IN (SELECT doc_id FROM cont)
+                        THEN 1 END) AS n_clean
+      FROM b
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim))
+
+  /** q125: REPETITION quality filter — the Gopher-style repetition
+    * signals exact and near dedup both miss (a document that is
+    * internally degenerate, not a copy of another): the duplicate-bigram
+    * fraction (1 − distinct/total bigrams) and the top-token
+    * concentration (highest single-token multiplicity / length). Both
+    * are PURE per-row array arithmetic — distinct-count and a
+    * multiplicity fold over the token array — so the whole filter is an
+    * embarrassingly parallel projection; the only shuffle is the final
+    * per-source census. Flags at rep > 0.05 and top-fraction ≥ 0.125
+    * (both populated on the harness corpus, so the gate is exercised,
+    * not vacuous).
+    */
+  val q125RepetitionFilter = QueryDef(
+    "q125_repetition_filter",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks = split(col("text"), " ")
+      val grams = transform(
+        sequence(lit(0), greatest(size(toks) - 2, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+      val rep2 = q6(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / size(grams))
+      val topf = q6(
+        array_max(transform(array_distinct(toks),
+          t => size(filter(toks, x => x === t)))).cast("double") /
+          size(toks))
+      d.select(col("source"), rep2.as("rep2"), topf.as("topf"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("rep2") > 0.05, lit(1))).as("n_rep_flagged"),
+          count(when(col("topf") >= 0.125, lit(1))).as("n_top_flagged"),
+          dsum(col("rep2"), 6).as("sum_rep2"),
+          q6(max(col("topf"))).as("max_top_fraction"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT source, string_split(text, ' ') AS t FROM documents),
+      g AS (
+        SELECT source, t,
+               list_transform(generate_series(0, greatest(len(t) - 2, 0)),
+                 i -> array_to_string(t[i+1:i+2], ' ')) AS gs
+        FROM toks),
+      m AS (
+        SELECT source,
+               ${sql6("1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)")}
+                 AS rep2,
+               ${sql6(
+                 "CAST(list_max(list_transform(list_distinct(t), " +
+                 "x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t)")}
+                 AS topf
+        FROM g)
+      SELECT source, count(*) AS n_docs,
+             count(CASE WHEN rep2 > 0.05 THEN 1 END) AS n_rep_flagged,
+             count(CASE WHEN topf >= 0.125 THEN 1 END) AS n_top_flagged,
+             ${sqlDsum("rep2", 6)} AS sum_rep2,
+             ${sql6("max(topf)")} AS max_top_fraction
+      FROM m
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim))
+
+  /** q126: temperature-weighted MIXTURE sampling — the multi-source
+    * composition step of a corpus build (the T5/mT5 α-sampling rule):
+    * per-source sampling weight ∝ (token mass)^α with α = 0.5, so
+    * low-resource sources are up-weighted relative to their raw share,
+    * with a 40%-of-corpus global target. The per-source accept RATE
+    * converts to an integer ppm threshold and each document accepts by
+    * `Sampling.stableBucket` — a pure function of the doc key, so the
+    * drawn sample is identical on re-runs, backfills and either engine
+    * (no rand(), whose draw order is partition-dependent).
+    *
+    * Determinism of the rate arithmetic: token masses are integral, the
+    * weight is q6(sqrt(m)) (sqrt is correctly-rounded IEEE in both
+    * engines), the weight total is a decimal-exact sum, and the rate
+    * expression tree is mirrored shape-for-shape in the oracle — so the
+    * final floor-to-ppm is bit-identical. Scale shape: the per-source
+    * stats frame is tiny (one row per source) and broadcasts back onto
+    * the corpus; the census is ONE extra aggregation — two shuffles
+    * total regardless of corpus size.
+    */
+  val q126MixtureSampling = QueryDef(
+    "q126_mixture_sampling",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val perSrc = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("src_docs"), sum(col("n_tokens")).as("m"))
+        .withColumn("w", q6(sqrt(col("m").cast("double"))))
+      val tot = perSrc.agg(
+        dsum(col("w"), 6).as("big_w"), sum(col("src_docs")).as("total_docs"))
+      val thr = perSrc.crossJoin(broadcast(tot))
+        .withColumn("target_n", expr("(total_docs * 2) DIV 5"))
+        .withColumn("thr_ppm",
+          floor(least(lit(1.0),
+            col("target_n") * (col("w") / col("big_w")) / col("src_docs"))
+            * 1e6).cast("long"))
+        .select(col("source"), col("thr_ppm"))
+      d.join(broadcast(thr), Seq("source"))
+        .withColumn("accepted",
+          graft.operators.Sampling.stableBucket(
+            concat(lit("MIX-"), col("doc_id").cast("string")), 1000000)
+            < col("thr_ppm"))
+        .groupBy(col("source"), col("thr_ppm"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          count(when(col("accepted"), lit(1))).as("n_sampled"),
+          coalesce(sum(when(col("accepted"), col("n_tokens"))), lit(0L))
+            .as("n_tokens_sampled"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("thr_ppm"), col("n_sampled"), col("n_tokens_sampled"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT source, doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                 AS BIGINT) AS n_tokens
+        FROM documents),
+      per_src AS (
+        SELECT source, count(*) AS src_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS m
+        FROM d GROUP BY source),
+      wts AS (
+        SELECT *, ${sql6("sqrt(CAST(m AS DOUBLE))")} AS w FROM per_src),
+      tot AS (
+        SELECT ${sqlDsum("w", 6)} AS big_w,
+               CAST(sum(src_docs) AS BIGINT) AS total_docs
+        FROM wts),
+      thr AS (
+        SELECT source,
+               CAST(floor(least(1.0,
+                 ((total_docs * 2) // 5) * (w / big_w) / src_docs) * 1e6)
+                 AS BIGINT) AS thr_ppm
+        FROM wts, tot)
+      SELECT d.source, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             t.thr_ppm,
+             count(CASE WHEN ${graft.operators.Sampling.sqlStableBucket(
+               "'MIX-' || CAST(doc_id AS VARCHAR)", 1000000)} < t.thr_ppm
+               THEN 1 END) AS n_sampled,
+             coalesce(CAST(sum(CASE WHEN ${graft.operators.Sampling
+               .sqlStableBucket("'MIX-' || CAST(doc_id AS VARCHAR)", 1000000)}
+               < t.thr_ppm THEN n_tokens END) AS BIGINT), 0) AS n_tokens_sampled
+      FROM d JOIN thr t USING (source)
+      GROUP BY d.source, t.thr_ppm
+      ORDER BY d.source
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q75DedupClusters, q76FilterFunnel, q77StableSplit, q78SequencePacking,
     q64CosineTopk, q65AnnIvf, q119PqAnn, q66LangId, q67QualityScore,
     q68TokenCount, q69Fingerprint, q70Multimodal, q71EmbeddingNearDup,
-    q72VocabTopk, q73Chunking, q74EmbeddingQuantise)
+    q72VocabTopk, q73Chunking, q74EmbeddingQuantise,
+    q124Decontamination, q125RepetitionFilter, q126MixtureSampling)
 }
