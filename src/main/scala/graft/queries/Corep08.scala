@@ -239,5 +239,131 @@ object Corep08 {
       """.stripMargin.trim
     })
 
-  val all: Seq[QueryDef] = Seq(q121CorepC08)
+  /** The leaf bands of the CR6 master scale (a PARTITION of [0, 1] plus
+    * the forced default band): C 08.02 reports obligor grades, so only
+    * the leaves appear — parents/total come from the ROLLUP pass. */
+  private val leafRefs = Set(2, 3, 4, 5, 6, 8, 9, 11, 12, 14, 15, 16, 17)
+
+  /** q128: COREP C 08.02 — the obligor-grade (PD scale) detail of
+    * C 08.01 (reference `reporting/corep/c08.py`; EBA Annex II "Credit
+    * risk IRB by obligor grades or pools"). Where q121 renders the
+    * per-class TOTALS with the substitution block, this sheet breaks the
+    * origin-basis book down the PD master scale: per (exposure class,
+    * leaf PD band) the original exposure (0020), the substitution
+    * OUTFLOW leaving the obligor's sheet (0070), the net origin-sheet
+    * exposure (0020 − 0070), the EAD-weighted post-floor PD, the
+    * distinct-obligor count, origin-basis RWEA, EL and RWA density.
+    * Banding follows the CR6 discipline: half-open [lo, hi) on the
+    * CRR-floored allocation PD, defaulted rows FORCED to the 100% band.
+    * The leaf set partitions the PD axis, so the per-class Total row —
+    * emitted by the same ROLLUP shuffle, never a second scan — ties out
+    * to q121's class rows by construction.
+    *
+    * Scale shape: one projection over the persisted ledger slice, a
+    * broadcast 13-row leaf-band join (each row lands in exactly ONE
+    * band), one ROLLUP shuffle for bands + class totals together.
+    */
+  val q128CorepC0802 = QueryDef(
+    "q128_corep_c0802",
+    (s, dir) => {
+      import s.implicits._
+      val leaves = Pillar3.cr6Bands.filter(t => leafRefs(t._1))
+      val bands = broadcast(leaves.toDF("row_ref", "pd_range", "lo", "hi"))
+      val k = expr("CAST(substring(exposure_reference, 5) AS BIGINT)")
+      val irb = DomainPipeline.ledger(s, dir)
+        .filter(col("approach") === "IRB")
+        .withColumn("k", k)
+        .withColumn("pd_floored",
+          greatest(lit(0.0001) + (col("k") % 997).cast("double") * lit(0.001),
+            lit(0.0003)))
+        .withColumn("lgd_floored",
+          greatest((col("k") % 60).cast("double") * lit(0.01), lit(0.05)))
+        .withColumn("alloc_pd",
+          when(col("is_defaulted"), lit(1.0)).otherwise(col("pd_floored")))
+      val agg = irb
+        .join(bands, col("alloc_pd") >= col("lo") && col("alloc_pd") < col("hi"))
+        .rollup(col("exposure_class"), col("row_ref"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          countDistinct(col("counterparty_reference")).as("n_obligors"),
+          dsum(col("ead_pre_crm"), 2).as("orig_exposure"),
+          dsum(col("guar_covered"), 2).as("subst_outflow"),
+          dsum(q2(col("ead_pre_crm") - col("guar_covered")), 2)
+            .as("net_origin_exposure"),
+          dsum(q2(col("pd_floored") * col("ead_pre_crm")), 2).as("pd_num"),
+          dsum(col("rwa"), 2).as("rwea"),
+          dsum(q2(col("pd_floored") * col("lgd_floored") * col("ead_pre_crm")), 2)
+            .as("expected_loss"))
+        .filter(col("exposure_class").isNotNull)
+      agg
+        .join(broadcast(leaves.map(t => (t._1, t._2)).toDF("row_ref", "pd_range")),
+          Seq("row_ref"), "left")
+        .select(
+          col("exposure_class"),
+          coalesce(col("row_ref"), lit(99)).as("row_ref"),
+          coalesce(col("pd_range"), lit("Total")).as("pd_range"),
+          col("n_exposures"), col("n_obligors"),
+          col("orig_exposure"), col("subst_outflow"), col("net_origin_exposure"),
+          when(col("orig_exposure") > 0,
+            q6(col("pd_num") / col("orig_exposure") * 100)).as("ead_w_pd_pct"),
+          col("rwea"),
+          when(col("orig_exposure") > 0,
+            q6(col("rwea") / col("orig_exposure"))).as("rwa_density"),
+          col("expected_loss"))
+        .orderBy(col("exposure_class"), col("row_ref"))
+    },
+    Some {
+      val leafValues = Pillar3.cr6Bands.filter(t => leafRefs(t._1))
+        .map { case (r, l, lo, hi) => s"($r, '$l', ${d(lo)}, ${d(hi)})" }
+        .mkString(", ")
+      s"""
+      WITH ${Domain.domainLedgerCtes},
+      bands(row_ref, pd_range, lo, hi) AS (VALUES $leafValues),
+      irb AS (
+        SELECT *,
+               greatest(0.0001 + (CAST(substr(exposure_reference, 5) AS BIGINT)
+                 % 997) * 0.001, 0.0003) AS pd_floored,
+               greatest((CAST(substr(exposure_reference, 5) AS BIGINT) % 60)
+                 * 0.01, 0.05) AS lgd_floored
+        FROM final WHERE approach = 'IRB'),
+      c08alloc AS (
+        SELECT *, CASE WHEN is_defaulted THEN 1.0 ELSE pd_floored END
+                    AS alloc_pd
+        FROM irb),
+      banded AS (
+        SELECT a.*, b.row_ref
+        FROM c08alloc a JOIN bands b ON a.alloc_pd >= b.lo AND a.alloc_pd < b.hi),
+      rolled AS (
+        SELECT exposure_class, row_ref,
+               count(*) AS n_exposures,
+               count(DISTINCT counterparty_reference) AS n_obligors,
+               ${sqlDsum("ead_pre_crm", 2)} AS orig_exposure,
+               ${sqlDsum("guar_covered", 2)} AS subst_outflow,
+               ${sqlDsum(sql2("ead_pre_crm - guar_covered"), 2)}
+                 AS net_origin_exposure,
+               ${sqlDsum(sql2("pd_floored * ead_pre_crm"), 2)} AS pd_num,
+               ${sqlDsum("rwa", 2)} AS rwea,
+               ${sqlDsum(sql2("pd_floored * lgd_floored * ead_pre_crm"), 2)}
+                 AS expected_loss
+        FROM banded
+        GROUP BY ROLLUP(exposure_class, row_ref))
+      SELECT r.exposure_class,
+             coalesce(r.row_ref, 99) AS row_ref,
+             coalesce(b.pd_range, 'Total') AS pd_range,
+             r.n_exposures, r.n_obligors,
+             r.orig_exposure, r.subst_outflow, r.net_origin_exposure,
+             CASE WHEN r.orig_exposure > 0
+                  THEN ${sql6("r.pd_num / r.orig_exposure * 100")} END
+               AS ead_w_pd_pct,
+             r.rwea,
+             CASE WHEN r.orig_exposure > 0
+                  THEN ${sql6("r.rwea / r.orig_exposure")} END AS rwa_density,
+             r.expected_loss
+      FROM rolled r LEFT JOIN bands b ON b.row_ref = r.row_ref
+      WHERE r.exposure_class IS NOT NULL
+      ORDER BY 1, 2
+    """.stripMargin.trim
+    })
+
+  val all: Seq[QueryDef] = Seq(q121CorepC08, q128CorepC0802)
 }

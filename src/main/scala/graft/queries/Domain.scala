@@ -2371,11 +2371,160 @@ object Domain {
       ORDER BY rw_band
     """.stripMargin.trim))
 
+  /** q129: TWO-BASIS geographic breakdown — immediate vs ULTIMATE
+    * obligor (reference `reporting/corep/c09.py` C 09.01/09.02 two-basis
+    * machinery: "a beneficially guaranteed cross-border leg sits on TWO
+    * country sheets at once: its obligor's, reporting the pre-conversion
+    * original exposure, and its guarantor's, reporting the exposure value
+    * and RWEA"; a DECLINED guarantee moves neither). q116 is the
+    * immediate-basis sheet; this one renders BOTH bases per country:
+    *
+    *  - immediate columns key the obligor's country (original exposure,
+    *    RWEA as booked);
+    *  - ultimate columns move the guaranteed leg to the GUARANTOR's
+    *    country exactly when substitution was APPLIED (guar_covered > 0
+    *    and guarantor_rw < own_rw — the rwaCalc min() actually flipped;
+    *    at equality the guarantee is declined and nothing moves);
+    *  - the moved RWEA leg is the guarantee leg of the booked RWA
+    *    (q2(q2(guar·g_rw)·sf)), and the staying legs are defined as the
+    *    2-decimal complement — so per exposure moved + stayed ≡ booked
+    *    and the TOTAL row's two bases tie out to the cent (substitution
+    *    moves RWEA between countries, never creates it).
+    *
+    * The guarantor's country is the supplier's nation (the guarantee
+    * book prices off the supplier key), picked deterministically per
+    * exposure as the item matching the ledger's own max(guarantor_rw)
+    * cascade pick, ties broken on the country name — mirrored verbatim
+    * in the oracle's window.
+    *
+    * Scale shape: the guarantor-country pick is one window over the
+    * (small) guarantee book with the supplier dim broadcast; the
+    * two-basis legs are a 2× stack of ids+measures only; ONE ROLLUP
+    * shuffle renders every country sheet plus the TOTAL.
+    */
+  val q129GeoUltimateRisk = QueryDef(
+    "q129_geo_ultimate_risk",
+    (s, dir) => {
+      val led = DomainPipeline.ledger(s, dir)
+      val supN = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("g_country"))
+      val gRw = DomainPipeline.rwTable.filter(_._1 == "institution")
+        .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+          case (None, (_, q, w)) => Some(when(col("g_cqs") === q, w))
+          case (Some(acc), (_, q, w)) => Some(acc.when(col("g_cqs") === q, w))
+        }.get.otherwise(1.0)
+      val gitems = Tables.lineitem(s, dir)
+        .filter(col("l_linenumber") === 1 && col("l_discount") >= 0.05)
+        .select(
+          concat(lit("ORD-"), col("l_orderkey").cast("string"))
+            .as("exposure_reference"),
+          (lit(1) + col("l_suppkey") % 4).cast("int").as("g_cqs"),
+          col("l_suppkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("g_rw", gRw)
+      val wPick = Window.partitionBy(col("exposure_reference"))
+        .orderBy(col("g_rw").desc, col("g_country").desc)
+      val gpick = gitems.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("exposure_reference"), col("g_country"))
+      val base = led.join(gpick, Seq("exposure_reference"), "left")
+        .withColumn("applied",
+          col("guar_covered") > 0 && col("guarantor_rw").isNotNull &&
+            col("guarantor_rw") < col("own_rw"))
+        .withColumn("moved_ev",
+          when(col("applied"), col("guar_covered")).otherwise(0.0))
+        .withColumn("moved_rwea",
+          when(col("applied"),
+            q2(q2(col("guar_covered") * col("guarantor_rw")) * col("sf_factor")))
+            .otherwise(0.0))
+        .withColumn("ult_geo",
+          when(col("applied"), col("g_country")).otherwise(col("country")))
+      val legs = base.select(
+          col("country").as("geo"), lit(1L).as("imm"),
+          col("ead_pre_crm").as("imm_orig"), col("rwa").as("imm_rwea"),
+          q2(col("ead_pre_crm") - col("moved_ev")).as("ult_ev"),
+          q2(col("rwa") - col("moved_rwea")).as("ult_rwea"))
+        .unionByName(base.select(
+          col("ult_geo").as("geo"), lit(0L).as("imm"),
+          lit(0.0).as("imm_orig"), lit(0.0).as("imm_rwea"),
+          col("moved_ev").as("ult_ev"), col("moved_rwea").as("ult_rwea")))
+      legs.rollup(col("geo"))
+        .agg(
+          sum(col("imm")).as("n_exposures"),
+          dsum(col("imm_orig"), 2).as("orig_exposure_imm"),
+          dsum(col("imm_rwea"), 2).as("rwea_imm"),
+          dsum(col("ult_ev"), 2).as("exposure_value_ult"),
+          dsum(col("ult_rwea"), 2).as("rwea_ult"))
+        .select(
+          coalesce(col("geo"), lit("ALL")).as("country"),
+          col("n_exposures"), col("orig_exposure_imm"), col("rwea_imm"),
+          col("exposure_value_ult"), col("rwea_ult"),
+          q2(col("rwea_ult") - col("rwea_imm")).as("net_rwea_shift"))
+        .orderBy(col("country"))
+    },
+    Some(s"""
+      WITH $domainLedgerCtes,
+      sup AS (
+        SELECT s_suppkey, n_name AS g_country
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      gsrc AS (
+        SELECT 'ORD-' || CAST(l_orderkey AS VARCHAR) AS exposure_reference,
+               1 + l_suppkey % 4 AS guarantor_cqs, l_suppkey
+        FROM lineitem WHERE l_linenumber = 1 AND l_discount >= 0.05),
+      grw AS (
+        SELECT g.exposure_reference, $guarantorRwCase AS g_rw, s.g_country
+        FROM gsrc g JOIN sup s ON g.l_suppkey = s.s_suppkey),
+      gpick AS (
+        SELECT exposure_reference, g_country FROM (
+          SELECT *, row_number() OVER (PARTITION BY exposure_reference
+            ORDER BY g_rw DESC, g_country DESC) AS rn
+          FROM grw)
+        WHERE rn = 1),
+      two_basis AS (
+        SELECT f.*, gp.g_country,
+               (f.guar_covered > 0 AND f.guarantor_rw IS NOT NULL
+                 AND f.guarantor_rw < f.own_rw) AS applied
+        FROM final f LEFT JOIN gpick gp USING (exposure_reference)),
+      moved AS (
+        SELECT *,
+          CASE WHEN applied THEN guar_covered ELSE 0.0 END AS moved_ev,
+          CASE WHEN applied
+               THEN ${sql2(s"${sql2("guar_covered * guarantor_rw")} * sf_factor")}
+               ELSE 0.0 END AS moved_rwea,
+          CASE WHEN applied THEN g_country ELSE country END AS ult_geo
+        FROM two_basis),
+      legs AS (
+        SELECT country AS geo, 1 AS imm, ead_pre_crm AS imm_orig,
+               rwa AS imm_rwea,
+               ${sql2("ead_pre_crm - moved_ev")} AS ult_ev,
+               ${sql2("rwa - moved_rwea")} AS ult_rwea
+        FROM moved
+        UNION ALL
+        SELECT ult_geo, 0, 0.0, 0.0, moved_ev, moved_rwea
+        FROM moved),
+      rolled AS (
+        SELECT coalesce(geo, 'ALL') AS country,
+               CAST(sum(imm) AS BIGINT) AS n_exposures,
+               ${sqlDsum("imm_orig", 2)} AS orig_exposure_imm,
+               ${sqlDsum("imm_rwea", 2)} AS rwea_imm,
+               ${sqlDsum("ult_ev", 2)} AS exposure_value_ult,
+               ${sqlDsum("ult_rwea", 2)} AS rwea_ult
+        FROM legs
+        GROUP BY ROLLUP(geo))
+      SELECT country, n_exposures, orig_exposure_imm, rwea_imm,
+             exposure_value_ult, rwea_ult,
+             ${sql2("rwea_ult - rwea_imm")} AS net_rwea_shift
+      FROM rolled
+      ORDER BY country
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q85ModelPermissions, q86RunComparison,
     q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation,
     q94CorepTemplate, q95SaPortfolio, q98SecuritisationAllocator,
     q99Transition, q100Provisions, q102Pillar3Cr4, q103CiuLookthrough,
     q106LedgerAudit, q109DoubleDefault, q115Tieouts, q116GeoBreakdown,
-    q117PdBacktesting, q118RwBands)
+    q117PdBacktesting, q118RwBands, q129GeoUltimateRisk)
 }
