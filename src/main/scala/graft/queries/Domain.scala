@@ -2441,15 +2441,21 @@ object Domain {
             .otherwise(0.0))
         .withColumn("ult_geo",
           when(col("applied"), col("g_country")).otherwise(col("country")))
-      val legs = base.select(
-          col("country").as("geo"), lit(1L).as("imm"),
-          col("ead_pre_crm").as("imm_orig"), col("rwa").as("imm_rwea"),
-          q2(col("ead_pre_crm") - col("moved_ev")).as("ult_ev"),
-          q2(col("rwa") - col("moved_rwea")).as("ult_rwea"))
-        .unionByName(base.select(
-          col("ult_geo").as("geo"), lit(0L).as("imm"),
-          lit(0.0).as("imm_orig"), lit(0.0).as("imm_rwea"),
-          col("moved_ev").as("ult_ev"), col("moved_rwea").as("ult_rwea")))
+      // ONE pass emits both legs (explode of a 2-struct array) — a union
+      // of two selects over `base` would re-execute the upstream chain
+      // per branch (Catalyst does not CSE across union branches).
+      val legs = base.select(explode(array(
+          struct(
+            col("country").as("geo"), lit(1L).as("imm"),
+            col("ead_pre_crm").as("imm_orig"), col("rwa").as("imm_rwea"),
+            q2(col("ead_pre_crm") - col("moved_ev")).as("ult_ev"),
+            q2(col("rwa") - col("moved_rwea")).as("ult_rwea")),
+          struct(
+            col("ult_geo").as("geo"), lit(0L).as("imm"),
+            lit(0.0).as("imm_orig"), lit(0.0).as("imm_rwea"),
+            col("moved_ev").as("ult_ev"), col("moved_rwea").as("ult_rwea"))))
+          .as("leg"))
+        .select(col("leg.*"))
       legs.rollup(col("geo"))
         .agg(
           sum(col("imm")).as("n_exposures"),
@@ -2487,7 +2493,7 @@ object Domain {
                (f.guar_covered > 0 AND f.guarantor_rw IS NOT NULL
                  AND f.guarantor_rw < f.own_rw) AS applied
         FROM final f LEFT JOIN gpick gp USING (exposure_reference)),
-      moved AS (
+      moved AS MATERIALIZED (
         SELECT *,
           CASE WHEN applied THEN guar_covered ELSE 0.0 END AS moved_ev,
           CASE WHEN applied
