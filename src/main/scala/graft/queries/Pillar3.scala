@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.engine.DomainPipeline
 import Q._
 
@@ -397,5 +398,126 @@ object Pillar3 {
       ORDER BY framework, exposure_class
     """.stripMargin.trim))
 
-  val all: Seq[QueryDef] = Seq(q120Pillar3Cr6, q122Cr8Flow, q123Cr7CrmEffects)
+  /** q130: Pillar-3 OV1 — overview of RWEAs (reference
+    * `reporting/pillar3/ov1.py`, CRR Art. 438(d)): the one-page roll-up a
+    * disclosure reader opens first, one row per risk type with the RWEA
+    * under both frameworks and the 8% minimum own-funds column. Rows are
+    * cut by RISK TYPE, never the approach label (the reference's recorded
+    * OV1 rule): credit ex-CCR splits SA/IRB from the ledger's dual-regime
+    * weights; CCR rows take the SA-CCR netting-set add-ons (× α = 1.4)
+    * and the default-fund K_CM × 12.5; CVA takes the reduced BA-CVA RWA;
+    * settlement risk the Art. 378 failed-trade charge. The CCR/CVA/
+    * settlement books carry no candidate-regime delta in this rulebook,
+    * so their two framework columns coincide — the credit rows carry the
+    * whole recalibration story.
+    *
+    * COMPOSITION, not duplication: each non-ledger row is the existing
+    * battery query (q56/q96/q97/q105) reduced to its scalar, and the
+    * oracle embeds those queries' own oracle SQL as subqueries — the
+    * sheet is provably consistent with the queries it summarises, in
+    * both engines. Scale shape: the ledger row is ONE conditional
+    * aggregation over the persisted ledger; every other component
+    * aggregates to a 1-row frame before the broadcast cross-join; the
+    * Total row sums horizontally on the wide row (decimal-exact), so
+    * the whole sheet adds no data-sized shuffle beyond its components.
+    */
+  val q130Ov1Overview = QueryDef(
+    "q130_ov1_overview",
+    (s, dir) => {
+      val credit = DomainPipeline.ledger(s, dir).agg(
+        dsum(when(col("approach") === "SA", col("rwa")).otherwise(0.0), 2)
+          .as("sa_crr"),
+        dsum(when(col("approach") === "SA", col("rwa_b31")).otherwise(0.0), 2)
+          .as("sa_b31"),
+        dsum(when(col("approach") === "IRB", col("rwa")).otherwise(0.0), 2)
+          .as("irb_crr"),
+        dsum(when(col("approach") === "IRB", col("rwa_b31")).otherwise(0.0), 2)
+          .as("irb_b31"))
+      val ccr = Ccr.q56SaCcrAddon.build(s, dir)
+        .agg(dsum(q2(col("ns_addon") * 1.4), 2).as("ccr_rwea"))
+      val dfund = Ccr.q105DefaultFund.build(s, dir)
+        .agg(dsum(col("total_rwea"), 2).as("dfund_rwea"))
+      val cva = Ccr.q96BaCva.build(s, dir)
+        .select(col("cva_rwa").as("cva_rwea"))
+      val settle = Ccr.q97FailedTrades.build(s, dir)
+        .agg(dsum(col("total_rwa"), 4).as("settle_rwea"))
+      def hsum(cols: Seq[String]): org.apache.spark.sql.Column =
+        cols.map(c => col(c).cast(DecimalType(38, 4))).reduce(_ + _)
+          .cast("double")
+      val wide = credit
+        .crossJoin(broadcast(ccr)).crossJoin(broadcast(dfund))
+        .crossJoin(broadcast(cva)).crossJoin(broadcast(settle))
+        .withColumn("tot_crr", hsum(Seq(
+          "sa_crr", "irb_crr", "ccr_rwea", "dfund_rwea", "cva_rwea",
+          "settle_rwea")))
+        .withColumn("tot_b31", hsum(Seq(
+          "sa_b31", "irb_b31", "ccr_rwea", "dfund_rwea", "cva_rwea",
+          "settle_rwea")))
+      wide.selectExpr(
+        """stack(7,
+             1,  'credit_risk_sa',   sa_crr,      sa_b31,
+             2,  'credit_risk_irb',  irb_crr,     irb_b31,
+             6,  'ccr_sa_ccr',       ccr_rwea,    ccr_rwea,
+             7,  'ccr_default_fund', dfund_rwea,  dfund_rwea,
+             10, 'cva',              cva_rwea,    cva_rwea,
+             15, 'settlement_risk',  settle_rwea, settle_rwea,
+             29, 'total',            tot_crr,     tot_b31)
+           AS (row_ref, risk_type, rwea_crr, rwea_b31)""")
+        .withColumn("own_funds_req", q2(col("rwea_crr") * 0.08))
+        .orderBy(col("row_ref"))
+    },
+    Some {
+      val hsumSql = (cols: Seq[String]) =>
+        "CAST(" + cols.map(c => s"CAST($c AS DECIMAL(38,4))").mkString(" + ") +
+          " AS DOUBLE)"
+      s"""
+      WITH ${Domain.domainLedgerCtes},
+      credit AS (
+        SELECT
+          ${sqlDsum("CASE WHEN approach = 'SA' THEN rwa ELSE 0.0 END", 2)}
+            AS sa_crr,
+          ${sqlDsum("CASE WHEN approach = 'SA' THEN rwa_b31 ELSE 0.0 END", 2)}
+            AS sa_b31,
+          ${sqlDsum("CASE WHEN approach = 'IRB' THEN rwa ELSE 0.0 END", 2)}
+            AS irb_crr,
+          ${sqlDsum("CASE WHEN approach = 'IRB' THEN rwa_b31 ELSE 0.0 END", 2)}
+            AS irb_b31
+        FROM final),
+      ccr AS (
+        SELECT ${sqlDsum(sql2("ns_addon * 1.4"), 2)} AS ccr_rwea
+        FROM (${Ccr.q56SaCcrAddon.oracle.get}) t),
+      dfund AS (
+        SELECT ${sqlDsum("total_rwea", 2)} AS dfund_rwea
+        FROM (${Ccr.q105DefaultFund.oracle.get}) t),
+      cva AS (
+        SELECT cva_rwa AS cva_rwea
+        FROM (${Ccr.q96BaCva.oracle.get}) t),
+      settle AS (
+        SELECT ${sqlDsum("total_rwa", 4)} AS settle_rwea
+        FROM (${Ccr.q97FailedTrades.oracle.get}) t),
+      wide AS MATERIALIZED (
+        SELECT *,
+          ${hsumSql(Seq("sa_crr", "irb_crr", "ccr_rwea", "dfund_rwea",
+            "cva_rwea", "settle_rwea"))} AS tot_crr,
+          ${hsumSql(Seq("sa_b31", "irb_b31", "ccr_rwea", "dfund_rwea",
+            "cva_rwea", "settle_rwea"))} AS tot_b31
+        FROM credit, ccr, dfund, cva, settle),
+      sheet AS (
+        SELECT 1 AS row_ref, 'credit_risk_sa' AS risk_type,
+               sa_crr AS rwea_crr, sa_b31 AS rwea_b31 FROM wide
+        UNION ALL SELECT 2, 'credit_risk_irb', irb_crr, irb_b31 FROM wide
+        UNION ALL SELECT 6, 'ccr_sa_ccr', ccr_rwea, ccr_rwea FROM wide
+        UNION ALL SELECT 7, 'ccr_default_fund', dfund_rwea, dfund_rwea FROM wide
+        UNION ALL SELECT 10, 'cva', cva_rwea, cva_rwea FROM wide
+        UNION ALL SELECT 15, 'settlement_risk', settle_rwea, settle_rwea FROM wide
+        UNION ALL SELECT 29, 'total', tot_crr, tot_b31 FROM wide)
+      SELECT row_ref, risk_type, rwea_crr, rwea_b31,
+             ${sql2("rwea_crr * 0.08")} AS own_funds_req
+      FROM sheet
+      ORDER BY row_ref
+      """.stripMargin.trim
+    })
+
+  val all: Seq[QueryDef] = Seq(
+    q120Pillar3Cr6, q122Cr8Flow, q123Cr7CrmEffects, q130Ov1Overview)
 }
