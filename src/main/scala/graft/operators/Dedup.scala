@@ -249,7 +249,21 @@ object Dedup {
     // projection is a silent no-op (CacheManager matches on sameResult),
     // so the generation handle must be kept separately or every round's
     // cache entry leaks until an external clearCache.
-    var labels = seed
+    //
+    // LINEAGE TRUNCATION (the round-8 q75 regression fix): each round's
+    // frame must be re-rooted as a fresh leaf (`createDataFrame` over the
+    // cached frame's RDD → a LogicalRDD scan) before the next round
+    // builds on it. Without this the analyzed plan embeds the previous
+    // round's plan at every reference — 4 references per round with the
+    // doubling hop — and per-action DRIVER work (analysis, dedup-clone of
+    // the self-join branch, canonicalisation for cache lookup) grows
+    // geometrically: measured 2s → 5.5s round-over-round at sf0.1 even
+    // with every input fully cached, 2.7s → 29s for q75 overall. With
+    // truncation every round plans over two constant-size leaves, the
+    // same shape a 1000-round run would have at 100 TB.
+    def reroot(df: DataFrame): DataFrame =
+      pairs.sparkSession.createDataFrame(df.rdd, df.schema)
+    var labels = reroot(seed)
     var persistedGen = seed
 
     var round = 0
@@ -288,10 +302,12 @@ object Dedup {
       // frames are unpersisted — otherwise lazily-uncached partitions
       // would recompute through the unpersisted iteration lineage later
       converged = next.filter(col("cc_moved")).count() == 0
+      // re-root BEFORE dropping the old generations: the new leaf's RDD
+      // is resolved against the live cache entry of `next`
+      labels = reroot(next.drop("cc_moved"))
       stepped.unpersist(false)
       persistedGen.unpersist(false)
       persistedGen = next
-      labels = next.drop("cc_moved")
       round += 1
     }
     edges.unpersist(false)
