@@ -35,4 +35,30 @@ object Slotting {
           _.when(lower(category) === cat, v)))
     }.get.otherwise(2.50)
   }
+
+  /** (category, EL rate for residual maturity < 2.5y, EL rate for ≥ 2.5y)
+    * — CRR Art. 158(6) Table B (reference
+    * `rulebook/packs/crr.py:512-537` `slotting_el_base`/`slotting_el_short`;
+    * under UK CRR the table has a single specialised-lending column, the
+    * EU HVCRE row was not onshored —
+    * `engine/slotting/transforms.py:451-477`). */
+  val elTable: Seq[(String, Double, Double)] = Seq(
+    ("strong", 0.0, 0.004),
+    ("good", 0.004, 0.008),
+    ("satisfactory", 0.028, 0.028),
+    ("weak", 0.08, 0.08),
+    ("default", 0.50, 0.50))
+
+  /** Art. 158(6) expected-loss rate for a slotting category and residual
+    * maturity. The reference's unmapped-category default is the
+    * satisfactory 2.8% (`slotting_el_base` `default=0.028`). */
+  def elRate(category: Column, residualMaturityYears: Column): Column = {
+    val lt25 = residualMaturityYears < 2.5
+    elTable.foldLeft(Option.empty[Column]) {
+      case (acc, (cat, elLt, elGe)) =>
+        val v = when(lt25, elLt).otherwise(elGe)
+        Some(acc.fold(when(lower(category) === cat, v))(
+          _.when(lower(category) === cat, v)))
+    }.get.otherwise(0.028)
+  }
 }

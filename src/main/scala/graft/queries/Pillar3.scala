@@ -518,6 +518,154 @@ object Pillar3 {
       """.stripMargin.trim
     })
 
+  // ---- CR10 geometry (reference `reporting/pillar3/cr10.py`;
+  //      Reg (EU) 2021/637 Annex XXIII, PRA onshored) -------------------
+
+  /** The official 12-row CR10.1-4 grid: each of the five Art. 153(5)
+    * supervisory categories split into two remaining-maturity bands, plus
+    * TWO maturity-split Total rows (the official template has no single
+    * combined Total — `cr10.py` row-geometry note). The fixed regulatory
+    * risk weight (col c, ×100) is maturity-correct per category and NULL
+    * on the Total rows; Default carries the Art. 153(5) 0% the engine
+    * actually applies (capital via EL — the reference's recorded R18
+    * rendering of the template's em-dash). */
+  private[queries] val cr10Axis: Seq[(Int, String, String, Option[Double])] =
+    graft.engine.Slotting.table1.zipWithIndex.flatMap {
+      // ×100 quantised to the exact integer double (1.15·100 is
+      // 114.99999999999999 in IEEE — the fixed display column must be
+      // the exact regulatory percentage on both engine sides)
+      case ((cat, rwShort, rwLong), i) => Seq(
+        (i * 2 + 1, cat, "lt_2_5", Some(math.floor(rwShort * 100 + 0.5))),
+        (i * 2 + 2, cat, "ge_2_5", Some(math.floor(rwLong * 100 + 0.5))))
+    } ++ Seq((11, "TOTAL", "lt_2_5", None), (12, "TOTAL", "ge_2_5", None))
+
+  /** q131: Pillar-3 CR10 — specialised lending on the slotting approach
+    * (reference `reporting/pillar3/cr10.py`; CRR Art. 438(e)). The grid,
+    * the fixed-weight column and the a/b-zero-vs-d/e/f-null empty-row
+    * asymmetry follow the reference exactly; the weights and EL rates
+    * are the REAL Art. 153(5) Table 1 / Art. 158(6) Table B chains
+    * (`graft.engine.Slotting` — rendered into the oracle from the same
+    * data, so the oracle proves the engine chain emits the declared
+    * table). Population decision (this rulebook has no slotting product
+    * column): the origin slotting book is the IRB-permitted corporate
+    * slice, its supervisory category derived from the exposure key with
+    * defaulted rows forced to Category 5 — the same derived-attribute
+    * discipline as q120's PD scale.
+    *
+    * Scale shape: one projection over the persisted ledger slice, the
+    * category/EL chains are codegen when-chains (no join), ONE ROLLUP
+    * shuffle emits the category rows AND the two maturity Totals
+    * together, then a broadcast 12-row axis left-join pins the grid.
+    */
+  val q131Cr10Slotting = QueryDef(
+    "q131_cr10_slotting",
+    (s, dir) => {
+      import s.implicits._
+      import graft.engine.Slotting
+      val axis = broadcast(
+        cr10Axis.toDF("row_ref", "slotting_category", "maturity_band", "fixed_rw_pct"))
+      val k = expr("CAST(substring(exposure_reference, 5) AS BIGINT)")
+      val slot = DomainPipeline.ledger(s, dir)
+        .filter(col("approach") === "IRB" && col("exposure_class") === "corporate")
+        .withColumn("k", k)
+        .withColumn("slotting_category",
+          when(col("is_defaulted"), "default")
+            .when(col("k") % 4 === 0, "strong")
+            .when(col("k") % 4 === 1, "good")
+            .when(col("k") % 4 === 2, "satisfactory")
+            .otherwise("weak"))
+        .withColumn("res_maturity", lit(1.0) + (col("k") % 5).cast("double"))
+        .withColumn("slot_rw",
+          Slotting.riskWeight(col("slotting_category"), col("res_maturity")))
+        .withColumn("el_rate",
+          Slotting.elRate(col("slotting_category"), col("res_maturity")))
+      val rolled = slot
+        .withColumn("is_short", col("res_maturity") < 2.5)
+        .rollup(col("is_short"), col("slotting_category"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          dsum(col("drawn_base"), 2).as("gross_on_bs"),
+          dsum(col("undrawn_base"), 2).as("gross_off_bs"),
+          dsum(col("ead_pre_crm"), 2).as("exposure_value"),
+          dsum(q2(col("ead_pre_crm") * col("slot_rw")), 2).as("rwea"),
+          dsum(q2(col("ead_pre_crm") * col("el_rate")), 2).as("expected_loss"))
+        .filter(col("is_short").isNotNull)
+        .withColumn("cat_key", coalesce(col("slotting_category"), lit("TOTAL")))
+      axis
+        .join(rolled,
+          axis("slotting_category") === rolled("cat_key") &&
+            rolled("is_short") === (axis("maturity_band") === "lt_2_5"),
+          "left")
+        .select(
+          axis("row_ref"), axis("slotting_category"), axis("maturity_band"),
+          axis("fixed_rw_pct"),
+          coalesce(col("n_exposures"), lit(0L)).as("n_exposures"),
+          coalesce(col("gross_on_bs"), lit(0.0)).as("gross_on_bs"),
+          coalesce(col("gross_off_bs"), lit(0.0)).as("gross_off_bs"),
+          col("exposure_value"), col("rwea"), col("expected_loss"))
+        .orderBy(col("row_ref"))
+    },
+    Some {
+      val slotValues = graft.engine.Slotting.table1
+        .zip(graft.engine.Slotting.elTable).map {
+          case ((cat, rwS, rwL), (_, elS, elL)) =>
+            s"('$cat', ${d(rwS)}, ${d(rwL)}, ${d(elS)}, ${d(elL)})"
+        }.mkString(", ")
+      val axisValues = cr10Axis.map { case (ref, cat, band, rwOpt) =>
+        val rw = rwOpt.fold("CAST(NULL AS DOUBLE)")(v => d(v))
+        s"($ref, '$cat', '$band', $rw)"
+      }.mkString(", ")
+      s"""
+      WITH ${Domain.domainLedgerCtes},
+      slot_rules(cat, rw_short, rw_long, el_short, el_long) AS
+        (VALUES $slotValues),
+      axis(row_ref, slotting_category, maturity_band, fixed_rw_pct) AS
+        (VALUES $axisValues),
+      slot AS (
+        SELECT *, CAST(substr(exposure_reference, 5) AS BIGINT) AS k
+        FROM final
+        WHERE approach = 'IRB' AND exposure_class = 'corporate'),
+      cats AS (
+        SELECT *,
+               CASE WHEN is_defaulted THEN 'default'
+                    WHEN k % 4 = 0 THEN 'strong'
+                    WHEN k % 4 = 1 THEN 'good'
+                    WHEN k % 4 = 2 THEN 'satisfactory'
+                    ELSE 'weak' END AS slotting_category,
+               1.0 + (k % 5) AS res_maturity
+        FROM slot),
+      rated AS (
+        SELECT c.*, c.res_maturity < 2.5 AS is_short,
+               CASE WHEN c.res_maturity < 2.5 THEN r.rw_short ELSE r.rw_long END
+                 AS slot_rw,
+               CASE WHEN c.res_maturity < 2.5 THEN r.el_short ELSE r.el_long END
+                 AS el_rate
+        FROM cats c JOIN slot_rules r ON c.slotting_category = r.cat),
+      rolled AS (
+        SELECT is_short, slotting_category,
+               count(*) AS n_exposures,
+               ${sqlDsum("drawn_base", 2)} AS gross_on_bs,
+               ${sqlDsum("undrawn_base", 2)} AS gross_off_bs,
+               ${sqlDsum("ead_pre_crm", 2)} AS exposure_value,
+               ${sqlDsum(sql2("ead_pre_crm * slot_rw"), 2)} AS rwea,
+               ${sqlDsum(sql2("ead_pre_crm * el_rate"), 2)} AS expected_loss
+        FROM rated
+        GROUP BY ROLLUP(is_short, slotting_category))
+      SELECT ax.row_ref, ax.slotting_category, ax.maturity_band,
+             ax.fixed_rw_pct,
+             coalesce(r.n_exposures, 0) AS n_exposures,
+             coalesce(r.gross_on_bs, 0.0) AS gross_on_bs,
+             coalesce(r.gross_off_bs, 0.0) AS gross_off_bs,
+             r.exposure_value, r.rwea, r.expected_loss
+      FROM axis ax
+      LEFT JOIN (SELECT * FROM rolled WHERE is_short IS NOT NULL) r
+        ON coalesce(r.slotting_category, 'TOTAL') = ax.slotting_category
+       AND r.is_short = (ax.maturity_band = 'lt_2_5')
+      ORDER BY ax.row_ref
+      """.stripMargin.trim
+    })
+
   val all: Seq[QueryDef] = Seq(
-    q120Pillar3Cr6, q122Cr8Flow, q123Cr7CrmEffects, q130Ov1Overview)
+    q120Pillar3Cr6, q122Cr8Flow, q123Cr7CrmEffects, q130Ov1Overview,
+    q131Cr10Slotting)
 }
