@@ -665,7 +665,245 @@ object Pillar3 {
       """.stripMargin.trim
     })
 
+  // ---- CMS1 / CMS2 — modelled vs standardised comparison (B3.1) ------
+
+  /** The modelled-leg IRB kernel derivation shared by q132/q133 — the
+    * real `IrbKernel` B3.1 F-IRB branch (no 1.06 scaling, 40% senior
+    * unsecured LGD, corporate correlation curve for both IRB-permitted
+    * classes, FIRB defaulted → RW 0 with capital via EL) over
+    * key-derived PD in [0.03, 0.12] — the q92 discipline that keeps the
+    * oracle's Acklam CENTRAL-branch `norm_ppf` replica valid. */
+  private def withModelledRwa(led: org.apache.spark.sql.DataFrame) = {
+    import graft.engine.IrbKernel
+    val k = expr("CAST(substring(exposure_reference, 5) AS BIGINT)")
+    val pdM = lit(0.03) + (k % 10).cast("double") * lit(0.01)
+    val matM = lit(1.0) + (k % 5).cast("double")
+    val corrM = IrbKernel.correlationCorporate(pdM)
+    val rwM = when(col("is_defaulted"), 0.0).otherwise(
+      lit(0.40) * (IrbKernel.conditionalPd(pdM, corrM) - pdM) * lit(12.5) *
+        IrbKernel.maturityAdjustment(pdM, matM))
+    led
+      .withColumn("is_modelled", col("approach") === "IRB")
+      .withColumn("rwa_modelled_leg",
+        when(col("approach") === "IRB", q2(rwM * col("ead_pre_crm")))
+          .otherwise(0.0))
+  }
+
+  /** The DuckDB twin of [[withModelledRwa]]: CTE fragments appended after
+    * the ledger's `final` — `cms` derives the kernel inputs, `cmsr` the
+    * modelled RWA leg. */
+  private val modelledCtesSql: String = {
+    val g999 = graft.functions.NormalMath.normPpf(0.999)
+    val af = s"((1.0 - exp(-50.0 * pd_m)) / ${1.0 - math.exp(-50.0)})"
+    s"""cms AS (
+        SELECT *,
+               0.03 + (CAST(substr(exposure_reference, 5) AS BIGINT) % 10) * 0.01
+                 AS pd_m,
+               1.0 + (CAST(substr(exposure_reference, 5) AS BIGINT) % 5)
+                 AS mat_m
+        FROM final),
+      cmsc AS (
+        SELECT *, 0.12 * $af + 0.24 * (1.0 - $af) AS corr_m
+        FROM cms),
+      cmsr AS (
+        SELECT *,
+          CASE WHEN approach = 'IRB' THEN
+            ${sql2(
+              s"(CASE WHEN is_defaulted THEN 0.0 ELSE " +
+              s"0.40 * ((${Rwa.sqlNormCdf(
+                s"((${Rwa.sqlNormPpfCentral("pd_m")}) + sqrt(corr_m) * ($g999)) / sqrt(1.0 - corr_m)")})" +
+              s" - pd_m) * 12.5 * " +
+              s"((1.0 + (mat_m - 2.5) * pow(0.11852 - 0.05478 * ln(pd_m), 2.0))" +
+              s" / (1.0 - 1.5 * pow(0.11852 - 0.05478 * ln(pd_m), 2.0))) END) * ead_pre_crm")}
+          ELSE 0.0 END AS rwa_modelled_leg
+        FROM cmsc)"""
+  }
+
+  /** q132: Pillar-3 CMS1 — modelled vs standardised RWEA by risk type
+    * (reference `reporting/pillar3/cms1.py`; PS1/26 Art. 455(1)(a),
+    * Basel 3.1 only). Semantics carried over exactly:
+    *
+    *  - The columns PARTITION each row (the reference's recorded
+    *    2026-07-14 fix): col a is the modelled (IRB) population's actual
+    *    RWEA, col b the COMPLEMENT — everything not modelled — never an
+    *    SA allow-list; col c = a + b; col d re-computes the WHOLE row
+    *    population under the standardised approach (the output-floor
+    *    S-TREA basis — the ledger's own_rw_b31 weights for every row).
+    *  - Row 10 is non-CCR credit risk, row 20 the CCR charge (bound,
+    *    zero-filled — all-standardised in this book), rows 30-70 the
+    *    FIXED all-null out-of-scope set ("null is not the same claim as
+    *    0.0" — the reference's recorded decision), row 80 the total.
+    *
+    * The modelled leg is the REAL `IrbKernel` B3.1 branch — this sheet
+    * is the one place the disclosure ties the kernel's modelled RWEA and
+    * the ledger's standardised weights side by side. COMPOSITION like
+    * OV1: the CCR row embeds q56/q105's own oracle SQL, so the sheet is
+    * provably consistent with the queries it summarises. Scale shape:
+    * ONE conditional aggregation over the persisted ledger; CCR
+    * components aggregate to 1-row frames before broadcast cross-joins;
+    * the total sums horizontally — no data-sized shuffle beyond the
+    * components' own.
+    */
+  val q132Cms1 = QueryDef(
+    "q132_cms1",
+    (s, dir) => {
+      val credit = withModelledRwa(DomainPipeline.ledger(s, dir)).agg(
+        dsum(col("rwa_modelled_leg"), 2).as("a_credit"),
+        dsum(when(!col("is_modelled"), col("rwa_b31")).otherwise(0.0), 2)
+          .as("b_credit"),
+        dsum(col("rwa_b31"), 2).as("d_credit"))
+      val ccr = Ccr.q56SaCcrAddon.build(s, dir)
+        .agg(dsum(q2(col("ns_addon") * 1.4), 2).as("ccr_saccr"))
+      val dfund = Ccr.q105DefaultFund.build(s, dir)
+        .agg(dsum(col("total_rwea"), 2).as("ccr_dfund"))
+      def h2(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+        cols.map(_.cast(DecimalType(38, 2))).reduce(_ + _).cast("double")
+      val wide = credit
+        .crossJoin(broadcast(ccr)).crossJoin(broadcast(dfund))
+        .withColumn("b_ccr", h2(Seq(col("ccr_saccr"), col("ccr_dfund"))))
+        .withColumn("a_tot", col("a_credit"))
+        .withColumn("b_tot", h2(Seq(col("b_credit"), col("b_ccr"))))
+        .withColumn("d_tot", h2(Seq(col("d_credit"), col("b_ccr"))))
+      wide.selectExpr(
+        """stack(8,
+             10, 'credit_risk',      a_credit,             b_credit,
+                 d_credit,
+             20, 'ccr',              CAST(0.0 AS DOUBLE),  b_ccr,
+                 b_ccr,
+             30, 'cva',              CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                 CAST(NULL AS DOUBLE),
+             40, 'securitisation',   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                 CAST(NULL AS DOUBLE),
+             50, 'market_risk',      CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                 CAST(NULL AS DOUBLE),
+             60, 'operational_risk', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                 CAST(NULL AS DOUBLE),
+             70, 'residual',         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                 CAST(NULL AS DOUBLE),
+             80, 'total',            a_tot,                b_tot,
+                 d_tot)
+           AS (row_ref, risk_type, rwea_modelled, rwea_standardised,
+               sa_equivalent)""")
+        .withColumn("rwea_total",
+          when(col("rwea_modelled").isNotNull,
+            h2(Seq(col("rwea_modelled"), col("rwea_standardised")))))
+        .select(
+          col("row_ref"), col("risk_type"), col("rwea_modelled"),
+          col("rwea_standardised"), col("rwea_total"), col("sa_equivalent"))
+        .orderBy(col("row_ref"))
+    },
+    Some {
+      val h2sql = (cols: Seq[String]) =>
+        "CAST(" + cols.map(c => s"CAST($c AS DECIMAL(38,2))").mkString(" + ") +
+          " AS DOUBLE)"
+      s"""
+      WITH ${Domain.domainLedgerCtes},
+      $modelledCtesSql,
+      credit AS (
+        SELECT
+          ${sqlDsum("rwa_modelled_leg", 2)} AS a_credit,
+          ${sqlDsum("CASE WHEN approach <> 'IRB' THEN rwa_b31 ELSE 0.0 END", 2)}
+            AS b_credit,
+          ${sqlDsum("rwa_b31", 2)} AS d_credit
+        FROM cmsr),
+      ccrq AS (
+        SELECT ${sqlDsum(sql2("ns_addon * 1.4"), 2)} AS ccr_saccr
+        FROM (${Ccr.q56SaCcrAddon.oracle.get}) t),
+      dfund AS (
+        SELECT ${sqlDsum("total_rwea", 2)} AS ccr_dfund
+        FROM (${Ccr.q105DefaultFund.oracle.get}) t),
+      wide AS MATERIALIZED (
+        SELECT *,
+          ${h2sql(Seq("ccr_saccr", "ccr_dfund"))} AS b_ccr
+        FROM credit, ccrq, dfund),
+      wide2 AS (
+        SELECT *,
+          a_credit AS a_tot,
+          ${h2sql(Seq("b_credit", "b_ccr"))} AS b_tot,
+          ${h2sql(Seq("d_credit", "b_ccr"))} AS d_tot
+        FROM wide),
+      sheet AS (
+        SELECT 10 AS row_ref, 'credit_risk' AS risk_type,
+               a_credit AS rwea_modelled, b_credit AS rwea_standardised,
+               d_credit AS sa_equivalent FROM wide2
+        UNION ALL SELECT 20, 'ccr', 0.0, b_ccr, b_ccr FROM wide2
+        UNION ALL SELECT 30, 'cva', NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE
+        UNION ALL SELECT 40, 'securitisation', NULL::DOUBLE, NULL::DOUBLE,
+               NULL::DOUBLE
+        UNION ALL SELECT 50, 'market_risk', NULL::DOUBLE, NULL::DOUBLE,
+               NULL::DOUBLE
+        UNION ALL SELECT 60, 'operational_risk', NULL::DOUBLE, NULL::DOUBLE,
+               NULL::DOUBLE
+        UNION ALL SELECT 70, 'residual', NULL::DOUBLE, NULL::DOUBLE,
+               NULL::DOUBLE
+        UNION ALL SELECT 80, 'total', a_tot, b_tot, d_tot FROM wide2)
+      SELECT row_ref, risk_type, rwea_modelled, rwea_standardised,
+             CASE WHEN rwea_modelled IS NOT NULL
+                  THEN ${h2sql(Seq("rwea_modelled", "rwea_standardised"))} END
+               AS rwea_total,
+             sa_equivalent
+      FROM sheet
+      ORDER BY row_ref
+      """.stripMargin.trim
+    })
+
+  /** q133: Pillar-3 CMS2 — modelled vs standardised RWEA by asset class
+    * (reference `reporting/pillar3/cms2.py`; Basel 3.1 only). Rows key
+    * the ORIGINATION class (the CR6-A obligor discipline — substitution
+    * moves no row); col a is the class's modelled (IRB kernel) RWEA, col
+    * b the SA recomputation of exactly that modelled population, col c
+    * the row's TOTAL actual RWEA across all approaches (the reference's
+    * recorded fix: modelled actual + standardised actual, never an
+    * SA-only term), col d the full-SA recomputation of the whole class —
+    * the per-class output-floor base. One ROLLUP shuffle emits the class
+    * rows and the Total together from the single persisted-ledger pass.
+    */
+  val q133Cms2 = QueryDef(
+    "q133_cms2",
+    (s, dir) => {
+      val led = withModelledRwa(DomainPipeline.ledger(s, dir))
+      def h2(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+        cols.map(_.cast(DecimalType(38, 2))).reduce(_ + _).cast("double")
+      led.rollup(col("exposure_class"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          dsum(col("rwa_modelled_leg"), 2).as("rwea_modelled"),
+          dsum(when(col("is_modelled"), col("rwa_b31")).otherwise(0.0), 2)
+            .as("sa_equiv_modelled"),
+          dsum(when(!col("is_modelled"), col("rwa_b31")).otherwise(0.0), 2)
+            .as("sa_actual"),
+          dsum(col("rwa_b31"), 2).as("sa_equiv_total"))
+        .select(
+          coalesce(col("exposure_class"), lit("TOTAL")).as("exposure_class"),
+          col("n_exposures"), col("rwea_modelled"), col("sa_equiv_modelled"),
+          h2(Seq(col("rwea_modelled"), col("sa_actual"))).as("rwea_total"),
+          col("sa_equiv_total"))
+        .orderBy(col("exposure_class"))
+    },
+    Some(s"""
+      WITH ${Domain.domainLedgerCtes},
+      $modelledCtesSql,
+      rolled AS (
+        SELECT exposure_class,
+               count(*) AS n_exposures,
+               ${sqlDsum("rwa_modelled_leg", 2)} AS rwea_modelled,
+               ${sqlDsum("CASE WHEN approach = 'IRB' THEN rwa_b31 ELSE 0.0 END", 2)}
+                 AS sa_equiv_modelled,
+               ${sqlDsum("CASE WHEN approach <> 'IRB' THEN rwa_b31 ELSE 0.0 END", 2)}
+                 AS sa_actual,
+               ${sqlDsum("rwa_b31", 2)} AS sa_equiv_total
+        FROM cmsr
+        GROUP BY ROLLUP(exposure_class))
+      SELECT coalesce(exposure_class, 'TOTAL') AS exposure_class,
+             n_exposures, rwea_modelled, sa_equiv_modelled,
+             CAST(CAST(rwea_modelled AS DECIMAL(38,2)) +
+                  CAST(sa_actual AS DECIMAL(38,2)) AS DOUBLE) AS rwea_total,
+             sa_equiv_total
+      FROM rolled
+      ORDER BY exposure_class
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q120Pillar3Cr6, q122Cr8Flow, q123Cr7CrmEffects, q130Ov1Overview,
-    q131Cr10Slotting)
+    q131Cr10Slotting, q132Cms1, q133Cms2)
 }
