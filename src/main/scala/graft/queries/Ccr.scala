@@ -859,8 +859,241 @@ object Ccr {
       ORDER BY channel, coalesce(offending_type, '')
     """.stripMargin.trim))
 
+  // ---- CCR1 / CCR3 / CCR8 — the Pillar-3 CCR disclosure family --------
+
+  /** Institution risk-weight when-chain on a cqs column, compiled from
+    * the domain rw table (the counterparty of a derivative netting set is
+    * institution-sector by construction of this book). */
+  private def instRwChain(cqs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.engine.DomainPipeline.rwTable.filter(_._1 == "institution")
+      .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (None, (_, q, w)) => Some(when(cqs === q, w))
+        case (Some(acc), (_, q, w)) => Some(acc.when(cqs === q, w))
+      }.get.otherwise(1.0)
+
+  private val instRwChainSql: String =
+    graft.engine.DomainPipeline.rwTable.filter(_._1 == "institution")
+      .map { case (_, q, w) => s"WHEN cp_cqs = $q THEN CAST($w AS DOUBLE)" }
+      .mkString("CASE ", " ", " ELSE 1.0 END")
+
+  /** The enriched SA-CCR netting-set frame shared by the CCR1/CCR3/CCR8
+    * sheets (reference `reporting/pillar3/ccr.py`): q56's netting-set
+    * add-ons become EAD via the Art. 274(2) alpha (1.4), and each set
+    * resolves its counterparty discriminators — CCP-faced vs bilateral,
+    * QCCP flag (QCCP trade exposure takes the Art. 306(1) 2% weight),
+    * bilateral sets the institution (class, cqs) weight — plus the CCR1
+    * `default_risk` complement flag ~(ccp & qccp) per Art. 107(2)(a).
+    * 50 sets at any SF: every sheet over this frame is
+    * broadcast-joinable and shuffle-free beyond q56's own aggregations.
+    */
+  private def ccrNettingSets(s: SparkSession, dir: String): DataFrame =
+    q56SaCcrAddon.build(s, dir)
+      .withColumn("ead_ccr", q2(col("ns_addon") * 1.4))
+      .withColumn("cp_entity_type",
+        when(col("netting_set") % 7 === 0, "ccp").otherwise("bilateral"))
+      .withColumn("is_qccp", col("netting_set") % 14 === 0)
+      .withColumn("cp_cqs", (lit(1) + col("netting_set") % 4).cast("int"))
+      .withColumn("risk_weight",
+        when(col("cp_entity_type") === "ccp" && col("is_qccp"), 0.02)
+          .otherwise(instRwChain(col("cp_cqs"))))
+      .withColumn("rwa_ccr", q2(col("ead_ccr") * col("risk_weight")))
+      .withColumn("default_risk",
+        !(col("cp_entity_type") === "ccp" && col("is_qccp")))
+
+  /** The DuckDB twin of [[ccrNettingSets]] as a CTE over q56's oracle. */
+  private def ccrNettingSetsSql: String = s"""ccrns AS (
+        SELECT t.*,
+               ${sql2("ns_addon * 1.4")} AS ead_ccr,
+               CASE WHEN netting_set % 7 = 0 THEN 'ccp' ELSE 'bilateral' END
+                 AS cp_entity_type,
+               netting_set % 14 = 0 AS is_qccp,
+               CAST(1 + netting_set % 4 AS INT) AS cp_cqs
+        FROM (${q56SaCcrAddon.oracle.get}) t),
+      ccrw AS (
+        SELECT *,
+               CASE WHEN cp_entity_type = 'ccp' AND is_qccp THEN 0.02
+                    ELSE $instRwChainSql END AS risk_weight,
+               NOT (cp_entity_type = 'ccp' AND is_qccp) AS default_risk
+        FROM ccrns),
+      ccrx AS (
+        SELECT *, ${sql2("ead_ccr * risk_weight")} AS rwa_ccr
+        FROM ccrw)"""
+
+  /** q134: Pillar-3 CCR1 — analysis of CCR exposure by approach
+    * (reference `reporting/pillar3/ccr.py` CCR1; CRR Art. 439(f)). The
+    * SA-CCR row and the Total carry the portfolio SA-CCR EAD (col a) and
+    * the non-QCCP-trade default-risk RWEA (col b — QCCP trade legs are
+    * excluded per Art. 107(2)(a), the reference's `ccr1_default_risk`
+    * complement, never an allow-list); the IMM and original-exposure
+    * rows are the reference's structural placeholders (all-null — this
+    * engine computes neither). FCCM SFTs are EXCLUDED (`include_sft=
+    * False`): an SFT is Art. 220-223 FCCM, not the Art. 274 SA-CCR this
+    * template analyses — it reports on C 07.00 row 0090 (q94's
+    * machinery), the reference's recorded scope decision.
+    */
+  val q134Ccr1 = QueryDef(
+    "q134_ccr1",
+    (s, dir) => {
+      val agg = ccrNettingSets(s, dir).agg(
+        dsum(col("ead_ccr"), 2).as("ead_saccr"),
+        dsum(when(col("default_risk"), col("rwa_ccr")).otherwise(0.0), 2)
+          .as("rwea_dr"))
+      agg.selectExpr(
+        """stack(4,
+             1,  'sa_ccr',                   ead_saccr,            rwea_dr,
+             2,  'imm',                      CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             3,  'original_exposure_method', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             11, 'total',                    ead_saccr,            rwea_dr)
+           AS (row_ref, approach_label, ead_post_crm, rwea)""")
+        .orderBy(col("row_ref"))
+    },
+    Some(s"""
+      WITH $ccrNettingSetsSql,
+      agg AS MATERIALIZED (
+        SELECT ${sqlDsum("ead_ccr", 2)} AS ead_saccr,
+               ${sqlDsum("CASE WHEN default_risk THEN rwa_ccr ELSE 0.0 END", 2)}
+                 AS rwea_dr
+        FROM ccrx)
+      SELECT * FROM (
+        SELECT 1 AS row_ref, 'sa_ccr' AS approach_label,
+               ead_saccr AS ead_post_crm, rwea_dr AS rwea FROM agg
+        UNION ALL SELECT 2, 'imm', NULL::DOUBLE, NULL::DOUBLE
+        UNION ALL SELECT 3, 'original_exposure_method', NULL::DOUBLE,
+               NULL::DOUBLE
+        UNION ALL SELECT 11, 'total', ead_saccr, rwea_dr FROM agg)
+      ORDER BY row_ref
+    """.stripMargin.trim))
+
+  /** The CCR3 risk-weight band axis: the weights reachable in this book
+    * (the QCCP 2% plus the institution scale) in template order, the
+    * unreachable-but-official Other sink, and the Total. */
+  private[queries] val ccr3Bands: Seq[(Int, String, Option[Double])] = Seq(
+    (1, "rw_2pct", Some(0.02)), (2, "rw_20pct", Some(0.2)),
+    (3, "rw_30pct", Some(0.3)), (4, "rw_50pct", Some(0.5)),
+    (5, "rw_100pct", Some(1.0)), (6, "rw_150pct", Some(1.5)),
+    (7, "other", None), (11, "total", None))
+
+  /** q135: Pillar-3 CCR3 — SA-CCR exposures by regulatory risk-weight
+    * band (reference `reporting/pillar3/ccr.py` CCR3; CRR Art. 444(e)).
+    * Band assignment is first-match on the applied risk weight (the
+    * bands do not overlap, so first-match equals the per-band filter —
+    * the reference's `ccr3_band` derived-column note); unmatched rows
+    * fall to the official Other sink (unreachable in this book — kept,
+    * and its row renders null like any empty band); the Total re-derives
+    * the portfolio EAD. Empty bands are null cells per the Pillar-3
+    * empty policy (the broadcast axis left-join).
+    */
+  val q135Ccr3 = QueryDef(
+    "q135_ccr3",
+    (s, dir) => {
+      import s.implicits._
+      val axis = broadcast(ccr3Bands.map { case (r, l, _) => (r, l) }
+        .toDF("row_ref", "rw_band"))
+      val bandRef = ccr3Bands.collect { case (r, _, Some(w)) => (r, w) }
+        .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+          case (None, (r, w)) => Some(when(col("risk_weight") === w, r))
+          case (Some(acc), (r, w)) => Some(acc.when(col("risk_weight") === w, r))
+        }.get.otherwise(7)
+      val rolled = ccrNettingSets(s, dir)
+        .withColumn("band_ref", bandRef)
+        .rollup(col("band_ref"))
+        .agg(
+          count(lit(1)).as("n_sets"),
+          dsum(col("ead_ccr"), 2).as("ead_post_crm"))
+        .withColumn("row_key", coalesce(col("band_ref"), lit(11)))
+      axis.join(rolled, axis("row_ref") === rolled("row_key"), "left")
+        .select(
+          axis("row_ref"), axis("rw_band"),
+          col("n_sets"), col("ead_post_crm"))
+        .orderBy(col("row_ref"))
+    },
+    Some {
+      val bandCase = ccr3Bands.collect { case (r, _, Some(w)) => (r, w) }
+        .map { case (r, w) => s"WHEN risk_weight = CAST($w AS DOUBLE) THEN $r" }
+        .mkString("CASE ", " ", " ELSE 7 END")
+      val axisValues = ccr3Bands.map { case (r, l, _) => s"($r, '$l')" }
+        .mkString(", ")
+      s"""
+      WITH $ccrNettingSetsSql,
+      axis(row_ref, rw_band) AS (VALUES $axisValues),
+      banded AS (
+        SELECT *, $bandCase AS band_ref
+        FROM ccrx),
+      rolled AS (
+        SELECT band_ref,
+               count(*) AS n_sets,
+               ${sqlDsum("ead_ccr", 2)} AS ead_post_crm
+        FROM banded
+        GROUP BY ROLLUP(band_ref))
+      SELECT ax.row_ref, ax.rw_band, r.n_sets, r.ead_post_crm
+      FROM axis ax
+      LEFT JOIN (SELECT coalesce(band_ref, 11) AS row_key, n_sets,
+                        ead_post_crm
+                 FROM rolled) r
+        ON r.row_key = ax.row_ref
+      ORDER BY ax.row_ref
+      """.stripMargin.trim
+    })
+
+  /** q136: Pillar-3 CCR8 — exposures to central counterparties
+    * (reference `reporting/pillar3/ccr.py` CCR8; CRR Art. 439(i)). The
+    * population is RESTRICTED to CCP-faced netting sets and split by the
+    * QCCP flag — never the whole non-QCCP-trade complement, which would
+    * sweep in every bilateral counterparty (the reference's R5 CCP
+    * restriction); the Total is the whole CCP population. Col a carries
+    * the RWEA (QCCP legs at the Art. 306(1) 2%), col b the EAD.
+    */
+  val q136Ccr8 = QueryDef(
+    "q136_ccr8",
+    (s, dir) => {
+      val agg = ccrNettingSets(s, dir)
+        .filter(col("cp_entity_type") === "ccp")
+        .agg(
+          dsum(when(col("is_qccp"), col("rwa_ccr")).otherwise(0.0), 2)
+            .as("rwea_qccp"),
+          dsum(when(col("is_qccp"), col("ead_ccr")).otherwise(0.0), 2)
+            .as("ead_qccp"),
+          dsum(when(!col("is_qccp"), col("rwa_ccr")).otherwise(0.0), 2)
+            .as("rwea_nqccp"),
+          dsum(when(!col("is_qccp"), col("ead_ccr")).otherwise(0.0), 2)
+            .as("ead_nqccp"),
+          dsum(col("rwa_ccr"), 2).as("rwea_all"),
+          dsum(col("ead_ccr"), 2).as("ead_all"))
+      agg.selectExpr(
+        """stack(3,
+             1,  'qccp',      rwea_qccp,  ead_qccp,
+             2,  'non_qccp',  rwea_nqccp, ead_nqccp,
+             21, 'total_ccp', rwea_all,   ead_all)
+           AS (row_ref, ccp_kind, rwea, ead_post_crm)""")
+        .orderBy(col("row_ref"))
+    },
+    Some(s"""
+      WITH $ccrNettingSetsSql,
+      agg AS MATERIALIZED (
+        SELECT
+          ${sqlDsum("CASE WHEN is_qccp THEN rwa_ccr ELSE 0.0 END", 2)}
+            AS rwea_qccp,
+          ${sqlDsum("CASE WHEN is_qccp THEN ead_ccr ELSE 0.0 END", 2)}
+            AS ead_qccp,
+          ${sqlDsum("CASE WHEN NOT is_qccp THEN rwa_ccr ELSE 0.0 END", 2)}
+            AS rwea_nqccp,
+          ${sqlDsum("CASE WHEN NOT is_qccp THEN ead_ccr ELSE 0.0 END", 2)}
+            AS ead_nqccp,
+          ${sqlDsum("rwa_ccr", 2)} AS rwea_all,
+          ${sqlDsum("ead_ccr", 2)} AS ead_all
+        FROM ccrx
+        WHERE cp_entity_type = 'ccp')
+      SELECT * FROM (
+        SELECT 1 AS row_ref, 'qccp' AS ccp_kind, rwea_qccp AS rwea,
+               ead_qccp AS ead_post_crm FROM agg
+        UNION ALL SELECT 2, 'non_qccp', rwea_nqccp, ead_nqccp FROM agg
+        UNION ALL SELECT 21, 'total_ccp', rwea_all, ead_all FROM agg)
+      ORDER BY row_ref
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q56SaCcrAddon, q57Slotting, q58CrmCascade, q59GuaranteeSubstitution,
     q96BaCva, q97FailedTrades, q104SftHaircutLegs, q105DefaultFund,
-    q108TranchedGuarantee, q110LinkAllocation, q112OfcpRouting)
+    q108TranchedGuarantee, q110LinkAllocation, q112OfcpRouting,
+    q134Ccr1, q135Ccr3, q136Ccr8)
 }
