@@ -903,7 +903,209 @@ object Pillar3 {
       ORDER BY exposure_class
     """.stripMargin.trim))
 
+  /** The fixed origination-class axis shared by the scope sheets (every
+    * class the domain classifier can emit, plus the Total). */
+  private val originClasses: Seq[String] =
+    Seq("corporate", "institution", "retail", "sme_corporate", "sovereign")
+
+  /** q137: Pillar-3 CR6-A — scope of the use of IRB and SA approaches
+    * (reference `reporting/pillar3/cr6a.py`; CRR Art. 452(b), and the
+    * C 08.07 COREP twin `corep/c08_07.py`). Rows key the ORIGINATION
+    * class — deliberately NOT the applied Art. 112 basis: Art. 452(b)
+    * discloses the extent of IRB use across the obligor population, and
+    * the applied basis would silently drop defaulted-SA EAD out of every
+    * class row while the Total kept it (the reference's recorded keying
+    * decision). Col a = EAD on the IRB-family approaches, col b = EAD
+    * across all approaches; the SA share is EXACTLY b − a (the approach
+    * subsets partition the row); the roll-out-plan percentage is the
+    * recorded constant 0.0 — roll-out plans are not pipeline data. Empty
+    * class rows report a/b = 0.0 with null percentages. One conditional
+    * ROLLUP pass over the persisted ledger; the 6-row axis is a
+    * broadcast left-join.
+    */
+  val q137Cr6aScope = QueryDef(
+    "q137_cr6a_scope",
+    (s, dir) => {
+      import s.implicits._
+      val axis = broadcast(
+        (originClasses.zipWithIndex.map { case (c, i) => (i + 1, c) } :+
+          ((originClasses.size + 1, "TOTAL")))
+          .toDF("row_ref", "exposure_class"))
+      val rolled = DomainPipeline.ledger(s, dir)
+        .rollup(col("exposure_class"))
+        .agg(
+          dsum(when(col("approach") === "IRB", col("ead_pre_crm"))
+            .otherwise(0.0), 2).as("ead_irb"),
+          dsum(col("ead_pre_crm"), 2).as("ead_total"))
+        .withColumn("cls_key", coalesce(col("exposure_class"), lit("TOTAL")))
+        .drop("exposure_class")
+      axis.join(rolled, axis("exposure_class") === rolled("cls_key"), "left")
+        .select(
+          axis("row_ref"), axis("exposure_class"),
+          coalesce(col("ead_irb"), lit(0.0)).as("ead_irb"),
+          coalesce(col("ead_total"), lit(0.0)).as("ead_total"),
+          when(col("ead_total") > 0,
+            q6(col("ead_irb") / col("ead_total") * 100)).as("pct_irb"),
+          when(col("ead_total") > 0,
+            q6((col("ead_total") - col("ead_irb")) / col("ead_total") * 100))
+            .as("pct_sa"),
+          when(col("ead_total") > 0, lit(0.0)).as("pct_rollout"))
+        .orderBy(col("row_ref"))
+    },
+    Some {
+      val axisValues = (originClasses.zipWithIndex
+        .map { case (c, i) => s"(${i + 1}, '$c')" } :+
+        s"(${originClasses.size + 1}, 'TOTAL')").mkString(", ")
+      s"""
+      WITH ${Domain.domainLedgerCtes},
+      axis(row_ref, exposure_class) AS (VALUES $axisValues),
+      rolled AS (
+        SELECT coalesce(exposure_class, 'TOTAL') AS cls_key,
+               ${sqlDsum(
+                 "CASE WHEN approach = 'IRB' THEN ead_pre_crm ELSE 0.0 END", 2)}
+                 AS ead_irb,
+               ${sqlDsum("ead_pre_crm", 2)} AS ead_total
+        FROM final
+        GROUP BY ROLLUP(exposure_class))
+      SELECT ax.row_ref, ax.exposure_class,
+             coalesce(r.ead_irb, 0.0) AS ead_irb,
+             coalesce(r.ead_total, 0.0) AS ead_total,
+             CASE WHEN r.ead_total > 0
+                  THEN ${sql6("r.ead_irb / r.ead_total * 100")} END AS pct_irb,
+             CASE WHEN r.ead_total > 0
+                  THEN ${sql6("(r.ead_total - r.ead_irb) / r.ead_total * 100")}
+                  END AS pct_sa,
+             CASE WHEN r.ead_total > 0 THEN 0.0 END AS pct_rollout
+      FROM axis ax LEFT JOIN rolled r ON r.cls_key = ax.exposure_class
+      ORDER BY ax.row_ref
+      """.stripMargin.trim
+    })
+
+  /** q138: COREP OF 02.01 — the output-floor comparison sheet (reference
+    * `reporting/corep/of02.py`; Basel 3.1 only). Semantics carried over
+    * exactly:
+    *
+    *  - **The columns PARTITION the book** (the reference's recorded
+    *    2026-07-14 fix): col 0010 is the modelled-only portfolios'
+    *    PRE-floor own-approach RWA (the IRB kernel leg), col 0020 the
+    *    COMPLEMENT's actual standardised RWA — never an SA allow-list
+    *    and never the S-TREA leg — and col 0030 = 0010 + 0020
+    *    reconstitutes the portfolio BECAUSE they partition it.
+    *  - Col 0040 is the S-TREA basis (the full-SA recomputation of the
+    *    whole book), the floor is the fully-phased 72.5%, the floored
+    *    TREA = max(0030, 72.5%·0040) and the add-on its excess over the
+    *    unfloored total — the q52 identity over the REAL domain ledger.
+    *
+    * One conditional aggregation over the persisted ledger; the floor
+    * arithmetic is horizontal on the single-row aggregate.
+    */
+  val q138Of0201 = QueryDef(
+    "q138_of0201",
+    (s, dir) => {
+      val agg = withModelledRwa(DomainPipeline.ledger(s, dir)).agg(
+        dsum(col("rwa_modelled_leg"), 2).as("rwa_modelled_only"),
+        dsum(when(!col("is_modelled"), col("rwa_b31")).otherwise(0.0), 2)
+          .as("rwa_standardised_only"),
+        dsum(col("rwa_b31"), 2).as("s_trea"))
+      def h2(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+        cols.map(_.cast(DecimalType(38, 2))).reduce(_ + _).cast("double")
+      agg
+        .withColumn("rwa_total",
+          h2(Seq(col("rwa_modelled_only"), col("rwa_standardised_only"))))
+        .withColumn("floor_pct", lit(0.725))
+        .withColumn("floored_trea",
+          greatest(col("rwa_total"), q2(col("s_trea") * lit(0.725))))
+        .withColumn("floor_addon",
+          q2(greatest(lit(0.0), q2(col("s_trea") * lit(0.725)) - col("rwa_total"))))
+        .withColumn("floor_binds", col("rwa_total") < q2(col("s_trea") * lit(0.725)))
+        .select(
+          col("rwa_modelled_only"), col("rwa_standardised_only"),
+          col("rwa_total"), col("s_trea"), col("floor_pct"),
+          col("floored_trea"), col("floor_addon"), col("floor_binds"))
+    },
+    Some(s"""
+      WITH ${Domain.domainLedgerCtes},
+      $modelledCtesSql,
+      agg AS (
+        SELECT
+          ${sqlDsum("rwa_modelled_leg", 2)} AS rwa_modelled_only,
+          ${sqlDsum("CASE WHEN approach <> 'IRB' THEN rwa_b31 ELSE 0.0 END", 2)}
+            AS rwa_standardised_only,
+          ${sqlDsum("rwa_b31", 2)} AS s_trea
+        FROM cmsr),
+      wide AS (
+        SELECT *,
+          CAST(CAST(rwa_modelled_only AS DECIMAL(38,2)) +
+               CAST(rwa_standardised_only AS DECIMAL(38,2)) AS DOUBLE)
+            AS rwa_total
+        FROM agg)
+      SELECT rwa_modelled_only, rwa_standardised_only, rwa_total, s_trea,
+             0.725 AS floor_pct,
+             greatest(rwa_total, ${sql2("s_trea * 0.725")}) AS floored_trea,
+             ${sql2(s"greatest(0.0, ${sql2("s_trea * 0.725")} - rwa_total)")}
+               AS floor_addon,
+             rwa_total < ${sql2("s_trea * 0.725")} AS floor_binds
+      FROM wide
+    """.stripMargin.trim))
+
+  /** q139: Pillar-3 CR7-A — extent of the use of CRM techniques on the
+    * IRB book (reference `reporting/pillar3/cr7a.py`; CRR Art. 453(g)).
+    * Per exposure class: total EAD, the unsecured remainder, the part
+    * secured by ANY CRM, then the covered amount split by protection
+    * kind — financial collateral, real-estate, other physical, and
+    * unfunded guarantees — off the ledger's own waterfall decomposition
+    * (`coll_covered`'s typed sub-carriers + `guar_covered`; the covered
+    * splits re-sum to the secured total by the waterfall's conservation
+    * law). One ROLLUP pass over the persisted IRB slice.
+    */
+  val q139Cr7aCrmExtent = QueryDef(
+    "q139_cr7a_crm_extent",
+    (s, dir) => {
+      DomainPipeline.ledger(s, dir)
+        .filter(col("approach") === "IRB")
+        .rollup(col("exposure_class"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          dsum(col("ead_pre_crm"), 2).as("ead_total"),
+          dsum(col("unsecured"), 2).as("ead_unsecured"),
+          dsum(q2(col("coll_covered") + col("guar_covered")), 2)
+            .as("ead_secured"),
+          dsum(col("collateral_financial_value"), 2).as("secured_financial"),
+          dsum(col("collateral_re_value"), 2).as("secured_real_estate"),
+          dsum(col("collateral_other_value"), 2).as("secured_other_physical"),
+          dsum(col("guar_covered"), 2).as("secured_guarantees"))
+        .select(
+          coalesce(col("exposure_class"), lit("TOTAL")).as("exposure_class"),
+          col("n_exposures"), col("ead_total"), col("ead_unsecured"),
+          col("ead_secured"), col("secured_financial"),
+          col("secured_real_estate"), col("secured_other_physical"),
+          col("secured_guarantees"))
+        .orderBy(col("exposure_class"))
+    },
+    Some(s"""
+      WITH ${Domain.domainLedgerCtes},
+      rolled AS (
+        SELECT exposure_class,
+               count(*) AS n_exposures,
+               ${sqlDsum("ead_pre_crm", 2)} AS ead_total,
+               ${sqlDsum("unsecured", 2)} AS ead_unsecured,
+               ${sqlDsum(sql2("coll_covered + guar_covered"), 2)} AS ead_secured,
+               ${sqlDsum("collateral_financial_value", 2)} AS secured_financial,
+               ${sqlDsum("collateral_re_value", 2)} AS secured_real_estate,
+               ${sqlDsum("collateral_other_value", 2)} AS secured_other_physical,
+               ${sqlDsum("guar_covered", 2)} AS secured_guarantees
+        FROM final WHERE approach = 'IRB'
+        GROUP BY ROLLUP(exposure_class))
+      SELECT coalesce(exposure_class, 'TOTAL') AS exposure_class,
+             n_exposures, ead_total, ead_unsecured, ead_secured,
+             secured_financial, secured_real_estate, secured_other_physical,
+             secured_guarantees
+      FROM rolled
+      ORDER BY exposure_class
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q120Pillar3Cr6, q122Cr8Flow, q123Cr7CrmEffects, q130Ov1Overview,
-    q131Cr10Slotting, q132Cms1, q133Cms2)
+    q131Cr10Slotting, q132Cms1, q133Cms2, q137Cr6aScope, q138Of0201,
+    q139Cr7aCrmExtent)
 }
