@@ -86,6 +86,106 @@ class Pillar3Spec extends SparkSpec {
       v.filter(_.getString(7) != "pass").map(_.getString(1)).mkString(", "))
   }
 
+  test("CR10: maturity totals pool their category rows; fixed weights match Table 1") {
+    val rows = Pillar3.q131Cr10Slotting.build(spark, sfDir).collect()
+    assert(rows.length == 12)
+    def v(r: org.apache.spark.sql.Row, i: Int): Double =
+      Option(r.get(i)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+    for (band <- Seq("lt_2_5", "ge_2_5")) {
+      val cats = rows.filter(r =>
+        r.getString(2) == band && r.getString(1) != "TOTAL")
+      val tot = rows.find(r =>
+        r.getString(2) == band && r.getString(1) == "TOTAL").get
+      for ((col, label) <- Seq(7 -> "exposure_value", 8 -> "rwea", 9 -> "el")) {
+        val sum = cats.map(v(_, col)).sum
+        assert(math.abs(v(tot, col) - sum) < 0.05, s"$band $label: $sum")
+      }
+    }
+    // the fixed col-c weight is the Art. 153(5) Table 1 value ×100
+    val expect = graft.engine.Slotting.table1.flatMap {
+      case (cat, s, l) => Seq((cat, "lt_2_5") -> s * 100, (cat, "ge_2_5") -> l * 100)
+    }.toMap
+    rows.filter(_.getString(1) != "TOTAL").foreach { r =>
+      assert(math.abs(r.getDouble(3) -
+        expect((r.getString(1), r.getString(2)))) < 0.5)
+    }
+  }
+
+  test("CMS1/CMS2: column partition identity and cross-sheet total tie-out") {
+    val cms1 = Pillar3.q132Cms1.build(spark, sfDir).collect()
+      .map(r => r.getString(1) -> r).toMap
+    def d(r: org.apache.spark.sql.Row, i: Int): Double =
+      Option(r.get(i)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+    // c = a + b on every bound row
+    for (rt <- Seq("credit_risk", "ccr", "total")) {
+      val r = cms1(rt)
+      assert(math.abs(d(r, 4) - (d(r, 2) + d(r, 3))) < 0.01, s"$rt c != a+b")
+    }
+    // out-of-scope rows stay all-null (null is not the same claim as 0.0)
+    for (rt <- Seq("cva", "securitisation", "market_risk", "operational_risk",
+      "residual"))
+      assert((2 to 5).forall(cms1(rt).isNullAt), s"$rt must be all-null")
+    // CMS2's class rows pool to CMS1's credit row on every shared column
+    val cms2 = Pillar3.q133Cms2.build(spark, sfDir).collect()
+    val cms2Tot = cms2.find(_.getString(0) == "TOTAL").get
+    val credit = cms1("credit_risk")
+    assert(math.abs(d(cms2Tot, 2) - d(credit, 2)) < 0.01, "modelled tie-out")
+    assert(math.abs(d(cms2Tot, 5) - d(credit, 5)) < 0.01, "sa-equiv tie-out")
+    val classSum = cms2.filter(_.getString(0) != "TOTAL").map(d(_, 4)).sum
+    assert(math.abs(d(cms2Tot, 4) - classSum) < 0.05, "CMS2 total != classes")
+  }
+
+  test("CCR1/CCR3/CCR8: the three sheets agree on the netting-set book") {
+    def d(r: org.apache.spark.sql.Row, i: Int): Double =
+      Option(r.get(i)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+    val ccr1 = Ccr.q134Ccr1.build(spark, sfDir).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert((2 to 3).forall(i => ccr1("imm").isNullAt(2)), "IMM placeholder null")
+    assert(d(ccr1("total"), 2) == d(ccr1("sa_ccr"), 2))
+    // CCR3 bands partition the SA-CCR EAD: band sum = total = CCR1 col a
+    val ccr3 = Ccr.q135Ccr3.build(spark, sfDir).collect()
+    val bandSum = ccr3.filter(r => r.getInt(0) != 11).map(d(_, 3)).sum
+    val ccr3Tot = ccr3.find(_.getInt(0) == 11).get
+    assert(math.abs(d(ccr3Tot, 3) - bandSum) < 0.05, "CCR3 bands != total")
+    assert(math.abs(d(ccr3Tot, 3) - d(ccr1("sa_ccr"), 2)) < 0.01,
+      "CCR3 total != CCR1 EAD")
+    // CCR8: qccp + non_qccp = total_ccp, and the CCP RWEA complement is
+    // exactly what CCR1's default-risk column excluded
+    val ccr8 = Ccr.q136Ccr8.build(spark, sfDir).collect()
+      .map(r => r.getString(1) -> r).toMap
+    for (i <- Seq(2, 3))
+      assert(math.abs(d(ccr8("total_ccp"), i) -
+        (d(ccr8("qccp"), i) + d(ccr8("non_qccp"), i))) < 0.01)
+  }
+
+  test("OF 02.01 / CR6-A / CR7-A: floor, scope and conservation identities") {
+    val of = Pillar3.q138Of0201.build(spark, sfDir).collect().head
+    assert(math.abs(of.getDouble(2) -
+      (of.getDouble(0) + of.getDouble(1))) < 0.01, "0030 != 0010 + 0020")
+    val floorBasis = math.floor(of.getDouble(3) * 0.725 * 100 + 0.5) / 100
+    assert(of.getDouble(5) == math.max(of.getDouble(2), floorBasis))
+    assert(of.getBoolean(7) == (of.getDouble(2) < floorBasis))
+    val cr6a = Pillar3.q137Cr6aScope.build(spark, sfDir).collect()
+    cr6a.filter(r => r.getDouble(3) > 0).foreach { r =>
+      assert(math.abs(r.getDouble(4) + r.getDouble(5) - 100.0) < 1e-4,
+        s"${r.getString(1)}: pct_irb + pct_sa != 100")
+    }
+    val tot = cr6a.find(_.getString(1) == "TOTAL").get
+    val classSum = cr6a.filter(_.getString(1) != "TOTAL").map(_.getDouble(3)).sum
+    assert(math.abs(tot.getDouble(3) - classSum) < 0.05)
+    val cr7a = Pillar3.q139Cr7aCrmExtent.build(spark, sfDir).collect()
+    cr7a.foreach { r =>
+      // waterfall conservation: secured + unsecured = EAD, and the typed
+      // splits re-sum to the secured total
+      assert(math.abs(r.getDouble(3) + r.getDouble(4) - r.getDouble(2)) < 0.02,
+        s"${r.getString(0)}: secured+unsecured != EAD")
+      assert(math.abs(
+        r.getDouble(5) + r.getDouble(6) + r.getDouble(7) + r.getDouble(8) -
+          r.getDouble(4)) < 0.02,
+        s"${r.getString(0)}: typed splits != secured")
+    }
+  }
+
   test("ledger memo: concurrent same-key consumers share ONE build") {
     import java.util.concurrent.{CountDownLatch, Executors}
     DomainPipeline.releaseLedger(spark, sfDir)
