@@ -365,5 +365,304 @@ object Corep08 {
     """.stripMargin.trim
     })
 
-  val all: Seq[QueryDef] = Seq(q121CorepC08, q128CorepC0802)
+  // ---- C 02.00 — own funds requirements, the master roll-up ----------
+  //      (reference `reporting/corep/c02.py`;
+  //       `templates.py` CRR_C02_00_ROW_SECTIONS / C02_00_SA_CLASS_MAP)
+
+  /** The C 02.00 row grid in this rulebook's vocabulary:
+    * (row_ref, item, wide-column name or a literal CAST). The reference's
+    * recorded row disciplines carried over exactly:
+    *
+    *  - rows 0010/0050 are FLAT sums — Art. 92 is untouched by the
+    *    substitution keying (`c02.py:242-246`);
+    *  - row 0060 admits the SA-CCR business next to ledger-SA (`c02.py`
+    *    `_SA_APPROACHES`, recorded fix 2026-07-12: Annex II defines the
+    *    SA child against C 07.00, which reports CCR rows);
+    *  - the SA class rows 0070-0211 route through the many-to-one
+    *    ACCUMULATING class map (`templates.py` C02_00_SA_CLASS_MAP:
+    *    corporate AND sme_corporate both land on 0130) on the
+    *    POST-SUBSTITUTION basis — the guaranteed leg discloses on the
+    *    guarantor's row 0120, tying the rows to C 07.00 / C 08.01
+    *    (q94/q121) rather than the origination class;
+    *  - rows in the credit-risk set with no population in this
+    *    vocabulary ZERO-fill; the other-risk-type rows this engine does
+    *    not compute (market, operational, fixed overheads,
+    *    securitisation) NULL-fill — zero is a computed claim, null is
+    *    "out of scope" (`c02.py` C02_00_CREDIT_RISK_ROWS note);
+    *  - the whole IRB book of this rulebook is FOUNDATION (supervisory
+    *    LGD), so row 0240 mirrors 0220 and the A-IRB block zero-fills —
+    *    the reference's `_irb_*_split` fallback discipline ("with no
+    *    sub-row data the whole total lands in one bucket").
+    */
+  private val c02Rows: Seq[(String, String, String)] = {
+    val zero = "CAST(0.0 AS DOUBLE)"
+    val nul = "CAST(NULL AS DOUBLE)"
+    Seq(
+      ("0010", "total_risk_exposure_amount", "tot"),
+      ("0040", "total_own_funds_requirements", "ofr"),
+      ("0050", "credit_ccr_dilution_risk", "cr0050"),
+      ("0060", "of_which_standardised", "sa0060"),
+      ("0070", "sa_central_govts_central_banks", "sa_sov"),
+      ("0080", "sa_rgla", zero),
+      ("0090", "sa_pse", zero),
+      ("0100", "sa_mdb", zero),
+      ("0110", "sa_international_org", zero),
+      ("0120", "sa_institutions", "sa_inst"),
+      ("0130", "sa_corporates", "sa_corp"),
+      ("0140", "sa_retail", "sa_ret"),
+      ("0150", "sa_secured_immovable_property", zero),
+      ("0160", "sa_in_default", zero),
+      ("0170", "sa_higher_risk", zero),
+      ("0180", "sa_covered_bonds", zero),
+      ("0190", "sa_short_term_assessment", zero),
+      ("0200", "sa_ciu", zero),
+      ("0210", "sa_equity", zero),
+      ("0211", "sa_other_items", zero),
+      ("0220", "of_which_irb", "irb_flat"),
+      ("0240", "of_which_foundation_irb", "irb_flat"),
+      ("0250", "firb_institutions", "irb_inst"),
+      ("0260", "firb_corporates", "irb_corp"),
+      ("0300", "of_which_advanced_irb", zero),
+      ("0310", "airb_central_govts", zero),
+      ("0330", "airb_institutions", zero),
+      ("0340", "airb_corporates", zero),
+      ("0370", "airb_retail", zero),
+      ("0380", "airb_retail_immovable_property", zero),
+      ("0390", "airb_retail_qrre", zero),
+      ("0400", "airb_retail_other_sme", zero),
+      ("0410", "supervisory_slotting", zero),
+      ("0420", "equity_irb", zero),
+      ("0430", "settlement_risk", "settle_rwea"),
+      ("0440", "securitisation_banking_book", nul),
+      ("0460", "market_risk", nul),
+      ("0590", "cva", "cva_rwea"),
+      ("0640", "operational_risk", nul),
+      ("0680", "fixed_overheads", nul))
+  }
+
+  /** q140: COREP C 02.00 — own funds requirements, the master capital
+    * roll-up (reference `reporting/corep/c02.py`, the recorded "Kind-9"
+    * pre-pass template; CRR Art. 92). One row per Annex II row ref with
+    * the RWEA under BOTH frameworks (`rwea_crr` off `rwa`, `rwea_b31`
+    * off `rwa_b31` — the CCR/CVA/settlement books carry no regime delta,
+    * the q130 OV1 rule).
+    *
+    * CLASS-ROW BASIS: the per-class values are the SME-factored
+    * substitution legs — collateral at the flat weight and the
+    * unsecured remainder stay on the obligor's class, the guaranteed
+    * leg moves to the guarantor's institution row (0120 SA / 0250 IRB),
+    * each leg scaled by the row's `sf_factor` so the class rows re-sum
+    * to the flat approach totals within leg-rounding cents. Composition,
+    * not duplication: the non-ledger components are the existing battery
+    * queries (q56/q105/q96/q97) reduced to scalars, so row 0010 ties to
+    * q130 OV1's Total row by construction, and 0010 = 0050 + 0430 + 0590
+    * exactly (Pillar3Spec pins both).
+    *
+    * Scale shape: ONE conditional aggregation over the persisted ledger
+    * produces every ledger measure; each component aggregates to a 1-row
+    * frame before its broadcast cross-join; totals are horizontal
+    * decimal sums on the single wide row; the 40-row grid stacks out of
+    * that row with zero further shuffles.
+    */
+  val q140CorepC02 = QueryDef(
+    "q140_corep_c02",
+    (s, dir) => {
+      val led = DomainPipeline.ledger(s, dir)
+        .withColumn("og_leg", q2(
+          (q2(col("coll_covered") * lit(collRw)) +
+            q2(col("unsecured") * col("own_rw"))) * col("sf_factor")))
+        .withColumn("og_leg_b31", q2(
+          (q2(col("coll_covered") * lit(collRw)) +
+            q2(col("unsecured") * col("own_rw_b31"))) * col("sf_factor")))
+        .withColumn("gi_leg", q2(
+          q2(col("guar_covered") *
+            least(col("own_rw"), coalesce(col("guarantor_rw"), col("own_rw"))))
+            * col("sf_factor")))
+        .withColumn("gi_leg_b31", q2(
+          q2(col("guar_covered") *
+            least(col("own_rw_b31"),
+              coalesce(col("guarantor_rw"), col("own_rw_b31"))))
+            * col("sf_factor")))
+      def m(app: String, clsSet: Seq[String], leg: String): Column =
+        dsum(when(col("approach") === app &&
+          col("exposure_class").isin(clsSet: _*), col(leg)).otherwise(0.0), 2)
+      def inflow(app: String, leg: String): Column =
+        dsum(when(col("approach") === app, col(leg)).otherwise(0.0), 2)
+      val agg = led.agg(
+        dsum(when(col("approach") === "SA", col("rwa")).otherwise(0.0), 2)
+          .as("sa_flat"),
+        dsum(when(col("approach") === "SA", col("rwa_b31")).otherwise(0.0), 2)
+          .as("sa_flat_b31"),
+        dsum(when(col("approach") === "IRB", col("rwa")).otherwise(0.0), 2)
+          .as("irb_flat"),
+        dsum(when(col("approach") === "IRB", col("rwa_b31")).otherwise(0.0), 2)
+          .as("irb_flat_b31"),
+        m("SA", Seq("sovereign"), "og_leg").as("sa_sov"),
+        m("SA", Seq("sovereign"), "og_leg_b31").as("sa_sov_b31"),
+        m("SA", Seq("institution"), "og_leg").as("sa_inst_og"),
+        m("SA", Seq("institution"), "og_leg_b31").as("sa_inst_og_b31"),
+        m("SA", Seq("corporate", "sme_corporate"), "og_leg").as("sa_corp"),
+        m("SA", Seq("corporate", "sme_corporate"), "og_leg_b31")
+          .as("sa_corp_b31"),
+        m("SA", Seq("retail"), "og_leg").as("sa_ret"),
+        m("SA", Seq("retail"), "og_leg_b31").as("sa_ret_b31"),
+        inflow("SA", "gi_leg").as("sa_inf"),
+        inflow("SA", "gi_leg_b31").as("sa_inf_b31"),
+        m("IRB", Seq("institution"), "og_leg").as("irb_inst_og"),
+        m("IRB", Seq("institution"), "og_leg_b31").as("irb_inst_og_b31"),
+        m("IRB", Seq("corporate", "sme_corporate"), "og_leg").as("irb_corp"),
+        m("IRB", Seq("corporate", "sme_corporate"), "og_leg_b31")
+          .as("irb_corp_b31"),
+        inflow("IRB", "gi_leg").as("irb_inf"),
+        inflow("IRB", "gi_leg_b31").as("irb_inf_b31"))
+      val ccr = Ccr.q56SaCcrAddon.build(s, dir)
+        .agg(dsum(q2(col("ns_addon") * 1.4), 2).as("ccr_rwea"))
+      val dfund = Ccr.q105DefaultFund.build(s, dir)
+        .agg(dsum(col("total_rwea"), 2).as("dfund_rwea"))
+      val cva = Ccr.q96BaCva.build(s, dir)
+        .select(col("cva_rwa").as("cva_rwea"))
+      val settle = Ccr.q97FailedTrades.build(s, dir)
+        .agg(dsum(col("total_rwa"), 4).as("settle_rwea"))
+      def h2(cols: Seq[String]): Column =
+        cols.map(c => col(c).cast(DecimalType(38, 4))).reduce(_ + _)
+          .cast("double")
+      val wide = agg
+        .crossJoin(broadcast(ccr)).crossJoin(broadcast(dfund))
+        .crossJoin(broadcast(cva)).crossJoin(broadcast(settle))
+        .withColumn("tot", h2(Seq(
+          "sa_flat", "irb_flat", "ccr_rwea", "dfund_rwea", "cva_rwea",
+          "settle_rwea")))
+        .withColumn("tot_b31", h2(Seq(
+          "sa_flat_b31", "irb_flat_b31", "ccr_rwea", "dfund_rwea",
+          "cva_rwea", "settle_rwea")))
+        .withColumn("ofr", q2(col("tot") * 0.08))
+        .withColumn("ofr_b31", q2(col("tot_b31") * 0.08))
+        .withColumn("cr0050",
+          h2(Seq("sa_flat", "irb_flat", "ccr_rwea", "dfund_rwea")))
+        .withColumn("cr0050_b31",
+          h2(Seq("sa_flat_b31", "irb_flat_b31", "ccr_rwea", "dfund_rwea")))
+        .withColumn("sa0060", h2(Seq("sa_flat", "ccr_rwea", "dfund_rwea")))
+        .withColumn("sa0060_b31",
+          h2(Seq("sa_flat_b31", "ccr_rwea", "dfund_rwea")))
+        .withColumn("sa_inst", h2(Seq("sa_inst_og", "sa_inf")))
+        .withColumn("sa_inst_b31", h2(Seq("sa_inst_og_b31", "sa_inf_b31")))
+        .withColumn("irb_inst", h2(Seq("irb_inst_og", "irb_inf")))
+        .withColumn("irb_inst_b31", h2(Seq("irb_inst_og_b31", "irb_inf_b31")))
+      val stackArgs = c02Rows.map { case (ref, item, e) =>
+        val b31 = e match {
+          case lit if lit.startsWith("CAST(") => lit
+          case "settle_rwea" | "cva_rwea" => e
+          case c => s"${c}_b31"
+        }
+        s"'$ref', '$item', $e, $b31"
+      }.mkString(",\n             ")
+      wide.selectExpr(
+        s"""stack(${c02Rows.size},
+             $stackArgs)
+           AS (row_ref, item, rwea_crr, rwea_b31)""")
+        .orderBy(col("row_ref"))
+    },
+    Some {
+      val rowSelects = c02Rows.map { case (ref, item, e) =>
+        val b31 = e match {
+          case lit if lit.startsWith("CAST(") => lit
+          case "settle_rwea" | "cva_rwea" => e
+          case c => s"${c}_b31"
+        }
+        s"SELECT '$ref' AS row_ref, '$item' AS item, $e AS rwea_crr, $b31 AS rwea_b31 FROM wide"
+      }.mkString("\n        UNION ALL ")
+      val ogLeg = sql2(s"(${sql2(s"coll_covered * ${d(collRw)}")} + " +
+        s"${sql2("unsecured * own_rw")}) * sf_factor")
+      val ogLegB31 = sql2(s"(${sql2(s"coll_covered * ${d(collRw)}")} + " +
+        s"${sql2("unsecured * own_rw_b31")}) * sf_factor")
+      val giLeg = sql2(s"${sql2(
+        "guar_covered * least(own_rw, coalesce(guarantor_rw, own_rw))")}" +
+        " * sf_factor")
+      val giLegB31 = sql2(s"${sql2(
+        "guar_covered * least(own_rw_b31, coalesce(guarantor_rw, own_rw_b31))")}" +
+        " * sf_factor")
+      def msql(app: String, clsIn: String, leg: String): String =
+        sqlDsum(s"CASE WHEN approach = '$app' AND exposure_class IN ($clsIn)" +
+          s" THEN $leg ELSE 0.0 END", 2)
+      def inflowSql(app: String, leg: String): String =
+        sqlDsum(s"CASE WHEN approach = '$app' THEN $leg ELSE 0.0 END", 2)
+      val h2 = (cols: Seq[String]) =>
+        "CAST(" + cols.map(c => s"CAST($c AS DECIMAL(38,4))").mkString(" + ") +
+          " AS DOUBLE)"
+      val corpIn = "'corporate', 'sme_corporate'"
+      s"""
+      WITH ${Domain.domainLedgerCtes},
+      legs AS (
+        SELECT *, $ogLeg AS og_leg, $ogLegB31 AS og_leg_b31,
+               $giLeg AS gi_leg, $giLegB31 AS gi_leg_b31
+        FROM final),
+      agg AS MATERIALIZED (
+        SELECT
+          ${sqlDsum("CASE WHEN approach = 'SA' THEN rwa ELSE 0.0 END", 2)}
+            AS sa_flat,
+          ${sqlDsum("CASE WHEN approach = 'SA' THEN rwa_b31 ELSE 0.0 END", 2)}
+            AS sa_flat_b31,
+          ${sqlDsum("CASE WHEN approach = 'IRB' THEN rwa ELSE 0.0 END", 2)}
+            AS irb_flat,
+          ${sqlDsum("CASE WHEN approach = 'IRB' THEN rwa_b31 ELSE 0.0 END", 2)}
+            AS irb_flat_b31,
+          ${msql("SA", "'sovereign'", "og_leg")} AS sa_sov,
+          ${msql("SA", "'sovereign'", "og_leg_b31")} AS sa_sov_b31,
+          ${msql("SA", "'institution'", "og_leg")} AS sa_inst_og,
+          ${msql("SA", "'institution'", "og_leg_b31")} AS sa_inst_og_b31,
+          ${msql("SA", corpIn, "og_leg")} AS sa_corp,
+          ${msql("SA", corpIn, "og_leg_b31")} AS sa_corp_b31,
+          ${msql("SA", "'retail'", "og_leg")} AS sa_ret,
+          ${msql("SA", "'retail'", "og_leg_b31")} AS sa_ret_b31,
+          ${inflowSql("SA", "gi_leg")} AS sa_inf,
+          ${inflowSql("SA", "gi_leg_b31")} AS sa_inf_b31,
+          ${msql("IRB", "'institution'", "og_leg")} AS irb_inst_og,
+          ${msql("IRB", "'institution'", "og_leg_b31")} AS irb_inst_og_b31,
+          ${msql("IRB", corpIn, "og_leg")} AS irb_corp,
+          ${msql("IRB", corpIn, "og_leg_b31")} AS irb_corp_b31,
+          ${inflowSql("IRB", "gi_leg")} AS irb_inf,
+          ${inflowSql("IRB", "gi_leg_b31")} AS irb_inf_b31
+        FROM legs),
+      ccr AS (
+        SELECT ${sqlDsum(sql2("ns_addon * 1.4"), 2)} AS ccr_rwea
+        FROM (${Ccr.q56SaCcrAddon.oracle.get}) t),
+      dfund AS (
+        SELECT ${sqlDsum("total_rwea", 2)} AS dfund_rwea
+        FROM (${Ccr.q105DefaultFund.oracle.get}) t),
+      cva AS (
+        SELECT cva_rwa AS cva_rwea
+        FROM (${Ccr.q96BaCva.oracle.get}) t),
+      settle AS (
+        SELECT ${sqlDsum("total_rwa", 4)} AS settle_rwea
+        FROM (${Ccr.q97FailedTrades.oracle.get}) t),
+      wide AS MATERIALIZED (
+        SELECT *,
+          ${h2(Seq("sa_flat", "irb_flat", "ccr_rwea", "dfund_rwea",
+            "cva_rwea", "settle_rwea"))} AS tot,
+          ${h2(Seq("sa_flat_b31", "irb_flat_b31", "ccr_rwea", "dfund_rwea",
+            "cva_rwea", "settle_rwea"))} AS tot_b31,
+          ${h2(Seq("sa_flat", "irb_flat", "ccr_rwea", "dfund_rwea"))}
+            AS cr0050,
+          ${h2(Seq("sa_flat_b31", "irb_flat_b31", "ccr_rwea", "dfund_rwea"))}
+            AS cr0050_b31,
+          ${h2(Seq("sa_flat", "ccr_rwea", "dfund_rwea"))} AS sa0060,
+          ${h2(Seq("sa_flat_b31", "ccr_rwea", "dfund_rwea"))} AS sa0060_b31,
+          ${h2(Seq("sa_inst_og", "sa_inf"))} AS sa_inst,
+          ${h2(Seq("sa_inst_og_b31", "sa_inf_b31"))} AS sa_inst_b31,
+          ${h2(Seq("irb_inst_og", "irb_inf"))} AS irb_inst,
+          ${h2(Seq("irb_inst_og_b31", "irb_inf_b31"))} AS irb_inst_b31
+        FROM agg, ccr, dfund, cva, settle),
+      wide2 AS (
+        SELECT *, ${sql2("tot * 0.08")} AS ofr,
+               ${sql2("tot_b31 * 0.08")} AS ofr_b31
+        FROM wide),
+      sheet AS (
+        ${rowSelects.replace("FROM wide", "FROM wide2")})
+      SELECT row_ref, item, rwea_crr, rwea_b31
+      FROM sheet
+      ORDER BY row_ref
+      """.stripMargin.trim
+    })
+
+  val all: Seq[QueryDef] = Seq(q121CorepC08, q128CorepC0802, q140CorepC02)
 }

@@ -186,6 +186,41 @@ class Pillar3Spec extends SparkSpec {
     }
   }
 
+  test("C 02.00: footing, OV1 tie and the zero-vs-null fill discipline") {
+    val c02 = Corep08.q140CorepC02.build(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def v(ref: String, i: Int): Double = c02(ref).getDouble(i)
+    for (i <- Seq(2, 3)) {
+      // Art. 92 footing: 0010 = 0050 + settlement + CVA, 0050 = 0060 + 0220
+      assert(math.abs(v("0010", i) - (v("0050", i) + v("0430", i) +
+        v("0590", i))) < 0.01, s"col $i: 0010 footing")
+      assert(math.abs(v("0050", i) - (v("0060", i) + v("0220", i))) < 0.01,
+        s"col $i: 0050 != 0060 + 0220")
+      // the F-IRB-only rulebook: 0240 mirrors 0220, A-IRB block zero
+      assert(v("0240", i) == v("0220", i))
+      assert(v("0300", i) == 0.0)
+      // class rows re-sum to the flat approach totals within leg rounding
+      val saClasses = Seq("0070", "0080", "0090", "0100", "0110", "0120",
+        "0130", "0140", "0150", "0160", "0170", "0180", "0190", "0200",
+        "0210", "0211").map(v(_, i)).sum
+      val irbClasses = Seq("0250", "0260").map(v(_, i)).sum
+      assert(math.abs(irbClasses - v("0220", i)) < 1.0,
+        s"col $i: IRB classes $irbClasses != 0220 ${v("0220", i)}")
+      assert(saClasses <= v("0060", i) + 0.01, s"col $i: SA classes overshoot")
+    }
+    // null-fill rows (out of scope) vs zero-fill rows (computed zero)
+    for (ref <- Seq("0440", "0460", "0640", "0680"); i <- Seq(2, 3))
+      assert(c02(ref).isNullAt(i), s"$ref col $i must be null")
+    assert(v("0210", 2) == 0.0)
+    // 0010 ties to the OV1 Total row — same components, same arithmetic
+    val ov1Tot = Pillar3.q130Ov1Overview.build(spark, sfDir).collect()
+      .find(_.getInt(0) == 29).get
+    assert(math.abs(v("0010", 2) - ov1Tot.getDouble(2)) < 0.01, "OV1 tie crr")
+    assert(math.abs(v("0010", 3) - ov1Tot.getDouble(3)) < 0.01, "OV1 tie b31")
+    // own-funds requirement is 8% of TREA (Art. 92(1))
+    assert(math.abs(v("0040", 2) - v("0010", 2) * 0.08) < 0.01)
+  }
+
   test("ledger memo: concurrent same-key consumers share ONE build") {
     import java.util.concurrent.{CountDownLatch, Executors}
     DomainPipeline.releaseLedger(spark, sfDir)
