@@ -1091,9 +1091,126 @@ object Ccr {
       ORDER BY row_ref
     """.stripMargin.trim))
 
+  /** q141: COREP C 34.01/02/04/08 — the CCR template family as one
+    * stacked sheet (reference `reporting/corep/c34.py`; Reg (EU)
+    * 2021/451 Annex I/II). The four in-scope sub-templates, each with
+    * the reference's recorded population decision:
+    *
+    *  - **C 34.01** (analysis by approach, one SA-CCR row): portfolio
+    *    EAD and RWEA over the SA-CCR netting-set population. FCCM SFTs
+    *    are excluded by ARCHITECTURE here — the SFT book (q104) never
+    *    enters `ccrNettingSets`, the same scope the reference enforces
+    *    with its `risk_type == "CCR_SFT"` filter (SFTs report on
+    *    C 07.00 row 0090).
+    *  - **C 34.02** (EAD per netting set): the reference renders one
+    *    sheet per netting set (its first multi-sheet template, R27b);
+    *    re-expressed relationally as one row per netting set keyed by a
+    *    zero-padded set ref — the natural DataFrame rendering of a
+    *    keyed sheet family. EAD only (the template's single column).
+    *  - **C 34.04** (BA-CVA capital): the portfolio `cva_rwa` scalar
+    *    (q96), RWEA column only.
+    *  - **C 34.08** (CCP exposures): QCCP trade legs (Art. 306(1) 2%),
+    *    non-QCCP trade legs, and the default-fund row drawing its OWN
+    *    population (q105, Art. 308/309) — a bilateral OTC counterparty
+    *    is in NEITHER trade row (the R5 CCP restriction q136 shares).
+    *
+    * Scale shape: the 50-set netting frame is persisted once and feeds
+    * the detail rows and both aggregates (three consumers — Catalyst
+    * does not CSE across union branches); every other component is a
+    * 1-row broadcast. The union is rows-of-aggregates, no data-sized
+    * shuffle beyond q56's own.
+    */
+  val q141CorepC34 = QueryDef(
+    "q141_corep_c34",
+    (s, dir) => {
+      val ns = ccrNettingSets(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nulld = "CAST(NULL AS DOUBLE)"
+      val c3401 = ns.agg(
+        dsum(col("ead_ccr"), 2).as("ead_all"),
+        dsum(col("rwa_ccr"), 2).as("rwea_all"))
+        .selectExpr("'C34_01' AS template", "'0010' AS row_ref",
+          "'sa_ccr' AS item", "ead_all AS exposure_value",
+          "rwea_all AS rwea")
+      val c3402 = ns.select(
+        lit("C34_02").as("template"),
+        lpad(col("netting_set").cast("string"), 4, "0").as("row_ref"),
+        lit("netting_set_ead").as("item"),
+        col("ead_ccr").as("exposure_value"),
+        lit(null).cast("double").as("rwea"))
+      val c3404 = q96BaCva.build(s, dir).selectExpr(
+        "'C34_04' AS template", "'0010' AS row_ref",
+        "'ba_cva_total' AS item", s"$nulld AS exposure_value",
+        "cva_rwa AS rwea")
+      val ccp = ns.filter(col("cp_entity_type") === "ccp").agg(
+        dsum(when(col("is_qccp"), col("ead_ccr")).otherwise(0.0), 2)
+          .as("ead_qccp"),
+        dsum(when(col("is_qccp"), col("rwa_ccr")).otherwise(0.0), 2)
+          .as("rwea_qccp"),
+        dsum(when(!col("is_qccp"), col("ead_ccr")).otherwise(0.0), 2)
+          .as("ead_nqccp"),
+        dsum(when(!col("is_qccp"), col("rwa_ccr")).otherwise(0.0), 2)
+          .as("rwea_nqccp"))
+      val dfund = q105DefaultFund.build(s, dir).agg(
+        dsum(col("total_df"), 2).as("ead_dfund"),
+        dsum(col("total_rwea"), 2).as("rwea_dfund"))
+      val c3408 = ccp.crossJoin(broadcast(dfund)).selectExpr(
+        """stack(3,
+             '0010', 'qccp_trade',     ead_qccp,  rwea_qccp,
+             '0020', 'non_qccp_trade', ead_nqccp, rwea_nqccp,
+             '0030', 'default_fund',   ead_dfund, rwea_dfund)
+           AS (row_ref, item, exposure_value, rwea)""")
+        .selectExpr("'C34_08' AS template", "row_ref", "item",
+          "exposure_value", "rwea")
+      c3401.unionByName(c3402).unionByName(c3404).unionByName(c3408)
+        .orderBy(col("template"), col("row_ref"))
+    },
+    Some(s"""
+      WITH $ccrNettingSetsSql,
+      ccrm AS MATERIALIZED (SELECT * FROM ccrx),
+      cva AS (
+        SELECT cva_rwa FROM (${q96BaCva.oracle.get}) t),
+      dfund AS (
+        SELECT ${sqlDsum("total_df", 2)} AS ead_dfund,
+               ${sqlDsum("total_rwea", 2)} AS rwea_dfund
+        FROM (${q105DefaultFund.oracle.get}) t),
+      ccp AS MATERIALIZED (
+        SELECT
+          ${sqlDsum("CASE WHEN is_qccp THEN ead_ccr ELSE 0.0 END", 2)}
+            AS ead_qccp,
+          ${sqlDsum("CASE WHEN is_qccp THEN rwa_ccr ELSE 0.0 END", 2)}
+            AS rwea_qccp,
+          ${sqlDsum("CASE WHEN NOT is_qccp THEN ead_ccr ELSE 0.0 END", 2)}
+            AS ead_nqccp,
+          ${sqlDsum("CASE WHEN NOT is_qccp THEN rwa_ccr ELSE 0.0 END", 2)}
+            AS rwea_nqccp
+        FROM ccrm WHERE cp_entity_type = 'ccp')
+      SELECT * FROM (
+        SELECT 'C34_01' AS template, '0010' AS row_ref, 'sa_ccr' AS item,
+               ${sqlDsum("ead_ccr", 2)} AS exposure_value,
+               ${sqlDsum("rwa_ccr", 2)} AS rwea
+        FROM ccrm
+        UNION ALL
+        SELECT 'C34_02', lpad(CAST(netting_set AS VARCHAR), 4, '0'),
+               'netting_set_ead', ead_ccr, NULL::DOUBLE
+        FROM ccrm
+        UNION ALL
+        SELECT 'C34_04', '0010', 'ba_cva_total', NULL::DOUBLE, cva_rwa
+        FROM cva
+        UNION ALL
+        SELECT 'C34_08', '0010', 'qccp_trade', ead_qccp, rwea_qccp FROM ccp
+        UNION ALL
+        SELECT 'C34_08', '0020', 'non_qccp_trade', ead_nqccp, rwea_nqccp
+        FROM ccp
+        UNION ALL
+        SELECT 'C34_08', '0030', 'default_fund', ead_dfund, rwea_dfund
+        FROM dfund)
+      ORDER BY template, row_ref
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q56SaCcrAddon, q57Slotting, q58CrmCascade, q59GuaranteeSubstitution,
     q96BaCva, q97FailedTrades, q104SftHaircutLegs, q105DefaultFund,
     q108TranchedGuarantee, q110LinkAllocation, q112OfcpRouting,
-    q134Ccr1, q135Ccr3, q136Ccr8)
+    q134Ccr1, q135Ccr3, q136Ccr8, q141CorepC34)
 }

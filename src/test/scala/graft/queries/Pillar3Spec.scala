@@ -156,6 +156,21 @@ class Pillar3Spec extends SparkSpec {
     for (i <- Seq(2, 3))
       assert(math.abs(d(ccr8("total_ccp"), i) -
         (d(ccr8("qccp"), i) + d(ccr8("non_qccp"), i))) < 0.01)
+    // C 34: the COREP rendering agrees with the Pillar-3 sheets on the
+    // same book — C 34.01 EAD = CCR1 col a, the C 34.02 netting-set rows
+    // partition it, and C 34.08's trade rows mirror CCR8's EAD column
+    val c34 = Ccr.q141CorepC34.build(spark, sfDir).collect()
+    def c34Row(t: String, ref: String) =
+      c34.find(r => r.getString(0) == t && r.getString(1) == ref).get
+    val ead3401 = d(c34Row("C34_01", "0010"), 3)
+    assert(math.abs(ead3401 - d(ccr1("sa_ccr"), 2)) < 0.01, "C34.01 != CCR1")
+    val setSum = c34.filter(_.getString(0) == "C34_02").map(d(_, 3)).sum
+    assert(math.abs(setSum - ead3401) < 0.05, "C34.02 sets != C34.01")
+    assert(math.abs(d(c34Row("C34_08", "0010"), 3) - d(ccr8("qccp"), 3)) < 0.01)
+    assert(math.abs(d(c34Row("C34_08", "0020"), 3) -
+      d(ccr8("non_qccp"), 3)) < 0.01)
+    assert(c34Row("C34_04", "0010").isNullAt(3), "C34.04 EAD must be null")
+    assert(d(c34Row("C34_04", "0010"), 4) > 0, "C34.04 CVA RWEA > 0")
   }
 
   test("OF 02.01 / CR6-A / CR7-A: floor, scope and conservation identities") {
