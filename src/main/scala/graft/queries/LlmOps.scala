@@ -395,11 +395,12 @@ object LlmOps {
         .withColumn("cum_start", col("cum_end") - col("n_tokens"))
         .withColumn("bin_start", expr(s"cum_start DIV $cap"))
         .withColumn("bin_end", expr(s"(cum_end - 1) DIV $cap"))
-      // fill_ratio with ZERO IEEE arithmetic in its derivation: round-
-      // half-up to parts-per-million in pure BIGINT (exact), then one
-      // final division by 10^6 — an exact-integer dividend over a power
-      // of ten, whose correctly-rounded IEEE quotient is bit-identical
-      // in every engine. (At a token count where 2·tokens·10^6 would
+      // fill_ratio with ZERO IEEE arithmetic anywhere: round-half-up to
+      // parts-per-million in pure BIGINT (exact), then rescale to a
+      // fixed DECIMAL(20,6) by exact decimal multiplication — decimal
+      // multiply never rounds when the target precision fits, so the
+      // row carries no double at all and no engine-dependent division
+      // scale rules. (At a token count where 2·tokens·10^6 would
       // overflow BIGINT, widen the ppm term to DECIMAL(38,0).)
       packed.groupBy(col("source"))
         .agg(
@@ -410,7 +411,9 @@ object LlmOps {
           expr(s"""(2L * sum(n_tokens) * 1000000L + ((max(cum_end) + ${cap - 1}) DIV $cap) * $cap)
                    DIV (2L * ((max(cum_end) + ${cap - 1}) DIV $cap) * $cap)""")
             .as("fill_ppm"))
-        .withColumn("fill_ratio", col("fill_ppm").cast("double") / lit(1000000.0))
+        .withColumn("fill_ratio",
+          (col("fill_ppm").cast("decimal(26,6)") *
+            lit(new java.math.BigDecimal("0.000001"))).cast("decimal(20,6)"))
         .drop("fill_ppm")
         .orderBy(col("source"))
     },
@@ -434,10 +437,11 @@ object LlmOps {
              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
              (max(cum_end) + 2047) // 2048 AS n_windows,
              count(CASE WHEN bin_end > bin_start THEN 1 END) AS n_straddlers,
-             CAST((2 * sum(n_tokens) * 1000000 +
+             CAST(CAST((2 * sum(n_tokens) * 1000000 +
                      ((max(cum_end) + 2047) // 2048) * 2048)
-                  // (2 * ((max(cum_end) + 2047) // 2048) * 2048) AS DOUBLE)
-               / 1000000.0 AS fill_ratio
+                  // (2 * ((max(cum_end) + 2047) // 2048) * 2048)
+                  AS DECIMAL(26,6)) * CAST(0.000001 AS DECIMAL(7,6))
+               AS DECIMAL(20,6)) AS fill_ratio
       FROM binned
       GROUP BY source
       ORDER BY source
@@ -1224,11 +1228,107 @@ object LlmOps {
       ORDER BY d.source
     """.stripMargin.trim))
 
+  /** The fixed retrieval query of the BM25 demo: discriminative
+    * mid-frequency terms of the corpus vocabulary. */
+  private val bm25Terms = Seq("spark", "join", "window", "hash")
+
+  /** q142: BM25 ranked retrieval over the corpus — the classic
+    * training-data relevance scorer (Robertson-Spärck Jones; k1 = 1.2,
+    * b = 0.75, the BM25+ always-positive idf
+    * `ln((N − df + 0.5)/(df + 0.5) + 1)`).
+    *
+    * Scale shape — deliberately NO token explode and NO token shuffle:
+    * per-term frequencies come from `filter(toks, x -> x = t)` array
+    * projections (codegen'd per-row work), so the corpus is read once
+    * into a NARROW persisted frame (id, source, dl, tf per term — the
+    * text column never survives the projection). Global statistics
+    * (N, Σdl, per-term df) reduce that frame to ONE broadcast row, and
+    * scoring is a second pass over the same narrow frame with a
+    * TakeOrderedAndProject top-k — at 100 TB the only full-corpus cost
+    * is the single tokenising scan; everything downstream moves
+    * O(docs × terms) numbers, never tokens. The lambda-bearing token
+    * array is materialised in its own select first (Catalyst does not
+    * CSE lambda trees).
+    *
+    * Determinism: tf/dl/df are exact integers; the score's double
+    * arithmetic is written in ONE shared term order and quantised with
+    * q6 before the rank; ties break on doc_id.
+    */
+  val q142Bm25Topk = QueryDef(
+    "q142_bm25_topk",
+    (s, dir) => {
+      val k1 = 1.2; val b = 0.75
+      val narrow = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .select(
+          Seq(col("doc_id"), col("source"),
+            size(col("toks")).cast("double").as("dl")) ++
+          bm25Terms.map(t =>
+            expr(s"size(filter(toks, x -> x = '$t'))").cast("double")
+              .as(s"tf_$t")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = narrow.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        dsum(col("dl"), 0).as("sum_dl"),
+        bm25Terms.map(t =>
+          dsum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0), 0)
+            .as(s"df_$t")): _*)
+      // Literal placement mirrors the oracle SQL's left-to-right
+      // association exactly, so the double arithmetic is op-for-op
+      // identical across engines before the q6 quantise.
+      val score = bm25Terms.map { t =>
+        val tf = col(s"tf_$t"); val df = col(s"df_$t")
+        log((col("n_docs") - df + 0.5) / (df + 0.5) + 1.0) *
+          (tf * 2.2) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") * col("n_docs") / col("sum_dl")))
+      }.reduce(_ + _)
+      narrow.crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("source"), col("dl").as("n_tokens"),
+          q6(score).as("bm25_score"))
+        .orderBy(col("bm25_score").desc, col("doc_id"))
+        .limit(15)
+    },
+    Some {
+      val tfCols = bm25Terms.map(t =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+        .mkString(",\n               ")
+      val dfCols = bm25Terms.map(t =>
+        s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+        .mkString(",\n               ")
+      val scoreSql = bm25Terms.map { t =>
+        s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * " +
+          s"(tf_$t * 2.2) / " +
+          s"(tf_$t + 1.2 * (1.0 - 0.75 + 0.75 * dl * n_docs / sum_dl))"
+      }.mkString(" + ")
+      s"""
+      WITH toksed AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      narrow AS MATERIALIZED (
+        SELECT doc_id, source, CAST(len(toks) AS DOUBLE) AS dl,
+               $tfCols
+        FROM toksed),
+      stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               ${sqlDsum("dl", 0)} AS sum_dl,
+               $dfCols
+        FROM narrow)
+      SELECT doc_id, source, dl AS n_tokens,
+             ${sql6(scoreSql)} AS bm25_score
+      FROM narrow, stats
+      ORDER BY bm25_score DESC, doc_id
+      LIMIT 15
+      """.stripMargin.trim
+    })
+
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q75DedupClusters, q76FilterFunnel, q77StableSplit, q78SequencePacking,
     q64CosineTopk, q65AnnIvf, q119PqAnn, q66LangId, q67QualityScore,
     q68TokenCount, q69Fingerprint, q70Multimodal, q71EmbeddingNearDup,
     q72VocabTopk, q73Chunking, q74EmbeddingQuantise,
-    q124Decontamination, q125RepetitionFilter, q126MixtureSampling)
+    q124Decontamination, q125RepetitionFilter, q126MixtureSampling,
+    q142Bm25Topk)
 }
