@@ -1268,12 +1268,13 @@ object LlmOps {
             expr(s"size(filter(toks, x -> x = '$t'))").cast("double")
               .as(s"tf_$t")): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val stats = narrow.agg(
-        count(lit(1)).cast("double").as("n_docs"),
-        dsum(col("dl"), 0).as("sum_dl"),
+      val statCols =
+        Seq(count(lit(1)).cast("double").as("n_docs"),
+          dsum(col("dl"), 0).as("sum_dl")) ++
         bm25Terms.map(t =>
           dsum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0), 0)
-            .as(s"df_$t")): _*)
+            .as(s"df_$t"))
+      val stats = narrow.agg(statCols.head, statCols.tail: _*)
       // Literal placement mirrors the oracle SQL's left-to-right
       // association exactly, so the double arithmetic is op-for-op
       // identical across engines before the q6 quantise.
