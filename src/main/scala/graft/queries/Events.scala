@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 import graft.sources.Tables
 import Q._
 
@@ -14,23 +15,37 @@ import Q._
   */
 object Events {
 
+  /** Epoch-milliseconds for the events `ts` column, schema-adaptive.
+    *
+    * The harness has shipped `events.parquet` with two different physical
+    * types for `ts` across fixture generations: TIMESTAMP(NANOS) — which
+    * Spark 4 reads as a nanosecond BIGINT under
+    * spark.sql.legacy.parquet.nanosAsLong — and plain `timestamp[us]`,
+    * which resolves as TIMESTAMP_NTZ (pyarrow writes isAdjustedToUTC=false).
+    * Every event query derives wall-clock ms through this one helper so the
+    * battery survives either fixture vintage. All arithmetic stays integral
+    * (ns epochs exceed 2^53; a double division would silently lose ms).
+    * The NTZ branch casts via the session timezone, which Verify/tests pin
+    * to UTC — matching DuckDB's naive-UTC `epoch_ms(ts)` oracle exactly.
+    */
+  private def tsMs(e: DataFrame): Column = e.schema("ts").dataType match {
+    case LongType            => expr("ts DIV 1000000")
+    case _: TimestampNTZType => expr("unix_micros(CAST(ts AS timestamp)) DIV 1000")
+    case _                   => expr("unix_micros(ts) DIV 1000")
+  }
+
   /** q80: tumbling-window aggregation + JSON property extraction — daily
     * buckets by epoch arithmetic (portable across engines; Spark's
     * window() struct is the production form, see EventStreamsSpec),
     * sum/count per (event_type, day).
-    *
-    * `ts` arrives as NANOSECOND BIGINTs (the harness parquet uses
-    * TIMESTAMP(NANOS), which Spark 4 only reads via
-    * spark.sql.legacy.parquet.nanosAsLong). The ns→ms conversion uses
-    * integral DIV — ns epoch values exceed 2^53, so any double division
-    * would silently lose milliseconds.
     */
   val q80TumblingWindow = QueryDef(
     "q80_tumbling_window",
     (s, dir) => {
       val e = Tables.events(s, dir)
-      e.select(col("event_type"),
-          expr("(ts DIV 1000000) DIV 86400000").as("day_bucket"),
+      e.withColumn("ts_ms", tsMs(e))
+        .select(col("event_type"),
+          expr("ts_ms DIV 86400000").as("day_bucket"),
           col("value"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("event_type"), col("day_bucket"))
@@ -62,7 +77,7 @@ object Events {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       val sessions = e
-        .withColumn("ms", expr("ts DIV 1000000"))
+        .withColumn("ms", tsMs(e))
         .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
         .withColumn("new_session",
           when(col("prev_ms").isNull ||
@@ -153,7 +168,7 @@ object Events {
     (s, dir) => {
       val e = Tables.events(s, dir)
       val base = e.select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts DIV 1000000").as("ts_ms"), col("value"))
+        tsMs(e).as("ts_ms"), col("value"))
       val clicks = base.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts_ms").as("c_ts"))
       val purchases = base.filter(col("event_type") === "purchase")
@@ -230,7 +245,7 @@ object Events {
     (s, dir) => {
       val e = Tables.events(s, dir)
       val base = e.select(col("event_id"), col("user_id"),
-        expr("ts DIV 1000000").as("ts_ms"), col("event_type"), col("value"))
+        tsMs(e).as("ts_ms"), col("event_type"), col("value"))
       val quotes = base.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts_ms"), col("event_id"),
           q2(col("value")).as("view_value"))
