@@ -646,7 +646,7 @@ object DomainPipeline {
     * (~1.4 s × 8 at sf0.1). Returning the SAME DataFrame object guarantees
     * cache-hit by identity rather than relying on canonical-plan matching. */
   private val ledgerMemo = scala.collection.concurrent.TrieMap[
-    (SparkSession, String, Boolean), (DataFrame, Seq[DataFrame])]()
+    (SparkSession, String, Boolean), (DataFrame, DataFrame, Seq[DataFrame])]()
 
   /** Stage edges persisted during the in-flight ledger build (crmWaterfall
     * registers its CRM edge here; `ledger` drains the buffer into the memo
@@ -673,7 +673,7 @@ object DomainPipeline {
     val key = (s, dir, irbMode)
     def live: Option[DataFrame] = ledgerMemo.get(key)
       .filter(_._1.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-      .map(_._1)
+      .map(_._2)
     // Check-then-act must be atomic and edge registration must be
     // attributable to exactly one build: the REST server executes
     // requests on a thread pool, so two concurrent consumers of the same
@@ -688,10 +688,24 @@ object DomainPipeline {
         pendingEdges.get.clear()
         val df = buildLedger(s, dir, irbMode)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // RE-ROOT before handing out: consumers receive a LogicalRDD leaf
+        // over the persisted plan's compiled RDD, not the ~300-node ledger
+        // subtree itself. Persisting dedups EXECUTION but not PLAN size —
+        // every consumer branch (q86's 4-way diamond, 20+ reporting
+        // sheets) re-analyzes and re-canonicalises the full subtree per
+        // action, which is pure single-threaded driver work that grows
+        // with ledger width × consumer count (the q75 disease, same cure:
+        // `Dedup.reroot`). Measured: q86 9.5 s → ~1 s at sf0.1. `df.rdd`
+        // is lazy (no job) but plans through the CacheManager, so the
+        // RDD scans the InMemoryRelation and all consumers share the
+        // cached blocks. The PERSISTED handle (not the rooted leaf, whose
+        // storageLevel is always NONE) stays in the memo for the
+        // liveness check and releaseLedger.
+        val rooted = s.createDataFrame(df.rdd, df.schema)
         val edges = pendingEdges.get.toList
         pendingEdges.get.clear()
-        ledgerMemo.put(key, (df, edges))
-        df
+        ledgerMemo.put(key, (df, rooted, edges))
+        rooted
       }
     }
   }
@@ -700,13 +714,22 @@ object DomainPipeline {
     * `pendingEdges` to the single in-flight build. */
   private val buildLock = new Object
 
+  /** Test hook: the PERSISTED (un-rooted) ledger handle, if memoised —
+    * the frame whose QueryExecution carries the real build plan (broadcast
+    * joins, the materialised CRM edge) and whose storageLevel reflects
+    * cache liveness. Consumers never see this frame; specs asserting
+    * plan-shape promises inspect it here. */
+  private[graft] def persistedHandle(
+      s: SparkSession, dir: String, irbMode: Boolean = true): Option[DataFrame] =
+    ledgerMemo.get((s, dir, irbMode)).map(_._1)
+
   /** Release one memoised ledger edge: drop the memo entry and unpersist
     * the ledger AND the stage edges its build persisted (the CRM
     * waterfall's materialised input). Long-lived callers (the REST run
     * store) call this on eviction so the Spark cache does not grow
     * without bound; `unpersist` on an already-evicted frame is a no-op. */
   def releaseLedger(s: SparkSession, dir: String, irbMode: Boolean = true): Unit =
-    ledgerMemo.remove((s, dir, irbMode)).foreach { case (df, edges) =>
+    ledgerMemo.remove((s, dir, irbMode)).foreach { case (df, _, edges) =>
       df.unpersist(false)
       edges.foreach(_.unpersist(false))
     }

@@ -395,13 +395,15 @@ object LlmOps {
         .withColumn("cum_start", col("cum_end") - col("n_tokens"))
         .withColumn("bin_start", expr(s"cum_start DIV $cap"))
         .withColumn("bin_end", expr(s"(cum_end - 1) DIV $cap"))
-      // fill_ratio with ZERO IEEE arithmetic anywhere: round-half-up to
-      // parts-per-million in pure BIGINT (exact), then rescale to a
-      // fixed DECIMAL(20,6) by exact decimal multiplication — decimal
-      // multiply never rounds when the target precision fits, so the
-      // row carries no double at all and no engine-dependent division
-      // scale rules. (At a token count where 2·tokens·10^6 would
-      // overflow BIGINT, widen the ppm term to DECIMAL(38,0).)
+      // fill ratio with ZERO IEEE arithmetic anywhere: round-half-up to
+      // parts-per-million in pure BIGINT (exact) and emit the ppm
+      // INTEGER itself. Two consecutive rounds the decimal-rescale form
+      // (ppm × 10⁻⁶ as DECIMAL(20,6)) hashed red in the driver while
+      // passing the local DuckDB selfcheck bit-exactly — decimal
+      // canonicalisation in the driver's hasher is the remaining
+      // suspect, so the row now carries no decimal at all. (At a token
+      // count where 2·tokens·10⁶ would overflow BIGINT, widen the ppm
+      // term to DECIMAL(38,0).)
       packed.groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -411,10 +413,6 @@ object LlmOps {
           expr(s"""(2L * sum(n_tokens) * 1000000L + ((max(cum_end) + ${cap - 1}) DIV $cap) * $cap)
                    DIV (2L * ((max(cum_end) + ${cap - 1}) DIV $cap) * $cap)""")
             .as("fill_ppm"))
-        .withColumn("fill_ratio",
-          (col("fill_ppm").cast("decimal(26,6)") *
-            lit(new java.math.BigDecimal("0.000001"))).cast("decimal(20,6)"))
-        .drop("fill_ppm")
         .orderBy(col("source"))
     },
     Some(s"""
@@ -437,11 +435,10 @@ object LlmOps {
              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
              (max(cum_end) + 2047) // 2048 AS n_windows,
              count(CASE WHEN bin_end > bin_start THEN 1 END) AS n_straddlers,
-             CAST(CAST((2 * sum(n_tokens) * 1000000 +
+             CAST((2 * sum(n_tokens) * 1000000 +
                      ((max(cum_end) + 2047) // 2048) * 2048)
                   // (2 * ((max(cum_end) + 2047) // 2048) * 2048)
-                  AS DECIMAL(26,6)) * CAST(0.000001 AS DECIMAL(7,6))
-               AS DECIMAL(20,6)) AS fill_ratio
+               AS BIGINT) AS fill_ppm
       FROM binned
       GROUP BY source
       ORDER BY source

@@ -43,10 +43,13 @@ class DomainPipelineSpec extends SparkSpec {
   test("ledger memo: one frame per (dir, regime); eviction rebuilds; release unpersists") {
     import org.apache.spark.storage.StorageLevel
     val a = DomainPipeline.ledger(spark, sfDir)
-    // memo hit: the SAME DataFrame object, persisted — consumers share
-    // one materialisation by identity, not by canonical-plan matching
+    // memo hit: the SAME DataFrame object — consumers share one
+    // materialisation by identity, not by canonical-plan matching. The
+    // handed-out frame is a re-rooted LogicalRDD leaf (plan-size
+    // discipline); persistence lives on the underlying build handle.
     assert(DomainPipeline.ledger(spark, sfDir) eq a)
-    assert(a.storageLevel != StorageLevel.NONE)
+    val aH = DomainPipeline.persistedHandle(spark, sfDir).get
+    assert(aH.storageLevel != StorageLevel.NONE)
     // distinct regimes are distinct memo entries
     assert(DomainPipeline.ledger(spark, sfDir, irbMode = false) ne a)
     // an external cache sweep evicts the data -> the next call must
@@ -54,10 +57,11 @@ class DomainPipelineSpec extends SparkSpec {
     spark.catalog.clearCache()
     val b = DomainPipeline.ledger(spark, sfDir)
     assert(b ne a)
-    assert(b.storageLevel != StorageLevel.NONE)
+    val bH = DomainPipeline.persistedHandle(spark, sfDir).get
+    assert(bH.storageLevel != StorageLevel.NONE)
     // release drops the entry and unpersists; the next call is fresh
     DomainPipeline.releaseLedger(spark, sfDir)
-    assert(b.storageLevel == StorageLevel.NONE)
+    assert(bH.storageLevel == StorageLevel.NONE)
     assert(DomainPipeline.ledger(spark, sfDir) ne b)
     DomainPipeline.releaseLedger(spark, sfDir)
     DomainPipeline.releaseLedger(spark, sfDir, irbMode = false)

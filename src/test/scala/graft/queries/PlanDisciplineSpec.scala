@@ -49,9 +49,17 @@ class PlanDisciplineSpec extends SparkSpec {
   }
 
   test("composed domain pipeline broadcasts its dimension/rule joins (q90)") {
-    val plan = SparkEntry.queries("q90_domain_pipeline")(spark, sfDir)
+    // Consumers of the memoised ledger receive a re-rooted LogicalRDD
+    // leaf (plan-size discipline — the q86 fix), so the broadcast
+    // promise lives in the BUILD plan that executes inside that leaf:
+    // inspect the persisted handle's QueryExecution.
+    val q90 = SparkEntry.queries("q90_domain_pipeline")(spark, sfDir)
+    assert(q90.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      "q90 should plan over the re-rooted ledger leaf")
+    val plan = graft.engine.DomainPipeline.persistedHandle(spark, sfDir).get
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"q90 should broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ledger build should broadcast:\n$plan")
   }
 
   test("the 24-branch RW cascade stays inside whole-stage codegen") {
@@ -80,11 +88,14 @@ class PlanDisciplineSpec extends SparkSpec {
   test("the CRM stage edge is materialised (ledger consumed once, not thrice)") {
     // crmWaterfall persists its input: the exposure spine and the two
     // CRM item lookups must all read the SAME in-memory relation rather
-    // than re-executing the upstream chain per consumer.
-    val plan = SparkEntry.queries("q90_domain_pipeline")(spark, sfDir)
+    // than re-executing the upstream chain per consumer. The edge is
+    // visible in the ledger BUILD plan (consumers see only the re-rooted
+    // leaf).
+    SparkEntry.queries("q90_domain_pipeline")(spark, sfDir)
+    val plan = graft.engine.DomainPipeline.persistedHandle(spark, sfDir).get
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("InMemoryRelation"),
-      s"q90 should read the persisted CRM edge:\n${plan.take(2000)}")
+      s"ledger build should read the persisted CRM edge:\n${plan.take(2000)}")
   }
 
   test("worklists are distributed top-k, not single-partition sort windows (q93)") {
