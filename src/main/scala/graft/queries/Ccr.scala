@@ -1091,6 +1091,41 @@ object Ccr {
       ORDER BY row_ref
     """.stripMargin.trim))
 
+  /** q143: Pillar-3 CCR2 — the CVA capital charge sheet (reference
+    * `reporting/pillar3/ccr.py` generate_ccr2 / _ccr2_spec; CRR Art.
+    * 439(h), PRA PS1/26 CVA Part 4.2). Completes the Pillar-3 CCR
+    * family (q134/q135/q136): the BA-CVA row (ref row `4`) and the
+    * Total (`6`) both read the portfolio `cva_rwa` roll-up — in the
+    * reference a broadcast per-row constant read back as FirstNonNull
+    * (the OV1 row-26 idiom); here the q96 single-row aggregate IS that
+    * constant, so the sheet is a 3-row reshape over it with zero extra
+    * shuffles. The SA-CVA row (`5`) is the structural placeholder left
+    * null — this engine computes the reduced BA-CVA only, exactly like
+    * the reference (no explicit framework gate: a CRR run simply
+    * produces no `cva_rwa`).
+    */
+  val q143Ccr2 = QueryDef(
+    "q143_ccr2",
+    (s, dir) => {
+      q96BaCva.build(s, dir)
+        .selectExpr(
+          """stack(3,
+               4, 'ba_cva', cva_rwa,
+               5, 'sa_cva', CAST(NULL AS DOUBLE),
+               6, 'total',  cva_rwa)
+             AS (row_ref, approach_label, rwea)""")
+        .orderBy(col("row_ref"))
+    },
+    Some(s"""
+      WITH cva AS MATERIALIZED (${q96BaCva.oracle.get})
+      SELECT * FROM (
+        SELECT 4 AS row_ref, 'ba_cva' AS approach_label, cva_rwa AS rwea
+        FROM cva
+        UNION ALL SELECT 5, 'sa_cva', NULL::DOUBLE
+        UNION ALL SELECT 6, 'total', cva_rwa FROM cva)
+      ORDER BY row_ref
+    """.stripMargin.trim))
+
   /** q141: COREP C 34.01/02/04/08 — the CCR template family as one
     * stacked sheet (reference `reporting/corep/c34.py`; Reg (EU)
     * 2021/451 Annex I/II). The four in-scope sub-templates, each with
@@ -1212,5 +1247,5 @@ object Ccr {
     q56SaCcrAddon, q57Slotting, q58CrmCascade, q59GuaranteeSubstitution,
     q96BaCva, q97FailedTrades, q104SftHaircutLegs, q105DefaultFund,
     q108TranchedGuarantee, q110LinkAllocation, q112OfcpRouting,
-    q134Ccr1, q135Ccr3, q136Ccr8, q141CorepC34)
+    q134Ccr1, q135Ccr3, q136Ccr8, q141CorepC34, q143Ccr2)
 }

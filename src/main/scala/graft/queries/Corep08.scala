@@ -365,6 +365,181 @@ object Corep08 {
     """.stripMargin.trim
     })
 
+  /** The four PARENT rows of the C 08.03 PD masterscale in the cr6Bands
+    * numbering (1/7/10/13 = EBA refs 0010/0070/0100/0130): the published
+    * scale is HIERARCHICAL, not a partition — each parent repeats its
+    * span as the finer sub-breakdown on the rows below it, so a parent
+    * row overlaps its children and equals their sum (reference
+    * `reporting/corep/pd_scale.py:1-25`, `templates.py`
+    * C08_03_PD_PARENT_REFS; EBA v09753-v09756). */
+  private[queries] val c0803ParentRefs = Set(1, 7, 10, 13)
+
+  /** q144: COREP C 08.03 — the IRB book over the fixed regulatory PD
+    * masterscale (reference `reporting/corep/pd_scale.py` banded_rows +
+    * `c08.py` _c08_03_cells; Reg (EU) 2021/451 Annex I C 08.03, PRA
+    * PS1/26 Annex II §3.3.5). Where q128 breaks each class down the 13
+    * LEAF bands, this sheet renders the full published 17-row
+    * hierarchical axis portfolio-wide: an exposure sits in exactly one
+    * leaf band but ALSO rolls into its enclosing parent band, so no
+    * single label column keys every row — the reference derives a leaf
+    * and a parent label per exposure (`PD_LEAF_COL`/`PD_PARENT_COL`) and
+    * keys each row on one of the two. Here the same two when-chain
+    * assignments feed an explode into (leaf, parent?) row memberships —
+    * ≤2 rows per exposure — so ONE groupBy shuffle aggregates every row
+    * of the hierarchy, and the distinct-obligor cell (Annex II col 0060)
+    * stays exact on parent rows where child counts cannot be summed.
+    * Rows allocate on the PRE-input-floor... in this rulebook's
+    * vocabulary the CRR-floored allocation PD (q128's discipline:
+    * half-open [lo, hi), defaulted rows forced to the 100% band); cols
+    * follow the reference surface: per-side gross carriers (on-BS drawn
+    * / off-BS undrawn), the off-BS-gross-weighted CCF, EAD, EAD-weighted
+    * PD/LGD/maturity, distinct obligors, RWEA + density, EL. Rows stay
+    * SPARSE (only populated bands emit; a populated leaf always
+    * populates its parent). The parent = Σ(children) cross-cell rule
+    * (v09753-v09756) is pinned in Corep08Spec — the explode aggregates
+    * parents INDEPENDENTLY of their leaves, so the tie-out is a real
+    * check, not true by construction.
+    */
+  val q144CorepC0803 = QueryDef(
+    "q144_corep_c0803",
+    (s, dir) => {
+      import s.implicits._
+      val axis = Pillar3.cr6Bands.filter(_._1 != 18)
+      val leaves = axis.filter(t => leafRefs(t._1))
+      val parents = axis.filter(t => c0803ParentRefs(t._1))
+      def bandChain(bands: Seq[(Int, String, Double, Double)]): Column =
+        bands.foldLeft(Option.empty[Column]) {
+          case (None, (r, _, lo, hi)) =>
+            Some(when(col("alloc_pd") >= lo && col("alloc_pd") < hi, r))
+          case (Some(acc), (r, _, lo, hi)) =>
+            Some(acc.when(col("alloc_pd") >= lo && col("alloc_pd") < hi, r))
+        }.get.otherwise(lit(null).cast("int"))
+      val k = expr("CAST(substring(exposure_reference, 5) AS BIGINT)")
+      val banded = DomainPipeline.ledger(s, dir)
+        .filter(col("approach") === "IRB")
+        .withColumn("k", k)
+        .withColumn("pd_floored",
+          greatest(lit(0.0001) + (col("k") % 997).cast("double") * lit(0.001),
+            lit(0.0003)))
+        .withColumn("lgd_floored",
+          greatest((col("k") % 60).cast("double") * lit(0.01), lit(0.05)))
+        .withColumn("alloc_pd",
+          when(col("is_defaulted"), lit(1.0)).otherwise(col("pd_floored")))
+        .withColumn("leaf_ref", bandChain(leaves))
+        .withColumn("parent_ref", bandChain(parents))
+        .withColumn("row_ref",
+          explode(filter(array(col("leaf_ref"), col("parent_ref")),
+            x => x.isNotNull)))
+      val agg = banded.groupBy(col("row_ref")).agg(
+        count(lit(1)).as("n_exposures"),
+        countDistinct(col("counterparty_reference")).as("n_obligors"),
+        dsum(col("drawn_base"), 2).as("gross_on_bs"),
+        dsum(col("undrawn_base"), 2).as("gross_off_bs"),
+        dsum(q2(col("ccf_eff") * col("undrawn_base")), 2).as("ccf_num"),
+        dsum(col("ead_pre_crm"), 2).as("ead"),
+        dsum(q2(col("pd_floored") * col("ead_pre_crm")), 2).as("pd_num"),
+        dsum(q2(col("lgd_floored") * col("ead_pre_crm")), 2).as("lgd_num"),
+        dsum(q2(col("maturity_years") * col("ead_pre_crm")), 2).as("mat_num"),
+        dsum(col("rwa"), 2).as("rwea"),
+        dsum(q2(col("pd_floored") * col("lgd_floored") * col("ead_pre_crm")), 2)
+          .as("expected_loss"))
+      val labels = broadcast(axis.map(t => (t._1, t._2, c0803ParentRefs(t._1)))
+        .toDF("row_ref", "pd_range", "is_parent"))
+      agg.join(labels, Seq("row_ref"))
+        .select(
+          col("row_ref"), col("pd_range"), col("is_parent"),
+          col("n_exposures"), col("n_obligors"),
+          col("gross_on_bs"), col("gross_off_bs"),
+          when(col("gross_off_bs") > 0,
+            q6(col("ccf_num") / col("gross_off_bs"))).as("avg_ccf"),
+          col("ead"),
+          when(col("ead") > 0, q6(col("pd_num") / col("ead") * 100))
+            .as("ead_w_pd_pct"),
+          when(col("ead") > 0, q6(col("lgd_num") / col("ead") * 100))
+            .as("ead_w_lgd_pct"),
+          when(col("ead") > 0, q6(col("mat_num") / col("ead")))
+            .as("ead_w_maturity_y"),
+          col("rwea"),
+          when(col("ead") > 0, q6(col("rwea") / col("ead"))).as("rwa_density"),
+          col("expected_loss"))
+        .orderBy(col("row_ref"))
+    },
+    Some {
+      def bandCase(bands: Seq[(Int, String, Double, Double)]): String =
+        bands.map { case (r, _, lo, hi) =>
+          s"WHEN alloc_pd >= ${d(lo)} AND alloc_pd < ${d(hi)} THEN $r" }
+          .mkString("CASE ", " ", " ELSE NULL END")
+      val axis = Pillar3.cr6Bands.filter(_._1 != 18)
+      val leafCase = bandCase(axis.filter(t => leafRefs(t._1)))
+      val parentCase = bandCase(axis.filter(t => c0803ParentRefs(t._1)))
+      val axisValues = axis
+        .map(t => s"(${t._1}, '${t._2}', ${c0803ParentRefs(t._1)})")
+        .mkString(", ")
+      s"""
+      WITH ${Domain.domainLedgerCtes},
+      c0803irb AS (
+        SELECT counterparty_reference, drawn_base, undrawn_base, ccf_eff,
+               ead_pre_crm, rwa, is_defaulted,
+               -- the pipeline stamps maturity_years = 1.0 + o_orderkey % 5 on
+               -- both exposure legs; the ledger CTE chain does not carry it,
+               -- so re-derive it from the key (= o_orderkey for ORD-/FAC-)
+               1.0 + (CAST(substr(exposure_reference, 5) AS BIGINT) % 5)
+                 AS maturity_years,
+               greatest(0.0001 + (CAST(substr(exposure_reference, 5) AS BIGINT)
+                 % 997) * 0.001, 0.0003) AS pd_floored,
+               greatest((CAST(substr(exposure_reference, 5) AS BIGINT) % 60)
+                 * 0.01, 0.05) AS lgd_floored
+        FROM final WHERE approach = 'IRB'),
+      c0803alloc AS (
+        SELECT *, CASE WHEN is_defaulted THEN 1.0 ELSE pd_floored END
+                    AS alloc_pd
+        FROM c0803irb),
+      c0803keyed AS (
+        SELECT *, $leafCase AS leaf_ref, $parentCase AS parent_ref
+        FROM c0803alloc),
+      c0803x AS (
+        SELECT *, leaf_ref AS row_ref FROM c0803keyed
+        UNION ALL
+        SELECT *, parent_ref AS row_ref FROM c0803keyed
+        WHERE parent_ref IS NOT NULL),
+      c0803rolled AS (
+        SELECT row_ref,
+               count(*) AS n_exposures,
+               count(DISTINCT counterparty_reference) AS n_obligors,
+               ${sqlDsum("drawn_base", 2)} AS gross_on_bs,
+               ${sqlDsum("undrawn_base", 2)} AS gross_off_bs,
+               ${sqlDsum(sql2("ccf_eff * undrawn_base"), 2)} AS ccf_num,
+               ${sqlDsum("ead_pre_crm", 2)} AS ead,
+               ${sqlDsum(sql2("pd_floored * ead_pre_crm"), 2)} AS pd_num,
+               ${sqlDsum(sql2("lgd_floored * ead_pre_crm"), 2)} AS lgd_num,
+               ${sqlDsum(sql2("maturity_years * ead_pre_crm"), 2)} AS mat_num,
+               ${sqlDsum("rwa", 2)} AS rwea,
+               ${sqlDsum(sql2("pd_floored * lgd_floored * ead_pre_crm"), 2)}
+                 AS expected_loss
+        FROM c0803x
+        GROUP BY row_ref),
+      c0803axis(row_ref, pd_range, is_parent) AS (VALUES $axisValues)
+      SELECT r.row_ref, a.pd_range, a.is_parent,
+             r.n_exposures, r.n_obligors,
+             r.gross_on_bs, r.gross_off_bs,
+             CASE WHEN r.gross_off_bs > 0
+                  THEN ${sql6("r.ccf_num / r.gross_off_bs")} END AS avg_ccf,
+             r.ead,
+             CASE WHEN r.ead > 0
+                  THEN ${sql6("r.pd_num / r.ead * 100")} END AS ead_w_pd_pct,
+             CASE WHEN r.ead > 0
+                  THEN ${sql6("r.lgd_num / r.ead * 100")} END AS ead_w_lgd_pct,
+             CASE WHEN r.ead > 0
+                  THEN ${sql6("r.mat_num / r.ead")} END AS ead_w_maturity_y,
+             r.rwea,
+             CASE WHEN r.ead > 0
+                  THEN ${sql6("r.rwea / r.ead")} END AS rwa_density,
+             r.expected_loss
+      FROM c0803rolled r JOIN c0803axis a ON a.row_ref = r.row_ref
+      ORDER BY r.row_ref
+    """.stripMargin.trim
+    })
+
   // ---- C 02.00 — own funds requirements, the master roll-up ----------
   //      (reference `reporting/corep/c02.py`;
   //       `templates.py` CRR_C02_00_ROW_SECTIONS / C02_00_SA_CLASS_MAP)
@@ -664,5 +839,6 @@ object Corep08 {
       """.stripMargin.trim
     })
 
-  val all: Seq[QueryDef] = Seq(q121CorepC08, q128CorepC0802, q140CorepC02)
+  val all: Seq[QueryDef] = Seq(
+    q121CorepC08, q128CorepC0802, q140CorepC02, q144CorepC0803)
 }

@@ -43,6 +43,41 @@ class Pillar3Spec extends SparkSpec {
     assert(math.abs(te - le) < 0.05, s"total $te != leaf sum $le")
   }
 
+  test("C 08.03: parent masterscale rows equal the sum of their leaves " +
+      "(EBA v09753-v09756)") {
+    // The q144 explode aggregates parent rows INDEPENDENTLY of their
+    // leaves (one groupBy over leaf+parent memberships), so this tie-out
+    // is a genuine cross-cell rule, not true by construction.
+    val rows = Corep08.q144CorepC0803.build(spark, sfDir).collect()
+      .map { r =>
+        def dbl(i: Int) = Option(r.get(i)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+        r.getInt(0) -> (r.getBoolean(2), r.getLong(3), r.getLong(4),
+          dbl(5), dbl(6), dbl(8), dbl(12), dbl(14))
+      }.toMap
+    val parents = Map(1 -> Seq(2, 3), 7 -> Seq(8, 9), 10 -> Seq(11, 12),
+      13 -> Seq(14, 15, 16))
+    for ((p, subs) <- parents; if rows.contains(p)) {
+      val (isParent, pn, pob, pon, poff, pead, prwea, pel) = rows(p)
+      assert(isParent, s"row $p should be flagged is_parent")
+      val present = subs.filter(rows.contains)
+      assert(present.nonEmpty, s"populated parent $p has no populated child")
+      def sumOf(f: ((Boolean, Long, Long, Double, Double, Double, Double,
+        Double)) => Double) = present.map(sb => f(rows(sb))).sum
+      assert(pn == present.map(sb => rows(sb)._2).sum,
+        s"parent $p n_exposures not additive")
+      // distinct obligors can only dedup across children, never grow
+      assert(pob <= present.map(sb => rows(sb)._3).sum,
+        s"parent $p n_obligors exceeds child sum")
+      for ((label, pv, sv) <- Seq(
+          ("gross_on_bs", pon, sumOf(_._4)),
+          ("gross_off_bs", poff, sumOf(_._5)),
+          ("ead", pead, sumOf(_._6)),
+          ("rwea", prwea, sumOf(_._7)),
+          ("expected_loss", pel, sumOf(_._8))))
+        assert(math.abs(pv - sv) < 0.02, s"parent $p $label $pv != $sv")
+    }
+  }
+
   test("CR8: the flow identity opening + drivers = closing holds to the cent") {
     val rows = Pillar3.q122Cr8Flow.build(spark, sfDir).collect()
       .map(r => r.getString(1) -> Option(r.get(2)).map(_.asInstanceOf[Double]))
