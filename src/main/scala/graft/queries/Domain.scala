@@ -921,6 +921,30 @@ object Domain {
     corepClasses.map(c => s"R_$c" -> Some(c)) :+ ("R_TOTAL" -> None)
   private def corepCellId(row: String, colId: String) = s"C07|$row|$colId"
 
+  /** C 07.00 memo block: breakdown of the UNSECURED (own-weight) leg by
+    * applied risk weight — the published template's rows 0140-0280
+    * "breakdown of exposures by risk weights" on this rulebook's CLOSED
+    * weight vocabulary (rwTable ∪ the defaulted-SA 1.0/1.5 ∪ the
+    * coalesce fallback 1.0), so the bands partition the unsecured book
+    * exactly. Per band: C0200 = net exposure in the band, C0215 = the
+    * band's RWEA leg. */
+  private val corepBandRows: Seq[(String, Double)] = Seq(
+    "R_rw0" -> 0.0, "R_rw20" -> 0.2, "R_rw30" -> 0.3, "R_rw50" -> 0.5,
+    "R_rw75" -> 0.75, "R_rw85" -> 0.85, "R_rw100" -> 1.0, "R_rw150" -> 1.5)
+  private def corepBandRowId(w: Double): String = s"R_rw${math.round(w * 100)}"
+
+  /** RWEA leg measures as SQL strings — ONE source of truth parsed
+    * identically by Spark's `expr()` and DuckDB (`floor`/`least`/
+    * `coalesce` share semantics): C0215 the unsecured leg, C0216 the
+    * collateral leg, C0217 the guarantee leg — exactly the three `rwac`
+    * legs, so per row C0215 + C0216 + C0217 = rwa_pre_sf and the v0329_m
+    * partition is EXACT wherever the SME supporting factor cannot
+    * intervene. */
+  private val corepLegCols: Seq[(String, String)] = Seq(
+    "C0215" -> sql2("unsecured * own_rw"),
+    "C0216" -> sql2(s"coll_covered * ${DomainPipeline.collateralRw}"),
+    "C0217" -> sql2("guar_covered * least(own_rw, coalesce(guarantor_rw, own_rw))"))
+
   /** One supervisory cross-cell rule: `op` compares the decimal sums of
     * the LHS and RHS cell sets ("eq" within tolerance, "le"/"ge" with
     * tolerance slack), carrying the publisher's severity so a WARNING
@@ -929,7 +953,8 @@ object Domain {
     * (id, severity, formula) reduced to the sum-comparison core. */
   private final case class CorepRule(
       id: String, severity: String, op: String,
-      lhs: Seq[String], rhs: Seq[String], tol: Double)
+      lhs: Seq[String], rhs: Seq[String], tol: Double,
+      rhsScale: Double = 1.0)
 
   private val corepRules: Seq[CorepRule] =
     // additivity: total row = sum of class rows, per column
@@ -1004,11 +1029,59 @@ object Domain {
     }
   }
 
-  private val corepAllRules: Seq[CorepRule] = corepRules ++ corepCatalogue
+  /** Second catalogue slice (round 9): the C 07.00 risk-weight-breakdown
+    * rule families (same EBA v3.0(3.0.1) extract), bound to the band
+    * memo rows above. Five shapes ported, ids + severities preserved:
+    *
+    *  - v0318_m-v0328_m family (the `{rX, c0215} = {rX, c0200} * RW%`
+    *    band-rate arithmetic): the five members whose rate exists in
+    *    this rulebook's weight vocabulary (20/50/75/100/150%), each as
+    *    a scaled-RHS comparison. The tolerance is the EBA "interval"
+    *    arithmetic approach scaled to this estate: the LHS accumulates
+    *    per-row cent-quantised legs while the RHS scales the exact band
+    *    exposure sum, so the diff is a random walk of ≤0.005/row
+    *    rounding residues (≈ √n·0.003 — tol 25.0 holds to sf ≥ 10).
+    *  - v0316_m (`{r0140, c0215} = 0`): the 0% band carries no RWEA.
+    *  - v0312_m (total = Σ breakdown rows, per column): EXACT here
+    *    because the weight vocabulary is closed, instanced per column
+    *    the way the catalogue scopes its `columns` list.
+    *  - v0329_m (`{c0215} + {c0216} + {c0217} = {c0220}`): the three
+    *    RWEA legs partition the row's RWEA — scoped to the four
+    *    non-SME class rows (the catalogue's `rows` list idiom), since
+    *    the sme_corporate row's supporting factor intervenes between
+    *    rwa_pre_sf and rwa.
+    */
+  private val corepCatalogue2: Seq[CorepRule] =
+    Seq(("v0320_m", 0.2), ("v0322_m", 0.5), ("v0324_m", 0.75),
+        ("v0325_m", 1.0), ("v0326_m", 1.5)).map { case (id, w) =>
+      CorepRule(id, "ERROR", "eq",
+        Seq(corepCellId(corepBandRowId(w), "C0215")),
+        Seq(corepCellId(corepBandRowId(w), "C0200")),
+        25.0, rhsScale = w)
+    } ++
+    Seq(
+      CorepRule("v0316_m", "ERROR", "eq",
+        Seq(corepCellId("R_rw0", "C0215")), Nil, 0.01),
+      CorepRule("v0312_m@C0200", "WARNING", "eq",
+        Seq(corepCellId("R_TOTAL", "C0110")),
+        corepBandRows.map { case (r, _) => corepCellId(r, "C0200") }, 0.01),
+      CorepRule("v0312_m@C0215", "WARNING", "eq",
+        Seq(corepCellId("R_TOTAL", "C0215")),
+        corepBandRows.map { case (r, _) => corepCellId(r, "C0215") }, 0.01)) ++
+    Seq("corporate", "institution", "retail", "sovereign").map { c =>
+      CorepRule(s"v0329_m@R_$c", "WARNING", "eq",
+        corepLegCols.map { case (colId, _) => corepCellId(s"R_$c", colId) },
+        Seq(corepCellId(s"R_$c", "C0220")), 0.01)
+    }
+
+  private val corepAllRules: Seq[CorepRule] =
+    corepRules ++ corepCatalogue ++ corepCatalogue2
 
   /** q94: COREP sheet content + supervisory validations — the whole
-    * C 07.00-style sheet is ONE conditional-aggregation pass over the
-    * composed q90 ledger (48 cells), then every cross-cell rule — the
+    * C 07.00-style sheet (class rows, RWEA leg columns, and the
+    * risk-weight band memo block — 82 cells) is ONE
+    * conditional-aggregation pass over the composed q90 ledger, then
+    * every cross-cell rule — the
     * engine's own identities AND the ported EBA catalogue slice
     * (`corepCatalogue`, ids + severities in the output frame) — evaluates
     * horizontally on the same single-row aggregate (`TemplateGenerator` /
@@ -1022,13 +1095,29 @@ object Domain {
     (s, dir) => {
       import graft.reporting.{CellSpec, TemplateGenerator}
       val led = DomainPipeline.ledger(s, dir)
-      val cells = for {
+      val classCells = for {
         (row, clsOpt) <- corepRows
         (colId, measure) <- corepCols
       } yield CellSpec(
         corepCellId(row, colId),
         clsOpt.fold(lit(true))(c => col("exposure_class") === c),
         col(measure))
+      // RWEA leg columns on the class rows (v0329_m / v0312_m@C0215) —
+      // expr() of the shared SQL measure, so both engines parse one text
+      val legCells = for {
+        (row, clsOpt) <- corepRows
+        (colId, legSql) <- corepLegCols
+      } yield CellSpec(
+        corepCellId(row, colId),
+        clsOpt.fold(lit(true))(c => col("exposure_class") === c),
+        expr(legSql))
+      // risk-weight band memo rows: net unsecured exposure + its RWEA leg
+      val bandCells = for {
+        (row, w) <- corepBandRows
+        (colId, m) <- Seq("C0200" -> col("unsecured"),
+          "C0215" -> expr(corepLegCols.head._2))
+      } yield CellSpec(corepCellId(row, colId), col("own_rw") === w, m)
+      val cells = classCells ++ legCells ++ bandCells
       // SINGLE-BRANCH plan: one aggregation over the ledger produces the
       // wide 1-row frame; sheet cells AND every cross-cell rule total
       // come out of it in ONE stack (cells as values, rule LHS/RHS as
@@ -1045,7 +1134,9 @@ object Domain {
       val wide = row0.select(
         cells.map(c => col(s"`${c.cellId}`")) ++
         corepAllRules.flatMap { r =>
-          Seq(dsumH(r.lhs).as(s"${r.id}__lhs"), dsumH(r.rhs).as(s"${r.id}__rhs")) }: _*)
+          val rhs = if (r.rhsScale == 1.0) dsumH(r.rhs)
+            else dsumH(r.rhs) * lit(r.rhsScale)
+          Seq(dsumH(r.lhs).as(s"${r.id}__lhs"), rhs.as(s"${r.id}__rhs")) }: _*)
       val nullD = "CAST(NULL AS DOUBLE)"
       val nullS = "CAST(NULL AS STRING)"
       val stackRows =
@@ -1077,7 +1168,7 @@ object Domain {
         .orderBy(col("section"), col("id"))
     },
     Some {
-      val cellDefs = for {
+      val classDefs = for {
         ((row, clsOpt), ri) <- corepRows.zipWithIndex
         ((colId, measure), ci) <- corepCols.zipWithIndex
       } yield {
@@ -1086,6 +1177,26 @@ object Domain {
         (corepCellId(row, colId), alias,
           s"""sum(CAST(CASE WHEN $pred THEN $measure ELSE 0.0 END AS DECIMAL(38,2))) AS $alias""")
       }
+      val legDefs = for {
+        ((row, clsOpt), ri) <- corepRows.zipWithIndex
+        ((colId, legSql), ci) <- corepLegCols.zipWithIndex
+      } yield {
+        val pred = clsOpt.fold("TRUE")(c => s"exposure_class = '$c'")
+        val alias = s"cell_leg_${ri}_$ci"
+        (corepCellId(row, colId), alias,
+          s"""sum(CAST(CASE WHEN $pred THEN $legSql ELSE 0.0 END AS DECIMAL(38,2))) AS $alias""")
+      }
+      val bandDefs = for {
+        ((row, w), ri) <- corepBandRows.zipWithIndex
+        ((colId, measure), ci) <- Seq(
+          "C0200" -> "unsecured", "C0215" -> corepLegCols.head._2).zipWithIndex
+      } yield {
+        val pred = s"own_rw = CAST($w AS DOUBLE)"
+        val alias = s"cell_band_${ri}_$ci"
+        (corepCellId(row, colId), alias,
+          s"""sum(CAST(CASE WHEN $pred THEN $measure ELSE 0.0 END AS DECIMAL(38,2))) AS $alias""")
+      }
+      val cellDefs = classDefs ++ legDefs ++ bandDefs
       val aggSelect = cellDefs.map(_._3).mkString(",\n               ")
       val cellUnion = cellDefs.map { case (id, alias, _) =>
         s"SELECT '$id' AS id, CAST($alias AS DOUBLE) AS value FROM agg"
@@ -1097,9 +1208,11 @@ object Domain {
           s"CAST(sum(CASE WHEN id IN ($in) THEN CAST(value AS DECIMAL(38,2)) ELSE CAST(0.0 AS DECIMAL(38,2)) END) AS DOUBLE)"
         }
       val ruleUnion = corepAllRules.map { r =>
+        val rhsSql = if (r.rhsScale == 1.0) sideSql(r.rhs)
+          else s"(${sideSql(r.rhs)} * CAST(${r.rhsScale} AS DOUBLE))"
         s"""SELECT '${r.id}' AS rule_id, '${r.severity}' AS severity,
            ${sideSql(r.lhs)} AS lhs_total,
-           ${sideSql(r.rhs)} AS rhs_total
+           $rhsSql AS rhs_total
          FROM cells"""
       }.mkString("\n        UNION ALL ")
       val statusCase = corepAllRules.map { r =>

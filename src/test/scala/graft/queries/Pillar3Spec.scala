@@ -114,7 +114,7 @@ class Pillar3Spec extends SparkSpec {
   test("q94 catalogue rules carry id + severity and all pass") {
     val v = Domain.q94CorepTemplate.build(spark, sfDir)
       .filter(col("section") === "validation").collect()
-    assert(v.length == 82)
+    assert(v.length == 94)
     val sev = v.map(_.getString(2)).toSet
     assert(sev == Set("ERROR", "WARNING"))
     assert(v.forall(_.getString(7) == "pass"),
