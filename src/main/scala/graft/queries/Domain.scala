@@ -2441,6 +2441,165 @@ object Domain {
       """.stripMargin.trim
     })
 
+  /** q145: CR9 FULL published geometry — IRB PD back-testing per
+    * (approach × Art. 147 leaf class) × the 17 fixed CR6 PD ranges
+    * (reference `reporting/pillar3/cr9.py` + `templates.py`
+    * CR9_FIRB_CLASSES/CR9_COLUMNS; PRA PS1/26 Art. 452(h), Annex XXII
+    * paras 12-15). Where q117 proves the back-testing mechanics on a
+    * coarse 6-band axis, this renders the published sheet family:
+    *
+    *  - SHEETS key on the obligor-basis origin approach × leaf class
+    *    ("for each obligor assigned to this exposure class (without
+    *    considering any substitution effects due to CRM)" — substitution
+    *    never moves a sheet). This rulebook's IRB book is FOUNDATION
+    *    (supervisory LGD), so the `foundation_irb` block emits and the
+    *    A-IRB block has no population (sheets with no rows produce no
+    *    entry — the reference's sparse-sheet contract). Leaf resolution
+    *    follows the recorded absent-column degradation: the
+    *    `corporate_financial_large` leaf needs the
+    *    `cp_is_financial_sector_entity` carrier this vocabulary lacks,
+    *    and `financial_large=True` with an absent carrier is
+    *    MATCH-NOTHING, so residual corporates collapse onto the non-SME
+    *    leaf; specialised-lending / corporate-SME classes carry no IRB
+    *    population here.
+    *  - ROWS reuse the 17 hierarchical CR6 PD ranges (q144's leaf +
+    *    parent explode, so parent bands aggregate independently and
+    *    distinct-obligor counts stay exact), allocated half-open on the
+    *    PRE-input-floor PD with defaulted rows forced to the 100% band;
+    *    the Total row (ref 18) is a third explode membership so ONE
+    *    shuffle produces bands, parents and totals with each exposure
+    *    counted exactly once per row it populates.
+    *  - COLUMNS c-h with the recorded single-run proxies: c = current
+    *    distinct obligors (no prior-year carrier), d = distinct
+    *    defaulted obligors, e = d/c×100, f = EAD-weighted POST-floor PD
+    *    ×100, g = mean post-floor PD ×100, h = copy of e (no historical
+    *    series carrier); a/b are the class/band display labels.
+    */
+  val q145Cr9Full = QueryDef(
+    "q145_cr9_full",
+    (s, dir) => {
+      import s.implicits._
+      val axis = Pillar3.cr6Bands
+      val parentRefs = Corep08.c0803ParentRefs
+      val leaves = axis.filter(t => t._1 != 18 && !parentRefs(t._1))
+      val parentBands = axis.filter(t => parentRefs(t._1))
+      def chain(bands: Seq[(Int, String, Double, Double)]): org.apache.spark.sql.Column =
+        bands.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+          case (None, (r, _, lo, hi)) =>
+            Some(when(col("alloc_pd") >= lo && col("alloc_pd") < hi, r))
+          case (Some(acc), (r, _, lo, hi)) =>
+            Some(acc.when(col("alloc_pd") >= lo && col("alloc_pd") < hi, r))
+        }.get.otherwise(lit(null).cast("int"))
+      val k = expr("CAST(substring(exposure_reference, 5) AS BIGINT)")
+      val banded = DomainPipeline.ledger(s, dir)
+        .filter(col("approach") === "IRB")
+        .withColumn("k", k)
+        .withColumn("pd_pre",
+          lit(0.0001) + (col("k") % 997).cast("double") * lit(0.001))
+        .withColumn("pd_floored", greatest(col("pd_pre"), lit(0.0003)))
+        .withColumn("alloc_pd",
+          when(col("is_defaulted"), lit(1.0)).otherwise(col("pd_pre")))
+        .withColumn("class_key",
+          when(col("exposure_class") === "institution", "institution")
+            .otherwise("corporate_other_non_sme"))
+        .withColumn("leaf_ref", chain(leaves))
+        .withColumn("parent_ref", chain(parentBands))
+        .withColumn("row_ref",
+          explode(filter(array(col("leaf_ref"), col("parent_ref"), lit(18)),
+            x => x.isNotNull)))
+      val agg = banded.groupBy(col("class_key"), col("row_ref")).agg(
+        countDistinct(col("counterparty_reference")).as("n_obligors"),
+        countDistinct(when(col("is_defaulted"), col("counterparty_reference")))
+          .as("n_defaulted"),
+        dsum(q2(col("pd_floored") * col("ead_pre_crm")), 2).as("pd_num"),
+        dsum(col("ead_pre_crm"), 2).as("ead"),
+        dsum(col("pd_floored"), 6).as("pd_sum"),
+        count(lit(1)).as("n_exposures"))
+      val bandLabels = broadcast(axis.map(t => (t._1, t._2))
+        .toDF("row_ref", "pd_range"))
+      val classLabels = broadcast(Seq(
+        ("institution", "Institutions"),
+        ("corporate_other_non_sme",
+          "Corporates — Other general corporates (non-SME)"))
+        .toDF("class_key", "class_display"))
+      agg.join(bandLabels, Seq("row_ref")).join(classLabels, Seq("class_key"))
+        .select(
+          concat(lit("foundation_irb - "), col("class_key")).as("sheet_key"),
+          col("class_display"), col("row_ref"), col("pd_range"),
+          col("n_obligors"), col("n_defaulted"),
+          q6(col("n_defaulted").cast("double") /
+            col("n_obligors").cast("double") * 100).as("observed_rate_pct"),
+          when(col("ead") > 0, q6(col("pd_num") / col("ead") * 100))
+            .as("ead_w_pd_pct"),
+          q6(col("pd_sum") / col("n_exposures") * 100).as("mean_pd_pct"))
+        .withColumn("hist_rate_pct", col("observed_rate_pct"))
+        .orderBy(col("sheet_key"), col("row_ref"))
+    },
+    Some {
+      def bandCase(bands: Seq[(Int, String, Double, Double)]): String =
+        bands.map { case (r, _, lo, hi) =>
+          s"WHEN alloc_pd >= CAST($lo AS DOUBLE) AND alloc_pd < CAST($hi AS DOUBLE) THEN $r" }
+          .mkString("CASE ", " ", " ELSE NULL END")
+      val axis = Pillar3.cr6Bands
+      val parentRefs = Corep08.c0803ParentRefs
+      val leafCase = bandCase(axis.filter(t => t._1 != 18 && !parentRefs(t._1)))
+      val parentCase = bandCase(axis.filter(t => parentRefs(t._1)))
+      val axisValues = axis.map(t => s"(${t._1}, '${t._2}')").mkString(", ")
+      s"""
+      WITH $domainLedgerCtes,
+      cr9irb AS (
+        SELECT counterparty_reference, ead_pre_crm, is_defaulted,
+               0.0001 + (CAST(substr(exposure_reference, 5) AS BIGINT) % 997)
+                 * 0.001 AS pd_pre,
+               greatest(0.0001 + (CAST(substr(exposure_reference, 5) AS BIGINT)
+                 % 997) * 0.001, 0.0003) AS pd_floored,
+               CASE WHEN exposure_class = 'institution' THEN 'institution'
+                    ELSE 'corporate_other_non_sme' END AS class_key
+        FROM final WHERE approach = 'IRB'),
+      cr9alloc AS (
+        SELECT *, CASE WHEN is_defaulted THEN 1.0 ELSE pd_pre END AS alloc_pd
+        FROM cr9irb),
+      cr9keyed AS (
+        SELECT *, $leafCase AS leaf_ref, $parentCase AS parent_ref
+        FROM cr9alloc),
+      cr9x AS (
+        SELECT *, leaf_ref AS row_ref FROM cr9keyed
+        UNION ALL
+        SELECT *, parent_ref FROM cr9keyed WHERE parent_ref IS NOT NULL
+        UNION ALL
+        SELECT *, 18 FROM cr9keyed),
+      cr9rolled AS (
+        SELECT class_key, row_ref,
+               count(DISTINCT counterparty_reference) AS n_obligors,
+               count(DISTINCT CASE WHEN is_defaulted
+                 THEN counterparty_reference END) AS n_defaulted,
+               ${sqlDsum(sql2("pd_floored * ead_pre_crm"), 2)} AS pd_num,
+               ${sqlDsum("ead_pre_crm", 2)} AS ead,
+               ${sqlDsum("pd_floored", 6)} AS pd_sum,
+               count(*) AS n_exposures
+        FROM cr9x GROUP BY 1, 2),
+      cr9axis(row_ref, pd_range) AS (VALUES $axisValues),
+      cr9cls(class_key, class_display) AS (VALUES
+        ('institution', 'Institutions'),
+        ('corporate_other_non_sme',
+         'Corporates — Other general corporates (non-SME)'))
+      SELECT 'foundation_irb - ' || r.class_key AS sheet_key,
+             c.class_display, r.row_ref, a.pd_range,
+             r.n_obligors, r.n_defaulted,
+             ${sql6("CAST(r.n_defaulted AS DOUBLE) / CAST(r.n_obligors AS DOUBLE) * 100")}
+               AS observed_rate_pct,
+             CASE WHEN r.ead > 0
+                  THEN ${sql6("r.pd_num / r.ead * 100")} END AS ead_w_pd_pct,
+             ${sql6("r.pd_sum / r.n_exposures * 100")} AS mean_pd_pct,
+             ${sql6("CAST(r.n_defaulted AS DOUBLE) / CAST(r.n_obligors AS DOUBLE) * 100")}
+               AS hist_rate_pct
+      FROM cr9rolled r
+      JOIN cr9axis a ON a.row_ref = r.row_ref
+      JOIN cr9cls c ON c.class_key = r.class_key
+      ORDER BY sheet_key, r.row_ref
+      """.stripMargin.trim
+    })
+
   /** q118: CR5-style SA risk-weight band census (reference
     * `reporting/pillar3/cr5.py`): the SA slice of the sealed ledger
     * pivoted by applied risk weight — exposure pre-CRM, the post-CRM
@@ -2645,5 +2804,5 @@ object Domain {
     q94CorepTemplate, q95SaPortfolio, q98SecuritisationAllocator,
     q99Transition, q100Provisions, q102Pillar3Cr4, q103CiuLookthrough,
     q106LedgerAudit, q109DoubleDefault, q115Tieouts, q116GeoBreakdown,
-    q117PdBacktesting, q118RwBands, q129GeoUltimateRisk)
+    q117PdBacktesting, q118RwBands, q129GeoUltimateRisk, q145Cr9Full)
 }
