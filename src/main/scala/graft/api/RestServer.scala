@@ -324,6 +324,45 @@ final class RestServer(
     }
   }
 
+  // Cell-keyed drill-down (reference `reporting/lineage.py`: every
+  // published template keys its execution plan, so ANY reported cell is
+  // drillable). The cell id addresses the C 07.00 catalogue
+  // (`Domain.c07Cells`); the response re-evaluates the cell's measure
+  // over its predicate slice — the reported value and the rows behind it
+  // come from the same spec, so they cannot drift apart.
+  // (`/api/lineage/cell` outranks `/api/lineage` by longest-prefix
+  // context matching.)
+  handle("/api/lineage/cell") { ex =>
+    withRun(ex) { res =>
+      queryParams(ex).get("cell") match {
+        case None => error(ex, 422, "cell is required")
+        case Some(cellId) => res.ledger match {
+          case None => error(ex, 404, "run has no ledger")
+          case Some(led) =>
+            graft.queries.Domain.c07Cells.find(_.cellId == cellId) match {
+              case None => error(ex, 404, s"unknown cell: $cellId")
+              case Some(spec) =>
+                val slice = led.filter(spec.predicate)
+                // decimal accumulation exactly as the sheet's wideRow, so
+                // the drilled value matches the published cell bit-for-bit
+                val value = Option(slice.agg(
+                  sum(spec.measure.cast(
+                    org.apache.spark.sql.types.DecimalType(38, spec.scale)))
+                    .cast("double").as("v"))
+                  .head.get(0)).getOrElse(0.0: Any)
+                val preview = slice.select(
+                  col("exposure_reference"), col("exposure_class"),
+                  col("approach"), spec.measure.cast("double").as("measure"))
+                respond(ex, 200,
+                  s"""{"cell_id":${jstr(cellId)},"value":${jval(value)},""" +
+                  s""""n_rows":${slice.count()},""" +
+                  s""""rows":${rowsAsJson(preview, 10)}}""")
+            }
+        }
+      }
+    }
+  }
+
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = { server.stop(0); pool.shutdown() }
   def boundPort: Int = server.getAddress.getPort

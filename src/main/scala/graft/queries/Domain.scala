@@ -1077,6 +1077,41 @@ object Domain {
   private val corepAllRules: Seq[CorepRule] =
     corepRules ++ corepCatalogue ++ corepCatalogue2
 
+  /** The full C 07.00 cell catalogue — static predicates/measures over
+    * the sealed ledger, shared by the q94 sheet build and the REST cell
+    * drill-down (`/api/lineage/cell`). This is the reference's
+    * keyed-plan lineage idea (`reporting/lineage.py`: every published
+    * template keys its execution plan, so ANY reported cell's predicate
+    * is re-runnable over the ledger for drill-down) applied to this
+    * sheet's whole cell surface: class rows × the Annex-II measure set,
+    * the RWEA leg columns, and the risk-weight band memo block. */
+  private[graft] def c07Cells: Seq[graft.reporting.CellSpec] = {
+    import graft.reporting.CellSpec
+    val classCells = for {
+      (row, clsOpt) <- corepRows
+      (colId, measure) <- corepCols
+    } yield CellSpec(
+      corepCellId(row, colId),
+      clsOpt.fold(lit(true))(c => col("exposure_class") === c),
+      col(measure))
+    // RWEA leg columns on the class rows (v0329_m / v0312_m@C0215) —
+    // expr() of the shared SQL measure, so both engines parse one text
+    val legCells = for {
+      (row, clsOpt) <- corepRows
+      (colId, legSql) <- corepLegCols
+    } yield CellSpec(
+      corepCellId(row, colId),
+      clsOpt.fold(lit(true))(c => col("exposure_class") === c),
+      expr(legSql))
+    // risk-weight band memo rows: net unsecured exposure + its RWEA leg
+    val bandCells = for {
+      (row, w) <- corepBandRows
+      (colId, m) <- Seq("C0200" -> col("unsecured"),
+        "C0215" -> expr(corepLegCols.head._2))
+    } yield CellSpec(corepCellId(row, colId), col("own_rw") === w, m)
+    classCells ++ legCells ++ bandCells
+  }
+
   /** q94: COREP sheet content + supervisory validations — the whole
     * C 07.00-style sheet (class rows, RWEA leg columns, and the
     * risk-weight band memo block — 82 cells) is ONE
@@ -1095,29 +1130,7 @@ object Domain {
     (s, dir) => {
       import graft.reporting.{CellSpec, TemplateGenerator}
       val led = DomainPipeline.ledger(s, dir)
-      val classCells = for {
-        (row, clsOpt) <- corepRows
-        (colId, measure) <- corepCols
-      } yield CellSpec(
-        corepCellId(row, colId),
-        clsOpt.fold(lit(true))(c => col("exposure_class") === c),
-        col(measure))
-      // RWEA leg columns on the class rows (v0329_m / v0312_m@C0215) —
-      // expr() of the shared SQL measure, so both engines parse one text
-      val legCells = for {
-        (row, clsOpt) <- corepRows
-        (colId, legSql) <- corepLegCols
-      } yield CellSpec(
-        corepCellId(row, colId),
-        clsOpt.fold(lit(true))(c => col("exposure_class") === c),
-        expr(legSql))
-      // risk-weight band memo rows: net unsecured exposure + its RWEA leg
-      val bandCells = for {
-        (row, w) <- corepBandRows
-        (colId, m) <- Seq("C0200" -> col("unsecured"),
-          "C0215" -> expr(corepLegCols.head._2))
-      } yield CellSpec(corepCellId(row, colId), col("own_rw") === w, m)
-      val cells = classCells ++ legCells ++ bandCells
+      val cells = c07Cells
       // SINGLE-BRANCH plan: one aggregation over the ledger produces the
       // wide 1-row frame; sheet cells AND every cross-cell rule total
       // come out of it in ONE stack (cells as values, rule LHS/RHS as

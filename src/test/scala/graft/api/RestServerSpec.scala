@@ -46,6 +46,15 @@ class RestServerSpec extends SparkSpec {
       val (ls, lb) = http(port, s"/api/lineage?run_id=$runId&exposure=ORD-1")
       assert(ls == 200 && lb.contains("\"exposure_reference\":\"ORD-1\""), lb)
 
+      // cell-keyed drill-down: any published C 07.00 cell id resolves to
+      // its predicate slice + re-evaluated value
+      val (cls2, clb2) = http(port,
+        s"/api/lineage/cell?run_id=$runId&cell=C07%7CR_corporate%7CC0010")
+      assert(cls2 == 200 && clb2.contains("\"cell_id\":\"C07|R_corporate|C0010\"")
+        && clb2.contains("\"rows\":[") && clb2.contains("\"value\":"), clb2)
+      assert(http(port, s"/api/lineage/cell?run_id=$runId&cell=bogus")._1 == 404)
+      assert(http(port, s"/api/lineage/cell?run_id=$runId")._1 == 422)
+
       // error semantics mirror the reference: unknown run 404, bad input 422
       assert(http(port, "/api/results?run_id=run-999")._1 == 404)
       assert(http(port, s"/api/results/summary?run_id=$runId&dimension=bogus")._1 == 422)
