@@ -1321,6 +1321,86 @@ object LlmOps {
       """.stripMargin.trim
     })
 
+  /** q146: PII detection + redaction census — the scrubbing pass every
+    * public-web training corpus runs before tokenization (emails, phone
+    * numbers → typed placeholder tokens). The synthetic corpus carries
+    * no PII, so a deterministic injection (the q82 re-delivery idiom)
+    * plants an email on every 7th document and a phone number on every
+    * 11th (first-match-wins at the overlap), keyed off doc_id so the
+    * oracle replants identically. Detection counts matches per pattern
+    * (`regexp_extract_all`), redaction replaces globally, and the census
+    * reports per source: documents touched, match counts, and the exact
+    * character delta of the redaction — all pure codegen'd Column work,
+    * one aggregation shuffle, no UDFs. Patterns avoid `\\d`/`\\b` so
+    * Java regex (Spark) and RE2 (DuckDB) parse them identically;
+    * DuckDB's regexp_replace needs the explicit 'g' flag to match
+    * Spark's replace-all semantics.
+    */
+  val q146PiiScrub = QueryDef(
+    "q146_pii_scrub",
+    (s, dir) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+      val phonePat = "555-[0-9]{4}"
+      val d = Tables.documents(s, dir)
+      val planted = d.withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+        .when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" end")))
+        .otherwise(col("text")))
+      val scanned = planted
+        .withColumn("n_email", size(regexp_extract_all(col("text2"), lit(emailPat), lit(0))))
+        .withColumn("n_phone", size(regexp_extract_all(col("text2"), lit(phonePat), lit(0))))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("text2"), emailPat, "[EMAIL]"),
+            phonePat, "[PHONE]"))
+      scanned.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("n_email") > 0, lit(1))).as("n_docs_email"),
+          count(when(col("n_phone") > 0, lit(1))).as("n_docs_phone"),
+          sum(col("n_email")).cast("long").as("n_emails"),
+          sum(col("n_phone")).cast("long").as("n_phones"),
+          sum(length(col("text2")) - length(col("redacted"))).cast("long")
+            .as("chars_redacted"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH planted AS (
+        SELECT source,
+               CASE WHEN doc_id % 7 = 0 THEN
+                      concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                             '@example.com now')
+                    WHEN doc_id % 11 = 0 THEN
+                      concat(text, ' call 555-',
+                             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                             ' end')
+                    ELSE text END AS text2
+        FROM documents),
+      scanned AS (
+        SELECT source, text2,
+               length(regexp_extract_all(text2,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'))
+                 AS n_email,
+               length(regexp_extract_all(text2, '555-[0-9]{4}')) AS n_phone,
+               regexp_replace(regexp_replace(text2,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+                 '[EMAIL]', 'g'), '555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        FROM planted)
+      SELECT source, count(*) AS n_docs,
+             count(CASE WHEN n_email > 0 THEN 1 END) AS n_docs_email,
+             count(CASE WHEN n_phone > 0 THEN 1 END) AS n_docs_phone,
+             CAST(sum(n_email) AS BIGINT) AS n_emails,
+             CAST(sum(n_phone) AS BIGINT) AS n_phones,
+             CAST(sum(length(text2) - length(redacted)) AS BIGINT)
+               AS chars_redacted
+      FROM scanned
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q75DedupClusters, q76FilterFunnel, q77StableSplit, q78SequencePacking,
@@ -1328,5 +1408,5 @@ object LlmOps {
     q68TokenCount, q69Fingerprint, q70Multimodal, q71EmbeddingNearDup,
     q72VocabTopk, q73Chunking, q74EmbeddingQuantise,
     q124Decontamination, q125RepetitionFilter, q126MixtureSampling,
-    q142Bm25Topk)
+    q142Bm25Topk, q146PiiScrub)
 }
