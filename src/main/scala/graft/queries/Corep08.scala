@@ -104,29 +104,56 @@ object Corep08 {
     }
   }
 
-  /** Published-style cross-cell rules: column additivity (total = sum of
-    * class rows), the substitution identity per row rearranged to
-    * sum-vs-sum form (0090 + 0070 = 0020 + 0080 — the reference's
-    * `boe_b0747`-family `0090 = 0020 − 0035 − 0070 + 0080` with no
-    * netting column in this book), and the two-basis RWEA total tie-out
-    * (substitution moves RWEA between sheets, never creates it). */
-  private val rules: Seq[(String, Seq[String], Seq[String], Double)] =
+  /** Published-style cross-cell rules — (id, severity, op, lhs, rhs,
+    * tol); `op` ∈ eq/le/ge exactly as q94's catalogue engine. The
+    * engine's own identities: column additivity (total = sum of class
+    * rows), the substitution identity per row rearranged to sum-vs-sum
+    * form (0090 + 0070 = 0020 + 0080 — the reference's `boe_b0747`-
+    * family `0090 = 0020 − 0035 − 0070 + 0080` with no netting column
+    * in this book), and the two-basis RWEA total tie-out (substitution
+    * moves RWEA between sheets, never creates it).
+    *
+    * Plus the BoE v4.0.0 catalogue slice (reference
+    * `reporting/validations/rules/basel31-boe-v4.0.0-credit-risk.json`,
+    * the PS1/26 banking_reporting extract — loaded as data by
+    * `validations/rules.py`): the OF08.01 families bindable to this
+    * sheet's column analogues, ids + severities preserved, instanced
+    * per row the way the RAW expressions scope per (r, c):
+    *
+    *  - boe_b0380 (`abs({c0280}) <= abs({c0020})`): expected loss never
+    *    exceeds the original exposure — on this book every cell is
+    *    non-negative, so abs() is the identity and the plain `le`
+    *    comparison is the published check.
+    *  - boe_b0314 family (`{t: OF08.01.01.01} >= 0`): the template-wide
+    *    non-negativity sweep (published as per-scope instances
+    *    b0314_1_1…b0314_8), instanced here per (row, column) with the
+    *    q94 `v3703_s@row:col` keying. */
+  private val rules: Seq[(String, String, String, Seq[String], Seq[String], Double)] =
     cols.map { colId =>
-      (s"v_add_$colId",
+      (s"v_add_$colId", "ERROR", "eq",
         Seq(cellId("R_TOTAL", colId)),
         rows.collect { case (r, Some(_)) => cellId(r, colId) },
         0.01)
     } ++
     rows.map { case (row, _) =>
-      (s"v_subst_$row",
+      (s"v_subst_$row", "ERROR", "eq",
         Seq(cellId(row, "C0090"), cellId(row, "C0070")),
         Seq(cellId(row, "C0020"), cellId(row, "C0080")),
         0.01)
-    } :+
-    (("v_basis_rwea",
+    } ++
+    Seq(("v_basis_rwea", "ERROR", "eq",
       Seq(cellId("R_TOTAL", "C0255")),
       Seq(cellId("R_TOTAL", "C0260")),
-      0.01))
+      0.01)) ++
+    rows.map { case (row, _) =>
+      (s"boe_b0380@$row", "ERROR", "le",
+        Seq(cellId(row, "C0280")), Seq(cellId(row, "C0020")), 0.01)
+    } ++
+    (for {
+      (row, _) <- rows
+      colId <- Seq("C0020", "C0090", "C0255", "C0260", "C0280")
+    } yield (s"boe_b0314@$row:$colId", "ERROR", "ge",
+      Seq(cellId(row, colId)), Seq.empty[String], 0.0))
 
   val q121CorepC08 = QueryDef(
     "q121_corep_c08",
@@ -151,29 +178,39 @@ object Corep08 {
       // 1-row frame; cells and every rule total stack out of it.
       val row0 = TemplateGenerator.wideRow(irb, cells)
       def dsumH(ids: Seq[String]): Column =
-        ids.map(id => col(s"`$id`").cast(DecimalType(38, 2)))
+        if (ids.isEmpty) lit(0.0)
+        else ids.map(id => col(s"`$id`").cast(DecimalType(38, 2)))
           .reduce(_ + _).cast("double")
       val wide = row0.select(
         cells.map(c => col(s"`${c.cellId}`")) ++
-        rules.flatMap { case (id, lhs, rhs, _) =>
+        rules.flatMap { case (id, _, _, lhs, rhs, _) =>
           Seq(dsumH(lhs).as(s"${id}__lhs"), dsumH(rhs).as(s"${id}__rhs")) }: _*)
       val nullD = "CAST(NULL AS DOUBLE)"
+      val nullS = "CAST(NULL AS STRING)"
       val stackRows =
         cells.map(c =>
-          s"'cell', '${c.cellId}', `${c.cellId}`, $nullD, $nullD") ++
-        rules.map { case (id, _, _, _) =>
-          s"'validation', '$id', $nullD, `${id}__lhs`, `${id}__rhs`" }
+          s"'cell', '${c.cellId}', $nullS, `${c.cellId}`, $nullD, $nullD") ++
+        rules.map { case (id, sev, _, _, _, _) =>
+          s"'validation', '$id', '$sev', $nullD, `${id}__lhs`, `${id}__rhs`" }
       val stacked = wide.selectExpr(
         s"stack(${stackRows.size}, ${stackRows.mkString(", ")}) " +
-          "AS (section, id, value, lhs_total, rhs_total)")
-      val tolChain = rules.foldLeft(Option.empty[Column]) {
-        case (None, (id, _, _, tol)) => Some(when(col("id") === id, tol))
-        case (Some(acc), (id, _, _, tol)) => Some(acc.when(col("id") === id, tol))
-      }.get.otherwise(0.01)
+          "AS (section, id, severity, value, lhs_total, rhs_total)")
+      val passChain = rules.foldLeft(Option.empty[Column]) {
+        case (acc, (id, _, op, _, _, tol)) =>
+          val cond = op match {
+            case "eq" => abs(col("diff")) <= tol
+            case "le" => col("diff") <= tol
+            case _ => -col("diff") <= tol
+          }
+          acc match {
+            case None => Some(when(col("id") === id, cond))
+            case Some(a) => Some(a.when(col("id") === id, cond))
+          }
+      }.get.otherwise(lit(false))
       stacked
         .withColumn("diff", col("lhs_total") - col("rhs_total"))
         .withColumn("status", when(col("section") === "validation",
-          when(abs(col("diff")) <= tolChain, "pass").otherwise("fail")))
+          when(passChain, "pass").otherwise("fail")))
         .orderBy(col("section"), col("id"))
     },
     Some {
@@ -189,16 +226,26 @@ object Corep08 {
       val cellUnion = cellDefs.map { case (id, alias, _) =>
         s"SELECT '$id' AS id, CAST($alias AS DOUBLE) AS value FROM agg"
       }.mkString("\n        UNION ALL ")
-      val ruleUnion = rules.map { case (id, lhs, rhs, _) =>
-        val lhsIn = lhs.map(c => s"'$c'").mkString(", ")
-        val rhsIn = rhs.map(c => s"'$c'").mkString(", ")
-        s"""SELECT '$id' AS rule_id,
-           CAST(sum(CASE WHEN id IN ($lhsIn) THEN CAST(value AS DECIMAL(38,2)) ELSE CAST(0.0 AS DECIMAL(38,2)) END) AS DOUBLE) AS lhs_total,
-           CAST(sum(CASE WHEN id IN ($rhsIn) THEN CAST(value AS DECIMAL(38,2)) ELSE CAST(0.0 AS DECIMAL(38,2)) END) AS DOUBLE) AS rhs_total
+      def sideSql(ids: Seq[String]): String =
+        if (ids.isEmpty) "CAST(0.0 AS DOUBLE)"
+        else {
+          val in = ids.map(c => s"'$c'").mkString(", ")
+          s"CAST(sum(CASE WHEN id IN ($in) THEN CAST(value AS DECIMAL(38,2)) ELSE CAST(0.0 AS DECIMAL(38,2)) END) AS DOUBLE)"
+        }
+      val ruleUnion = rules.map { case (id, sev, _, lhs, rhs, _) =>
+        s"""SELECT '$id' AS rule_id, '$sev' AS severity,
+           ${sideSql(lhs)} AS lhs_total,
+           ${sideSql(rhs)} AS rhs_total
          FROM cells"""
       }.mkString("\n        UNION ALL ")
-      val tolCase = rules.map { case (id, _, _, tol) =>
-        s"WHEN rule_id = '$id' THEN $tol" }.mkString("CASE ", " ", " ELSE 0.01 END")
+      val statusCase = rules.map { case (id, _, op, _, _, tol) =>
+        val cond = op match {
+          case "eq" => s"abs(lhs_total - rhs_total) <= $tol"
+          case "le" => s"lhs_total - rhs_total <= $tol"
+          case _ => s"rhs_total - lhs_total <= $tol"
+        }
+        s"WHEN rule_id = '$id' THEN CASE WHEN $cond THEN 'pass' ELSE 'fail' END"
+      }.mkString("CASE ", " ", " ELSE 'fail' END")
       s"""
       WITH ${Domain.domainLedgerCtes},
       irb0 AS (
@@ -221,18 +268,17 @@ object Corep08 {
       vals AS (
         $ruleUnion),
       vout AS (
-        SELECT rule_id, lhs_total, rhs_total,
+        SELECT rule_id, severity, lhs_total, rhs_total,
                lhs_total - rhs_total AS diff,
-               CASE WHEN abs(lhs_total - rhs_total) <= ($tolCase) THEN 'pass'
-                    ELSE 'fail' END AS status
+               $statusCase AS status
         FROM vals)
       SELECT * FROM (
-        SELECT 'cell' AS section, id, value,
+        SELECT 'cell' AS section, id, NULL::VARCHAR AS severity, value,
                NULL::DOUBLE AS lhs_total, NULL::DOUBLE AS rhs_total,
                NULL::DOUBLE AS diff, NULL::VARCHAR AS status
         FROM cells
         UNION ALL
-        SELECT 'validation', rule_id, NULL::DOUBLE,
+        SELECT 'validation', rule_id, severity, NULL::DOUBLE,
                lhs_total, rhs_total, diff, status
         FROM vout)
       ORDER BY section, id

@@ -106,9 +106,13 @@ class Pillar3Spec extends SparkSpec {
   test("C 08.01: every published-style validation passes on the sealed ledger") {
     val v = Corep08.q121CorepC08.build(spark, sfDir)
       .filter(col("section") === "validation").collect()
-    assert(v.length == 11)
-    assert(v.forall(_.getString(6) == "pass"),
-      v.filter(_.getString(6) != "pass").mkString("; "))
+    assert(v.length == 29)
+    // the BoE slice carries its published ids + severities
+    assert(v.exists(r => r.getString(1).startsWith("boe_b0380@")))
+    assert(v.filter(_.getString(1).startsWith("boe_")).forall(
+      _.getString(2) == "ERROR"))
+    assert(v.forall(_.getString(7) == "pass"),
+      v.filter(_.getString(7) != "pass").mkString("; "))
   }
 
   test("q94 catalogue rules carry id + severity and all pass") {
