@@ -81,6 +81,58 @@ object EventStreams {
   final case class SessionState(start: Long, lastMs: Long, n: Int)
   final case class SessionOut(user_id: Long, startMs: Long, endMs: Long, n_events: Int)
 
+  final case class AsofState(ms: Long, eventId: Long, value: Double)
+  final case class AsofOut(
+    user_id: Long, ts_ms: Long, asof_ts_ms: Option[Long],
+    asof_value: Option[Double])
+
+  /** Streaming AS-OF enrichment via flatMapGroupsWithState — the
+    * incremental twin of `operators.AsofJoin.backward` (batch oracle:
+    * q127): per user the state is ONLY the latest view (timestamp,
+    * event id, value) — O(1) per key, never a buffer of history — and
+    * each purchase emits enriched with that view when it lies within
+    * `toleranceMs` at-or-before the purchase. Tie discipline matches the
+    * batch operator exactly: a view at the purchase's own timestamp
+    * matches (views order before purchases at equal ts), concurrent
+    * views resolve to the highest event id. Within a micro-batch events
+    * are processed in event-time order; across batches the
+    * backward-only guard (`st.ms <= purchase ms`) keeps the semantics
+    * monotone when a purchase arrives after a newer view — the standard
+    * stateful-asof caveat a true event-time-ordered per-key delivery
+    * (or the batch form) does not have.
+    */
+  def asofEnrich(events: Dataset[Delivered], toleranceMs: Long = 3600000L)
+      : Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Delivered], state: GroupState[AsofState]) =>
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.ts.getTime, if (e.event_type == "view") 0 else 1, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[AsofOut]
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            e.event_type match {
+              case "view" =>
+                if (st == null || ms > st.ms ||
+                    (ms == st.ms && e.event_id > st.eventId))
+                  st = AsofState(ms, e.event_id, e.value)
+              case "purchase" =>
+                if (st != null && st.ms <= ms && st.ms >= ms - toleranceMs)
+                  out += AsofOut(userId, ms, Some(st.ms), Some(st.value))
+                else
+                  out += AsofOut(userId, ms, None, None)
+              case _ => ()
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Custom-state sessionizer via flatMapGroupsWithState — the
     * KeyValueGroupedDataset escape hatch for session logic the built-in
     * operators can't express (emits a session when the 30-min gap elapses

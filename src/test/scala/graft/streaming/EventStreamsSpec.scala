@@ -141,4 +141,53 @@ class EventStreamsSpec extends SparkSpec {
       assert(rows.head.getInt(3) == 2)
     } finally q.stop()
   }
+
+  test("streaming as-of enrichment matches the batch AsofJoin on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evts = Seq(
+      EventStreams.Delivered(1L, ts(0), 1L, "view", 10.0),
+      EventStreams.Delivered(2L, ts(5), 1L, "view", 11.0),  // newer view wins
+      EventStreams.Delivered(3L, ts(10), 1L, "purchase", 99.0), // -> view@5
+      EventStreams.Delivered(4L, ts(10), 2L, "purchase", 50.0), // no view -> null
+      EventStreams.Delivered(5L, ts(70), 3L, "view", 7.0),
+      EventStreams.Delivered(6L, ts(200), 3L, "purchase", 1.0)) // 130min > 1h -> null
+    val input = MemoryStream[EventStreams.Delivered]
+    val q = EventStreams.asofEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_enrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // split across micro-batches at an event-time boundary (the
+      // per-key state carries the last view between batches)
+      input.addData(evts.take(3): _*)
+      q.processAllAvailable()
+      input.addData(evts.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("asof_enrich").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+      // batch twin on the same rows through AsofJoin.backward
+      val base = evts.map(e => (e.user_id, e.ts.getTime, e.event_id,
+        e.event_type, e.value))
+        .toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+      val quotes = base.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          col("value").as("view_value"))
+      val trades = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ms"), col("event_id"))
+      val batch = graft.operators.AsofJoin.backward(
+        trades, quotes, by = "user_id", on = "ts_ms", seq = "event_id",
+        payload = Seq("view_value"), tolerance = Some(3600000L))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(r.fieldIndex("asof_on"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("asof_view_value")))
+            .map(_.asInstanceOf[Double]))).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed.size == 3)
+      assert(streamed.exists { case (u, _, m, v) =>
+        u == 1L && m.contains(ts(5).getTime) && v.contains(11.0) })
+    } finally q.stop()
+  }
 }
