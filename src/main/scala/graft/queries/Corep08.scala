@@ -885,6 +885,115 @@ object Corep08 {
       """.stripMargin.trim
     })
 
+  /** The C 02.00 catalogue slice (same EBA v3.0(3.0.1) extract as q94's):
+    * the master-roll-up identities bindable to q140's row grid, ids +
+    * severities preserved, evaluated under BOTH frameworks (each rule
+    * instanced per rwea column — the catalogue's framework scoping).
+    * The published `if_value_missing: "treat as zero"` policy is applied
+    * LITERALLY: the out-of-scope null rows (market 0460, securitisation
+    * 0440, operational 0640, fixed overheads 0680) participate in
+    * v0204_m's RHS as zeros, exactly as the EBA evaluator treats an
+    * unreported cell. */
+  private val c02Rules: Seq[(String, String, String, Seq[String], Seq[String], Double)] =
+    Seq(
+      // TREA = the sum of the risk-type blocks (Art. 92(3))
+      ("v0204_m", "ERROR", "eq", Seq("0010"),
+        Seq("0050", "0430", "0440", "0460", "0590", "0640", "0680"), 0.01),
+      // credit risk = SA block + IRB block
+      ("v0205_m", "WARNING", "eq", Seq("0050"), Seq("0060", "0220"), 0.01),
+      // foundation-IRB block = its class rows
+      ("v0210_m", "ERROR", "eq", Seq("0240"), Seq("0250", "0260"), 0.01)) ++
+    // v3686_s: the template-wide non-negativity sweep, instanced per
+    // populated row (null rows are out of scope, zero rows in scope)
+    Seq("0010", "0040", "0050", "0060", "0070", "0120", "0130", "0140",
+        "0220", "0240", "0250", "0260", "0430", "0590").map { ref =>
+      (s"v3686_s@$ref", "ERROR", "ge", Seq(ref), Seq.empty[String], 0.0)
+    }
+
+  /** q147: the C 02.00 supervisory validation pass — the published
+    * catalogue rules evaluated over q140's generated template (the
+    * reference's separate `validations/evaluate.py` pass over a
+    * produced sheet, not a sheet feature). ONE conditional aggregation
+    * over the 40-row frame computes every rule side under both
+    * frameworks; output one row per (rule, framework) with id, severity,
+    * totals, diff and status. */
+  val q147C02Validations = QueryDef(
+    "q147_c02_validations",
+    (s, dir) => {
+      val t = q140CorepC02.build(s, dir)
+      def side(ids: Seq[String], rweaCol: String): Column =
+        if (ids.isEmpty) lit(0.0)
+        else sum(when(col("row_ref").isin(ids: _*),
+          coalesce(col(rweaCol), lit(0.0))).otherwise(0.0)
+          .cast(DecimalType(38, 4))).cast("double")
+      val aggs = c02Rules.flatMap { case (id, _, _, lhs, rhs, _) =>
+        Seq("rwea_crr" -> "crr", "rwea_b31" -> "b31").flatMap {
+          case (c, fw) => Seq(
+            side(lhs, c).as(s"${id}__${fw}__lhs"),
+            side(rhs, c).as(s"${id}__${fw}__rhs"))
+        }
+      }
+      val row0 = t.agg(aggs.head, aggs.tail: _*)
+      val stackRows = c02Rules.flatMap { case (id, sev, _, _, _, _) =>
+        Seq("crr", "b31").map(fw =>
+          s"'$id', '$fw', '$sev', `${id}__${fw}__lhs`, `${id}__${fw}__rhs`")
+      }
+      val stacked = row0.selectExpr(
+        s"stack(${stackRows.size}, ${stackRows.mkString(", ")}) " +
+          "AS (rule_id, framework, severity, lhs_total, rhs_total)")
+      val passChain = c02Rules.foldLeft(Option.empty[Column]) {
+        case (acc, (id, _, op, _, _, tol)) =>
+          val cond = op match {
+            case "eq" => abs(col("diff")) <= tol
+            case "le" => col("diff") <= tol
+            case _ => -col("diff") <= tol
+          }
+          acc match {
+            case None => Some(when(col("rule_id") === id, cond))
+            case Some(a) => Some(a.when(col("rule_id") === id, cond))
+          }
+      }.get.otherwise(lit(false))
+      stacked
+        .withColumn("diff", col("lhs_total") - col("rhs_total"))
+        .withColumn("status", when(passChain, "pass").otherwise("fail"))
+        .orderBy(col("rule_id"), col("framework"))
+    },
+    Some {
+      def sideSql(ids: Seq[String], rweaCol: String): String =
+        if (ids.isEmpty) "CAST(0.0 AS DOUBLE)"
+        else {
+          val in = ids.map(r => s"'$r'").mkString(", ")
+          s"CAST(sum(CASE WHEN row_ref IN ($in) THEN CAST(coalesce($rweaCol, 0.0) AS DECIMAL(38,4)) ELSE CAST(0.0 AS DECIMAL(38,4)) END) AS DOUBLE)"
+        }
+      val ruleUnion = c02Rules.flatMap { case (id, sev, _, lhs, rhs, _) =>
+        Seq("rwea_crr" -> "crr", "rwea_b31" -> "b31").map { case (c, fw) =>
+          s"""SELECT '$id' AS rule_id, '$fw' AS framework, '$sev' AS severity,
+             ${sideSql(lhs, c)} AS lhs_total,
+             ${sideSql(rhs, c)} AS rhs_total
+           FROM c02t"""
+        }
+      }.mkString("\n        UNION ALL ")
+      val statusCase = c02Rules.map { case (id, _, op, _, _, tol) =>
+        val cond = op match {
+          case "eq" => s"abs(lhs_total - rhs_total) <= $tol"
+          case "le" => s"lhs_total - rhs_total <= $tol"
+          case _ => s"rhs_total - lhs_total <= $tol"
+        }
+        s"WHEN rule_id = '$id' THEN CASE WHEN $cond THEN 'pass' ELSE 'fail' END"
+      }.mkString("CASE ", " ", " ELSE 'fail' END")
+      s"""
+      WITH c02t AS MATERIALIZED (${q140CorepC02.oracle.get}),
+      c02vals AS (
+        $ruleUnion)
+      SELECT rule_id, framework, severity, lhs_total, rhs_total,
+             lhs_total - rhs_total AS diff,
+             $statusCase AS status
+      FROM c02vals
+      ORDER BY rule_id, framework
+      """.stripMargin.trim
+    })
+
   val all: Seq[QueryDef] = Seq(
-    q121CorepC08, q128CorepC0802, q140CorepC02, q144CorepC0803)
+    q121CorepC08, q128CorepC0802, q140CorepC02, q144CorepC0803,
+    q147C02Validations)
 }
