@@ -885,6 +885,114 @@ object Corep08 {
       """.stripMargin.trim
     })
 
+  /** q148: COREP C 08.05 — IRB PD back-testing per exposure class over
+    * the same hierarchical PD masterscale as C 08.03 (reference
+    * `c08.py` _c08_05_cells — "the sparse PD-range pair"; Reg (EU)
+    * 2021/451 Annex I C 08.05). Where CR9 (q145) keys sheets on the
+    * Annex XXII leaf taxonomy, C 08.05 keys on the sealed exposure
+    * class itself, and its column surface is the back-testing core: col
+    * 0010 the arithmetic-mean report PD (the reference's
+    * WeightedAvg-by-one), 0020 the obligor count (distinct — no
+    * prior-year carrier, the recorded proxy), 0030 the defaulted
+    * obligor count, 0040 the observed rate (0030/0020 × 100, an
+    * intra-row Formula), 0050 the copy-of-0040 fallback (no historical
+    * series carrier). Rows stay sparse over the leaf+parent explode
+    * (q144's shape — no Total row on this template; `banded_rows` emits
+    * populated bands only). Same one-shuffle scale posture as q144. */
+  val q148CorepC0805 = QueryDef(
+    "q148_corep_c0805",
+    (s, dir) => {
+      import s.implicits._
+      val axis = Pillar3.cr6Bands.filter(_._1 != 18)
+      val leaves = axis.filter(t => leafRefs(t._1))
+      val parents = axis.filter(t => c0803ParentRefs(t._1))
+      def bandChain(bands: Seq[(Int, String, Double, Double)]): Column =
+        bands.foldLeft(Option.empty[Column]) {
+          case (None, (r, _, lo, hi)) =>
+            Some(when(col("alloc_pd") >= lo && col("alloc_pd") < hi, r))
+          case (Some(acc), (r, _, lo, hi)) =>
+            Some(acc.when(col("alloc_pd") >= lo && col("alloc_pd") < hi, r))
+        }.get.otherwise(lit(null).cast("int"))
+      val k = expr("CAST(substring(exposure_reference, 5) AS BIGINT)")
+      val banded = DomainPipeline.ledger(s, dir)
+        .filter(col("approach") === "IRB")
+        .withColumn("k", k)
+        .withColumn("pd_floored",
+          greatest(lit(0.0001) + (col("k") % 997).cast("double") * lit(0.001),
+            lit(0.0003)))
+        .withColumn("alloc_pd",
+          when(col("is_defaulted"), lit(1.0)).otherwise(col("pd_floored")))
+        .withColumn("leaf_ref", bandChain(leaves))
+        .withColumn("parent_ref", bandChain(parents))
+        .withColumn("row_ref",
+          explode(filter(array(col("leaf_ref"), col("parent_ref")),
+            x => x.isNotNull)))
+      val agg = banded.groupBy(col("exposure_class"), col("row_ref")).agg(
+        count(lit(1)).as("n_exposures"),
+        countDistinct(col("counterparty_reference")).as("n_obligors"),
+        countDistinct(when(col("is_defaulted"), col("counterparty_reference")))
+          .as("n_defaulted_obligors"),
+        dsum(col("pd_floored"), 6).as("pd_sum"))
+      val labels = broadcast(axis.map(t => (t._1, t._2))
+        .toDF("row_ref", "pd_range"))
+      agg.join(labels, Seq("row_ref"))
+        .select(
+          col("exposure_class"), col("row_ref"), col("pd_range"),
+          q6(col("pd_sum") / col("n_exposures") * 100).as("mean_pd_pct"),
+          col("n_obligors"), col("n_defaulted_obligors"),
+          q6(col("n_defaulted_obligors").cast("double") /
+            col("n_obligors").cast("double") * 100).as("observed_rate_pct"))
+        .withColumn("hist_rate_pct", col("observed_rate_pct"))
+        .orderBy(col("exposure_class"), col("row_ref"))
+    },
+    Some {
+      def bandCase(bands: Seq[(Int, String, Double, Double)]): String =
+        bands.map { case (r, _, lo, hi) =>
+          s"WHEN alloc_pd >= ${d(lo)} AND alloc_pd < ${d(hi)} THEN $r" }
+          .mkString("CASE ", " ", " ELSE NULL END")
+      val axis = Pillar3.cr6Bands.filter(_._1 != 18)
+      val leafCase = bandCase(axis.filter(t => leafRefs(t._1)))
+      val parentCase = bandCase(axis.filter(t => c0803ParentRefs(t._1)))
+      val axisValues = axis.map(t => s"(${t._1}, '${t._2}')").mkString(", ")
+      s"""
+      WITH ${Domain.domainLedgerCtes},
+      c0805irb AS (
+        SELECT exposure_class, counterparty_reference, is_defaulted,
+               greatest(0.0001 + (CAST(substr(exposure_reference, 5) AS BIGINT)
+                 % 997) * 0.001, 0.0003) AS pd_floored
+        FROM final WHERE approach = 'IRB'),
+      c0805alloc AS (
+        SELECT *, CASE WHEN is_defaulted THEN 1.0 ELSE pd_floored END
+                    AS alloc_pd
+        FROM c0805irb),
+      c0805keyed AS (
+        SELECT *, $leafCase AS leaf_ref, $parentCase AS parent_ref
+        FROM c0805alloc),
+      c0805x AS (
+        SELECT *, leaf_ref AS row_ref FROM c0805keyed
+        UNION ALL
+        SELECT *, parent_ref FROM c0805keyed WHERE parent_ref IS NOT NULL),
+      c0805rolled AS (
+        SELECT exposure_class, row_ref,
+               count(*) AS n_exposures,
+               count(DISTINCT counterparty_reference) AS n_obligors,
+               count(DISTINCT CASE WHEN is_defaulted
+                 THEN counterparty_reference END) AS n_defaulted_obligors,
+               ${sqlDsum("pd_floored", 6)} AS pd_sum
+        FROM c0805x GROUP BY 1, 2),
+      c0805axis(row_ref, pd_range) AS (VALUES $axisValues)
+      SELECT r.exposure_class, r.row_ref, a.pd_range,
+             ${sql6("r.pd_sum / r.n_exposures * 100")} AS mean_pd_pct,
+             r.n_obligors, r.n_defaulted_obligors,
+             ${sql6("CAST(r.n_defaulted_obligors AS DOUBLE) / CAST(r.n_obligors AS DOUBLE) * 100")}
+               AS observed_rate_pct,
+             ${sql6("CAST(r.n_defaulted_obligors AS DOUBLE) / CAST(r.n_obligors AS DOUBLE) * 100")}
+               AS hist_rate_pct
+      FROM c0805rolled r JOIN c0805axis a ON a.row_ref = r.row_ref
+      ORDER BY r.exposure_class, r.row_ref
+      """.stripMargin.trim
+    })
+
   /** The C 02.00 catalogue slice (same EBA v3.0(3.0.1) extract as q94's):
     * the master-roll-up identities bindable to q140's row grid, ids +
     * severities preserved, evaluated under BOTH frameworks (each rule
@@ -995,5 +1103,5 @@ object Corep08 {
 
   val all: Seq[QueryDef] = Seq(
     q121CorepC08, q128CorepC0802, q140CorepC02, q144CorepC0803,
-    q147C02Validations)
+    q147C02Validations, q148CorepC0805)
 }
