@@ -993,6 +993,62 @@ object Corep08 {
       """.stripMargin.trim
     })
 
+  /** q149: COREP C 08.07 — IRB scope of use (reference
+    * `reporting/corep/c08_07.py`; CRR Art. 143/148/150, COREP Annex II
+    * §3.3.6). The recorded population decision carried over exactly:
+    * the population is the FULL book (SA enters every denominator), the
+    * sheet keys the RAW exposure class (the one COREP sheet deliberately
+    * not retargeted to the applied ladder), and cols 0030/0040/0050 are
+    * DPM FRACTIONS, not 0-100 percentages. Col 0040 (% under a roll-out
+    * plan) needs the optional `is_under_irb_rollout` input column this
+    * vocabulary lacks — the reference's recorded degradation: the slice
+    * is empty, 0040 = 0.0 and 0030 (permanent partial use) keeps the
+    * WHOLE SA share, preserving 0030 + 0040 = the SA fraction. One
+    * ROLLUP shuffle produces the class rows and the whole-population
+    * Total (CRR row 0170 semantics). */
+  val q149CorepC0807 = QueryDef(
+    "q149_corep_c0807",
+    (s, dir) => {
+      val led = DomainPipeline.ledger(s, dir)
+      led.rollup(col("exposure_class"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          dsum(when(col("approach") === "IRB", col("ead_pre_crm"))
+            .otherwise(0.0), 2).as("ead_irb"),
+          dsum(col("ead_pre_crm"), 2).as("ead_total"))
+        .select(
+          coalesce(col("exposure_class"), lit("TOTAL")).as("exposure_class"),
+          col("n_exposures"), col("ead_irb"), col("ead_total"),
+          when(col("ead_total") > 0,
+            q6((col("ead_total") - col("ead_irb")) / col("ead_total")))
+            .as("pct_ppu_sa"),
+          lit(0.0).as("pct_rollout"),
+          when(col("ead_total") > 0, q6(col("ead_irb") / col("ead_total")))
+            .as("pct_irb"))
+        .orderBy(col("exposure_class"))
+    },
+    Some(s"""
+      WITH ${Domain.domainLedgerCtes},
+      c0807 AS (
+        SELECT exposure_class,
+               count(*) AS n_exposures,
+               ${sqlDsum("CASE WHEN approach = 'IRB' THEN ead_pre_crm ELSE 0.0 END", 2)}
+                 AS ead_irb,
+               ${sqlDsum("ead_pre_crm", 2)} AS ead_total
+        FROM final
+        GROUP BY ROLLUP(exposure_class))
+      SELECT coalesce(exposure_class, 'TOTAL') AS exposure_class,
+             n_exposures, ead_irb, ead_total,
+             CASE WHEN ead_total > 0
+                  THEN ${sql6("(ead_total - ead_irb) / ead_total")} END
+               AS pct_ppu_sa,
+             CAST(0.0 AS DOUBLE) AS pct_rollout,
+             CASE WHEN ead_total > 0
+                  THEN ${sql6("ead_irb / ead_total")} END AS pct_irb
+      FROM c0807
+      ORDER BY exposure_class
+    """.stripMargin.trim))
+
   /** The C 02.00 catalogue slice (same EBA v3.0(3.0.1) extract as q94's):
     * the master-roll-up identities bindable to q140's row grid, ids +
     * severities preserved, evaluated under BOTH frameworks (each rule
@@ -1103,5 +1159,5 @@ object Corep08 {
 
   val all: Seq[QueryDef] = Seq(
     q121CorepC08, q128CorepC0802, q140CorepC02, q144CorepC0803,
-    q147C02Validations, q148CorepC0805)
+    q147C02Validations, q148CorepC0805, q149CorepC0807)
 }
