@@ -339,10 +339,18 @@ final class RestServer(
         case Some(cellId) => res.ledger match {
           case None => error(ex, 404, "run has no ledger")
           case Some(led) =>
-            graft.queries.Domain.c07Cells.find(_.cellId == cellId) match {
+            // catalogue dispatch: C07|… cells resolve over the raw
+            // ledger, C08|… cells over the q121 leg-derived IRB slice
+            val resolved =
+              graft.queries.Domain.c07Cells.find(_.cellId == cellId)
+                .map(spec => (spec, led))
+                .orElse(graft.queries.Corep08.c08Cells
+                  .find(_.cellId == cellId)
+                  .map(spec => (spec, graft.queries.Corep08.c08Prepare(led))))
+            resolved match {
               case None => error(ex, 404, s"unknown cell: $cellId")
-              case Some(spec) =>
-                val slice = led.filter(spec.predicate)
+              case Some((spec, base)) =>
+                val slice = base.filter(spec.predicate)
                 // decimal accumulation exactly as the sheet's wideRow, so
                 // the drilled value matches the published cell bit-for-bit
                 val value = Option(slice.agg(

@@ -155,25 +155,41 @@ object Corep08 {
     } yield (s"boe_b0314@$row:$colId", "ERROR", "ge",
       Seq(cellId(row, colId)), Seq.empty[String], 0.0))
 
+  /** The q121 derived-leg prep over the raw sealed ledger — shared by
+    * the sheet build and the REST cell drill-down
+    * (`/api/lineage/cell`), so a drilled C 08 cell re-derives its legs
+    * identically to the published sheet. */
+  private[graft] def c08Prepare(led: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val k = expr("CAST(substring(exposure_reference, 5) AS BIGINT)")
+    val pdF = greatest(
+      lit(0.0001) + (k % 997).cast("double") * lit(0.001), lit(0.0003))
+    val lgdF = greatest((k % 60).cast("double") * lit(0.01), lit(0.05))
+    led.filter(col("approach") === "IRB")
+      .withColumn("leg_coll", q2(col("coll_covered") * lit(collRw)))
+      .withColumn("leg_unsec", q2(col("unsecured") * col("own_rw")))
+      .withColumn("leg_guar", q2(col("guar_covered") *
+        least(col("own_rw"), coalesce(col("guarantor_rw"), col("own_rw")))))
+      .withColumn("el", q2(pdF * lgdF * col("ead_pre_crm")))
+  }
+
+  /** The C 08.01 cell catalogue — predicates stay trivially-true because
+    * the substitution-inflow cells (0080/0090/0260) draw from rows of
+    * OTHER classes (the guaranteed leg lands on the guarantor's sheet);
+    * the class scoping lives inside the measure, so the whole book is
+    * each cell's honest drill-down population. */
+  private[graft] def c08Cells: Seq[graft.reporting.CellSpec] = for {
+    (row, clsOpt) <- rows
+    colId <- cols
+  } yield graft.reporting.CellSpec(
+    cellId(row, colId), lit(true), measure(colId, clsOpt))
+
   val q121CorepC08 = QueryDef(
     "q121_corep_c08",
     (s, dir) => {
-      import graft.reporting.{CellSpec, TemplateGenerator}
-      val k = expr("CAST(substring(exposure_reference, 5) AS BIGINT)")
-      val pdF = greatest(
-        lit(0.0001) + (k % 997).cast("double") * lit(0.001), lit(0.0003))
-      val lgdF = greatest((k % 60).cast("double") * lit(0.01), lit(0.05))
-      val irb = DomainPipeline.ledger(s, dir)
-        .filter(col("approach") === "IRB")
-        .withColumn("leg_coll", q2(col("coll_covered") * lit(collRw)))
-        .withColumn("leg_unsec", q2(col("unsecured") * col("own_rw")))
-        .withColumn("leg_guar", q2(col("guar_covered") *
-          least(col("own_rw"), coalesce(col("guarantor_rw"), col("own_rw")))))
-        .withColumn("el", q2(pdF * lgdF * col("ead_pre_crm")))
-      val cells = for {
-        (row, clsOpt) <- rows
-        colId <- cols
-      } yield CellSpec(cellId(row, colId), lit(true), measure(colId, clsOpt))
+      import graft.reporting.TemplateGenerator
+      val irb = c08Prepare(DomainPipeline.ledger(s, dir))
+      val cells = c08Cells
       // q94's single-branch discipline: ONE aggregation produces the wide
       // 1-row frame; cells and every rule total stack out of it.
       val row0 = TemplateGenerator.wideRow(irb, cells)

@@ -55,6 +55,11 @@ class RestServerSpec extends SparkSpec {
       assert(http(port, s"/api/lineage/cell?run_id=$runId&cell=bogus")._1 == 404)
       assert(http(port, s"/api/lineage/cell?run_id=$runId")._1 == 422)
 
+      // C 08 cells dispatch over the leg-derived IRB slice
+      val (cls3, clb3) = http(port,
+        s"/api/lineage/cell?run_id=$runId&cell=C08%7CR_TOTAL%7CC0255")
+      assert(cls3 == 200 && clb3.contains("\"cell_id\":\"C08|R_TOTAL|C0255\""), clb3)
+
       // error semantics mirror the reference: unknown run 404, bad input 422
       assert(http(port, "/api/results?run_id=run-999")._1 == 404)
       assert(http(port, s"/api/results/summary?run_id=$runId&dimension=bogus")._1 == 422)
