@@ -2613,6 +2613,99 @@ object Domain {
       """.stripMargin.trim
     })
 
+  /** q150: CR9.1 — IRB PD back-testing for ECAI mapping (reference
+    * `reporting/pillar3/cr9.py` CR9.1 + `templates.py`; PRA PS1/26 Art.
+    * 180(1)(f), Annex XXII). Shares CR9's class taxonomy and c-h column
+    * verbs but groups rows by the firm's ECAI GRADE instead of PD bands,
+    * scoped to the ECAI-mapped obligor population. The reference's
+    * engine produces neither carrier, so its CR9.1 is empty on the real
+    * pipeline and pinned only by a seeded unit test — THIS rulebook's
+    * hierarchy stage genuinely resolves external ratings
+    * (`best_rating`/`own_cqs`, the multi-agency rank-1 pick), so the
+    * grade axis is `effective CQS over the rated population` and the
+    * sheet comes alive with a full oracle: rows = CQS grades per leaf
+    * class plus the class Total from the same ROLLUP shuffle (distinct
+    * obligors counted once per grouping set), scope = IRB obligors
+    * carrying an own rating (the Art. 180(1)(f) mapped population —
+    * group-inherited CQS is NOT an ECAI mapping of the obligor and
+    * stays out).
+    */
+  val q150Cr91EcaiBacktesting = QueryDef(
+    "q150_cr9_1",
+    (s, dir) => {
+      val k = expr("CAST(substring(exposure_reference, 5) AS BIGINT)")
+      val rated = DomainPipeline.ledger(s, dir)
+        .filter(col("approach") === "IRB" && col("own_cqs").isNotNull)
+        .withColumn("k", k)
+        .withColumn("pd_floored",
+          greatest(lit(0.0001) + (col("k") % 997).cast("double") * lit(0.001),
+            lit(0.0003)))
+        .withColumn("class_key",
+          when(col("exposure_class") === "institution", "institution")
+            .otherwise("corporate_other_non_sme"))
+      rated.rollup(col("class_key"), col("own_cqs"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          countDistinct(col("counterparty_reference")).as("n_obligors"),
+          countDistinct(when(col("is_defaulted"),
+            col("counterparty_reference"))).as("n_defaulted"),
+          dsum(q2(col("pd_floored") * col("ead_pre_crm")), 2).as("pd_num"),
+          dsum(col("ead_pre_crm"), 2).as("ead"),
+          dsum(col("pd_floored"), 6).as("pd_sum"))
+        .filter(col("class_key").isNotNull)
+        .select(
+          concat(lit("foundation_irb - "), col("class_key")).as("sheet_key"),
+          coalesce(col("own_cqs"), lit(99)).as("grade_ref"),
+          when(col("own_cqs").isNull, "Total")
+            .otherwise(concat(lit("CQS "), col("own_cqs").cast("string")))
+            .as("grade"),
+          col("n_obligors"), col("n_defaulted"),
+          q6(col("n_defaulted").cast("double") /
+            col("n_obligors").cast("double") * 100).as("observed_rate_pct"),
+          when(col("ead") > 0, q6(col("pd_num") / col("ead") * 100))
+            .as("ead_w_pd_pct"),
+          q6(col("pd_sum") / col("n_exposures") * 100).as("mean_pd_pct"))
+        .withColumn("hist_rate_pct", col("observed_rate_pct"))
+        .orderBy(col("sheet_key"), col("grade_ref"))
+    },
+    Some(s"""
+      WITH $domainLedgerCtes,
+      cr91rated AS (
+        SELECT counterparty_reference, ead_pre_crm, is_defaulted, own_cqs,
+               greatest(0.0001 + (CAST(substr(exposure_reference, 5) AS BIGINT)
+                 % 997) * 0.001, 0.0003) AS pd_floored,
+               CASE WHEN exposure_class = 'institution' THEN 'institution'
+                    ELSE 'corporate_other_non_sme' END AS class_key
+        FROM final
+        WHERE approach = 'IRB' AND own_cqs IS NOT NULL),
+      cr91rolled AS (
+        SELECT class_key, own_cqs,
+               count(*) AS n_exposures,
+               count(DISTINCT counterparty_reference) AS n_obligors,
+               count(DISTINCT CASE WHEN is_defaulted
+                 THEN counterparty_reference END) AS n_defaulted,
+               ${sqlDsum(sql2("pd_floored * ead_pre_crm"), 2)} AS pd_num,
+               ${sqlDsum("ead_pre_crm", 2)} AS ead,
+               ${sqlDsum("pd_floored", 6)} AS pd_sum
+        FROM cr91rated
+        GROUP BY ROLLUP(class_key, own_cqs))
+      SELECT 'foundation_irb - ' || class_key AS sheet_key,
+             coalesce(own_cqs, 99) AS grade_ref,
+             CASE WHEN own_cqs IS NULL THEN 'Total'
+                  ELSE 'CQS ' || CAST(own_cqs AS VARCHAR) END AS grade,
+             n_obligors, n_defaulted,
+             ${sql6("CAST(n_defaulted AS DOUBLE) / CAST(n_obligors AS DOUBLE) * 100")}
+               AS observed_rate_pct,
+             CASE WHEN ead > 0
+                  THEN ${sql6("pd_num / ead * 100")} END AS ead_w_pd_pct,
+             ${sql6("pd_sum / n_exposures * 100")} AS mean_pd_pct,
+             ${sql6("CAST(n_defaulted AS DOUBLE) / CAST(n_obligors AS DOUBLE) * 100")}
+               AS hist_rate_pct
+      FROM cr91rolled
+      WHERE class_key IS NOT NULL
+      ORDER BY sheet_key, grade_ref
+    """.stripMargin.trim))
+
   /** q118: CR5-style SA risk-weight band census (reference
     * `reporting/pillar3/cr5.py`): the SA slice of the sealed ledger
     * pivoted by applied risk weight — exposure pre-CRM, the post-CRM
@@ -2817,5 +2910,6 @@ object Domain {
     q94CorepTemplate, q95SaPortfolio, q98SecuritisationAllocator,
     q99Transition, q100Provisions, q102Pillar3Cr4, q103CiuLookthrough,
     q106LedgerAudit, q109DoubleDefault, q115Tieouts, q116GeoBreakdown,
-    q117PdBacktesting, q118RwBands, q129GeoUltimateRisk, q145Cr9Full)
+    q117PdBacktesting, q118RwBands, q129GeoUltimateRisk, q145Cr9Full,
+    q150Cr91EcaiBacktesting)
 }
