@@ -1401,6 +1401,55 @@ object LlmOps {
       ORDER BY source
     """.stripMargin.trim))
 
+  /** q151: sequence-length distribution — the context-window planning
+    * stats a pretraining pipeline reads before choosing packing
+    * capacity and truncation policy: per source the exact p50/p90/p99
+    * token-count percentiles (Spark's `percentile` and DuckDB's
+    * `quantile_cont` both implement the classic type-7 linear
+    * interpolation, quantised to 6 decimals for cross-engine
+    * bit-stability), the max, the decimal-exact total, and the count
+    * over a truncation threshold. Exact percentiles shuffle the
+    * distribution per group — acceptable at any corpus scale because
+    * the grain is (source, token-count) pairs, not documents; the
+    * approximate path for ungrouped global quantiles is
+    * `approx_percentile`, deliberately NOT used here so the oracle can
+    * be exact. One aggregation shuffle.
+    */
+  val q151LengthStats = QueryDef(
+    "q151_length_stats",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val seq0 = d.select(col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      seq0.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          q6(expr("percentile(n_tokens, 0.5)")).as("p50_tokens"),
+          q6(expr("percentile(n_tokens, 0.9)")).as("p90_tokens"),
+          q6(expr("percentile(n_tokens, 0.99)")).as("p99_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          count(when(col("n_tokens") > 64, lit(1))).as("n_over_64"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH seq AS (
+        SELECT source,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                 AS n_tokens
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             ${sql6("quantile_cont(n_tokens, 0.5)")} AS p50_tokens,
+             ${sql6("quantile_cont(n_tokens, 0.9)")} AS p90_tokens,
+             ${sql6("quantile_cont(n_tokens, 0.99)")} AS p99_tokens,
+             max(n_tokens) AS max_tokens,
+             count(CASE WHEN n_tokens > 64 THEN 1 END) AS n_over_64
+      FROM seq
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q75DedupClusters, q76FilterFunnel, q77StableSplit, q78SequencePacking,
@@ -1408,5 +1457,5 @@ object LlmOps {
     q68TokenCount, q69Fingerprint, q70Multimodal, q71EmbeddingNearDup,
     q72VocabTopk, q73Chunking, q74EmbeddingQuantise,
     q124Decontamination, q125RepetitionFilter, q126MixtureSampling,
-    q142Bm25Topk, q146PiiScrub)
+    q142Bm25Topk, q146PiiScrub, q151LengthStats)
 }
