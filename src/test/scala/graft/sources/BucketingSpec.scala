@@ -3,41 +3,63 @@ package graft.sources
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Bucketing — the pre-partitioned co-located join the 100 TB brief calls
-  * for: two fact tables bucketed by the join key join WITHOUT a shuffle
-  * exchange on either side (the bucketing metadata satisfies the join's
-  * distribution requirement at plan time). At cluster scale this is the
-  * difference between re-shuffling a 100 TB book per run and shuffling it
-  * once at ingest. */
+/** The bucketing contract: a join between co-bucketed tables plans with
+  * NO Exchange on either side (the shuffle was paid at write time), and
+  * the join result matches the plain-parquet join bit for bit.
+  */
 class BucketingSpec extends SparkSpec {
 
-  test("bucketed co-located join plans without shuffle exchanges") {
-    // external tables (explicit path), so the static warehouse dir is unused
-    val wh = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
-    val sfDir = "/root/testdata/sf0.001"
-    val o = Tables.orders(spark, sfDir)
-    val c = Tables.customer(spark, sfDir)
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("co-bucketed fact tables join without a shuffle") {
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_quantity")
+    Bucketing.writeBucketed(
+      orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "orders_bkt", "l_orderkey", 8)
+    Bucketing.writeBucketed(lineitem, "lineitem_bkt", "l_orderkey", 8)
+    // at sf0.001 both sides fit a broadcast, which would hide the
+    // bucketed-SMJ shape this spec pins — disable broadcast to get the
+    // plan a 100 TB fact×fact join takes
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
-      o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$wh/orders_b").mode("overwrite").saveAsTable("orders_b")
-      c.withColumnRenamed("c_custkey", "o_custkey")
-        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$wh/customer_b").mode("overwrite").saveAsTable("customer_b")
-      // force a sort-merge join so the distribution requirement is real
-      val joined = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        val df = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
-          .groupBy(col("c_mktsegment")).agg(sum(col("o_totalprice")).as("v"))
-        df.collect()
-        val plan = df.queryExecution.executedPlan.toString
-        assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
-        assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
-          s"bucketed join must not re-shuffle its key:\n$plan")
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", joined)
+      val joined = Bucketing.cobucketedJoin(
+        spark, "orders_bkt", "lineitem_bkt", "l_orderkey")
+      val agg = joined.agg(
+        count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+      agg.collect() // finalise the adaptive plan
+      // assert on the FINAL adaptive plan only (the printed string
+      // appends the pre-AQE "Initial Plan", whose own Exchange would
+      // false-positive a substring scan)
+      val full = agg.queryExecution.executedPlan.toString
+      val plan = full.indexOf("== Initial Plan ==") match {
+        case -1 => full
+        case i => full.substring(0, i)
+      }
+      // the join itself must be exchange-free: every Exchange in the
+      // plan (there is one, for the final single-row aggregate) must sit
+      // ABOVE the SortMergeJoin, never below it
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected SortMergeJoin:\n$plan")
+      assert(!plan.substring(joinIdx).contains("Exchange"),
+        s"bucketed join must not shuffle its inputs:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan should be bucket-aware:\n$plan")
+      // correctness: identical to the plain-parquet join
+      val expected = Tables.orders(spark, sfDir)
+        .join(Tables.lineitem(spark, sfDir),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)), sum(col("l_quantity"))).head
+      val got = agg.head
+      assert(got.getLong(0) == expected.getLong(0))
+      assert(got.getDouble(1) == expected.getDouble(1))
     } finally {
-      spark.sql("DROP TABLE IF EXISTS orders_b")
-      spark.sql("DROP TABLE IF EXISTS customer_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
     }
   }
 }
