@@ -2366,6 +2366,89 @@ object Domain {
       ORDER BY country, exposure_class
     """.stripMargin.trim))
 
+  /** q152: CROSS-TEMPLATE consistency — the v0350 rule family
+    * (reference catalogue `crr-eba-v3.0-credit-risk.json` v0350_m…
+    * v0388_m: `sum({C 09.01.a, rX, cY, (sNNN)}) = {C 07.00.a, rX, cY,
+    * sNNN}` — the published checks that the per-country C 09.01 sheets
+    * re-sum to the C 07.00 class cells). This is a genuinely different
+    * rule class from the intra-sheet identities: it compares TWO
+    * INDEPENDENTLY PRODUCED templates. The LHS re-sums the q116 geo
+    * sheet's (country × class) rows; the RHS reads the q94 cell
+    * catalogue's class cells through the same `TemplateGenerator`
+    * machinery that publishes them — two different production paths
+    * over the sealed ledger, tied per class for original exposure
+    * (v0350_m ↔ C0010) and RWEA (v0352_m's c080 analogue ↔ C0220).
+    * Sparse per the data (a class with no geo rows emits no rule row).
+    */
+  val q152CrossTemplate = QueryDef(
+    "q152_cross_template",
+    (s, dir) => {
+      import graft.reporting.TemplateGenerator
+      val geo = q116GeoBreakdown.build(s, dir)
+        .filter(col("country") =!= "ALL" && col("exposure_class") =!= "ALL")
+        .groupBy(col("exposure_class"))
+        .agg(dsum(col("original_exposure"), 2).as("g_ead"),
+             dsum(col("rwea"), 2).as("g_rwea"))
+      val needed = corepClasses.flatMap(c =>
+        Seq(corepCellId(s"R_$c", "C0010"), corepCellId(s"R_$c", "C0220"))).toSet
+      val cells = c07Cells.filter(c => needed(c.cellId))
+      val row0 = TemplateGenerator.wideRow(DomainPipeline.ledger(s, dir), cells)
+      def cellByClass(colId: String): Column =
+        corepClasses.foldLeft(Option.empty[Column]) {
+          case (None, c) => Some(when(col("exposure_class") === c,
+            col(s"`${corepCellId(s"R_$c", colId)}`")))
+          case (Some(acc), c) => Some(acc.when(col("exposure_class") === c,
+            col(s"`${corepCellId(s"R_$c", colId)}`")))
+        }.get
+      val wide = geo.crossJoin(broadcast(row0))
+      val r1 = wide.select(
+        concat(lit("v0350_m@R_"), col("exposure_class")).as("rule_id"),
+        lit("ERROR").as("severity"),
+        col("g_ead").as("lhs_total"), cellByClass("C0010").as("rhs_total"))
+      val r2 = wide.select(
+        concat(lit("v0352_m@R_"), col("exposure_class")).as("rule_id"),
+        lit("ERROR").as("severity"),
+        col("g_rwea").as("lhs_total"), cellByClass("C0220").as("rhs_total"))
+      r1.unionByName(r2)
+        .withColumn("diff", col("lhs_total") - col("rhs_total"))
+        .withColumn("status",
+          when(abs(col("diff")) <= 0.01, "pass").otherwise("fail"))
+        .orderBy(col("rule_id"))
+    },
+    Some(s"""
+      WITH $domainLedgerCtes,
+      x152geo2 AS (
+        SELECT country, exposure_class,
+               ${sqlDsum("ead_pre_crm", 2)} AS ead,
+               ${sqlDsum("rwa", 2)} AS rwea
+        FROM final GROUP BY 1, 2),
+      x152geo AS (
+        SELECT exposure_class,
+               ${sqlDsum("ead", 2)} AS g_ead,
+               ${sqlDsum("rwea", 2)} AS g_rwea
+        FROM x152geo2 GROUP BY 1),
+      x152cls AS (
+        SELECT exposure_class,
+               ${sqlDsum("ead_pre_crm", 2)} AS c0010,
+               ${sqlDsum("rwa", 2)} AS c0220
+        FROM final GROUP BY 1),
+      x152rules AS (
+        SELECT 'v0350_m@R_' || g.exposure_class AS rule_id,
+               'ERROR' AS severity,
+               g.g_ead AS lhs_total, c.c0010 AS rhs_total
+        FROM x152geo g JOIN x152cls c USING (exposure_class)
+        UNION ALL
+        SELECT 'v0352_m@R_' || g.exposure_class, 'ERROR',
+               g.g_rwea, c.c0220
+        FROM x152geo g JOIN x152cls c USING (exposure_class))
+      SELECT rule_id, severity, lhs_total, rhs_total,
+             lhs_total - rhs_total AS diff,
+             CASE WHEN abs(lhs_total - rhs_total) <= 0.01
+                  THEN 'pass' ELSE 'fail' END AS status
+      FROM x152rules
+      ORDER BY rule_id
+    """.stripMargin.trim))
+
   /** Art. 452(h) CR9 PD-band edges: (label, upper bound as a fraction);
     * defaulted obligors are FORCED to the 100% band (reference
     * `reporting/pillar3/cr9.py` — "All defaulted exposures shall be
@@ -2911,5 +2994,5 @@ object Domain {
     q99Transition, q100Provisions, q102Pillar3Cr4, q103CiuLookthrough,
     q106LedgerAudit, q109DoubleDefault, q115Tieouts, q116GeoBreakdown,
     q117PdBacktesting, q118RwBands, q129GeoUltimateRisk, q145Cr9Full,
-    q150Cr91EcaiBacktesting)
+    q150Cr91EcaiBacktesting, q152CrossTemplate)
 }
