@@ -53,6 +53,11 @@ final class RestServer(
     })
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Fingerprint → run-id reuse index (reference `api/run_index.py`);
+    * session-scoped here — the run STORE is in-memory, so persisting
+    * the index past the process would dangle. */
+  private val runIndex = new RunIndex()
+
   /** Unpersist the evicted run's memoised ledger edge unless another
     * LIVE run resolves to the same (dataPath, regime) memo key — runs
     * share ledger frames by construction, so releasing a shared edge
@@ -226,14 +231,31 @@ final class RestServer(
         val mode = jsonField(body, "permissionMode").getOrElse("irb")
         val framework = jsonField(body, "framework").getOrElse("CRR")
         try {
-          val cfg = CalcConfig(dataPath = dir, permissionMode = mode, framework = framework)
-          val res = new CreditRiskCalc(spark, cfg).calculate()
-          val runId = s"run-${runSeq.incrementAndGet()}"
-          runs.put(runId, res)
-          respond(ex, 200, jobj(Map(
-            "run_id" -> runId, "success" -> res.success,
-            "total_rwa" -> res.totalRwa,
-            "errors" -> res.errors.map(_.code))))
+          // "has this exact calculation already been run?" — the
+          // pre-run fingerprint (params + input-file stat signature)
+          // reuses the indexed run when nothing on disk changed
+          // (reference api/run_index.py; UI calculation-worker reuse)
+          val fp = runIndex.fingerprint(dir,
+            Map("permissionMode" -> mode, "framework" -> framework))
+          runIndex.findReusable(fp)
+            .flatMap(id => Option(runs.get(id)).map(id -> _)) match {
+            case Some((id, prev)) =>
+              respond(ex, 200, jobj(Map(
+                "run_id" -> id, "success" -> prev.success,
+                "total_rwa" -> prev.totalRwa, "reused" -> true,
+                "errors" -> prev.errors.map(_.code))))
+            case None =>
+              val cfg = CalcConfig(dataPath = dir, permissionMode = mode,
+                framework = framework)
+              val res = new CreditRiskCalc(spark, cfg).calculate()
+              val runId = s"run-${runSeq.incrementAndGet()}"
+              runs.put(runId, res)
+              if (res.success) runIndex.register(fp, runId)
+              respond(ex, 200, jobj(Map(
+                "run_id" -> runId, "success" -> res.success,
+                "total_rwa" -> res.totalRwa, "reused" -> false,
+                "errors" -> res.errors.map(_.code))))
+          }
         } catch {
           case e: IllegalArgumentException => error(ex, 422, e.getMessage)
         }

@@ -37,6 +37,13 @@ class RestServerSpec extends SparkSpec {
       assert(cs == 200 && cb.contains("\"success\":true"), cb)
       val runId = "run-\\d+".r.findFirstIn(cb).get
 
+      // an identical request reuses the indexed run (nothing on disk
+      // changed, so the pre-run fingerprint matches)
+      val (cs2, cb2) = http(port, "/api/calculate", "POST",
+        s"""{"dataPath": "$sfDir", "permissionMode": "irb"}""")
+      assert(cs2 == 200 && cb2.contains("\"reused\":true")
+        && cb2.contains("\"" + runId + "\""), cb2)
+
       val (rs, rb) = http(port, s"/api/results?run_id=$runId&limit=3")
       assert(rs == 200 && rb.contains("exposure_class"), rb)
 
