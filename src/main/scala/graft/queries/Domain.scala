@@ -2449,6 +2449,56 @@ object Domain {
       ORDER BY rule_id
     """.stripMargin.trim))
 
+  /** q153: the SUBMISSION GATE — "can this return be submitted?", the
+    * reference exporter's one-field answer over the whole generated
+    * estate (reference `api/export.py`: "Run the published supervisory
+    * validation rules over a run's generated estate and answer, in one
+    * field, whether the return can be submitted"). An ERROR-severity
+    * breach rejects the submission; WARNING breaches are reportable but
+    * non-blocking (the publishers' own severity semantics). The gate
+    * unions every validation section this estate produces — the C 07.00
+    * sheet+catalogue (q94), the C 08.01 sheet+BoE slice (q121), and the
+    * C 02.00 evaluate pass (q147) — and rolls the statuses into one row.
+    */
+  val q153SubmissionGate = QueryDef(
+    "q153_submission_gate",
+    (s, dir) => {
+      val v94 = q94CorepTemplate.build(s, dir)
+        .filter(col("section") === "validation")
+        .select(col("severity"), col("status"))
+      val v121 = Corep08.q121CorepC08.build(s, dir)
+        .filter(col("section") === "validation")
+        .select(col("severity"), col("status"))
+      val v147 = Corep08.q147C02Validations.build(s, dir)
+        .select(col("severity"), col("status"))
+      v94.unionByName(v121).unionByName(v147)
+        .agg(
+          count(lit(1)).as("n_rules"),
+          count(when(col("severity") === "ERROR" && col("status") === "fail",
+            lit(1))).as("n_error_breaches"),
+          count(when(col("severity") === "WARNING" && col("status") === "fail",
+            lit(1))).as("n_warning_breaches"))
+        .withColumn("can_submit", col("n_error_breaches") === 0)
+    },
+    Some(s"""
+      SELECT count(*) AS n_rules,
+             count(CASE WHEN severity = 'ERROR' AND status = 'fail'
+                   THEN 1 END) AS n_error_breaches,
+             count(CASE WHEN severity = 'WARNING' AND status = 'fail'
+                   THEN 1 END) AS n_warning_breaches,
+             count(CASE WHEN severity = 'ERROR' AND status = 'fail'
+                   THEN 1 END) = 0 AS can_submit
+      FROM (
+        SELECT severity, status FROM (${q94CorepTemplate.oracle.get})
+        WHERE section = 'validation'
+        UNION ALL
+        SELECT severity, status FROM (${Corep08.q121CorepC08.oracle.get})
+        WHERE section = 'validation'
+        UNION ALL
+        SELECT severity, status FROM (${Corep08.q147C02Validations.oracle.get})
+      )
+    """.stripMargin.trim))
+
   /** Art. 452(h) CR9 PD-band edges: (label, upper bound as a fraction);
     * defaulted obligors are FORCED to the 100% band (reference
     * `reporting/pillar3/cr9.py` — "All defaulted exposures shall be
@@ -2994,5 +3044,5 @@ object Domain {
     q99Transition, q100Provisions, q102Pillar3Cr4, q103CiuLookthrough,
     q106LedgerAudit, q109DoubleDefault, q115Tieouts, q116GeoBreakdown,
     q117PdBacktesting, q118RwBands, q129GeoUltimateRisk, q145Cr9Full,
-    q150Cr91EcaiBacktesting, q152CrossTemplate)
+    q150Cr91EcaiBacktesting, q152CrossTemplate, q153SubmissionGate)
 }
