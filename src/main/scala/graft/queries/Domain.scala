@@ -2499,6 +2499,50 @@ object Domain {
       )
     """.stripMargin.trim))
 
+  /** q154: the CRR→B31 capital-driver waterfall through the attributor
+    * REGISTRY (reference `analysis/recon_registry.py` +
+    * `analysis/comparison.py`'s registered CRR→B31 attributor): the
+    * regime delta per class decomposed into the named drivers this
+    * rulebook's dual-weight book actually has — guarantee-leg and
+    * unsecured-leg repricing — plus the completeness residual. The
+    * registry dispatch is the point: the ('crr','b31') pairing hits the
+    * registered waterfall, any other pairing would fall back to the
+    * neutral delta-only attributor. Scale shape: one pass over the
+    * memoised ledger, one class shuffle.
+    */
+  val q154CapitalDrivers = QueryDef(
+    "q154_capital_drivers",
+    (s, dir) => {
+      val led = DomainPipeline.ledger(s, dir)
+      graft.analysis.Attribution.attributorFor(("crr", "b31"))(led)
+    },
+    Some(s"""
+      WITH $domainLedgerCtes,
+      x154 AS (
+        SELECT exposure_class,
+               ${sql2("rwa_b31 - rwa")} AS d_rwa,
+               ${sql2(
+                 s"(${sql2("guar_covered * least(own_rw_b31, coalesce(guarantor_rw, own_rw_b31))")}" +
+                 s" - ${sql2("guar_covered * least(own_rw, coalesce(guarantor_rw, own_rw))")}) * sf_factor")}
+                 AS d_guar,
+               ${sql2(
+                 s"(${sql2("unsecured * own_rw_b31")}" +
+                 s" - ${sql2("unsecured * own_rw")}) * sf_factor")} AS d_unsec
+        FROM final),
+      x154agg AS (
+        SELECT exposure_class,
+               ${sqlDsum("d_rwa", 2)} AS delta_rwa,
+               ${sqlDsum("d_guar", 2)} AS driver_guarantee_repricing,
+               ${sqlDsum("d_unsec", 2)} AS driver_unsecured_repricing
+        FROM x154 GROUP BY 1)
+      SELECT exposure_class, delta_rwa,
+             driver_guarantee_repricing, driver_unsecured_repricing,
+             ${sql2("delta_rwa - driver_guarantee_repricing - driver_unsecured_repricing")}
+               AS driver_residual
+      FROM x154agg
+      ORDER BY exposure_class
+    """.stripMargin.trim))
+
   /** Art. 452(h) CR9 PD-band edges: (label, upper bound as a fraction);
     * defaulted obligors are FORCED to the 100% band (reference
     * `reporting/pillar3/cr9.py` — "All defaulted exposures shall be
@@ -3044,5 +3088,6 @@ object Domain {
     q99Transition, q100Provisions, q102Pillar3Cr4, q103CiuLookthrough,
     q106LedgerAudit, q109DoubleDefault, q115Tieouts, q116GeoBreakdown,
     q117PdBacktesting, q118RwBands, q129GeoUltimateRisk, q145Cr9Full,
-    q150Cr91EcaiBacktesting, q152CrossTemplate, q153SubmissionGate)
+    q150Cr91EcaiBacktesting, q152CrossTemplate, q153SubmissionGate,
+    q154CapitalDrivers)
 }

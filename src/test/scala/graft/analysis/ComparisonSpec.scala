@@ -60,4 +60,24 @@ class ComparisonSpec extends SparkSpec {
     assert(wl(0).getAs[String]("cls") == "corporate") // |30|
     assert(wl(1).getAs[String]("cls") == "gone")      // |-10|
   }
+
+  test("attributor registry: registered pairing decomposes completely, unknown pairing degrades to neutral") {
+    val led = graft.engine.DomainPipeline.ledger(spark, "/root/testdata/sf0.001")
+    // the registered CRR->B31 waterfall: drivers re-sum to the delta
+    // (residual is pure per-row cent-rounding, zero on this book)
+    val rows = Attribution.attributorFor(("crr", "b31"))(led).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val residual = r.getDouble(r.fieldIndex("driver_residual"))
+      assert(math.abs(residual) <= 0.01 * led.count(),
+        s"incomplete decomposition: residual $residual")
+    }
+    // any unregistered pairing falls back to the neutral delta-only form
+    val neutral = Attribution.attributorFor(("crr", "amended"))(led)
+    assert(neutral.columns.toSeq == Seq("exposure_class", "delta_rwa"))
+    // and the neutral total ties to the waterfall total
+    val totW = rows.map(_.getDouble(1)).sum
+    val totN = neutral.collect().map(_.getDouble(1)).sum
+    assert(math.abs(totW - totN) < 0.01, s"$totW != $totN")
+  }
 }
