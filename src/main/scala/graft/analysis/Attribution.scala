@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.queries.Q._
 
 /** Delta-attributor registry for capital-impact analysis (reference
-  * `analysis/recon_registry.py` + the CRR→B31 attributor in
+  * `analysis/attribution.py` — the registry keyed on the comparison's
+  * `(baseline_label, variant_label)` with the neutral fallback — plus
+  * the CRR→B31 attributor that registers itself from
   * `analysis/comparison.py`).
   *
   * A comparison's RWA delta can be decomposed into named regulatory
