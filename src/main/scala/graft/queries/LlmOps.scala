@@ -1450,6 +1450,59 @@ object LlmOps {
       ORDER BY source
     """.stripMargin.trim))
 
+  /** q155: tokenizer vocabulary COVERAGE — the OOV census a tokenizer
+    * build reads before freezing its vocab: the q72 top-k vocabulary
+    * (global frequency, deterministic tie-break) broadcasts against the
+    * token stream and every token outside it counts as out-of-vocab,
+    * rolled up per source with the OOV rate in round-half-up integer
+    * PPM (the q78 BIGINT discipline — no IEEE division in the row).
+    * Scale shape: the vocab side is top-k-bounded (broadcast by
+    * construction at any corpus size); the token stream aggregates in
+    * ONE shuffle; the left-anti membership test rides the broadcast.
+    */
+  val q155OovRate = QueryDef(
+    "q155_oov_rate",
+    (s, dir) => {
+      val vocab = broadcast(
+        q72VocabTopk.build(s, dir).select(col("token").as("v_token")))
+      val d = Tables.documents(s, dir)
+      val toks = d.select(col("source"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      toks.join(vocab, col("token") === col("v_token"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          count(when(col("v_token").isNull, lit(1))).as("n_oov"),
+          countDistinct(when(col("v_token").isNull, col("token")))
+            .as("n_oov_types"))
+        .withColumn("oov_ppm",
+          expr("(2L * n_oov * 1000000L + n_tokens) DIV (2L * n_tokens)"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH vocab AS MATERIALIZED (${q72VocabTopk.oracle.get}),
+      toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      toks2 AS (SELECT * FROM toks WHERE len(token) > 0),
+      joined AS (
+        SELECT t.source, t.token, v.token AS v_token
+        FROM toks2 t LEFT JOIN vocab v ON t.token = v.token),
+      rolled AS (
+        SELECT source,
+               count(*) AS n_tokens,
+               count(CASE WHEN v_token IS NULL THEN 1 END) AS n_oov,
+               count(DISTINCT CASE WHEN v_token IS NULL THEN token END)
+                 AS n_oov_types
+        FROM joined GROUP BY source)
+      SELECT source, n_tokens, n_oov, n_oov_types,
+             CAST((2 * n_oov * 1000000 + n_tokens) // (2 * n_tokens)
+               AS BIGINT) AS oov_ppm
+      FROM rolled
+      ORDER BY source
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q75DedupClusters, q76FilterFunnel, q77StableSplit, q78SequencePacking,
@@ -1457,5 +1510,5 @@ object LlmOps {
     q68TokenCount, q69Fingerprint, q70Multimodal, q71EmbeddingNearDup,
     q72VocabTopk, q73Chunking, q74EmbeddingQuantise,
     q124Decontamination, q125RepetitionFilter, q126MixtureSampling,
-    q142Bm25Topk, q146PiiScrub, q151LengthStats)
+    q142Bm25Topk, q146PiiScrub, q151LengthStats, q155OovRate)
 }
