@@ -1503,6 +1503,50 @@ object LlmOps {
       ORDER BY source
     """.stripMargin.trim))
 
+  /** q156: output SHARD planning — the write-side sizing pass a corpus
+    * export runs before `repartition`: per source the exact byte volume
+    * (text bytes plus a per-record framing overhead), the shard count
+    * at a target shard size (ceiling division, integer-exact), and the
+    * mean rows per shard. At 100 TB this is what keeps output files
+    * uniform: the plan feeds `repartitionByRange`/`repartition(n)` per
+    * source so no shard is a straggler and none is a small-file. One
+    * aggregation shuffle; byte accounting uses octet_length (UTF-8
+    * bytes, engine-identical), never character counts.
+    */
+  val q156ShardPlan = QueryDef(
+    "q156_shard_plan",
+    (s, dir) => {
+      val targetBytes = 4096L // toy-scale target so SFs produce >1 shard
+      val overhead = 16L      // per-record framing (length + separators)
+      val d = Tables.documents(s, dir)
+      d.select(col("source"),
+          (octet_length(col("text")).cast("long") + overhead).as("rec_bytes"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("rec_bytes")).as("est_bytes"))
+        .withColumn("n_shards",
+          expr(s"(est_bytes + ${targetBytes - 1}) DIV $targetBytes"))
+        .withColumn("docs_per_shard", expr("n_docs DIV n_shards"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH rec AS (
+        SELECT source,
+               CAST(octet_length(CAST(text AS BLOB)) + 16 AS BIGINT)
+                 AS rec_bytes
+        FROM documents),
+      rolled AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(rec_bytes) AS BIGINT) AS est_bytes
+        FROM rec GROUP BY source)
+      SELECT source, n_docs, est_bytes,
+             (est_bytes + 4095) // 4096 AS n_shards,
+             n_docs // ((est_bytes + 4095) // 4096) AS docs_per_shard
+      FROM rolled
+      ORDER BY source
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q75DedupClusters, q76FilterFunnel, q77StableSplit, q78SequencePacking,
@@ -1510,5 +1554,6 @@ object LlmOps {
     q68TokenCount, q69Fingerprint, q70Multimodal, q71EmbeddingNearDup,
     q72VocabTopk, q73Chunking, q74EmbeddingQuantise,
     q124Decontamination, q125RepetitionFilter, q126MixtureSampling,
-    q142Bm25Topk, q146PiiScrub, q151LengthStats, q155OovRate)
+    q142Bm25Topk, q146PiiScrub, q151LengthStats, q155OovRate,
+    q156ShardPlan)
 }
