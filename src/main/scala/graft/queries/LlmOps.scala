@@ -385,9 +385,16 @@ object LlmOps {
       val cap = 2048L
       val d = Tables.documents(s, dir)
       val seq0 = d.select(col("source"), col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(col("text")).as("tiebreak"))
+      // Total, data-derived packing order: doc_id alone is the natural
+      // key but nothing guarantees uniqueness in a regenerated fixture;
+      // (doc_id, n_tokens, md5(text)) makes the stream unique up to
+      // no-op swaps of identical rows, so Spark and the oracle agree on
+      // the running cum_end regardless of engine-internal tie-breaking.
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .partitionBy(col("source"))
+        .orderBy(col("doc_id"), col("n_tokens"), col("tiebreak"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       val packed = seq0
@@ -419,11 +426,13 @@ object LlmOps {
       WITH seq AS (
         SELECT source, doc_id,
                CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
-                 AS n_tokens
+                 AS n_tokens,
+               md5(text) AS tiebreak
         FROM documents),
       packed AS (
         SELECT *,
-          sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY doc_id, n_tokens, tiebreak
             ROWS UNBOUNDED PRECEDING) AS cum_end
         FROM seq),
       binned AS (
