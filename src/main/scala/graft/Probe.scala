@@ -6,15 +6,77 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // PROBE_CONF="k=v;k=v" — ad-hoc conf overrides for experiments
+    val spark = sys.env.get("PROBE_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2))
+      .foldLeft(b0) { case (b, Array(k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val explain = sys.env.get("PROBE_EXPLAIN").contains("1")
+    if (sys.env.get("PROBE_LEDGER").contains("1")) {
+      def t[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[ledger-probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val stages = new scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Long)]
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          stages.synchronized { stages += ((i.stageId, i.numTasks,
+            i.submissionTime.getOrElse(0L), i.completionTime.getOrElse(0L))) }
+        }
+      })
+      if (sys.env.get("PROBE_PHASES").contains("1")) {
+        val raw = t("construct+analyze")(
+          engine.DomainPipeline.rawLedgerPlan(spark, sfDir))
+        t("optimize")(raw.queryExecution.optimizedPlan)
+        t("physical-plan")(raw.queryExecution.executedPlan)
+        t("rdd")(raw.rdd)
+      }
+      val led = t("plan-build+reroot (driver)")(
+        engine.DomainPipeline.ledger(spark, sfDir))
+      t("first count (execute+cache)")(led.count())
+      t("second count (cached)")(led.count())
+      if (sys.env.get("PROBE_XCHG").contains("1")) {
+        val plan = engine.DomainPipeline.persistedHandle(spark, sfDir)
+          .get.queryExecution.executedPlan
+        val counts = scala.collection.mutable.Map[String, Int]()
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+          val n = p.getClass.getSimpleName
+          if (n.contains("Exchange") || n.contains("QueryStage") || n.contains("Sort"))
+            counts(n) = counts.getOrElse(n, 0) + 1
+          p.children.foreach(walk)
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              walk(a.executedPlan)
+            case _ =>
+          }
+        }
+        walk(plan)
+        println(s"[ledger-probe] exchanges: $counts")
+      }
+      Thread.sleep(500)
+      stages.synchronized {
+        val tot = stages.map { case (_, _, s, e) => e - s }.sum
+        println(s"[ledger-probe] stages=${stages.size} tasks=${stages.map(_._2).sum} stage-wall-sum=${tot}ms")
+        stages.sortBy { case (_, _, s, e) => s - e }.take(12).foreach {
+          case (id, n, s, e) => println(s"[ledger-probe]   stage $id: $n tasks, ${e - s}ms") }
+      }
+      if (sys.env.get("PROBE_RULES").contains("1")) {
+        val dump = org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent()
+        println(dump.linesIterator.take(30).mkString("\n"))
+      }
+      spark.stop(); return
+    }
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (explain) {

@@ -734,17 +734,28 @@ object DomainPipeline {
       edges.foreach(_.unpersist(false))
     }
 
+  /** Probe hook: the un-memoised composed plan (no persist, no re-root). */
+  private[graft] def rawLedgerPlan(
+      s: SparkSession, dir: String, irbMode: Boolean = true): DataFrame =
+    buildLedger(s, dir, irbMode)
+
   /** The un-memoised ledger plan (the composition itself). */
   private def buildLedger(s: SparkSession, dir: String, irbMode: Boolean): DataFrame = {
-    val exp = exposuresUnified(s, dir)
-    val cpty = counterparties(s, dir)
-    val enriched = enrichFx(exp, cpty, s)
-    val h = hierarchy(enriched)
-    val cls = classify(h, modelPermissions(s, dir), irbMode)
-    val ead = eadCalc(cls, provisions(s, dir), s)
-    val withRw = ownRiskWeight(ead, s)
-    val crm = crmWaterfall(withRw, collateral(s, dir), guarantees(s, dir), s)
-    auditColumns(rwaCalc(crm))
+    val trace = sys.env.get("PROBE_BUILD").contains("1")
+    def t[A](tag: String)(f: => A): A =
+      if (!trace) f else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[build-probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+    val exp = t("exposuresUnified")(exposuresUnified(s, dir))
+    val cpty = t("counterparties")(counterparties(s, dir))
+    val enriched = t("enrichFx")(enrichFx(exp, cpty, s))
+    val h = t("hierarchy")(hierarchy(enriched))
+    val cls = t("classify")(classify(h, modelPermissions(s, dir), irbMode))
+    val ead = t("eadCalc")(eadCalc(cls, provisions(s, dir), s))
+    val withRw = t("ownRiskWeight")(ownRiskWeight(ead, s))
+    val crm = t("crmWaterfall")(crmWaterfall(withRw, collateral(s, dir), guarantees(s, dir), s))
+    t("rwaCalc+audit")(auditColumns(rwaCalc(crm)))
   }
 
   /** The (class, approach) roll-up of a ledger frame — shared by the lazy

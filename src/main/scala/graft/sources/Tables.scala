@@ -11,8 +11,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * single-file read here generalises unchanged (`spark.read.parquet(dir)`).
   */
 object Tables {
+  /** Memoised scan frames: `spark.read.parquet` re-reads footers and
+    * re-resolves the file index on EVERY call (ResolveDataSource measured
+    * 1.7 s of a cold ledger build across ~10 reads), and every caller then
+    * re-analyses an identical scan subtree. A DataFrame is immutable, so
+    * handing back the same object is free sharing — same discipline as the
+    * reference's one-loader-instance-per-run (`engine/loader.py:814-876`). */
+  private val memo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    memo.getOrElseUpdate((spark, sfDir, name),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
