@@ -1,0 +1,630 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.DomainPipeline
+import graft.rulebook.ValidationCatalogue
+import graft.rulebook.ValidationCatalogue._
+import Q._
+
+/** The supervisory validation CATALOGUE engine — rules as data, scoped and
+  * evaluated generically (the reference's `validations/scope.py` +
+  * `evaluate.py` + `checker.py` machinery re-expressed Spark-first).
+  *
+  * Pipeline: [[ValidationCatalogue]] parses the 1,831 translated records
+  * (both publishers); this object binds each rule's publisher coordinates
+  * — table codes, z-axis sheet codes, DPM row/column refs — onto the
+  * estate's generated frames through an explicit, cited coordinate index
+  * (the `scope.py` TemplateIndex idea), expands scope lists into concrete
+  * (sheet, row, column) instances, and compiles every bindable instance's
+  * formula ONCE into shared SQL text evaluated bit-identically by Spark
+  * (`expr`) and the DuckDB oracle. A coordinate the estate does not emit
+  * is a SKIP with a reason, never a zero — "row not emitted is NOT row
+  * emitted as zero" (`scope.py` module doc); a present-but-null cell
+  * follows the record's own missing-value policy (`treat as zero` vs
+  * `do not run rule`, `evaluate.py`).
+  *
+  * Scale shape: the whole evaluation is ONE conditional aggregation over
+  * the persisted ledger (every referenced ledger cell is a decimal
+  * conditional sum), one 40-row aggregation over the C 02.00 template,
+  * one broadcast cross-join of the 1-row wides, and a stack — no shuffle
+  * grows with the rule count, and the ledger subtree appears once.
+  */
+object Catalogue {
+
+  // =====================================================================
+  // Coordinate index — the estate's emitted cells under PUBLISHER
+  // coordinates. Every binding is cited; an uncited coordinate is absent.
+  // =====================================================================
+
+  /** C 07.00 z-axis sheet codes → this rulebook's SA exposure classes
+    * (reference `validations/scope.py` _C07_SHEETS / _OF07_SHEETS; CRR
+    * Art. 112(1)). Codes with no analogue in this vocabulary (PSE, MDB,
+    * covered bonds, …) are absent — a skip, never a zero. s0008 carries
+    * BOTH corporate classes (the of-which-SME pair), the map's closure
+    * discipline. */
+  private val c07SheetClasses: Map[String, Seq[String]] = Map(
+    "0001" -> Nil, // total — no class filter
+    "0002" -> Seq("sovereign"),
+    "0007" -> Seq("institution"),
+    "0008" -> Seq("corporate", "sme_corporate"),
+    "0009" -> Seq("retail"))
+
+  /** Sheets that receive the guarantee substitution INFLOW — the guarantor
+    * book of this rulebook is institution-backed (`DomainPipeline.
+    * guarantorRwChain`), so inflows land on the institution sheet and the
+    * total. */
+  private def c07InflowSheet(code: String): Boolean =
+    code == "0001" || code == "0007"
+
+  /** C 08.01 z-axis codes → IRB classes. The whole IRB book is FOUNDATION
+    * (supervisory LGD), so only the F-IRB codes bind (reference
+    * `validations/scope.py` _C08_SHEETS: 0001 Total F-IRB, 0005
+    * institutions F-IRB, 0011 corporates-other F-IRB; _OF08_SHEETS: 0001
+    * Total, 0006 institutions, 0011 corporates non-SME). */
+  private def c08SheetClasses(base: String): Map[String, Seq[String]] =
+    if (base == "crr")
+      Map("0001" -> Nil, "0005" -> Seq("institution"), "0011" -> Seq("corporate"))
+    else
+      Map("0001" -> Nil, "0006" -> Seq("institution"), "0011" -> Seq("corporate"))
+
+  private def c08InflowSheet(base: String, code: String): Boolean =
+    code == "0001" || (if (base == "crr") code == "0005" else code == "0006")
+
+  /** C 02.00 emitted row refs (q140's grid — the reference's own
+    * `templates.py` CRR_C02_00_ROW_SECTIONS simplification). */
+  private val c02Rows: Set[String] = Set(
+    "0010", "0040", "0050", "0060", "0070", "0080", "0090", "0100", "0110",
+    "0120", "0130", "0140", "0150", "0160", "0170", "0180", "0190", "0200",
+    "0210", "0211", "0220", "0240", "0250", "0260", "0300", "0310", "0330",
+    "0340", "0370", "0380", "0390", "0400", "0410", "0420", "0430", "0440",
+    "0460", "0590", "0640", "0680")
+
+  /** C 02.00 rows published as out-of-scope NULL (market, op-risk,
+    * securitisation…, q140's null-fill discipline) — present but null, so
+    * the record's missing-value policy decides. */
+  private val c02NullRows: Set[String] = Set("0440", "0460", "0640", "0680")
+
+  /** C 07.00 class-section row predicates over the ledger (reference
+    * `templates.py` CRR_SA_ROW_SECTIONS rows 0010-0080). A `Some("false")`
+    * row is published-but-empty in this vocabulary (a computed zero);
+    * absent rows (CCR breakdown 0090-0130 — that business lives in the
+    * SA-CCR/FCCM queries, not the ledger) are NOT in the map. */
+  private val c07RowPred: Map[String, String] = Map(
+    "0010" -> "TRUE",
+    "0015" -> "is_defaulted",
+    "0020" -> "exposure_class = 'sme_corporate'",
+    "0030" -> "sf_factor < 1.0",
+    "0035" -> "FALSE", // infrastructure supporting factor — not modelled
+    "0040" -> "FALSE", // residential-mortgage of-which — no mortgage class
+    "0050" -> "FALSE", // permanent partial use of SA
+    "0060" -> "FALSE", // sequential IRB implementation
+    "0070" -> "exposure_type = 'loan'",
+    "0080" -> "exposure_type = 'facility_undrawn'")
+
+  /** The published risk-weight breakdown rows 0140-0280 (`templates.py`
+    * rows: 0140=0%, 0150=2%, …, 0280=other). This rulebook's closed
+    * weight vocabulary reaches {0, 20, 50, 75, 100, 150}%; 30% and 85%
+    * land on 0280 "Other risk weights"; the remaining published bands are
+    * computed zeros (the vocabulary cannot produce them). */
+  private val c07BandW: Map[String, Option[Seq[String]]] = Map(
+    "0140" -> Some(Seq("0.0")), "0150" -> None, "0160" -> None,
+    "0170" -> None, "0180" -> Some(Seq("0.2")), "0190" -> None,
+    "0200" -> Some(Seq("0.5")), "0210" -> None, "0220" -> Some(Seq("0.75")),
+    "0230" -> Some(Seq("1.0")), "0240" -> Some(Seq("1.5")), "0250" -> None,
+    "0260" -> None, "0270" -> None,
+    "0280" -> Some(Seq("0.3", "0.85")))
+
+  private def bandPred(legW: String, row: String): String =
+    c07BandW(row) match {
+      case None => "FALSE"
+      case Some(ws) => ws.map(w => s"$legW = $w").mkString("(", " OR ", ")")
+    }
+
+  // ---- shared measure texts over the ledger (`final` CTE vocabulary) ----
+
+  /** Per-leg applied risk weight, by basis. */
+  private def wUnsec(base: String) = if (base == "crr") "own_rw" else "own_rw_b31"
+  private def wGuar(base: String) =
+    if (base == "crr") "least(own_rw, coalesce(guarantor_rw, own_rw))"
+    else "least(own_rw_b31, coalesce(guarantor_rw, own_rw_b31))"
+  private val wColl = "0.2" // DomainPipeline.collateralRw
+
+  /** Shared per-row leg columns, computed ONCE in a projection ahead of
+    * the cell aggregation (hand-CSE — Catalyst does not share repeated
+    * big expression trees across aggregate columns, and ~700 cells each
+    * re-inlining the leg arithmetic measured a 10.7 MiB task binary).
+    * The cell measures reference these short names; the oracle wraps the
+    * identical texts in a `fincat` CTE so both engines evaluate the same
+    * per-row values. */
+  private[queries] val legProjection: Seq[(String, String)] = Seq(
+    // pre-supporting-factor RWEA legs — exactly the ledger's three `rwac`
+    // legs (q94's corepLegCols): per row they sum to rwa_pre_sf
+    "lgc" -> sql2(s"coll_covered * $wColl"),
+    "lgu" -> sql2("unsecured * own_rw"),
+    "lgu31" -> sql2("unsecured * own_rw_b31"),
+    "lgg" -> sql2(s"guar_covered * ${wGuar("crr")}"),
+    "lgg31" -> sql2(s"guar_covered * ${wGuar("b31")}"),
+    // applied guarantee weight (band membership)
+    "wg" -> wGuar("crr"),
+    "wg31" -> wGuar("b31"))
+
+  /** Post-SF class-row legs off the shared columns — q140's og_leg/gi_leg
+    * shapes, so the C 02.00 class rows tie to the C 07.00 sheet totals by
+    * construction. */
+  private def legUnsecPre(base: String) = if (base == "crr") "lgu" else "lgu31"
+  private def legCollPre = "lgc"
+  private def legGuarPre(base: String) = if (base == "crr") "lgg" else "lgg31"
+  private def ogLeg(base: String) =
+    sql2(s"($legCollPre + ${legUnsecPre(base)}) * sf_factor")
+  private def giLeg(base: String) =
+    sql2(s"${legGuarPre(base)} * sf_factor")
+
+  /** One C 07.00 cell measure at (sheet, row, col, base) — None = absent.
+    * Origin-basis columns (0010-0090, per Annex II) key the OBLIGOR's
+    * sheet; the inflow column 0100 and the post-basis final columns
+    * (0200, 0215-0220) move the guaranteed leg to the institution sheet —
+    * the two-basis discipline q121 records for C 08.01. Deduction columns
+    * are emitted NEGATIVE (the published sign; the reference applies
+    * `postpass.negate_deduction_cols`), so the raw published identities
+    * v0305/v0306 (`{c0110} = {c0040} + {c0090} + {c0100}`) hold as
+    * written. */
+  private def c07Measure(
+      sheet: String, row: String, colId: String, base: String): Option[String] = {
+    if (!c07SheetClasses.contains(sheet)) return None
+    if (base == "b31" && Set("0215", "0216", "0217")(colId)) return None
+    val cls = c07SheetClasses(sheet) match {
+      case Nil => "TRUE"
+      case cs => cs.map(c => s"exposure_class = '$c'").mkString("(", " OR ", ")")
+    }
+    val inflowSheet = c07InflowSheet(sheet)
+    def origin(m: String) = Some(s"CASE WHEN $cls THEN $m ELSE 0.0 END")
+    def originPred(p: String, m: String) =
+      Some(s"CASE WHEN $cls AND ($p) THEN $m ELSE 0.0 END")
+    def post(og: String, gi: String) = Some(
+      s"(CASE WHEN $cls THEN $og ELSE 0.0 END)" +
+        (if (inflowSheet) s" + ($gi)" else ""))
+    val isBand = c07BandW.contains(row)
+    if (isBand) {
+      // risk-weight breakdown block: bucket each post-basis leg by its
+      // APPLIED weight; cols beyond the block are absent on band rows.
+      val pU = bandPred(wUnsec(base), row)
+      val pC = bandPred(wColl, row)
+      val pG = bandPred(if (base == "crr") "wg" else "wg31", row)
+      colId match {
+        case "0200" => Some(
+          s"(CASE WHEN $cls AND $pU THEN unsecured ELSE 0.0 END) + " +
+            s"(CASE WHEN $cls AND $pC THEN coll_covered ELSE 0.0 END)" +
+            (if (inflowSheet) s" + (CASE WHEN $pG THEN guar_covered ELSE 0.0 END)" else ""))
+        case "0215" if base == "crr" => Some(
+          s"(CASE WHEN $cls AND $pU THEN ${legUnsecPre(base)} ELSE 0.0 END) + " +
+            s"(CASE WHEN $cls AND $pC THEN $legCollPre ELSE 0.0 END)" +
+            (if (inflowSheet) s" + (CASE WHEN $pG THEN ${legGuarPre(base)} ELSE 0.0 END)" else ""))
+        case "0220" => Some(
+          s"(CASE WHEN $cls AND $pU THEN ${sql2(s"${legUnsecPre(base)} * sf_factor")} ELSE 0.0 END) + " +
+            s"(CASE WHEN $cls AND $pC THEN ${sql2(s"$legCollPre * sf_factor")} ELSE 0.0 END)" +
+            (if (inflowSheet) s" + (CASE WHEN $pG THEN ${sql2(s"${legGuarPre(base)} * sf_factor")} ELSE 0.0 END)" else ""))
+        case _ => None
+      }
+    } else c07RowPred.get(row) match {
+      case None => None // row not emitted (CCR breakdown, CIU, memo rows)
+      case Some(rowPred) =>
+        // "of which" sub-rows narrow every ORIGIN measure; the post-basis
+        // and inflow legs only live on the section total row 0010.
+        def o(m: String) =
+          if (rowPred == "TRUE") origin(m)
+          else if (rowPred == "FALSE") Some("0.0")
+          else originPred(rowPred, m)
+        val total = rowPred == "TRUE"
+        colId match {
+          case "0010" => o("ead_gross")
+          case "0030" => o("ead_pre_crm - ead_gross") // (-) value adjustments
+          case "0040" => o("ead_pre_crm")
+          case "0050" => o("-guar_covered") // (-) guarantees
+          case "0060" => o("0.0") // credit derivatives — none in this book
+          case "0070" => o("-coll_covered") // (-) financial collateral simple
+          case "0080" => o("0.0") // other funded protection
+          case "0090" => o("-(guar_covered + coll_covered)") // (-) total outflows
+          case "0100" =>
+            if (total && inflowSheet) Some("guar_covered") else o("0.0")
+          case "0110" | "0150" => // net post-substitution = E* (no vol adj)
+            if (total) post("ead_pre_crm - guar_covered - coll_covered", "guar_covered")
+            else o("ead_pre_crm - guar_covered - coll_covered")
+          case "0120" | "0130" => o("0.0") // comprehensive-method columns
+          case "0200" => // exposure value: collateralised part stays exposed
+            if (total) post("unsecured + coll_covered", "guar_covered")
+            else o("unsecured + coll_covered")
+          case "0210" | "0211" => o("0.0") // CCR legs live outside the ledger
+          case "0215" if base == "crr" =>
+            if (total) post(s"($legCollPre + ${legUnsecPre(base)})", legGuarPre(base))
+            else o(s"($legCollPre + ${legUnsecPre(base)})")
+          case "0216" if base == "crr" => // (-) SME-SF adjustment = post − pre
+            if (total) post(s"(${ogLeg(base)} - ($legCollPre + ${legUnsecPre(base)}))",
+              s"(${giLeg(base)} - ${legGuarPre(base)})")
+            else o(s"(${ogLeg(base)} - ($legCollPre + ${legUnsecPre(base)}))")
+          case "0217" if base == "crr" => o("0.0") // infra factor not modelled
+          case "0220" =>
+            if (total) post(ogLeg(base), giLeg(base))
+            else o(ogLeg(base))
+          case _ => None
+        }
+    }
+  }
+
+  /** One C 08.01 cell measure — q121's published-column semantics
+    * (origin/post two-basis split) with the deduction sign applied, over
+    * the IRB slice of the ledger. Rows beyond the per-sheet total 0010
+    * (PD-range rows) are not emitted. */
+  private def c08Measure(
+      sheet: String, row: String, colId: String, base: String): Option[String] = {
+    val sheetMap = c08SheetClasses(base)
+    if (!sheetMap.contains(sheet) || row != "0010") return None
+    val cls = sheetMap(sheet) match {
+      case Nil => "TRUE"
+      case cs => cs.map(c => s"exposure_class = '$c'").mkString("(", " OR ", ")")
+    }
+    val irb = s"approach = 'IRB' AND $cls"
+    val inflowSheet = c08InflowSheet(base, sheet)
+    def origin(m: String) = Some(s"CASE WHEN $irb THEN $m ELSE 0.0 END")
+    def infl(m: String) =
+      if (inflowSheet) s" + (CASE WHEN approach = 'IRB' THEN $m ELSE 0.0 END)" else ""
+    colId match {
+      case "0020" => origin("ead_pre_crm")
+      case "0040" => origin("-guar_covered") // (-) guarantees
+      case "0050" => origin("0.0") // credit derivatives
+      case "0060" => origin("0.0") // other funded protection
+      case "0070" => origin("-guar_covered") // (-) total outflows
+      case "0080" => origin("0.0").map(_ + infl("guar_covered")) // inflows
+      case "0090" =>
+        origin("ead_pre_crm - guar_covered").map(_ + infl("guar_covered"))
+      case "0255" => origin("rwa") // RWEA origin basis (IRB sf = 1)
+      case "0260" => // RWEA post-substitution basis (q121 C0260 legs)
+        origin(s"($legCollPre + ${legUnsecPre(base)})")
+          .map(_ + infl(legGuarPre(base)))
+      case _ => None
+    }
+  }
+
+  /** C 02.00 cell extraction text over the q140 template frame. */
+  private def c02Measure(row: String, colId: String, base: String): Option[String] =
+    if (colId != "0010" || !c02Rows(row)) None
+    else {
+      val v = if (base == "crr") "rwea_crr" else "rwea_b31"
+      Some(s"max(CASE WHEN row_ref = '$row' THEN $v END)")
+    }
+
+  // =====================================================================
+  // Binding + expansion
+  // =====================================================================
+
+  /** Normalised table key, or None when the estate does not render the
+    * template (C 34 large exposures, C 17 operational risk, …). The
+    * EBA's .a/.b/.c/.d and the BoE's .01.0N suffixes are DPM partitions
+    * of ONE template (`scope.py` _CRR_TABLES note) — all bind together. */
+  private def tableKey(t: String): Option[String] = {
+    val s = t.trim
+    if (s.startsWith("C 02.00") || s.startsWith("OF02.00")) Some("C02")
+    else if (s.startsWith("C 07.00") || s.startsWith("OF07.00")) Some("C07")
+    else if (s.startsWith("C 08.01") || s.startsWith("OF08.01")) Some("C08")
+    else None
+  }
+
+  /** A referenced cell, fully bound: wide-row column name + its aggregate
+    * SQL + source frame ("ledger" | "c02"). */
+  final case class BoundCell(name: String, aggSql: String, src: String,
+      nullable: Boolean)
+
+  private def bindCell(tab: String, base: String, sheet: String, row: String,
+      colId: String): Option[BoundCell] = tab match {
+    case "C02" => c02Measure(row, colId, base).map { m =>
+      BoundCell(s"x02_${row}_$base", m, "c02", nullable = c02NullRows(row))
+    }
+    case "C07" => c07Measure(sheet, row, colId, base).map { m =>
+      BoundCell(s"x07_${sheet}_${row}_${colId}_$base",
+        s"CAST(sum(CAST(($m) AS DECIMAL(38,2))) AS DOUBLE)", "ledger",
+        nullable = false)
+    }
+    case "C08" => c08Measure(sheet, row, colId, base).map { m =>
+      BoundCell(s"x08_${sheet}_${row}_${colId}_$base",
+        s"CAST(sum(CAST(($m) AS DECIMAL(38,2))) AS DOUBLE)", "ledger",
+        nullable = false)
+    }
+    case _ => None
+  }
+
+  private def sheetsFor(tab: String, base: String): Seq[String] = tab match {
+    case "C07" => c07SheetClasses.keys.toSeq.sorted
+    case "C08" => c08SheetClasses(base).keys.toSeq.sorted
+    case _ => Seq("-")
+  }
+  private def rowsFor(tab: String): Seq[String] = tab match {
+    case "C02" => c02Rows.toSeq.sorted
+    case "C07" => (c07RowPred.keySet ++ c07BandW.keySet).toSeq.sorted
+    case "C08" => Seq("0010")
+    case _ => Nil
+  }
+  private def colsFor(tab: String): Seq[String] = tab match {
+    case "C02" => Seq("0010")
+    case "C07" => Seq("0010", "0030", "0040", "0050", "0060", "0070", "0080",
+      "0090", "0100", "0110", "0120", "0130", "0150", "0200", "0210", "0211",
+      "0215", "0216", "0217", "0220")
+    case "C08" => Seq("0020", "0040", "0050", "0060", "0070", "0080", "0090",
+      "0255", "0260")
+    case _ => Nil
+  }
+
+  /** One evaluable instance: compiled shared-SQL sides + status text. */
+  final case class Instance(
+      catalogue: String, ruleId: String, instanceKey: String, severity: String,
+      lhsSql: String, rhsSql: String, statusSql: String, cells: Seq[BoundCell])
+
+  /** One record-level skip/summary row. */
+  final case class SkipRow(
+      catalogue: String, ruleId: String, severity: String, reason: String)
+
+  /** Breadth cap per record: a template-wide sign sweep expands to
+    * hundreds of coordinates; the cap keeps the compiled plan bounded
+    * while the summary row records what was not expanded (an honest cap,
+    * logged — never a silent truncation). Deterministic prefix in sorted
+    * (sheet, row, col) order. */
+  private val instanceCapPerRecord = 60
+
+  private def compile(e: Expr, bind: CellRef => (String, BoundCell)): String =
+    e match {
+      case c: CellRef => bind(c)._1
+      case Num(t) => t
+      case Bin(op, l, r) => s"(${compile(l, bind)} $op ${compile(r, bind)})"
+      case Neg(x) => s"(- ${compile(x, bind)})"
+      case Abs(x) => s"abs(${compile(x, bind)})"
+    }
+
+  /** Expand + bind + compile the full live catalogue. */
+  lazy val (instances: Seq[Instance], skips: Seq[SkipRow]) = {
+    val insts = Seq.newBuilder[Instance]
+    val skps = Seq.newBuilder[SkipRow]
+    ValidationCatalogue.liveRecords.foreach { rec =>
+      val base = rec.catalogue // crr | b31
+      def skip(reason: String): Unit =
+        // reasons embed in generated SQL literals — keep them quote-free
+        skps += SkipRow(rec.catalogue, rec.id, rec.severity,
+          reason.replace("'", ""))
+      if (rec.missing == "W") { skip("where_join_precondition"); }
+      else ValidationCatalogue.parse(rec.formula) match {
+        case Left(reason) => skip(reason)
+        case Right(cmp) =>
+          val allRefs = refs(cmp.lhs) ++ refs(cmp.rhs)
+          val primary = rec.tables.headOption.flatMap(tableKey)
+          val refTabs = allRefs.map(r => r.table.map(tableKey).getOrElse(primary))
+          if (refTabs.exists(_.isEmpty) || allRefs.isEmpty)
+            skip("table_not_emitted")
+          else if (allRefs.exists(_.dimFilter.exists(d => !d.contains("GA") || !d.contains("x1"))))
+            skip("dimensional_filter_unsupported")
+          else {
+            val tabs = refTabs.map(_.get)
+            val needSheet = allRefs.zip(tabs).exists { case (r, t) =>
+              t != "C02" && r.sheet.isEmpty
+            }
+            val expTab = tabs.find(_ != "C02").getOrElse("C02")
+            val sheets: Seq[String] =
+              if (!needSheet) Seq("-")
+              else if (rec.sheetsScope == "list")
+                rec.sheets.map(s => f"${s.toInt}%04d")
+                  .filter(sheetsFor(expTab, base).contains)
+              else sheetsFor(expTab, base)
+            val rowInsts: Seq[Option[String]] = rec.rowsScope match {
+              case "list" => rec.rows.map(r => Some(f"${r.toInt}%04d"))
+              case "all" => rowsFor(primary.getOrElse(expTab)).map(Some(_))
+              case _ => Seq(None)
+            }
+            val colInsts: Seq[Option[String]] = rec.colsScope match {
+              case "list" => rec.cols.map(c => Some(f"${c.toInt}%04d"))
+              case "all" => colsFor(primary.getOrElse(expTab)).map(Some(_))
+              case _ => Seq(None)
+            }
+            var nEval, nSkip, nCap = 0
+            var firstReason: Option[String] = None
+            for (sh <- sheets.sorted; ri <- rowInsts; ci <- colInsts) {
+              // bind every ref at this instance's coordinates
+              val bound: Seq[Option[BoundCell]] =
+                allRefs.zip(tabs).map { case (r, t) =>
+                  val row = r.row.orElse(ri)
+                  val col = r.colId.orElse(ci)
+                  val sheet = r.sheet.getOrElse(sh)
+                  (row, col) match {
+                    case (Some(rw), Some(cl)) => bindCell(t, base, sheet, rw, cl)
+                    case _ => None
+                  }
+                }
+              if (bound.exists(_.isEmpty)) {
+                nSkip += 1
+                if (firstReason.isEmpty) firstReason = Some("cell_not_emitted")
+              } else if (nEval >= instanceCapPerRecord) {
+                nCap += 1
+              } else {
+                nEval += 1
+                val cellOf = allRefs.zip(bound.map(_.get)).toMap
+                def bindF(c: CellRef): (String, BoundCell) = {
+                  val bc = cellOf(c)
+                  val txt =
+                    if (bc.nullable && rec.missing != "X") s"coalesce(${bc.name}, 0.0)"
+                    else bc.name
+                  (txt, bc)
+                }
+                val l = compile(cmp.lhs, bindF)
+                val r = compile(cmp.rhs, bindF)
+                val cells = bound.map(_.get)
+                val nRefs = allRefs.size
+                val tol =
+                  if (rec.arithmetic == "P") "0.0"
+                  else s"greatest(${0.5 * nRefs}, 1e-9 * greatest(abs($l), abs($r)))"
+                val passCond = cmp.op match {
+                  case "=" | "==" => s"abs(($l) - ($r)) <= $tol"
+                  case "!=" => s"abs(($l) - ($r)) > $tol"
+                  case "<=" => s"(($l) - ($r)) <= $tol"
+                  case ">=" => s"(($r) - ($l)) <= $tol"
+                  case "<" => s"(($l) - ($r)) < $tol"
+                  case ">" => s"(($r) - ($l)) < $tol"
+                }
+                val nullCheck =
+                  if (rec.missing == "X" && cells.exists(_.nullable))
+                    Some(cells.filter(_.nullable).map(c => s"${c.name} IS NULL")
+                      .distinct.mkString(" OR "))
+                  else None
+                val vac = cells.map(c =>
+                  s"abs(coalesce(${c.name}, 0.0))").distinct.mkString(" + ") + " = 0.0"
+                val status =
+                  nullCheck.fold("CASE ")(nc => s"CASE WHEN $nc THEN 'not_evaluated' ") +
+                    s"WHEN $vac THEN 'vacuous' WHEN $passCond THEN 'pass' ELSE 'fail' END"
+                val key = Seq(sh, ri.getOrElse("-"), ci.getOrElse("-")).mkString("|")
+                insts += Instance(rec.catalogue, rec.id, key, rec.severity,
+                  l, r, status, cells)
+              }
+            }
+            if (nEval == 0 && nSkip == 0 && nCap == 0) skip("no_coordinates")
+            else if (nSkip > 0 || nCap > 0) {
+              val parts = Seq(
+                if (nSkip > 0) Some(s"${firstReason.get}:$nSkip") else None,
+                if (nCap > 0) Some(s"instance_cap:$nCap") else None).flatten
+              skip(parts.mkString(";"))
+            }
+          }
+      }
+    }
+    (insts.result(), skps.result())
+  }
+
+  /** Cells the evaluated instances reference, deduplicated. */
+  private lazy val neededCells: Seq[BoundCell] =
+    instances.flatMap(_.cells).groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
+
+  // =====================================================================
+  // q159: the catalogue evaluation query
+  // =====================================================================
+
+  private val nullD = "CAST(NULL AS DOUBLE)"
+  private val nullS = "CAST(NULL AS STRING)"
+
+  private val wideMemo = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (org.apache.spark.sql.types.StructType, org.apache.spark.sql.Row)]()
+
+  /** The assembled outcome frame, memoised per (session, dir): parsing
+    * ~8k stack expressions costs seconds of pure driver work and the
+    * result is deterministic for a given input dir — returning the same
+    * DataFrame object also reuses its compiled projection across
+    * actions. */
+  private val frameMemo = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  // LAZY: q159's oracle embeds Domain.domainLedgerCtes while Domain's
+  // q153 embeds q159's oracle — deferring both ends of the cycle lets
+  // object initialization complete from either entry point.
+  lazy val q159ValidationCatalogue: QueryDef = QueryDef(
+    "q159_validation_catalogue",
+    (s, dir) => frameMemo.getOrElseUpdate((s, dir), {
+      // The wide cell row is computed ONCE and pinned as a 1-row local
+      // relation: every stack batch re-planning the ~700-cell aggregation
+      // would re-execute the ledger scan per batch (measured 10.7 MiB
+      // task binaries and ~9× the work). A single-row collect of the
+      // template cells is the sanctioned presentation shape — the same
+      // driver-side reduction every sheet export performs. The collected
+      // row is memoised per (session, dir): it is derived data (the
+      // template cells), so a cache sweep cannot stale it, and repeat
+      // consumers (q153's gate, bench rounds) skip the ~10 s re-analysis
+      // of the 700-column aggregate.
+      val (schema, row) = wideMemo.getOrElseUpdate((s, dir), {
+        val ledgerCells = neededCells.filter(_.src == "ledger")
+        val c02Cells = neededCells.filter(_.src == "c02")
+        val led = DomainPipeline.ledger(s, dir)
+          .selectExpr("*" +: legProjection.map { case (n, t) => s"($t) AS $n" }: _*)
+        val lw = led.agg(
+          expr(ledgerCells.head.aggSql).as(ledgerCells.head.name),
+          ledgerCells.tail.map(c => expr(c.aggSql).as(c.name)): _*)
+        val cw = Corep08.q140CorepC02.build(s, dir).agg(
+          expr(c02Cells.head.aggSql).as(c02Cells.head.name),
+          c02Cells.tail.map(c => expr(c.aggSql).as(c.name)): _*)
+        val wide0 = lw.crossJoin(broadcast(cw))
+        (wide0.schema, wide0.collect().head)
+      })
+      val wide = s.createDataFrame(
+        java.util.Collections.singletonList(row), schema)
+      // evaluated instances: stacked out of the single wide row in
+      // batches (each batch is one selectExpr; all share the local row)
+      val evalBatches = instances.grouped(250).map { batch =>
+        val entries = batch.map { i =>
+          s"'${i.catalogue}', '${i.ruleId}', '${i.instanceKey}', " +
+            s"'${i.severity}', CAST((${i.lhsSql}) AS DOUBLE), " +
+            s"CAST((${i.rhsSql}) AS DOUBLE), ${i.statusSql}, $nullS"
+        }
+        wide.selectExpr(
+          s"stack(${batch.size}, ${entries.mkString(", ")}) " +
+            "AS (catalogue, rule_id, instance, severity, lhs_total, rhs_total, status, reason)")
+      }.toSeq
+      // record-level skip/summary rows: literals stacked off the same row
+      val skipBatches = skips.grouped(400).map { batch =>
+        val entries = batch.map { k =>
+          s"'${k.catalogue}', '${k.ruleId}', '~', '${k.severity}', " +
+            s"$nullD, $nullD, 'not_evaluated', '${k.reason}'"
+        }
+        wide.selectExpr(
+          s"stack(${batch.size}, ${entries.mkString(", ")}) " +
+            "AS (catalogue, rule_id, instance, severity, lhs_total, rhs_total, status, reason)")
+      }.toSeq
+      (evalBatches ++ skipBatches).reduce(_ unionByName _)
+        .orderBy(col("catalogue"), col("rule_id"), col("instance"))
+    }),
+    Some {
+      val ledgerCells = neededCells.filter(_.src == "ledger")
+      val c02Cells = neededCells.filter(_.src == "c02")
+      val lwSel = ledgerCells.map(c => s"${c.aggSql} AS ${c.name}")
+        .mkString(",\n               ")
+      val cwSel = c02Cells.map(c => s"${c.aggSql} AS ${c.name}")
+        .mkString(",\n               ")
+      // DuckDB counts a UNION ALL chain against its expression-depth
+      // limit (default 1000) — batch the per-instance branches into
+      // intermediate CTEs of 150 so no single chain approaches it.
+      val evalCtes = instances.grouped(150).zipWithIndex.map { case (batch, bi) =>
+        val u = batch.map { i =>
+          s"""SELECT '${i.catalogue}' AS catalogue, '${i.ruleId}' AS rule_id,
+             '${i.instanceKey}' AS instance, '${i.severity}' AS severity,
+             CAST((${i.lhsSql}) AS DOUBLE) AS lhs_total,
+             CAST((${i.rhsSql}) AS DOUBLE) AS rhs_total,
+             ${i.statusSql} AS status, NULL::VARCHAR AS reason FROM w"""
+        }.mkString("\n        UNION ALL ")
+        s"ev$bi AS (\n        $u)"
+      }.toSeq
+      val evalUnion = evalCtes.indices
+        .map(bi => s"SELECT * FROM ev$bi").mkString(" UNION ALL ")
+      val skipValues = skips.map { k =>
+        s"('${k.catalogue}', '${k.ruleId}', '~', '${k.severity}', " +
+          s"'not_evaluated', '${k.reason}')"
+      }.mkString(",\n          ")
+      s"""
+      WITH ${Domain.domainLedgerCtes},
+      c02t AS MATERIALIZED (${Corep08.q140CorepC02.oracle.get}),
+      fincat AS (
+        SELECT *, ${Catalogue.legProjection.map { case (n, t) => s"($t) AS $n" }
+          .mkString(",\n               ")}
+        FROM final),
+      lw AS MATERIALIZED (
+        SELECT $lwSel
+        FROM fincat),
+      cw AS MATERIALIZED (
+        SELECT $cwSel
+        FROM c02t),
+      w AS MATERIALIZED (SELECT * FROM lw CROSS JOIN cw),
+      ${evalCtes.mkString(",\n      ")},
+      ev AS (
+        $evalUnion),
+      sk AS (
+        SELECT catalogue, rule_id, instance, severity,
+               NULL::DOUBLE AS lhs_total, NULL::DOUBLE AS rhs_total,
+               status, reason
+        FROM (VALUES
+          $skipValues) t(catalogue, rule_id, instance, severity, status, reason))
+      SELECT * FROM (SELECT * FROM ev UNION ALL SELECT * FROM sk)
+      ORDER BY catalogue, rule_id, instance
+      """.stripMargin.trim
+    })
+
+  def all: Seq[QueryDef] = Seq(q159ValidationCatalogue)
+}

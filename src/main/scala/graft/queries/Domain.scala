@@ -2471,7 +2471,7 @@ object Domain {
         .select(col("severity"), col("status"))
       val v147 = Corep08.q147C02Validations.build(s, dir)
         .select(col("severity"), col("status"))
-      v94.unionByName(v121).unionByName(v147)
+      val estate = v94.unionByName(v121).unionByName(v147)
         .agg(
           count(lit(1)).as("n_rules"),
           count(when(col("severity") === "ERROR" && col("status") === "fail",
@@ -2479,24 +2479,50 @@ object Domain {
           count(when(col("severity") === "WARNING" && col("status") === "fail",
             lit(1))).as("n_warning_breaches"))
         .withColumn("can_submit", col("n_error_breaches") === 0)
+      // The full published-catalogue pass (q159): every instanced record
+      // the coordinate index can bind, evaluated generically. Reported
+      // NEXT TO the estate gate (the reference's checker.py per-severity
+      // census): the catalogue ERROR breaches trace to documented
+      // modelling choices (the B31 book retains the SME supporting
+      // factor), so `can_submit` stays keyed on the estate's own
+      // identities while the catalogue breach counts stay visible.
+      val cat = Catalogue.q159ValidationCatalogue.build(s, dir)
+        .agg(
+          count(when(col("status").isin("pass", "fail", "vacuous"), lit(1)))
+            .as("n_catalogue_evaluated"),
+          count(when(col("severity") === "ERROR" && col("status") === "fail",
+            lit(1))).as("n_catalogue_error_breaches"),
+          count(when(col("severity") === "WARNING" && col("status") === "fail",
+            lit(1))).as("n_catalogue_warning_breaches"))
+      estate.crossJoin(broadcast(cat))
     },
     Some(s"""
-      SELECT count(*) AS n_rules,
-             count(CASE WHEN severity = 'ERROR' AND status = 'fail'
-                   THEN 1 END) AS n_error_breaches,
-             count(CASE WHEN severity = 'WARNING' AND status = 'fail'
-                   THEN 1 END) AS n_warning_breaches,
-             count(CASE WHEN severity = 'ERROR' AND status = 'fail'
-                   THEN 1 END) = 0 AS can_submit
-      FROM (
-        SELECT severity, status FROM (${q94CorepTemplate.oracle.get})
-        WHERE section = 'validation'
-        UNION ALL
-        SELECT severity, status FROM (${Corep08.q121CorepC08.oracle.get})
-        WHERE section = 'validation'
-        UNION ALL
-        SELECT severity, status FROM (${Corep08.q147C02Validations.oracle.get})
-      )
+      SELECT e.*, c.* FROM (
+        SELECT count(*) AS n_rules,
+               count(CASE WHEN severity = 'ERROR' AND status = 'fail'
+                     THEN 1 END) AS n_error_breaches,
+               count(CASE WHEN severity = 'WARNING' AND status = 'fail'
+                     THEN 1 END) AS n_warning_breaches,
+               count(CASE WHEN severity = 'ERROR' AND status = 'fail'
+                     THEN 1 END) = 0 AS can_submit
+        FROM (
+          SELECT severity, status FROM (${q94CorepTemplate.oracle.get})
+          WHERE section = 'validation'
+          UNION ALL
+          SELECT severity, status FROM (${Corep08.q121CorepC08.oracle.get})
+          WHERE section = 'validation'
+          UNION ALL
+          SELECT severity, status FROM (${Corep08.q147C02Validations.oracle.get})
+        )
+      ) e CROSS JOIN (
+        SELECT count(CASE WHEN status IN ('pass', 'fail', 'vacuous')
+                     THEN 1 END) AS n_catalogue_evaluated,
+               count(CASE WHEN severity = 'ERROR' AND status = 'fail'
+                     THEN 1 END) AS n_catalogue_error_breaches,
+               count(CASE WHEN severity = 'WARNING' AND status = 'fail'
+                     THEN 1 END) AS n_catalogue_warning_breaches
+        FROM (${Catalogue.q159ValidationCatalogue.oracle.get})
+      ) c
     """.stripMargin.trim))
 
   /** q154: the CRR→B31 capital-driver waterfall through the attributor

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.rulebook.ValidationCatalogue
+import graft.rulebook.ValidationCatalogue._
+
+/** The catalogue-as-data machinery: record translation, the shared
+  * formula grammar, scoping/expansion, and the evaluated outcome census
+  * (reference `validations/rules.py` / `scope.py` / `evaluate.py`). */
+class CatalogueSpec extends SparkSpec {
+
+  test("catalogue data: both publishers load complete") {
+    val recs = ValidationCatalogue.records
+    assert(recs.size == 1831)
+    assert(recs.count(_.catalogue == "crr") == 1011)
+    assert(recs.count(_.catalogue == "b31") == 820)
+    // the reference's own filter block records 588 live CRR records
+    assert(ValidationCatalogue.liveRecords.count(_.catalogue == "crr") == 588)
+    // ids/severities survive translation
+    val v0204 = recs.find(_.id == "v0204_m").get
+    assert(v0204.severity == "ERROR" && v0204.tables == Seq("C 02.00"))
+  }
+
+  test("parser: EBA positional grammar") {
+    val Right(cmp) = parse("{r0010, c0010} = {r0040, c0010} + {r0490, c0010}")
+    assert(cmp.op == "=")
+    val rs = refs(cmp.lhs) ++ refs(cmp.rhs)
+    assert(rs.map(_.row) == Seq(Some("0010"), Some("0040"), Some("0490")))
+    assert(rs.forall(_.colId.contains("0010")))
+  }
+
+  test("parser: table + sheet qualifiers, legacy 3-digit refs, percent") {
+    val Right(c1) = parse("{C 02.00, r0070 , c0010}=={C 07.00.a, r0010 , c0220 , s0002}")
+    assert(c1.op == "==")
+    assert(refs(c1.rhs).head.sheet.contains("0002"))
+    val Right(c2) = parse("{C 02.00, r310, c010} >= {r0020, c0010} * 4.5%")
+    assert(refs(c2.lhs).head.row.contains("0310"))
+    assert(c2.rhs.isInstanceOf[Bin])
+  }
+
+  test("parser: BoE keyed grammar with z-axis and filter") {
+    val Right(c) = parse(
+      "{t: OF09.01.01.01, r: 0010, c: 0010, filter: [eba_dim:CEG] = [eba_GA:x1]} = " +
+        "{t: OF07.00.01.01, r: 0010, c: 0010, z: 0002}")
+    val rs = refs(c.lhs) ++ refs(c.rhs)
+    assert(rs.head.table.contains("OF09.01.01.01"))
+    assert(rs.head.dimFilter.isDefined)
+    assert(rs(1).sheet.contains("0002"))
+  }
+
+  test("parser: unsupported constructs refused by name") {
+    assert(parse("if {r0010, c0010} > 0 then {r0020, c0010} > 0") == Left("conditional_rule"))
+    assert(parse("sum({C 09.01.a, r090, c010, (sNNN)}) = {r010, c010}") == Left("sum_over_sheets"))
+    assert(parse("[ei219] in {[eba_CT:x10]}") == Left("enum_membership"))
+  }
+
+  test("scoping: scope-hoisted refs bind row/col from the instance") {
+    // v0305_m: {c0090} = {c0050}+{c0060}+{c0070}+{c0080}, rows_scope=list.
+    // Every emitted C 07.00 sheet instances the published CRM identity.
+    val insts = Catalogue.instances.filter(_.ruleId == "v0305_m")
+    assert(insts.nonEmpty)
+    assert(insts.forall(_.instanceKey.split('|').length == 3))
+    // the compiled side references the 0090 outflow cell of the instance
+    assert(insts.head.lhsSql.contains("_0090_"))
+  }
+
+  test("census: the engine binds and evaluates a substantial battery") {
+    val insts = Catalogue.instances
+    val skips = Catalogue.skips
+    assert(insts.size >= 800, s"evaluated instances: ${insts.size}")
+    assert(insts.map(_.ruleId).distinct.size >= 60)
+    // skips carry machine-readable reasons, never silence
+    assert(skips.forall(_.reason.nonEmpty))
+    val reasons = skips.map(_.reason.takeWhile(_ != ':')).distinct
+    assert(reasons.contains("table_not_emitted"))
+    assert(reasons.exists(_.startsWith("conditional_rule")) ||
+      reasons.exists(_.startsWith("grammar")))
+  }
+
+  test("evaluation: published identities hold on the generated estate") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalogue.q159ValidationCatalogue.build(spark, dir)
+      .select("catalogue", "rule_id", "instance", "status").collect()
+    val byRule = out.groupBy(r => (r.getString(0), r.getString(1)))
+    // v0305_m (CRM outflow components) holds by construction on every sheet
+    val v0305 = out.filter(r => r.getString(1) == "v0305_m" && r.getString(2) != "~")
+    assert(v0305.nonEmpty && v0305.forall(r =>
+      Set("pass", "vacuous")(r.getString(3))), "v0305_m must hold")
+    // v0306_m / v0307_m: the published net-after-substitution and E*
+    // identities ({c0110} = {c0040}+{c0090}+{c0100}; {c0150} = {c0110}+
+    // {c0120}+{c0130}) hold on every instanced sheet-row
+    Seq("v0306_m", "v0307_m").foreach { id =>
+      val rows = out.filter(r => r.getString(1) == id && r.getString(2) != "~")
+      assert(rows.nonEmpty && rows.forall(r =>
+        Set("pass", "vacuous")(r.getString(3))), s"$id must hold")
+    }
+    // every live record produced at least one outcome row
+    val outIds = out.map(r => (r.getString(0), r.getString(1))).toSet
+    val liveIds = ValidationCatalogue.liveRecords.map(r => (r.catalogue, r.id)).toSet
+    assert(liveIds.subsetOf(outIds ++ byRule.keySet))
+  }
+}
