@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.engine.DomainPipeline
+import graft.operators.SaScope
+import graft.sources.Tables
 import Q._
 
 /** The Pillar-3 IRB disclosure tail (reference `reporting/pillar3/cr6.py`,
@@ -1104,8 +1106,149 @@ object Pillar3 {
       ORDER BY exposure_class
     """.stripMargin.trim))
 
+  // ---- q157: the Pillar-3 SA scope-of-use sheet ------------------------
+
+  /** q157: the CR4 sheet computed over the `SaScope`-narrowed SA
+    * credit-risk population (reference `reporting/pillar3/sa_scope.py`
+    * + `cr4.py:60-75` — the scope runs BEFORE the template executes).
+    *
+    * The pre-scope population is deliberately polluted the way the
+    * reference describes: the SA ledger rows (loan on-balance-sheet,
+    * `facility_undrawn` with a NULL sealed side) unioned with the three
+    * non-credit-risk synthetic leg families (SA-CCR netting sets, CCP
+    * default-fund contributions, settlement failed trades), which carry
+    * the standardised label and so pass a naive origin filter. The scope
+    * then (a) drops the CCR legs over ALL columns — a row's RWEA never
+    * covers exposure the on/off-balance-sheet split omits — and (b)
+    * patches the commitment leg off-balance-sheet, so gross (a+b) and
+    * post-CCF (c+d) columns cover the SAME rows and the sheet internally
+    * reconciles.
+    *
+    * The memo rows make the exclusion non-vacuous: one census row per
+    * excluded exposure_type with its row count and EAD, so the oracle
+    * hash fails if the scope filter ever stops matching real rows.
+    *
+    * Scale shape: the scope is a pushed-down Column filter (no shuffle);
+    * the sheet is ONE rollup over the scoped frame (class rows + total
+    * from a single shuffle); the memo census aggregates the excluded
+    * legs straight off the orders scan.
+    */
+  val q157SaScope = QueryDef(
+    "q157_sa_scope",
+    (s, dir) => {
+      val led = DomainPipeline.ledger(s, dir)
+        .filter(col("approach") === "SA")
+        .select(
+          col("exposure_type"), col("exposure_class"),
+          // the sealed side carrier: loan = on-BS; the commitment leg
+          // stays null (belongs to neither side until a template decides)
+          when(col("exposure_type") === "loan", lit(true))
+            .cast("boolean").as("reporting_on_balance_sheet"),
+          when(col("exposure_type") === "loan", col("drawn_base"))
+            .otherwise(0.0).as("g_on"),
+          when(col("exposure_type") === "facility_undrawn", col("undrawn_base"))
+            .otherwise(0.0).as("g_off"),
+          col("ead_pre_crm"), col("rwa"))
+      val legKind = when(col("o_orderkey") % 7 === 3, "ccr_netting_set")
+        .when(col("o_orderkey") % 97 === 0, "ccr_default_fund")
+        .when(col("o_orderkey") % 53 === 1, "ccr_failed_trade")
+      val legs = Tables.orders(s, dir)
+        .select(
+          legKind.as("exposure_type"), lit("corporate").as("exposure_class"),
+          lit(null).cast("boolean").as("reporting_on_balance_sheet"),
+          lit(0.0).as("g_on"), lit(0.0).as("g_off"),
+          q2(col("o_totalprice") *
+            when(col("o_orderkey") % 7 === 3, 0.05)
+              .when(col("o_orderkey") % 97 === 0, 0.02)
+              .otherwise(0.01)).as("ead_pre_crm"))
+        .withColumn("rwa", col("ead_pre_crm"))
+        .filter(col("exposure_type").isNotNull)
+      val population = led.unionByName(legs)
+      val scoped = SaScope.saCreditRiskPopulation(population)
+      val sheet = scoped.rollup(col("exposure_class"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          dsum(col("g_on"), 2).as("gross_on_bs"),
+          dsum(col("g_off"), 2).as("gross_off_bs"),
+          dsum(when(col("reporting_on_balance_sheet"), col("ead_pre_crm"))
+            .otherwise(0.0), 2).as("ead_on_bs"),
+          dsum(when(!col("reporting_on_balance_sheet"), col("ead_pre_crm"))
+            .otherwise(0.0), 2).as("ead_off_bs"),
+          dsum(col("rwa"), 2).as("rwea"))
+        .select(
+          coalesce(col("exposure_class"), lit("total")).as("row_id"),
+          col("n_rows"), col("gross_on_bs"), col("gross_off_bs"),
+          col("ead_on_bs"), col("ead_off_bs"), col("rwea"),
+          when(col("ead_on_bs") + col("ead_off_bs") > 0,
+            q6(col("rwea") / (col("ead_on_bs") + col("ead_off_bs"))))
+            .as("rwea_density"),
+          lit(null).cast("double").as("excluded_ead"))
+      val memo = population
+        .filter(col("exposure_type").isin(SaScope.excludedExposureTypes: _*))
+        .groupBy(col("exposure_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("ead_pre_crm"), 2).as("excluded_ead"))
+        .select(
+          concat(lit("memo_excluded:"), col("exposure_type")).as("row_id"),
+          col("n_rows"),
+          lit(null).cast("double").as("gross_on_bs"),
+          lit(null).cast("double").as("gross_off_bs"),
+          lit(null).cast("double").as("ead_on_bs"),
+          lit(null).cast("double").as("ead_off_bs"),
+          lit(null).cast("double").as("rwea"),
+          lit(null).cast("double").as("rwea_density"),
+          col("excluded_ead"))
+      sheet.unionByName(memo).orderBy(col("row_id"))
+    },
+    Some(s"""
+      WITH ${Domain.domainLedgerCtes},
+      x157legs AS (
+        SELECT CASE WHEN o_orderkey % 7 = 3 THEN 'ccr_netting_set'
+                    WHEN o_orderkey % 97 = 0 THEN 'ccr_default_fund'
+                    WHEN o_orderkey % 53 = 1 THEN 'ccr_failed_trade' END
+                 AS exposure_type,
+               ${sql2("o_totalprice * (CASE WHEN o_orderkey % 7 = 3 THEN 0.05 " +
+                 "WHEN o_orderkey % 97 = 0 THEN 0.02 ELSE 0.01 END)")} AS ead
+        FROM orders
+        WHERE o_orderkey % 7 = 3 OR o_orderkey % 97 = 0
+           OR o_orderkey % 53 = 1),
+      x157pop AS (
+        SELECT exposure_class,
+               exposure_type <> 'facility_undrawn' AS on_bs,
+               CASE WHEN exposure_type = 'loan' THEN drawn_base
+                    ELSE 0.0 END AS g_on,
+               CASE WHEN exposure_type = 'facility_undrawn' THEN undrawn_base
+                    ELSE 0.0 END AS g_off,
+               ead_pre_crm, rwa
+        FROM final WHERE approach = 'SA'),
+      x157sheet AS (
+        SELECT coalesce(exposure_class, 'total') AS row_id,
+               count(*) AS n_rows,
+               ${sqlDsum("g_on", 2)} AS gross_on_bs,
+               ${sqlDsum("g_off", 2)} AS gross_off_bs,
+               ${sqlDsum("CASE WHEN on_bs THEN ead_pre_crm ELSE 0.0 END", 2)}
+                 AS ead_on_bs,
+               ${sqlDsum("CASE WHEN NOT on_bs THEN ead_pre_crm ELSE 0.0 END", 2)}
+                 AS ead_off_bs,
+               ${sqlDsum("rwa", 2)} AS rwea
+        FROM x157pop GROUP BY ROLLUP (exposure_class))
+      SELECT row_id, n_rows, gross_on_bs, gross_off_bs, ead_on_bs, ead_off_bs,
+             rwea,
+             CASE WHEN ead_on_bs + ead_off_bs > 0
+                  THEN ${sql6("rwea / (ead_on_bs + ead_off_bs)")} END
+               AS rwea_density,
+             CAST(NULL AS DOUBLE) AS excluded_ead
+      FROM x157sheet
+      UNION ALL
+      SELECT 'memo_excluded:' || exposure_type, count(*),
+             NULL, NULL, NULL, NULL, NULL, NULL,
+             ${sqlDsum("ead", 2)}
+      FROM x157legs GROUP BY exposure_type
+      ORDER BY row_id
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q120Pillar3Cr6, q122Cr8Flow, q123Cr7CrmEffects, q130Ov1Overview,
     q131Cr10Slotting, q132Cms1, q133Cms2, q137Cr6aScope, q138Of0201,
-    q139Cr7aCrmExtent)
+    q139Cr7aCrmExtent, q157SaScope)
 }
