@@ -10,7 +10,8 @@ object SparkEntry {
   private def defs: Seq[QueryDef] =
     Relational.all ++ Joins.all ++ Windows.all ++ Scalars.all ++
       SourceOps.all ++ Rwa.all ++ Ccr.all ++ Ofcp.all ++ LlmOps.all ++
-      Events.all ++ Domain.all ++ Pillar3.all ++ Corep08.all ++ Catalogue.all
+      Events.all ++ Domain.all ++ Pillar3.all ++ Corep08.all ++
+      Corep09.all ++ Catalogue.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The composed domain pipeline (derive → conform → unify → FX →

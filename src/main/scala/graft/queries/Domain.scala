@@ -2372,82 +2372,131 @@ object Domain {
     * sNNN}` — the published checks that the per-country C 09.01 sheets
     * re-sum to the C 07.00 class cells). This is a genuinely different
     * rule class from the intra-sheet identities: it compares TWO
-    * INDEPENDENTLY PRODUCED templates. The LHS re-sums the q116 geo
-    * sheet's (country × class) rows; the RHS reads the q94 cell
-    * catalogue's class cells through the same `TemplateGenerator`
+    * INDEPENDENTLY PRODUCED templates. The LHS re-sums the PUBLISHED
+    * C 09.01 sheet (q158 — the fan/axis/post-pass production path) per
+    * template ROW across its per-country submissions; the RHS reads the
+    * q94 cell catalogue's class cells through the `TemplateGenerator`
     * machinery that publishes them — two different production paths
-    * over the sealed ledger, tied per class for original exposure
-    * (v0350_m ↔ C0010) and RWEA (v0352_m's c080 analogue ↔ C0220).
-    * Sparse per the data (a class with no geo rows emits no rule row).
+    * over the sealed ledger, tied per published row for exposure value
+    * (v0350_m ↔ C 09.01 col 0075 vs C 07 C0010) and RWEA (v0352_m ↔
+    * col 0090 vs C0220). The row→class keying is the published
+    * many-to-one map (row 0070 fans corporate + sme_corporate, the
+    * `C09_01_SA_CLASS_MAP` accumulation). This rulebook's C 07.00-style
+    * cells are WHOLE-BOOK (SA + IRB, a recorded vocabulary decision),
+    * so the LHS re-sums the geography ACROSS BOTH geo templates —
+    * C 09.01's SA rows plus C 09.02's IRB rows (0020→0060, 0030→0070)
+    * — the same whole-book coverage from the geographic production
+    * path.
     */
+  private val c09RowClassMap: Seq[(String, Seq[String])] = Seq(
+    "0010" -> Seq("sovereign"), "0060" -> Seq("institution"),
+    "0070" -> Seq("corporate", "sme_corporate"),
+    "0075" -> Seq("sme_corporate"), "0080" -> Seq("retail"))
+
   val q152CrossTemplate = QueryDef(
     "q152_cross_template",
     (s, dir) => {
       import graft.reporting.TemplateGenerator
-      val geo = q116GeoBreakdown.build(s, dir)
-        .filter(col("country") =!= "ALL" && col("exposure_class") =!= "ALL")
-        .groupBy(col("exposure_class"))
-        .agg(dsum(col("original_exposure"), 2).as("g_ead"),
-             dsum(col("rwea"), 2).as("g_rwea"))
+      val geoSa = Corep09.q158CorepC09.build(s, dir)
+        .filter(col("country") =!= "ALL" && col("n_rows").isNotNull &&
+          col("row_ref").isin(c09RowClassMap.map(_._1): _*))
+        .select(col("row_ref"), col("c0075").as("ev"), col("c0090").as("rw"))
+      val geoIrb = Corep09.q160CorepC0902.build(s, dir)
+        .filter(col("country") =!= "ALL" && col("n_rows").isNotNull &&
+          col("row_ref").isin("0020", "0030"))
+        .select(
+          when(col("row_ref") === "0020", "0060").otherwise("0070")
+            .as("row_ref"),
+          col("c0105").as("ev"), col("c0125").as("rw"))
+      val geo = geoSa.unionByName(geoIrb)
+        .groupBy(col("row_ref"))
+        .agg(dsum(col("ev"), 2).as("g_ead"),
+             dsum(col("rw"), 2).as("g_rwea"))
       val needed = corepClasses.flatMap(c =>
         Seq(corepCellId(s"R_$c", "C0010"), corepCellId(s"R_$c", "C0220"))).toSet
       val cells = c07Cells.filter(c => needed(c.cellId))
       val row0 = TemplateGenerator.wideRow(DomainPipeline.ledger(s, dir), cells)
-      def cellByClass(colId: String): Column =
-        corepClasses.foldLeft(Option.empty[Column]) {
-          case (None, c) => Some(when(col("exposure_class") === c,
-            col(s"`${corepCellId(s"R_$c", colId)}`")))
-          case (Some(acc), c) => Some(acc.when(col("exposure_class") === c,
-            col(s"`${corepCellId(s"R_$c", colId)}`")))
+      def cellByRow(colId: String): Column =
+        c09RowClassMap.foldLeft(Option.empty[Column]) {
+          case (acc, (ref, classes)) =>
+            // horizontal DECIMAL add (the fanned row sums two class
+            // cells; a plain double add is 1 ulp off the oracle's
+            // decimal accumulation)
+            val cellSum = classes.map(c =>
+              coalesce(col(s"`${corepCellId(s"R_$c", colId)}`"), lit(0.0))
+                .cast(DecimalType(38, 2)))
+              .reduce(_ + _).cast("double")
+            acc match {
+              case None => Some(when(col("row_ref") === ref, cellSum))
+              case Some(w) => Some(w.when(col("row_ref") === ref, cellSum))
+            }
         }.get
       val wide = geo.crossJoin(broadcast(row0))
       val r1 = wide.select(
-        concat(lit("v0350_m@R_"), col("exposure_class")).as("rule_id"),
+        concat(lit("v0350_m@R"), col("row_ref")).as("rule_id"),
         lit("ERROR").as("severity"),
-        col("g_ead").as("lhs_total"), cellByClass("C0010").as("rhs_total"))
+        col("g_ead").as("lhs_total"), cellByRow("C0010").as("rhs_total"))
       val r2 = wide.select(
-        concat(lit("v0352_m@R_"), col("exposure_class")).as("rule_id"),
+        concat(lit("v0352_m@R"), col("row_ref")).as("rule_id"),
         lit("ERROR").as("severity"),
-        col("g_rwea").as("lhs_total"), cellByClass("C0220").as("rhs_total"))
+        col("g_rwea").as("lhs_total"), cellByRow("C0220").as("rhs_total"))
       r1.unionByName(r2)
         .withColumn("diff", col("lhs_total") - col("rhs_total"))
         .withColumn("status",
           when(abs(col("diff")) <= 0.01, "pass").otherwise("fail"))
         .orderBy(col("rule_id"))
     },
-    Some(s"""
+    Some {
+      val mapValues = c09RowClassMap.flatMap { case (ref, classes) =>
+        classes.map(c => s"('$ref', '$c')") }.mkString(", ")
+      s"""
       WITH $domainLedgerCtes,
-      x152geo2 AS (
-        SELECT country, exposure_class,
-               ${sqlDsum("ead_pre_crm", 2)} AS ead,
-               ${sqlDsum("rwa", 2)} AS rwea
-        FROM final GROUP BY 1, 2),
       x152geo AS (
-        SELECT exposure_class,
-               ${sqlDsum("ead", 2)} AS g_ead,
-               ${sqlDsum("rwea", 2)} AS g_rwea
-        FROM x152geo2 GROUP BY 1),
+        SELECT row_ref,
+               ${sqlDsum("ev", 2)} AS g_ead,
+               ${sqlDsum("rw", 2)} AS g_rwea
+        FROM (
+          SELECT row_ref, c0075 AS ev, c0090 AS rw
+          FROM (${Corep09.q158CorepC09.oracle.get})
+          WHERE country <> 'ALL' AND n_rows IS NOT NULL
+            AND row_ref IN ('0010', '0060', '0070', '0075', '0080')
+          UNION ALL
+          SELECT CASE WHEN row_ref = '0020' THEN '0060' ELSE '0070' END,
+                 c0105, c0125
+          FROM (${Corep09.q160CorepC0902.oracle.get})
+          WHERE country <> 'ALL' AND n_rows IS NOT NULL
+            AND row_ref IN ('0020', '0030'))
+        GROUP BY row_ref),
       x152cls AS (
         SELECT exposure_class,
                ${sqlDsum("ead_pre_crm", 2)} AS c0010,
                ${sqlDsum("rwa", 2)} AS c0220
         FROM final GROUP BY 1),
+      x152map(row_ref, exposure_class) AS (VALUES $mapValues),
+      x152rhs AS (
+        SELECT m.row_ref,
+               ${sqlDsum("c.c0010", 2)} AS rhs_ead,
+               ${sqlDsum("c.c0220", 2)} AS rhs_rwea
+        FROM x152map m JOIN x152cls c USING (exposure_class)
+        GROUP BY m.row_ref),
       x152rules AS (
-        SELECT 'v0350_m@R_' || g.exposure_class AS rule_id,
+        SELECT 'v0350_m@R' || g.row_ref AS rule_id,
                'ERROR' AS severity,
-               g.g_ead AS lhs_total, c.c0010 AS rhs_total
-        FROM x152geo g JOIN x152cls c USING (exposure_class)
+               g.g_ead AS lhs_total, r.rhs_ead AS rhs_total
+        FROM x152geo g JOIN x152rhs r USING (row_ref)
         UNION ALL
-        SELECT 'v0352_m@R_' || g.exposure_class, 'ERROR',
-               g.g_rwea, c.c0220
-        FROM x152geo g JOIN x152cls c USING (exposure_class))
-      SELECT rule_id, severity, lhs_total, rhs_total,
-             lhs_total - rhs_total AS diff,
-             CASE WHEN abs(lhs_total - rhs_total) <= 0.01
-                  THEN 'pass' ELSE 'fail' END AS status
-      FROM x152rules
+        SELECT 'v0352_m@R' || g.row_ref, 'ERROR',
+               g.g_rwea, r.rhs_rwea
+        FROM x152geo g JOIN x152rhs r USING (row_ref))
+      SELECT * FROM (
+        SELECT rule_id, severity, lhs_total, rhs_total,
+               lhs_total - rhs_total AS diff,
+               CASE WHEN abs(lhs_total - rhs_total) <= 0.01
+                    THEN 'pass' ELSE 'fail' END AS status
+        FROM x152rules)
       ORDER BY rule_id
-    """.stripMargin.trim))
+    """.stripMargin.trim
+    })
 
   /** q153: the SUBMISSION GATE — "can this return be submitted?", the
     * reference exporter's one-field answer over the whole generated
@@ -2471,7 +2520,18 @@ object Domain {
         .select(col("severity"), col("status"))
       val v147 = Corep08.q147C02Validations.build(s, dir)
         .select(col("severity"), col("status"))
+      // the C 09.01 supporting-factor reconciliation (boe_b0225 family):
+      // on the REPORTED cells — after the Annex II §1.3 sign post-pass
+      // negated col 0081 — RWEA pre SF plus the (negative) adjustments
+      // must equal RWEA post SF additively on every populated row
+      val v158 = Corep09.q158CorepC09.build(s, dir)
+        .filter(col("n_rows").isNotNull)
+        .select(
+          lit("ERROR").as("severity"),
+          when(abs(col("c0080") + col("c0081") + col("c0082") -
+            col("c0090")) <= 0.01, "pass").otherwise("fail").as("status"))
       val estate = v94.unionByName(v121).unionByName(v147)
+        .unionByName(v158)
         .agg(
           count(lit(1)).as("n_rules"),
           count(when(col("severity") === "ERROR" && col("status") === "fail",
@@ -2513,6 +2573,12 @@ object Domain {
           WHERE section = 'validation'
           UNION ALL
           SELECT severity, status FROM (${Corep08.q147C02Validations.oracle.get})
+          UNION ALL
+          SELECT 'ERROR' AS severity,
+                 CASE WHEN abs(c0080 + c0081 + c0082 - c0090) <= 0.01
+                      THEN 'pass' ELSE 'fail' END AS status
+          FROM (${Corep09.q158CorepC09.oracle.get})
+          WHERE n_rows IS NOT NULL
         )
       ) e CROSS JOIN (
         SELECT count(CASE WHEN status IN ('pass', 'fail', 'vacuous')
