@@ -348,10 +348,12 @@ final class RestServer(
 
   // Cell-keyed drill-down (reference `reporting/lineage.py`: every
   // published template keys its execution plan, so ANY reported cell is
-  // drillable). The cell id addresses the C 07.00 catalogue
-  // (`Domain.c07Cells`); the response re-evaluates the cell's measure
-  // over its predicate slice — the reported value and the rows behind it
-  // come from the same spec, so they cannot drift apart.
+  // drillable). The cell id dispatches through the estate-wide
+  // `reporting.Lineage` registry (C 07 / C 08.01 / the C 08.02-03 band
+  // grids / C 09.01-02 / C 02 / CR4 / CR9); the response re-derives the
+  // template's working frame and re-evaluates the cell's measure over
+  // its predicate slice — the reported value and the rows behind it
+  // come from the same shared specs, so they cannot drift apart.
   // (`/api/lineage/cell` outranks `/api/lineage` by longest-prefix
   // context matching.)
   handle("/api/lineage/cell") { ex =>
@@ -361,28 +363,26 @@ final class RestServer(
         case Some(cellId) => res.ledger match {
           case None => error(ex, 404, "run has no ledger")
           case Some(led) =>
-            // catalogue dispatch: C07|… cells resolve over the raw
-            // ledger, C08|… cells over the q121 leg-derived IRB slice
-            val resolved =
-              graft.queries.Domain.c07Cells.find(_.cellId == cellId)
-                .map(spec => (spec, led))
-                .orElse(graft.queries.Corep08.c08Cells
-                  .find(_.cellId == cellId)
-                  .map(spec => (spec, graft.queries.Corep08.c08Prepare(led))))
-            resolved match {
-              case None => error(ex, 404, s"unknown cell: $cellId")
-              case Some((spec, base)) =>
-                val slice = base.filter(spec.predicate)
+            graft.reporting.Lineage.resolve(cellId) match {
+              case None => error(ex, 404,
+                s"unknown or formula cell: $cellId")
+              case Some(cell) =>
+                val slice = cell.prepare(led).filter(cell.predicate)
                 // decimal accumulation exactly as the sheet's wideRow, so
-                // the drilled value matches the published cell bit-for-bit
-                val value = Option(slice.agg(
-                  sum(spec.measure.cast(
-                    org.apache.spark.sql.types.DecimalType(38, spec.scale)))
-                    .cast("double").as("v"))
-                  .head.get(0)).getOrElse(0.0: Any)
+                // the drilled value matches the published cell bit-for-bit;
+                // distinct-keyed cells (CR9 obligor counts) count instead
+                val value = cell.distinctKey match {
+                  case Some(k) =>
+                    slice.agg(countDistinct(k).as("v")).head.get(0)
+                  case None => Option(slice.agg(
+                    sum(cell.measure.cast(
+                      org.apache.spark.sql.types.DecimalType(38, cell.scale)))
+                      .cast("double").as("v"))
+                    .head.get(0)).getOrElse(0.0: Any)
+                }
                 val preview = slice.select(
                   col("exposure_reference"), col("exposure_class"),
-                  col("approach"), spec.measure.cast("double").as("measure"))
+                  col("approach"), cell.measure.cast("double").as("measure"))
                 respond(ex, 200,
                   s"""{"cell_id":${jstr(cellId)},"value":${jval(value)},""" +
                   s""""n_rows":${slice.count()},""" +

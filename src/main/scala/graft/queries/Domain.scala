@@ -2757,35 +2757,44 @@ object Domain {
     *    ×100, g = mean post-floor PD ×100, h = copy of e (no historical
     *    series carrier); a/b are the class/band display labels.
     */
+  /** The CR9 banded per-exposure frame — shared by the q145 sheet build
+    * and the lineage cell drill (`reporting/Lineage`), so a drilled CR9
+    * cell re-derives its bands identically to the published sheet. */
+  private[graft] def cr9Prepare(led: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val axis = Pillar3.cr6Bands
+    val parentRefs = Corep08.c0803ParentRefs
+    val leaves = axis.filter(t => t._1 != 18 && !parentRefs(t._1))
+    val parentBands = axis.filter(t => parentRefs(t._1))
+    def chain(bands: Seq[(Int, String, Double, Double)]): org.apache.spark.sql.Column =
+      bands.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (None, (r, _, lo, hi)) =>
+          Some(when(col("alloc_pd") >= lo && col("alloc_pd") < hi, r))
+        case (Some(acc), (r, _, lo, hi)) =>
+          Some(acc.when(col("alloc_pd") >= lo && col("alloc_pd") < hi, r))
+      }.get.otherwise(lit(null).cast("int"))
+    val k = expr("CAST(substring(exposure_reference, 5) AS BIGINT)")
+    led
+      .filter(col("approach") === "IRB")
+      .withColumn("k", k)
+      .withColumn("pd_pre",
+        lit(0.0001) + (col("k") % 997).cast("double") * lit(0.001))
+      .withColumn("pd_floored", greatest(col("pd_pre"), lit(0.0003)))
+      .withColumn("alloc_pd",
+        when(col("is_defaulted"), lit(1.0)).otherwise(col("pd_pre")))
+      .withColumn("class_key",
+        when(col("exposure_class") === "institution", "institution")
+          .otherwise("corporate_other_non_sme"))
+      .withColumn("leaf_ref", chain(leaves))
+      .withColumn("parent_ref", chain(parentBands))
+  }
+
   val q145Cr9Full = QueryDef(
     "q145_cr9_full",
     (s, dir) => {
       import s.implicits._
       val axis = Pillar3.cr6Bands
-      val parentRefs = Corep08.c0803ParentRefs
-      val leaves = axis.filter(t => t._1 != 18 && !parentRefs(t._1))
-      val parentBands = axis.filter(t => parentRefs(t._1))
-      def chain(bands: Seq[(Int, String, Double, Double)]): org.apache.spark.sql.Column =
-        bands.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
-          case (None, (r, _, lo, hi)) =>
-            Some(when(col("alloc_pd") >= lo && col("alloc_pd") < hi, r))
-          case (Some(acc), (r, _, lo, hi)) =>
-            Some(acc.when(col("alloc_pd") >= lo && col("alloc_pd") < hi, r))
-        }.get.otherwise(lit(null).cast("int"))
-      val k = expr("CAST(substring(exposure_reference, 5) AS BIGINT)")
-      val banded = DomainPipeline.ledger(s, dir)
-        .filter(col("approach") === "IRB")
-        .withColumn("k", k)
-        .withColumn("pd_pre",
-          lit(0.0001) + (col("k") % 997).cast("double") * lit(0.001))
-        .withColumn("pd_floored", greatest(col("pd_pre"), lit(0.0003)))
-        .withColumn("alloc_pd",
-          when(col("is_defaulted"), lit(1.0)).otherwise(col("pd_pre")))
-        .withColumn("class_key",
-          when(col("exposure_class") === "institution", "institution")
-            .otherwise("corporate_other_non_sme"))
-        .withColumn("leaf_ref", chain(leaves))
-        .withColumn("parent_ref", chain(parentBands))
+      val banded = cr9Prepare(DomainPipeline.ledger(s, dir))
         .withColumn("row_ref",
           explode(filter(array(col("leaf_ref"), col("parent_ref"), lit(18)),
             x => x.isNotNull)))

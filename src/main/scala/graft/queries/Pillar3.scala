@@ -34,7 +34,7 @@ object Pillar3 {
     * join assigns a row to every band containing it, so parents and the
     * total come out of the same single shuffle. 9.99 stands in for the
     * reference's `inf` upper bound (PD is capped at 1.0). */
-  private[queries] val cr6Bands: Seq[(Int, String, Double, Double)] = Seq(
+  private[graft] val cr6Bands: Seq[(Int, String, Double, Double)] = Seq(
     (1, "0.00 to <0.15", 0.0000, 0.0015),
     (2, "0.00 to <0.10", 0.0000, 0.0010),
     (3, "0.10 to <0.15", 0.0010, 0.0015),

@@ -78,6 +78,64 @@ class RestServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("estate-wide lineage: a cell from every keyed template resolves, " +
+    "and the drilled value matches the published sheet cell") {
+    import org.apache.spark.sql.functions.col
+    val srv = new RestServer(spark)
+    val port = srv.start()
+    try {
+      val (cs, cb) = http(port, "/api/calculate", "POST",
+        s"""{"dataPath": "$sfDir", "permissionMode": "irb"}""")
+      assert(cs == 200, cb)
+      val runId = "run-\\d+".r.findFirstIn(cb).get
+      def drilled(cell: String): Double = {
+        val enc = java.net.URLEncoder.encode(cell, "UTF-8")
+        val (st, b) = http(port, s"/api/lineage/cell?run_id=$runId&cell=$enc")
+        assert(st == 200, s"$cell -> $b")
+        """"value":(-?[0-9.E]+)""".r.findFirstMatchIn(b)
+          .map(_.group(1).toDouble)
+          .getOrElse(fail(s"no value in $b"))
+      }
+      // C 09.01: the ALL sheet's corporates RWEA post-SF cell
+      val c09 = graft.queries.Corep09.q158CorepC09.build(spark, sfDir)
+        .filter(col("country") === "ALL" && col("row_ref") === "0070")
+        .select("c0090").head.getDouble(0)
+      assert(drilled("C0901|ALL|0070|c0090") === c09)
+      // C 09.02: the ALL sheet's total exposure value (and its laddered
+      // provisions cell resolves through the allocated carrier)
+      val c0902 = graft.queries.Corep09.q160CorepC0902.build(spark, sfDir)
+        .filter(col("country") === "ALL" && col("row_ref") === "0150")
+        .select("c0105", "c0055").head
+      assert(drilled("C0902|ALL|0150|c0105") === c0902.getDouble(0))
+      assert(drilled("C0902|ALL|0150|c0055") === c0902.getDouble(1))
+      // C 02.00: the SA corporates class row, CRR regime
+      val c02 = graft.queries.Corep08.q140CorepC02.build(spark, sfDir)
+        .filter(col("row_ref") === "0130")
+        .select("rwea_crr").head.getDouble(0)
+      assert(drilled("C02|0130|crr") === c02)
+      // CR4: the total row's RWEA
+      val cr4 = graft.queries.Domain.q102Pillar3Cr4.build(spark, sfDir)
+        .filter(col("row_id") === "total")
+        .select("rwea").head.getDouble(0)
+      assert(drilled("CR4|total|rwea") === cr4)
+      // CR9: the institutions sheet's Total-row distinct obligor count
+      val cr9 = graft.queries.Domain.q145Cr9Full.build(spark, sfDir)
+        .filter(col("sheet_key") === "foundation_irb - institution" &&
+          col("row_ref") === 18)
+        .select("n_obligors").head.getLong(0)
+      assert(drilled("CR9|institution|18|n_obligors") === cr9.toDouble)
+      // C 08.02 band grid: the institutions class total ties the sheet
+      val c0802 = graft.queries.Corep08.q128CorepC0802.build(spark, sfDir)
+        .filter(col("exposure_class") === "institution" &&
+          col("row_ref") === 99)
+        .select("orig_exposure").head.getDouble(0)
+      assert(drilled("C0802|institution|ALL|orig_exposure") === c0802)
+      // formula cells carry no frame binding -> 404, like unknown cells
+      val enc = java.net.URLEncoder.encode("C0902|ALL|0150|c0080", "UTF-8")
+      assert(http(port, s"/api/lineage/cell?run_id=$runId&cell=$enc")._1 == 404)
+    } finally srv.stop()
+  }
+
   test("results pagination: deep offset pages in-plan and keyset cursor walks the set") {
     val srv = new RestServer(spark)
     val port = srv.start()
