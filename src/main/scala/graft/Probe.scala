@@ -26,13 +26,14 @@ object Probe {
         println(f"[ledger-probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         r
       }
-      val stages = new scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Long)]
+      val stages = new scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Long, String)]
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val i = sc.stageInfo
           stages.synchronized { stages += ((i.stageId, i.numTasks,
-            i.submissionTime.getOrElse(0L), i.completionTime.getOrElse(0L))) }
+            i.submissionTime.getOrElse(0L), i.completionTime.getOrElse(0L),
+            i.name.take(90))) }
         }
       })
       if (sys.env.get("PROBE_PHASES").contains("1")) {
@@ -66,10 +67,11 @@ object Probe {
       }
       Thread.sleep(500)
       stages.synchronized {
-        val tot = stages.map { case (_, _, s, e) => e - s }.sum
+        val tot = stages.map { case (_, _, s, e, _) => e - s }.sum
         println(s"[ledger-probe] stages=${stages.size} tasks=${stages.map(_._2).sum} stage-wall-sum=${tot}ms")
-        stages.sortBy { case (_, _, s, e) => s - e }.take(12).foreach {
-          case (id, n, s, e) => println(s"[ledger-probe]   stage $id: $n tasks, ${e - s}ms") }
+        stages.sortBy { case (_, _, s, e, _) => s - e }.take(12).foreach {
+          case (id, n, s, e, nm) =>
+            println(s"[ledger-probe]   stage $id: $n tasks, ${e - s}ms  $nm") }
       }
       if (sys.env.get("PROBE_RULES").contains("1")) {
         val dump = org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent()

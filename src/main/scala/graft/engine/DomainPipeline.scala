@@ -300,8 +300,13 @@ object DomainPipeline {
     exposures
       .join(broadcast(cptys), Seq("counterparty_reference"), "left")
       .join(fx, Seq("region_name"), "left")
-      .withColumn("drawn_base", q2(col("drawn") * col("fx_rate")))
-      .withColumn("undrawn_base", q2(col("undrawn") * col("fx_rate")))
+      // one projection per independent batch: every withColumn call runs
+      // a FULL analyzer pass over the accumulated plan, and the ledger
+      // chain is deep enough that per-column calls dominate the cold
+      // driver cost (measured ~12 s of pure analysis at sf0.1)
+      .withColumns(Map(
+        "drawn_base" -> q2(col("drawn") * col("fx_rate")),
+        "undrawn_base" -> q2(col("undrawn") * col("fx_rate"))))
   }
 
   // ---- stage 3: hierarchy roll-ups + rating inheritance ----------------
@@ -312,8 +317,9 @@ object DomainPipeline {
   def hierarchy(enriched: DataFrame): DataFrame = {
     val wGroup = Window.partitionBy(col("parent_group"))
     enriched
-      .withColumn("group_drawn", dsumOver(col("drawn_base"), 2, wGroup))
-      .withColumn("group_best_cqs", min(col("own_cqs")).over(wGroup))
+      .withColumns(Map(
+        "group_drawn" -> dsumOver(col("drawn_base"), 2, wGroup),
+        "group_best_cqs" -> min(col("own_cqs")).over(wGroup)))
       .withColumn("effective_cqs",
         coalesce(col("own_cqs"), col("group_best_cqs"), lit(4)))
   }
@@ -387,31 +393,40 @@ object DomainPipeline {
       .agg(dsum(col("amount"), 2).as("prov_cp"))
     val wCp = Window.partitionBy(col("counterparty_reference"))
     val isSa = col("approach") === "SA"
+    // dependent columns are INLINED as expression values so the whole
+    // fill lands in two projections (one analyzer pass each) instead of
+    // eight; the inlined trees are value-identical to the column
+    // references they replace, and whole-stage codegen's subexpression
+    // elimination collapses the duplicates at execution
+    val provAlloc =
+      q2(coalesce(col("prov_direct"), lit(0.0)) +
+        when(col("cp_basis") > 0,
+          q2(coalesce(col("prov_cp"), lit(0.0)) * col("ead_gross") / col("cp_basis")))
+          .otherwise(0.0))
+    val provOnDrawn =
+      when(isSa, least(provAlloc, greatest(col("drawn_base"), lit(0.0))))
+        .otherwise(0.0)
+    val provOnNominal =
+      when(isSa, least(
+        greatest(provAlloc - provOnDrawn, lit(0.0)),
+        col("undrawn_base"))).otherwise(0.0)
     c.join(ccf, col("exposure_type") === col("ccf_type"), "left")
-      .withColumn("ccf_eff", coalesce(col("ccf"), lit(1.0)))
-      .withColumn("ead_gross",
-        q2(col("drawn_base") + col("undrawn_base") * col("ccf_eff")))
+      .withColumns(Map(
+        "ccf_eff" -> coalesce(col("ccf"), lit(1.0)),
+        "ead_gross" ->
+          q2(col("drawn_base") + col("undrawn_base") * coalesce(col("ccf"), lit(1.0)))))
       .join(provDirect, col("exposure_reference") === col("pd_ref"), "left")
       .join(provCp, col("counterparty_reference") === col("pc_ref"), "left")
       .drop("pd_ref", "pc_ref")
       .withColumn("cp_basis", dsumOver(col("ead_gross"), 2, wCp))
-      .withColumn("provision_allocated",
-        q2(coalesce(col("prov_direct"), lit(0.0)) +
-          when(col("cp_basis") > 0,
-            q2(coalesce(col("prov_cp"), lit(0.0)) * col("ead_gross") / col("cp_basis")))
-            .otherwise(0.0)))
-      .withColumn("provision_on_drawn",
-        when(isSa, least(col("provision_allocated"), greatest(col("drawn_base"), lit(0.0))))
-          .otherwise(0.0))
-      .withColumn("provision_on_nominal",
-        when(isSa, least(
-          greatest(col("provision_allocated") - col("provision_on_drawn"), lit(0.0)),
-          col("undrawn_base"))).otherwise(0.0))
-      .withColumn("provision_deducted",
-        q2(col("provision_on_drawn") + col("provision_on_nominal")))
-      .withColumn("ead_pre_crm",
-        q2(greatest(col("drawn_base") - col("provision_on_drawn"), lit(0.0)) +
-          (col("undrawn_base") - col("provision_on_nominal")) * col("ccf_eff")))
+      .withColumns(Map(
+        "provision_allocated" -> provAlloc,
+        "provision_on_drawn" -> provOnDrawn,
+        "provision_on_nominal" -> provOnNominal,
+        "provision_deducted" -> q2(provOnDrawn + provOnNominal),
+        "ead_pre_crm" ->
+          q2(greatest(col("drawn_base") - provOnDrawn, lit(0.0)) +
+            (col("undrawn_base") - provOnNominal) * col("ccf_eff"))))
       .drop("prov_direct", "prov_cp", "cp_basis")
   }
 
@@ -530,11 +545,14 @@ object DomainPipeline {
       .orderBy(col("priority"), col("item_ref"), col("collateral_type"),
         col("amount"), col("guarantor_rw"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one projection: the inlined window expressions are canonically
+    // identical, so ExtractWindowExpressions computes the cumsum once
+    val cum = dsumOver(col("amount"), 2, wWf)
     val alloc = items
-      .withColumn("cum", dsumOver(col("amount"), 2, wWf))
-      .withColumn("allocated",
-        q2(greatest(lit(0.0),
-          least(col("amount"), col("ead_pre_crm") - (col("cum") - col("amount"))))))
+      .withColumns(Map(
+        "cum" -> cum,
+        "allocated" -> q2(greatest(lit(0.0),
+          least(col("amount"), col("ead_pre_crm") - (cum - col("amount")))))))
     // Per-type collateral tracking (reference ledger columns for COREP
     // C 08.01 cols 0170-0210, `data/schemas.py:2966-2971`): the same
     // allocated legs split by collateral family — an exact partition of
@@ -553,16 +571,17 @@ object DomainPipeline {
         .as("guar_covered"),
       max(col("guarantor_rw")).as("guarantor_rw"))
     withRw.join(perExposure, Seq("exposure_reference"), "left")
-      .withColumn("coll_covered", coalesce(col("coll_covered"), lit(0.0)))
-      .withColumn("collateral_financial_value",
-        coalesce(col("collateral_financial_value"), lit(0.0)))
-      .withColumn("collateral_re_value", coalesce(col("collateral_re_value"), lit(0.0)))
-      .withColumn("collateral_other_value",
-        coalesce(col("collateral_other_value"), lit(0.0)))
-      .withColumn("guar_covered", coalesce(col("guar_covered"), lit(0.0)))
-      .withColumn("unsecured",
-        greatest(lit(0.0),
-          q2(col("ead_pre_crm") - col("coll_covered") - col("guar_covered"))))
+      .withColumns(Map(
+        "coll_covered" -> coalesce(col("coll_covered"), lit(0.0)),
+        "collateral_financial_value" ->
+          coalesce(col("collateral_financial_value"), lit(0.0)),
+        "collateral_re_value" -> coalesce(col("collateral_re_value"), lit(0.0)),
+        "collateral_other_value" ->
+          coalesce(col("collateral_other_value"), lit(0.0)),
+        "guar_covered" -> coalesce(col("guar_covered"), lit(0.0)),
+        "unsecured" -> greatest(lit(0.0),
+          q2(col("ead_pre_crm") - coalesce(col("coll_covered"), lit(0.0)) -
+            coalesce(col("guar_covered"), lit(0.0))))))
   }
 
   // ---- stage 7: RWA + supporting factor --------------------------------
@@ -574,26 +593,28 @@ object DomainPipeline {
     * banding, reference `engine/supporting_factors.py:456-560`). */
   def rwaCalc(ledger: DataFrame): DataFrame = {
     ledger
-      .withColumn("rwa_pre_sf",
-        q2(col("coll_covered") * lit(collateralRw)) +
-        q2(col("guar_covered") *
-          least(col("own_rw"), coalesce(col("guarantor_rw"), col("own_rw")))) +
-        q2(col("unsecured") * col("own_rw")))
-      // candidate-regime shadow: identical formula over the B3.1 weight,
-      // evaluated in the same projection (no second pipeline run)
-      .withColumn("rwa_pre_sf_b31",
-        q2(col("coll_covered") * lit(collateralRw)) +
-        q2(col("guar_covered") *
-          least(col("own_rw_b31"), coalesce(col("guarantor_rw"), col("own_rw_b31")))) +
-        q2(col("unsecured") * col("own_rw_b31")))
-      .withColumn("sf_factor",
-        when(col("exposure_class") === "sme_corporate",
-          when(col("group_drawn") <= 1500000, 0.7619)
-            .when(col("group_drawn") <= 3000000, 0.85)
-            .otherwise(1.0))
-          .otherwise(1.0))
-      .withColumn("rwa", q2(col("rwa_pre_sf") * col("sf_factor")))
-      .withColumn("rwa_b31", q2(col("rwa_pre_sf_b31") * col("sf_factor")))
+      .withColumns(Map(
+        "rwa_pre_sf" -> (
+          q2(col("coll_covered") * lit(collateralRw)) +
+          q2(col("guar_covered") *
+            least(col("own_rw"), coalesce(col("guarantor_rw"), col("own_rw")))) +
+          q2(col("unsecured") * col("own_rw"))),
+        // candidate-regime shadow: identical formula over the B3.1
+        // weight, evaluated in the same projection (no second run)
+        "rwa_pre_sf_b31" -> (
+          q2(col("coll_covered") * lit(collateralRw)) +
+          q2(col("guar_covered") *
+            least(col("own_rw_b31"), coalesce(col("guarantor_rw"), col("own_rw_b31")))) +
+          q2(col("unsecured") * col("own_rw_b31"))),
+        "sf_factor" ->
+          when(col("exposure_class") === "sme_corporate",
+            when(col("group_drawn") <= 1500000, 0.7619)
+              .when(col("group_drawn") <= 3000000, 0.85)
+              .otherwise(1.0))
+            .otherwise(1.0)))
+      .withColumns(Map(
+        "rwa" -> q2(col("rwa_pre_sf") * col("sf_factor")),
+        "rwa_b31" -> q2(col("rwa_pre_sf_b31") * col("sf_factor"))))
   }
 
   // ---- stage 8: audit / lineage columns --------------------------------
@@ -608,32 +629,33 @@ object DomainPipeline {
     * composite is deterministic with no array carrier). Pure projection —
     * zero new shuffles at any scale. */
   def auditColumns(led: DataFrame): DataFrame = led
-    .withColumn("hierarchy_path",
-      concat_ws("/", col("parent_group"), col("counterparty_reference"),
-        col("exposure_reference")))
-    .withColumn("exposure_class_reason",
-      when(col("exposure_class") === "sovereign", "sovereign_country_cqs_le_2")
-        .when(col("exposure_class") === "retail", "individual_below_size_threshold")
-        .when(col("exposure_class") === "institution", "sector_institution")
-        .when(col("exposure_class") === "sme_corporate", "turnover_below_sme_threshold")
-        .otherwise("corporate_default"))
-    .withColumn("approach_selection_reason",
-      when(col("approach") === "IRB", "irb_permission_grant")
-        .otherwise("sa_fallback"))
-    .withColumn("ccf_source",
-      when(col("exposure_type") === "facility_undrawn", "art_111_75pct_commitment")
-        .otherwise("art_111_full_risk"))
-    .withColumn("calculation_warnings",
-      concat_ws(";",
-        when(col("own_cqs").isNull, "UNRATED_CPTY"),
-        when(col("own_cqs").isNull && col("group_best_cqs").isNotNull,
-          "RATING_INHERITED_FROM_GROUP"),
-        when(col("fx_rate").isNull, "FX_RATE_MISSING"),
-        when(col("is_defaulted"), "DEFAULTED_EXPOSURE"),
-        when(col("provision_allocated") > col("ead_gross"),
-          "PROVISION_EXCEEDS_EXPOSURE"),
-        when(col("coll_covered") + col("guar_covered") >= col("ead_pre_crm"),
-          "FULLY_COVERED")))
+    .withColumns(Map(
+      "hierarchy_path" ->
+        concat_ws("/", col("parent_group"), col("counterparty_reference"),
+          col("exposure_reference")),
+      "exposure_class_reason" ->
+        when(col("exposure_class") === "sovereign", "sovereign_country_cqs_le_2")
+          .when(col("exposure_class") === "retail", "individual_below_size_threshold")
+          .when(col("exposure_class") === "institution", "sector_institution")
+          .when(col("exposure_class") === "sme_corporate", "turnover_below_sme_threshold")
+          .otherwise("corporate_default"),
+      "approach_selection_reason" ->
+        when(col("approach") === "IRB", "irb_permission_grant")
+          .otherwise("sa_fallback"),
+      "ccf_source" ->
+        when(col("exposure_type") === "facility_undrawn", "art_111_75pct_commitment")
+          .otherwise("art_111_full_risk"),
+      "calculation_warnings" ->
+        concat_ws(";",
+          when(col("own_cqs").isNull, "UNRATED_CPTY"),
+          when(col("own_cqs").isNull && col("group_best_cqs").isNotNull,
+            "RATING_INHERITED_FROM_GROUP"),
+          when(col("fx_rate").isNull, "FX_RATE_MISSING"),
+          when(col("is_defaulted"), "DEFAULTED_EXPOSURE"),
+          when(col("provision_allocated") > col("ead_gross"),
+            "PROVISION_EXCEEDS_EXPOSURE"),
+          when(col("coll_covered") + col("guar_covered") >= col("ead_pre_crm"),
+            "FULLY_COVERED"))))
 
   // ---- composition -----------------------------------------------------
 
