@@ -1247,8 +1247,131 @@ object Pillar3 {
       ORDER BY row_id
     """.stripMargin.trim))
 
+  // ---- q161: CR5 full published geometry -------------------------------
+
+  /** The published CRR CR5 risk-weight bands (reference `templates.py`
+    * CRR_CR5_RISK_WEIGHTS — 14 bands; weights outside the band set fall
+    * into the Other/Deducted residual). */
+  private[graft] val cr5Bands: Seq[(String, Double)] = Seq(
+    "b000" -> 0.00, "b002" -> 0.02, "b004" -> 0.04, "b010" -> 0.10,
+    "b020" -> 0.20, "b035" -> 0.35, "b050" -> 0.50, "b070" -> 0.70,
+    "b075" -> 0.75, "b100" -> 1.00, "b150" -> 1.50, "b250" -> 2.50,
+    "b370" -> 3.70, "b1250" -> 12.50)
+
+  /** q161: Pillar-3 CR5 — SA exposure values by risk-weight band, the
+    * full published CRR geometry (reference `reporting/pillar3/cr5.py`;
+    * CRR Art. 444(e)). The recorded cell semantics carried over:
+    *
+    *  - the population is the `SaScope`-narrowed SA book (the scope runs
+    *    BEFORE execution, `cr5.py:12-20` — a no-op on the sealed ledger,
+    *    which carries no CCR legs, but the pipeline position is the
+    *    contract);
+    *  - CR5 carries ONLY post-CCF/post-CRM figures, banded on the
+    *    APPLIED weight per CRM leg: the collateralised slice at the flat
+    *    collateral weight, the unsecured slice at the obligor weight,
+    *    and a guarantee leg that actually substitutes
+    *    (guarantor_rw < own_rw, the q129 `applied` discipline) lands in
+    *    the protection provider's row — institutions in this rulebook —
+    *    at the substituted weight (C 07.00 col 0200 basis, ¶56A);
+    *  - band matching uses the generator-heritage ±0.5pp half-open
+    *    window; weights with no published band (this vocabulary's 30%
+    *    institution and 85% SME grades) fall into the Other/Deducted
+    *    residual, computed as the Formula max(0, Total − Σ bands) on
+    *    horizontal decimal sums;
+    *  - "of which: unrated" keys the obligor's own external-rating
+    *    carrier (null `own_cqs`), kept on EVERY leg including the
+    *    substituted one — the reference's recorded limitation (a rated
+    *    guarantor's leg from an unrated obligor counts unrated;
+    *    unrated ≤ Total still holds, `cr5.py:41-53`).
+    *
+    * Scale shape: three projected leg rows per ledger row (a column-fan
+    * select, no join), ONE rollup shuffle for class rows + total.
+    */
+  val q161Pillar3Cr5 = QueryDef(
+    "q161_pillar3_cr5",
+    (s, dir) => {
+      val led = graft.operators.SaScope.saCreditRiskPopulation(
+        DomainPipeline.ledger(s, dir).filter(col("approach") === "SA"))
+      val applied = col("guar_covered") > 0 && col("guarantor_rw").isNotNull &&
+        col("guarantor_rw") < col("own_rw")
+      val legs = led.select(
+          col("exposure_class").as("row_class"),
+          lit(DomainPipeline.collateralRw).as("leg_rw"),
+          col("coll_covered").as("ev"), col("own_cqs"))
+        .unionByName(led.select(
+          when(applied, "institution").otherwise(col("exposure_class"))
+            .as("row_class"),
+          when(applied, col("guarantor_rw")).otherwise(col("own_rw"))
+            .as("leg_rw"),
+          col("guar_covered").as("ev"), col("own_cqs")))
+        .unionByName(led.select(
+          col("exposure_class").as("row_class"),
+          col("own_rw").as("leg_rw"),
+          col("unsecured").as("ev"), col("own_cqs")))
+      val bandAggs = cr5Bands.map { case (name, w) =>
+        dsum(when(abs(col("leg_rw") - w) < 0.005, col("ev")).otherwise(0.0), 2)
+          .as(name)
+      }
+      val rolled = legs.rollup(col("row_class"))
+        .agg(bandAggs.head,
+          (bandAggs.tail :+
+            dsum(col("ev"), 2).as("total_ev") :+
+            dsum(when(col("own_cqs").isNull, col("ev")).otherwise(0.0), 2)
+              .as("unrated_ev")): _*)
+      val bandSum = cr5Bands.map { case (name, _) =>
+        col(name).cast(DecimalType(38, 2)) }.reduce(_ + _).cast("double")
+      rolled.select(
+        (coalesce(col("row_class"), lit("total")).as("row_id") +:
+          cr5Bands.map { case (name, _) => col(name) }) :+
+          greatest(lit(0.0), col("total_ev") - bandSum).as("other_deducted") :+
+          col("total_ev") :+ col("unrated_ev"): _*)
+        .orderBy(col("row_id"))
+    },
+    Some {
+      val bandCols = cr5Bands.map { case (name, w) =>
+        s"${sqlDsum(s"CASE WHEN abs(leg_rw - ${d(w)}) < 0.005 THEN ev ELSE 0.0 END", 2)} AS $name"
+      }.mkString(",\n               ")
+      val bandSum = "CAST(" + cr5Bands.map { case (name, _) =>
+        s"CAST($name AS DECIMAL(38,2))" }.mkString(" + ") + " AS DOUBLE)"
+      val bandNames = cr5Bands.map(_._1).mkString(", ")
+      s"""
+      WITH ${Domain.domainLedgerCtes},
+      cr5sa AS MATERIALIZED (
+        SELECT exposure_class, own_cqs, own_rw, guarantor_rw,
+               coll_covered, guar_covered, unsecured,
+               (guar_covered > 0 AND guarantor_rw IS NOT NULL
+                 AND guarantor_rw < own_rw) AS applied
+        FROM final WHERE approach = 'SA'),
+      cr5legs AS (
+        SELECT exposure_class AS row_class,
+               ${d(DomainPipeline.collateralRw)} AS leg_rw,
+               coll_covered AS ev, own_cqs
+        FROM cr5sa
+        UNION ALL
+        SELECT CASE WHEN applied THEN 'institution' ELSE exposure_class END,
+               CASE WHEN applied THEN guarantor_rw ELSE own_rw END,
+               guar_covered, own_cqs
+        FROM cr5sa
+        UNION ALL
+        SELECT exposure_class, own_rw, unsecured, own_cqs
+        FROM cr5sa),
+      cr5rolled AS (
+        SELECT coalesce(row_class, 'total') AS row_id,
+               $bandCols,
+               ${sqlDsum("ev", 2)} AS total_ev,
+               ${sqlDsum("CASE WHEN own_cqs IS NULL THEN ev ELSE 0.0 END", 2)}
+                 AS unrated_ev
+        FROM cr5legs GROUP BY ROLLUP (row_class))
+      SELECT row_id, $bandNames,
+             greatest(0.0, total_ev - $bandSum) AS other_deducted,
+             total_ev, unrated_ev
+      FROM cr5rolled
+      ORDER BY row_id
+    """.stripMargin.trim
+    })
+
   val all: Seq[QueryDef] = Seq(
     q120Pillar3Cr6, q122Cr8Flow, q123Cr7CrmEffects, q130Ov1Overview,
     q131Cr10Slotting, q132Cms1, q133Cms2, q137Cr6aScope, q138Of0201,
-    q139Cr7aCrmExtent, q157SaScope)
+    q139Cr7aCrmExtent, q157SaScope, q161Pillar3Cr5)
 }
