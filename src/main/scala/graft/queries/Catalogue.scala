@@ -292,6 +292,100 @@ object Catalogue {
       Some(s"max(CASE WHEN row_ref = '$row' THEN $v END)")
     }
 
+  /** C 09.01 row refs → SA class membership (the q158 fan; the defaulted
+    * row 0100 is the recorded overlay census). Rows the vocabulary never
+    * emits (RGLA, PSE, MDB, covered bonds, CIU, equity, …) are absent. */
+  private val c0901RowPred: Map[String, String] = Map(
+    "0010" -> "exposure_class = 'sovereign'",
+    "0060" -> "exposure_class = 'institution'",
+    "0070" -> "exposure_class IN ('corporate', 'sme_corporate')",
+    "0075" -> "exposure_class = 'sme_corporate'",
+    "0080" -> "exposure_class = 'retail'",
+    "0085" -> "(exposure_class = 'retail' AND turnover < 50000000.0)",
+    "0100" -> "is_defaulted",
+    "0170" -> "TRUE")
+
+  /** One C 09.01 cell at the GEOGRAPHICAL-AXIS TOTAL (sheet marker `*` /
+    * the GA:x1 dimensional total — the only grain the one-pass catalogue
+    * aggregation emits; per-country sheets live in q158). The v0350_m
+    * cross-template family sums the axis out on its LHS, so the bound
+    * total is exactly the published comparison grain. Bases mirror the
+    * C 07.00 bindings the family ties against — origin class for the
+    * pre-CRM columns, post-substitution (inflow on the institutions row)
+    * for the exposure-value/RWEA columns — so these records pin the
+    * coordinate index's cross-template CLOSURE; the independently-
+    * produced-sheet tie is q152/q153's job. Deduction column 0081 is
+    * emitted negative (the published sign). */
+  private def c0901Measure(
+      sheet: String, row: String, colId: String, base: String): Option[String] = {
+    if (sheet != "*" && sheet != "-" && !sheet.startsWith("R:")) return None
+    if (base == "b31" && Set("0080", "0081", "0082")(colId)) return None
+    c0901RowPred.get(row).flatMap { cls =>
+      val sa = s"approach = 'SA' AND $cls"
+      val inflow = row == "0060" || row == "0170"
+      def origin(m: String) = Some(s"CASE WHEN $sa THEN $m ELSE 0.0 END")
+      def post(og: String, gi: String) = Some(
+        s"(CASE WHEN $sa THEN $og ELSE 0.0 END)" +
+          (if (inflow) s" + (CASE WHEN approach = 'SA' THEN $gi ELSE 0.0 END)"
+           else ""))
+      colId match {
+        case "0010" => origin("ead_gross")
+        case "0020" => origin("CASE WHEN is_defaulted THEN ead_gross ELSE 0.0 END")
+        case "0050" | "0060" | "0061" | "0082" => origin("0.0")
+        case "0055" => origin("provision_deducted")
+        case "0070" =>
+          origin("CASE WHEN is_defaulted THEN provision_deducted ELSE 0.0 END")
+        case "0075" => post("unsecured + coll_covered", "guar_covered")
+        case "0080" => post(s"($legCollPre + ${legUnsecPre(base)})", legGuarPre(base))
+        case "0081" => post( // (-) SME-SF adjustment = post − pre
+          s"(${ogLeg(base)} - ($legCollPre + ${legUnsecPre(base)}))",
+          s"(${giLeg(base)} - ${legGuarPre(base)})")
+        case "0090" => post(ogLeg(base), giLeg(base))
+        case _ => None
+      }
+    }
+  }
+
+  /** C 09.02 row refs → IRB class membership (the q160 binding); the
+    * rows this book's IRB permission routing never populates are absent
+    * (the q160 inert-row discipline — not emitted is NOT emitted-as-zero). */
+  private val c0902RowPred: Map[String, String] = Map(
+    "0020" -> "exposure_class = 'institution'",
+    "0030" -> "exposure_class = 'corporate'",
+    "0150" -> "TRUE")
+
+  /** One C 09.02 cell at the geographical-axis total. The IRB book takes
+    * no Art. 111(2) deduction, so original exposure and exposure value
+    * coincide (`ead_gross = ead_pre_crm` on every IRB leg) — the v0415/
+    * v0420 family's C 08.01 ties hold as genuine identities, not
+    * rebindings of one text. */
+  private def c0902Measure(
+      sheet: String, row: String, colId: String, base: String): Option[String] = {
+    if (sheet != "*" && sheet != "-" && !sheet.startsWith("R:")) return None
+    c0902RowPred.get(row).flatMap { cls =>
+      val irb = s"approach = 'IRB' AND $cls"
+      def origin(m: String) = Some(s"CASE WHEN $irb THEN $m ELSE 0.0 END")
+      colId match {
+        case "0010" => origin("ead_gross")
+        case "0030" => origin("CASE WHEN is_defaulted THEN ead_gross ELSE 0.0 END")
+        case "0050" | "0060" => origin("0.0")
+        // the R10b provisions ladder: the published cell is the sealed
+        // allocated carrier (the SCRA base is structurally 0.0 on IRB)
+        case "0055" => origin("provision_allocated")
+        case "0070" =>
+          origin("CASE WHEN is_defaulted THEN provision_allocated ELSE 0.0 END")
+        case "0105" => origin("ead_pre_crm")
+        case "0107" if base == "b31" =>
+          origin("CASE WHEN is_defaulted THEN ead_pre_crm ELSE 0.0 END")
+        case "0110" if base == "crr" => origin("rwa") // pre-SF (IRB sf = 1)
+        case "0120" => origin("CASE WHEN is_defaulted THEN rwa ELSE 0.0 END")
+        case "0121" | "0122" if base == "crr" => origin("0.0")
+        case "0125" => origin("rwa")
+        case _ => None
+      }
+    }
+  }
+
   // =====================================================================
   // Binding + expansion
   // =====================================================================
@@ -305,41 +399,85 @@ object Catalogue {
     if (s.startsWith("C 02.00") || s.startsWith("OF02.00")) Some("C02")
     else if (s.startsWith("C 07.00") || s.startsWith("OF07.00")) Some("C07")
     else if (s.startsWith("C 08.01") || s.startsWith("OF08.01")) Some("C08")
+    else if (s.startsWith("C 09.01") || s.startsWith("OF09.01")) Some("C0901")
+    else if (s.startsWith("C 09.02") || s.startsWith("OF09.02")) Some("C0902")
     else None
   }
+
+  /** Expand a sheet MARKER into concrete sheet codes. Open (`*`) and
+    * ranged (`R:a:b`) axes are AXIS SCANS: they integrate over the
+    * sheets this vocabulary emits (partial-tolerant — an axis sheet the
+    * book cannot populate contributes nothing, mirroring the open
+    * country axis). An explicit BoE z-LIST (`L:a:b:…`) names particular
+    * sheets and is STRICT: every listed code flows through, and a code
+    * the index does not bind makes the whole coordinate unbindable — a
+    * named sheet is never silently treated as zero. An empty expansion
+    * is unbindable. */
+  private def expandSheets(tab: String, base: String, sheet: String): Seq[String] =
+    sheet match {
+      case "*" => sheetsFor(tab, base).filter(_ != "-")
+      case r if r.startsWith("R:") =>
+        val parts = r.split(":")
+        sheetsFor(tab, base).filter(s => s != "-" && s >= parts(1) && s <= parts(2))
+      case l if l.startsWith("L:") => l.split(":").toSeq.drop(1)
+      case s => Seq(s)
+    }
 
   /** A referenced cell, fully bound: wide-row column name + its aggregate
     * SQL + source frame ("ledger" | "c02"). */
   final case class BoundCell(name: String, aggSql: String, src: String,
       nullable: Boolean)
 
+  private def ledgerCell(prefix: String, sheet: String, row: String,
+      colId: String, base: String, m: String): BoundCell = {
+    val sheetKey = sheet.replace("*", "ALL").replace(":", "_")
+    BoundCell(s"${prefix}_${sheetKey}_${row}_${colId}_$base",
+      s"CAST(sum(CAST(($m) AS DECIMAL(38,2))) AS DOUBLE)", "ledger",
+      nullable = false)
+  }
+
   private def bindCell(tab: String, base: String, sheet: String, row: String,
       colId: String): Option[BoundCell] = tab match {
     case "C02" => c02Measure(row, colId, base).map { m =>
       BoundCell(s"x02_${row}_$base", m, "c02", nullable = c02NullRows(row))
     }
-    case "C07" => c07Measure(sheet, row, colId, base).map { m =>
-      BoundCell(s"x07_${sheet}_${row}_${colId}_$base",
-        s"CAST(sum(CAST(($m) AS DECIMAL(38,2))) AS DOUBLE)", "ledger",
-        nullable = false)
-    }
-    case "C08" => c08Measure(sheet, row, colId, base).map { m =>
-      BoundCell(s"x08_${sheet}_${row}_${colId}_$base",
-        s"CAST(sum(CAST(($m) AS DECIMAL(38,2))) AS DOUBLE)", "ledger",
-        nullable = false)
-    }
+    // a sheet marker sums the measure across the index's emitted sheets
+    // (the parser's sum-over-sheets form); any sheet in the expansion
+    // failing to bind makes the whole coordinate unbindable (a skip —
+    // never a silently partial sum)
+    case "C07" =>
+      val sheets = expandSheets(tab, base, sheet)
+      val ms = sheets.map(sh => c07Measure(sh, row, colId, base))
+      if (ms.isEmpty || ms.exists(_.isEmpty)) None
+      else Some(ledgerCell("x07", sheet, row, colId, base,
+        ms.flatten.map(m => s"($m)").mkString(" + ")))
+    case "C08" =>
+      val sheets = expandSheets(tab, base, sheet)
+      val ms = sheets.map(sh => c08Measure(sh, row, colId, base))
+      if (ms.isEmpty || ms.exists(_.isEmpty)) None
+      else Some(ledgerCell("x08", sheet, row, colId, base,
+        ms.flatten.map(m => s"($m)").mkString(" + ")))
+    case "C0901" => c0901Measure(sheet, row, colId, base).map(m =>
+      ledgerCell("x91", sheet, row, colId, base, m))
+    case "C0902" => c0902Measure(sheet, row, colId, base).map(m =>
+      ledgerCell("x92", sheet, row, colId, base, m))
     case _ => None
   }
 
   private def sheetsFor(tab: String, base: String): Seq[String] = tab match {
     case "C07" => c07SheetClasses.keys.toSeq.sorted
     case "C08" => c08SheetClasses(base).keys.toSeq.sorted
+    // the catalogue aggregation emits the geo templates at the
+    // geographical-axis TOTAL only (per-country sheets live in q158/q160)
+    case "C0901" | "C0902" => Seq("*")
     case _ => Seq("-")
   }
   private def rowsFor(tab: String): Seq[String] = tab match {
     case "C02" => c02Rows.toSeq.sorted
     case "C07" => (c07RowPred.keySet ++ c07BandW.keySet).toSeq.sorted
     case "C08" => Seq("0010")
+    case "C0901" => c0901RowPred.keySet.toSeq.sorted
+    case "C0902" => c0902RowPred.keySet.toSeq.sorted
     case _ => Nil
   }
   private def colsFor(tab: String): Seq[String] = tab match {
@@ -349,6 +487,10 @@ object Catalogue {
       "0215", "0216", "0217", "0220")
     case "C08" => Seq("0020", "0040", "0050", "0060", "0070", "0080", "0090",
       "0255", "0260")
+    case "C0901" => Seq("0010", "0020", "0050", "0055", "0060", "0061",
+      "0070", "0075", "0080", "0081", "0082", "0090")
+    case "C0902" => Seq("0010", "0030", "0050", "0055", "0060", "0070",
+      "0105", "0110", "0120", "0121", "0125")
     case _ => Nil
   }
 
@@ -410,13 +552,31 @@ object Catalogue {
                 rec.sheets.map(s => f"${s.toInt}%04d")
                   .filter(sheetsFor(expTab, base).contains)
               else sheetsFor(expTab, base)
+            // a scope token may be a RANGE ("010-140"): expand it over
+            // the template's emitted axis; a lone numeric token pads to
+            // the 4-digit DPM form; anything else drops (no coordinate)
+            def scopeTokens(toks: Seq[String], axis: Seq[String]): Seq[Option[String]] =
+              toks.flatMap { t =>
+                def p4(s: String) =
+                  s.trim.toIntOption.map(i => f"$i%04d")
+                if (t.contains("-")) {
+                  val parts = t.split("-", 2)
+                  (p4(parts(0)), p4(parts(1))) match {
+                    case (Some(a), Some(b)) =>
+                      axis.filter(r => r >= a && r <= b).map(Some(_))
+                    case _ => Nil
+                  }
+                } else p4(t).map(Some(_)).toSeq
+              }
             val rowInsts: Seq[Option[String]] = rec.rowsScope match {
-              case "list" => rec.rows.map(r => Some(f"${r.toInt}%04d"))
+              case "list" =>
+                scopeTokens(rec.rows, rowsFor(primary.getOrElse(expTab)))
               case "all" => rowsFor(primary.getOrElse(expTab)).map(Some(_))
               case _ => Seq(None)
             }
             val colInsts: Seq[Option[String]] = rec.colsScope match {
-              case "list" => rec.cols.map(c => Some(f"${c.toInt}%04d"))
+              case "list" =>
+                scopeTokens(rec.cols, colsFor(primary.getOrElse(expTab)))
               case "all" => colsFor(primary.getOrElse(expTab)).map(Some(_))
               case _ => Seq(None)
             }

@@ -50,8 +50,22 @@ class CatalogueSpec extends SparkSpec {
 
   test("parser: unsupported constructs refused by name") {
     assert(parse("if {r0010, c0010} > 0 then {r0020, c0010} > 0") == Left("conditional_rule"))
-    assert(parse("sum({C 09.01.a, r090, c010, (sNNN)}) = {r010, c010}") == Left("sum_over_sheets"))
+    assert(parse("min({r0010, c0010}, 0) = 0") == Left("min_function"))
     assert(parse("[ei219] in {[eba_CT:x10]}") == Left("enum_membership"))
+  }
+
+  test("parser: sum-over-sheets open and ranged axis markers") {
+    // the v0350_m cross-template shape: the open country axis
+    val Right(c1) = parse("sum({C 09.01.a, r090, c010, (sNNN)}) = {r010, c010}")
+    assert(refs(c1.lhs).head.sheet.contains("*"))
+    assert(refs(c1.lhs).head.row.contains("0090"))
+    // the v0415/v0420 shape: a ranged sheet axis
+    val Right(c2) = parse(
+      "{C 09.02, r0010, c0010, [CEG=eba_GA:x1]} = " +
+        "sum({C 08.01.a, r0010, c0020, (s0003-0004)})")
+    assert(refs(c2.rhs).head.sheet.contains("R:0003:0004"))
+    // a sum body that is not a single cell ref stays a named refusal
+    assert(parse("sum(1 + 2) = 3").left.exists(_.startsWith("grammar")))
   }
 
   test("scoping: scope-hoisted refs bind row/col from the instance") {
@@ -98,5 +112,36 @@ class CatalogueSpec extends SparkSpec {
     val outIds = out.map(r => (r.getString(0), r.getString(1))).toSet
     val liveIds = ValidationCatalogue.liveRecords.map(r => (r.catalogue, r.id)).toSet
     assert(liveIds.subsetOf(outIds ++ byRule.keySet))
+  }
+
+  test("geo templates: the live C 09 catalogue records evaluate and hold") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalogue.q159ValidationCatalogue.build(spark, dir)
+      .select("catalogue", "rule_id", "instance", "status").collect()
+    def evaluated(id: String) =
+      out.filter(r => r.getString(1) == id && r.getString(2) != "~")
+    // the C 09.01 supporting-factor sign identity (c0080+c0081+c0082 =
+    // c0090 on the REPORTED negative-adjustment cells)
+    val v0407 = evaluated("v0407_m")
+    assert(v0407.nonEmpty, "v0407_m must instance")
+    assert(v0407.forall(r => Set("pass", "vacuous")(r.getString(3))))
+    // "of which" monotonicity: SME rows within their parent class rows
+    Seq("v0411_m", "v0412_m").foreach { id =>
+      val rows = evaluated(id)
+      assert(rows.nonEmpty, s"$id must instance")
+      assert(rows.forall(r => Set("pass", "vacuous")(r.getString(3))),
+        s"$id must hold")
+    }
+    // BoE OF09 ↔ OF07 geographic-total ties (the b31 catalogue)
+    Seq("boe_b0190", "boe_b0197").foreach { id =>
+      val rows = evaluated(id)
+      assert(rows.nonEmpty, s"$id must instance")
+      assert(rows.forall(r => Set("pass", "vacuous")(r.getString(3))),
+        s"$id must hold")
+    }
+    // a BoE strict z-list naming sheets this vocabulary does not emit
+    // stays a named skip, never a silent partial sum
+    val b0282 = out.filter(r => r.getString(1) == "boe_b0282")
+    assert(b0282.nonEmpty && b0282.forall(_.getString(2) == "~"))
   }
 }
