@@ -461,5 +461,19 @@ object Corep09 {
     """.stripMargin.trim
     })
 
+  // ---- generated-sheet bundle ------------------------------------------
+
+  /** A generated C 09 sheet from the run bundle
+    * ([[graft.reporting.TemplateBundle]]): cross-template consumers read
+    * the generated frame instead of re-running the production pipeline;
+    * the sheets' OWN QueryDefs always build fresh. */
+  private[queries] def generatedSheet(
+      s: SparkSession, dir: String, which: String): DataFrame =
+    graft.reporting.TemplateBundle.generated(s, dir, which,
+      which match {
+        case "c0901" => q158CorepC09.build(s, dir)
+        case _ => q160CorepC0902.build(s, dir)
+      })
+
   val all: Seq[QueryDef] = Seq(q158CorepC09, q160CorepC0902)
 }

@@ -2397,11 +2397,11 @@ object Domain {
     "q152_cross_template",
     (s, dir) => {
       import graft.reporting.TemplateGenerator
-      val geoSa = Corep09.q158CorepC09.build(s, dir)
+      val geoSa = Corep09.generatedSheet(s, dir, "c0901")
         .filter(col("country") =!= "ALL" && col("n_rows").isNotNull &&
           col("row_ref").isin(c09RowClassMap.map(_._1): _*))
         .select(col("row_ref"), col("c0075").as("ev"), col("c0090").as("rw"))
-      val geoIrb = Corep09.q160CorepC0902.build(s, dir)
+      val geoIrb = Corep09.generatedSheet(s, dir, "c0902")
         .filter(col("country") =!= "ALL" && col("n_rows").isNotNull &&
           col("row_ref").isin("0020", "0030"))
         .select(
@@ -2512,19 +2512,25 @@ object Domain {
   val q153SubmissionGate = QueryDef(
     "q153_submission_gate",
     (s, dir) => {
-      val v94 = q94CorepTemplate.build(s, dir)
+      import graft.reporting.TemplateBundle
+      // the gate reads the run's GENERATED estate (the reference
+      // exporter's bundle), not fresh re-productions of each sheet
+      val v94 = TemplateBundle.generated(s, dir, "c07",
+          q94CorepTemplate.build(s, dir))
         .filter(col("section") === "validation")
         .select(col("severity"), col("status"))
-      val v121 = Corep08.q121CorepC08.build(s, dir)
+      val v121 = TemplateBundle.generated(s, dir, "c0801",
+          Corep08.q121CorepC08.build(s, dir))
         .filter(col("section") === "validation")
         .select(col("severity"), col("status"))
-      val v147 = Corep08.q147C02Validations.build(s, dir)
+      val v147 = TemplateBundle.generated(s, dir, "c02val",
+          Corep08.q147C02Validations.build(s, dir))
         .select(col("severity"), col("status"))
       // the C 09.01 supporting-factor reconciliation (boe_b0225 family):
       // on the REPORTED cells — after the Annex II §1.3 sign post-pass
       // negated col 0081 — RWEA pre SF plus the (negative) adjustments
       // must equal RWEA post SF additively on every populated row
-      val v158 = Corep09.q158CorepC09.build(s, dir)
+      val v158 = Corep09.generatedSheet(s, dir, "c0901")
         .filter(col("n_rows").isNotNull)
         .select(
           lit("ERROR").as("severity"),
