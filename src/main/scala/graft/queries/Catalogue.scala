@@ -428,18 +428,30 @@ object Catalogue {
   final case class BoundCell(name: String, aggSql: String, src: String,
       nullable: Boolean)
 
+  /** CONTENT-ADDRESSED cell name: coordinates from different templates
+    * frequently bind the identical measure text (a C 09.01 axis-total
+    * equals its C 07.00 class-sheet twin by construction), so naming by
+    * the text unifies them — the wide aggregation computes each distinct
+    * measure ONCE (1,394 coordinate cells → 637 aggregate columns). */
+  private def cellName(src: String, nullable: Boolean, aggSql: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$src|$nullable|$aggSql".getBytes("UTF-8"))
+      .take(9).map("%02x".format(_)).mkString
+    s"x${src.head}_$h"
+  }
+
   private def ledgerCell(prefix: String, sheet: String, row: String,
       colId: String, base: String, m: String): BoundCell = {
-    val sheetKey = sheet.replace("*", "ALL").replace(":", "_")
-    BoundCell(s"${prefix}_${sheetKey}_${row}_${colId}_$base",
-      s"CAST(sum(CAST(($m) AS DECIMAL(38,2))) AS DOUBLE)", "ledger",
+    val agg = s"CAST(sum(CAST(($m) AS DECIMAL(38,2))) AS DOUBLE)"
+    BoundCell(cellName("ledger", nullable = false, agg), agg, "ledger",
       nullable = false)
   }
 
   private def bindCell(tab: String, base: String, sheet: String, row: String,
       colId: String): Option[BoundCell] = tab match {
     case "C02" => c02Measure(row, colId, base).map { m =>
-      BoundCell(s"x02_${row}_$base", m, "c02", nullable = c02NullRows(row))
+      BoundCell(cellName("c02", c02NullRows(row), m), m, "c02",
+        nullable = c02NullRows(row))
     }
     // a sheet marker sums the measure across the index's emitted sheets
     // (the parser's sum-over-sheets form); any sheet in the expansion

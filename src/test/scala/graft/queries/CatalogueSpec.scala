@@ -74,8 +74,11 @@ class CatalogueSpec extends SparkSpec {
     val insts = Catalogue.instances.filter(_.ruleId == "v0305_m")
     assert(insts.nonEmpty)
     assert(insts.forall(_.instanceKey.split('|').length == 3))
-    // the compiled side references the 0090 outflow cell of the instance
-    assert(insts.head.lhsSql.contains("_0090_"))
+    // the compiled LHS references the instance's 0090 outflow cell
+    // (content-addressed name; the bound measure is the (-) total
+    // outflow text)
+    val lhsCell = insts.head.cells.find(c => insts.head.lhsSql.contains(c.name))
+    assert(lhsCell.exists(_.aggSql.contains("guar_covered + coll_covered")))
   }
 
   test("census: the engine binds and evaluates a substantial battery") {
