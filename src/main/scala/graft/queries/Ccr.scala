@@ -14,6 +14,8 @@ import Q._
   */
 object Ccr {
 
+  private def d(v: Double): String = s"CAST($v AS DOUBLE)"
+
   /** q56: SA-CCR hedging-set add-on with the supervisory correlation
     * formula — trade → bucket sums, then per asset class
     * AddOn = sqrt((ρ·ΣA)² + (1−ρ²)·ΣA²) across buckets, then the
@@ -1243,9 +1245,239 @@ object Ccr {
       ORDER BY template, row_ref
     """.stripMargin.trim))
 
+  // ---- q162: wrong-way-risk identification gate ------------------------
+
+  /** q162: the WWR gate (reference `engine/ccr/wwr.py`; CRR Art. 291):
+    * trades flagged specific-WWR (Art. 291(1)(b)) break out of their
+    * netting set into SINGLE-TRADE synthetic sets keyed
+    * `<ns>__wwr__<trade>` (Art. 291(5)(a)) carrying the LGD = 100%
+    * override for downstream IRB consumption (Art. 291(5)(c)); the gate
+    * does not touch the SA-CCR EAD itself. Diagnostics mirror the
+    * reference's error emission: one CCR010 WARNING per ORIGINAL set
+    * containing at least one specific-WWR trade, one CCR011 WARNING per
+    * set flagged general-WWR (Art. 291(1)(a)/(6)).
+    *
+    * Scale shape: the partition is a pure projected key rewrite (no
+    * join, no explosion — each trade lands in exactly one result set);
+    * one groupBy on the result key, one tiny census aggregation on the
+    * original key for the diagnostics.
+    */
+  val q162CcrWwrGate = QueryDef(
+    "q162_ccr_wwr_gate",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      // trade grain first: the harness lineitem repeats (orderkey,
+      // linenumber) pairs (multi-leg rows of ONE trade — the recorded
+      // crmWaterfall quirk), so legs reduce to the trade key before the
+      // gate partitions; a trade is specific-WWR if any leg flags
+      val trades = li.select(
+          concat(lit("NS-"), (col("l_orderkey") % 50).cast("string"))
+            .as("source_ns"),
+          concat(lit("T-"), col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")).as("trade_id"),
+          col("l_extendedprice").as("leg_notional"),
+          when(col("l_partkey") % 37 === 0, 1).otherwise(0).as("leg_wwr"),
+          (col("l_orderkey") % 50 % 11 === 0).as("has_general_wwr"))
+        .groupBy(col("source_ns"), col("trade_id"), col("has_general_wwr"))
+        .agg(dsum(col("leg_notional"), 2).as("notional"),
+          (max(col("leg_wwr")) === 1).as("is_specific_wwr"))
+      val routed = trades.withColumn("result_ns",
+        when(col("is_specific_wwr"),
+          concat(col("source_ns"), lit("__wwr__"), col("trade_id")))
+          .otherwise(col("source_ns")))
+      val sets = routed.groupBy(col("result_ns"), col("source_ns"))
+        .agg(
+          count(lit(1)).as("n_trades"),
+          dsum(col("notional"), 2).as("total_notional"),
+          max(when(col("is_specific_wwr"), 1.0)).as("wwr_lgd_override"))
+        .select(lit("set").as("section"), col("result_ns"), col("source_ns"),
+          col("n_trades"), col("total_notional"), col("wwr_lgd_override"),
+          lit(null).cast("string").as("error_code"),
+          lit(null).cast("string").as("severity"))
+      val errors = trades.groupBy(col("source_ns"))
+        .agg(
+          max(when(col("is_specific_wwr"), 1)).as("any_specific"),
+          max(when(col("has_general_wwr"), 1)).as("any_general"))
+        .select(col("source_ns"),
+          explode(filter(array(
+            when(col("any_specific") === 1, "CCR010"),
+            when(col("any_general") === 1, "CCR011")), e => e.isNotNull))
+            .as("error_code"))
+        .select(lit("error").as("section"),
+          concat(col("source_ns"), lit("@"), col("error_code"))
+            .as("result_ns"),
+          col("source_ns"),
+          lit(null).cast("long").as("n_trades"),
+          lit(null).cast("double").as("total_notional"),
+          lit(null).cast("double").as("wwr_lgd_override"),
+          col("error_code"), lit("WARNING").as("severity"))
+      sets.unionByName(errors)
+        .orderBy(col("section"), col("result_ns"))
+    },
+    Some(s"""
+      WITH x162trades AS (
+        SELECT source_ns, trade_id, has_general_wwr,
+               ${sqlDsum("leg_notional", 2)} AS notional,
+               max(leg_wwr) = 1 AS is_specific_wwr
+        FROM (
+          SELECT 'NS-' || CAST(l_orderkey % 50 AS VARCHAR) AS source_ns,
+                 'T-' || CAST(l_orderkey AS VARCHAR) || '-' ||
+                   CAST(l_linenumber AS VARCHAR) AS trade_id,
+                 l_extendedprice AS leg_notional,
+                 CASE WHEN l_partkey % 37 = 0 THEN 1 ELSE 0 END AS leg_wwr,
+                 l_orderkey % 50 % 11 = 0 AS has_general_wwr
+          FROM lineitem)
+        GROUP BY source_ns, trade_id, has_general_wwr),
+      x162routed AS (
+        SELECT *, CASE WHEN is_specific_wwr
+                       THEN source_ns || '__wwr__' || trade_id
+                       ELSE source_ns END AS result_ns
+        FROM x162trades),
+      x162sets AS (
+        SELECT 'set' AS section, result_ns, source_ns,
+               count(*) AS n_trades,
+               ${sqlDsum("notional", 2)} AS total_notional,
+               max(CASE WHEN is_specific_wwr THEN 1.0 END)
+                 AS wwr_lgd_override,
+               NULL::VARCHAR AS error_code, NULL::VARCHAR AS severity
+        FROM x162routed GROUP BY result_ns, source_ns),
+      x162census AS (
+        SELECT source_ns,
+               max(CASE WHEN is_specific_wwr THEN 1 END) AS any_specific,
+               max(CASE WHEN has_general_wwr THEN 1 END) AS any_general
+        FROM x162trades GROUP BY source_ns),
+      x162errors AS (
+        SELECT 'error' AS section,
+               source_ns || '@' || code AS result_ns, source_ns,
+               NULL::BIGINT AS n_trades, NULL::DOUBLE AS total_notional,
+               NULL::DOUBLE AS wwr_lgd_override,
+               code AS error_code, 'WARNING' AS severity
+        FROM (
+          SELECT source_ns, 'CCR010' AS code FROM x162census
+          WHERE any_specific = 1
+          UNION ALL
+          SELECT source_ns, 'CCR011' FROM x162census WHERE any_general = 1))
+      SELECT * FROM (
+        SELECT * FROM x162sets UNION ALL SELECT * FROM x162errors)
+      ORDER BY section, result_ns
+    """.stripMargin.trim))
+
+  // ---- q163: SA-CCR trade-level adjusted-notional chain ----------------
+
+  /** q163: the SA-CCR TRADE-LEVEL chain the hedging-set roll-up (q56)
+    * consumes (reference `engine/ccr/supervisory_delta.py`,
+    * `maturity_factor.py`, `adjusted_notional.py`; CRR Art. 279a/279c/
+    * 280a-e):
+    *
+    *  - supervisory delta: ±1 for linear trades; Black-style
+    *    ±Φ(±d1) for options, d1 = (ln(P/K) + 0.5σ²T)/(σ√T) with the
+    *    supervisory volatility (Art. 279a(1)(a)) — evaluated through the
+    *    engine's native `norm_cdf` Catalyst expression on the Spark side
+    *    and the shared Cody-erf SQL replica in the oracle;
+    *  - maturity factor: unmargined √(min(M, 1y)/1y) (Art. 279c);
+    *  - the signed effective notional δ·MF·notional aggregates per
+    *    (netting set, class, bucket) — longs and shorts NET inside a
+    *    bucket before |·| applies, the Art. 280 hedging-set discipline —
+    *    then the supervisory factor scales the bucket add-on and the
+    *    q56 supervisory-correlation formula rolls buckets → class → set.
+    *
+    * Scale shape: three chained aggregations with strictly shrinking
+    * grain; the supervisory-factor table broadcasts; delta/MF are pure
+    * codegen columns in the scan projection.
+    */
+  val q163SaCcrDelta = QueryDef(
+    "q163_saccr_delta",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.normal
+      val sf = broadcast(Seq(("A", 0.005), ("N", 0.04), ("R", 0.18))
+        .toDF("sf_class", "sf"))
+      val li = Tables.lineitem(s, dir)
+      val dirSign = when(col("l_suppkey") % 2 === 0, 1.0).otherwise(-1.0)
+      val m = lit(0.8) + (col("l_partkey") % 5).cast("double") * lit(0.1)
+      val sigma = lit(0.2) + (col("l_suppkey") % 4).cast("double") * lit(0.1)
+      val tYears = (lit(3.0) + (col("l_orderkey") % 22).cast("double")) / lit(12.0)
+      val d1 = (log(m) + lit(0.5) * sigma * sigma * tYears) /
+        (sigma * sqrt(tYears))
+      val delta = when(col("l_partkey") % 3 === 0, dirSign)
+        .when(col("l_partkey") % 3 === 1, dirSign * normal.norm_cdf(d1))
+        .otherwise(-dirSign * normal.norm_cdf(-d1))
+      val mf = sqrt(least(tYears, lit(1.0)))
+      val trades = li.select(
+        (col("l_orderkey") % 50).as("netting_set"),
+        col("l_returnflag").as("asset_class"),
+        col("l_linestatus").as("bucket"),
+        q6(delta * mf * col("l_extendedprice")).as("eff"))
+      val buckets = trades
+        .groupBy(col("netting_set"), col("asset_class"), col("bucket"))
+        .agg(dsum(col("eff"), 6).as("effn"))
+        .join(sf, col("asset_class") === col("sf_class"))
+        .select(col("netting_set"), col("asset_class"),
+          q2(col("sf") * abs(col("effn"))).as("bucket_addon"))
+      val rho = 0.5
+      val classes = buckets
+        .groupBy(col("netting_set"), col("asset_class"))
+        .agg(dsum(col("bucket_addon"), 2).as("sum_a"),
+             dsum(q2(col("bucket_addon") * col("bucket_addon")), 2)
+               .as("sum_a2"))
+        .select(col("netting_set"), col("asset_class"),
+          q6(sqrt(
+            (lit(rho) * col("sum_a")) * (lit(rho) * col("sum_a")) +
+            (lit(1.0) - lit(rho) * lit(rho)) * col("sum_a2")))
+            .as("class_addon"))
+      classes.groupBy(col("netting_set"))
+        .agg(count(lit(1)).as("n_classes"),
+          dsum(col("class_addon"), 6).as("ns_addon"))
+        .withColumn("ns_addon", q2(col("ns_addon")))
+        .orderBy(col("netting_set"))
+    },
+    Some {
+      val d1 = "(ln(0.8 + (l_partkey % 5) * 0.1) + " +
+        "0.5 * (0.2 + (l_suppkey % 4) * 0.1) * (0.2 + (l_suppkey % 4) * 0.1) * " +
+        "((3.0 + l_orderkey % 22) / 12.0)) / " +
+        "((0.2 + (l_suppkey % 4) * 0.1) * sqrt((3.0 + l_orderkey % 22) / 12.0))"
+      val dirSign = "CASE WHEN l_suppkey % 2 = 0 THEN 1.0 ELSE -1.0 END"
+      s"""
+      WITH x163sf(sf_class, sf) AS (VALUES ('A', ${d(0.005)}), ('N', ${d(0.04)}),
+        ('R', ${d(0.18)})),
+      x163trades AS (
+        SELECT l_orderkey % 50 AS netting_set,
+               l_returnflag AS asset_class, l_linestatus AS bucket,
+               ${sql6(
+                 s"(CASE WHEN l_partkey % 3 = 0 THEN $dirSign " +
+                 s"WHEN l_partkey % 3 = 1 THEN ($dirSign) * (${Rwa.sqlNormCdf(d1)}) " +
+                 s"ELSE -($dirSign) * (${Rwa.sqlNormCdf(s"-($d1)")}) END) * " +
+                 "sqrt(least((3.0 + l_orderkey % 22) / 12.0, 1.0)) * " +
+                 "l_extendedprice")} AS eff
+        FROM lineitem),
+      x163buckets AS (
+        SELECT netting_set, asset_class,
+               ${sql2("sf * abs(effn)")} AS bucket_addon
+        FROM (
+          SELECT netting_set, asset_class, bucket,
+                 ${sqlDsum("eff", 6)} AS effn
+          FROM x163trades GROUP BY 1, 2, 3)
+        JOIN x163sf ON asset_class = sf_class),
+      x163classes AS (
+        SELECT netting_set, asset_class,
+               ${sql6(
+                 s"sqrt((0.5 * ${sqlDsum("bucket_addon", 2)}) * " +
+                 s"(0.5 * ${sqlDsum("bucket_addon", 2)}) + " +
+                 s"(1.0 - 0.5 * 0.5) * ${sqlDsum(sql2("bucket_addon * bucket_addon"), 2)})")}
+                 AS class_addon
+        FROM x163buckets GROUP BY 1, 2)
+      SELECT netting_set, count(*) AS n_classes,
+             ${sql2(sqlDsum("class_addon", 6))} AS ns_addon
+      FROM x163classes
+      GROUP BY netting_set
+      ORDER BY netting_set
+    """.stripMargin.trim
+    })
+
   val all: Seq[QueryDef] = Seq(
     q56SaCcrAddon, q57Slotting, q58CrmCascade, q59GuaranteeSubstitution,
     q96BaCva, q97FailedTrades, q104SftHaircutLegs, q105DefaultFund,
     q108TranchedGuarantee, q110LinkAllocation, q112OfcpRouting,
-    q134Ccr1, q135Ccr3, q136Ccr8, q141CorepC34, q143Ccr2)
+    q134Ccr1, q135Ccr3, q136Ccr8, q141CorepC34, q143Ccr2,
+    q162CcrWwrGate, q163SaCcrDelta)
 }
