@@ -1474,10 +1474,126 @@ object Ccr {
     """.stripMargin.trim
     })
 
+  // ---- q164: SA-CCR EAD composition (RC + PFE multiplier) --------------
+
+  /** q164: the full SA-CCR EAD composition the add-on roll-up feeds
+    * (reference `engine/ccr/rc.py` + `engine/ccr/pfe.py:68-125`;
+    * CRR Art. 274(2)/275/278):
+    *
+    *  - replacement cost per netting set: unmargined
+    *    `max(V_net − C_net, 0)` (Art. 275(1)); margined
+    *    `max(V − C, TH + MTA − NICA, 0)` (Art. 275(2));
+    *  - the PFE MULTIPLIER recognising over-collateralisation
+    *    (Art. 278(3)): `min(1, F + (1−F)·exp((V−C)/(2(1−F)·AddOn)))`
+    *    with the supervisory floor F = 0.05 — capped at 1 exactly when
+    *    V ≥ C, so both branches exercise;
+    *  - `PFE = multiplier · AddOn` (Art. 278(1)) and
+    *    `EAD = α·(RC + PFE)` at α = 1.4 (Art. 274(2)).
+    *
+    * The add-on joins from the q56 hedging-set roll-up at netting-set
+    * grain; V/C/threshold terms derive from the orders book reduced to
+    * the same grain BEFORE the join (two ~50-row frames — the join
+    * carries scalars, never the books). exp/ln agree bit-for-bit across
+    * engines on the same doubles (the q51 IRB-kernel precedent).
+    */
+  val q164SaCcrEad = QueryDef(
+    "q164_saccr_ead",
+    (s, dir) => {
+      val f = 0.05
+      val vc = Tables.orders(s, dir)
+        .select((col("o_orderkey") % 50).as("netting_set"),
+          // per-set tilt baked into the branch literals: odd sets run
+          // net-negative (the multiplier recognises over-
+          // collateralisation), even sets net-positive (the Art. 278(3)
+          // cap at 1 engages). One literal per branch — a two-term sum
+          // evaluates decimal-exact in DuckDB but in doubles here, one
+          // ulp apart across a q2 tie (the q160 lgd lesson).
+          q2(col("o_totalprice") *
+            when(col("o_orderkey") % 50 % 2 === 1,
+              when(col("o_orderkey") % 3 === 0, -0.3)
+                .when(col("o_orderkey") % 3 === 1, -0.45)
+                .otherwise(-0.38))
+              .otherwise(
+                when(col("o_orderkey") % 3 === 0, 0.2)
+                  .when(col("o_orderkey") % 3 === 1, 0.05)
+                  .otherwise(0.12)))
+            .as("mtm"),
+          q2(when(col("o_orderkey") % 4 === 0, col("o_totalprice") * 0.04)
+            .otherwise(0.0)).as("coll"))
+        .groupBy(col("netting_set"))
+        .agg(dsum(col("mtm"), 2).as("v_net"), dsum(col("coll"), 2).as("c_net"))
+      val ns = q56SaCcrAddon.build(s, dir)
+        .join(vc, Seq("netting_set"), "left")
+        .withColumns(Map(
+          "v_net" -> coalesce(col("v_net"), lit(0.0)),
+          "c_net" -> coalesce(col("c_net"), lit(0.0)),
+          "margined" -> (col("netting_set") % 5 === 0)))
+        .withColumn("rc",
+          when(col("margined"),
+            greatest(col("v_net") - col("c_net"),
+              lit(10000.0) * (col("netting_set") + 1) + lit(5000.0) -
+                (col("netting_set") % 3).cast("double") * lit(2000.0),
+              lit(0.0)))
+            .otherwise(greatest(col("v_net") - col("c_net"), lit(0.0))))
+        .withColumn("multiplier",
+          when(col("ns_addon") > 0, least(lit(1.0),
+            q6(lit(f) + lit(1.0 - f) *
+              exp((col("v_net") - col("c_net")) /
+                (lit(2.0 * (1.0 - f)) * col("ns_addon"))))))
+            .otherwise(lit(1.0)))
+      ns.select(
+          col("netting_set"), col("margined"), col("v_net"), col("c_net"),
+          q2(col("rc")).as("rc"), col("multiplier"),
+          q2(col("multiplier") * col("ns_addon")).as("pfe"))
+        .withColumn("ead_ccr", q2(lit(1.4) * (col("rc") + col("pfe"))))
+        .orderBy(col("netting_set"))
+    },
+    Some(s"""
+      WITH x164vc AS (
+        SELECT o_orderkey % 50 AS netting_set,
+               ${sqlDsum(sql2(
+                 "o_totalprice * (CASE WHEN o_orderkey % 50 % 2 = 1 THEN " +
+                 "(CASE WHEN o_orderkey % 3 = 0 THEN -0.3 " +
+                 "WHEN o_orderkey % 3 = 1 THEN -0.45 ELSE -0.38 END) ELSE " +
+                 "(CASE WHEN o_orderkey % 3 = 0 THEN 0.2 " +
+                 "WHEN o_orderkey % 3 = 1 THEN 0.05 ELSE 0.12 END) END)"), 2)}
+                 AS v_net,
+               ${sqlDsum(sql2(
+                 "CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 0.04 " +
+                 "ELSE 0.0 END"), 2)} AS c_net
+        FROM orders GROUP BY 1),
+      x164ns AS (
+        SELECT a.netting_set, a.ns_addon,
+               coalesce(v.v_net, 0.0) AS v_net,
+               coalesce(v.c_net, 0.0) AS c_net,
+               a.netting_set % 5 = 0 AS margined
+        FROM (${q56SaCcrAddon.oracle.get}) a
+        LEFT JOIN x164vc v USING (netting_set)),
+      x164rc AS (
+        SELECT *,
+               CASE WHEN margined
+                    THEN greatest(v_net - c_net,
+                      10000.0 * (netting_set + 1) + 5000.0 -
+                        (netting_set % 3) * 2000.0, 0.0)
+                    ELSE greatest(v_net - c_net, 0.0) END AS rc0,
+               CASE WHEN ns_addon > 0
+                    THEN least(1.0, ${sql6(
+                      "0.05 + 0.95 * exp((v_net - c_net) / (1.9 * ns_addon))")})
+                    ELSE 1.0 END AS multiplier
+        FROM x164ns)
+      SELECT netting_set, margined, v_net, c_net,
+             ${sql2("rc0")} AS rc, multiplier,
+             ${sql2("multiplier * ns_addon")} AS pfe,
+             ${sql2(s"1.4 * (${sql2("rc0")} + ${sql2("multiplier * ns_addon")})")}
+               AS ead_ccr
+      FROM x164rc
+      ORDER BY netting_set
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q56SaCcrAddon, q57Slotting, q58CrmCascade, q59GuaranteeSubstitution,
     q96BaCva, q97FailedTrades, q104SftHaircutLegs, q105DefaultFund,
     q108TranchedGuarantee, q110LinkAllocation, q112OfcpRouting,
     q134Ccr1, q135Ccr3, q136Ccr8, q141CorepC34, q143Ccr2,
-    q162CcrWwrGate, q163SaCcrDelta)
+    q162CcrWwrGate, q163SaCcrDelta, q164SaCcrEad)
 }

@@ -48,4 +48,22 @@ class CcrGateSpec extends SparkSpec {
     assert(out.filter(col("ns_addon") < 0 || col("ns_addon").isNull)
       .count() === 0)
   }
+
+  test("SA-CCR EAD composition: the Art. 278(3) multiplier exercises " +
+    "both branches and EAD recomposes from RC + PFE") {
+    val out = Ccr.q164SaCcrEad.build(spark, dir).cache()
+    assert(out.filter(col("multiplier") < 1.0).count() > 0)
+    assert(out.filter(col("multiplier") === 1.0).count() > 0)
+    assert(out.filter(col("multiplier") > 1.0 || col("multiplier") <= 0.0)
+      .count() === 0)
+    assert(out.filter(col("rc") < 0).count() === 0)
+    // Art. 274(2): EAD = 1.4 * (RC + PFE) cent-exact per set
+    import org.apache.spark.sql.types.DecimalType
+    val bad = out.filter(
+      abs(col("ead_ccr") -
+        (lit(1.4) * (col("rc") + col("pfe")))
+          .cast(DecimalType(38, 2)).cast("double")) > 0.011)
+    assert(bad.count() === 0)
+    out.unpersist()
+  }
 }
