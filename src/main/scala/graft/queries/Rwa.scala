@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.engine.DomainPipeline
 import graft.sources.Tables
 import graft.functions.{normal, NormalMath}
 import Q._
@@ -633,7 +634,161 @@ object Rwa {
       ORDER BY issuer_type
     """.stripMargin.trim))
 
+  // ---- q165: SA pre-ladder CQS lifts + EU domestic-currency 0% ---------
+
+  /** q165: the pre-ladder adjustments the SA risk-weight lookup applies
+    * BEFORE the CQS ladder join (reference `engine/sa/cqs_lift.py`,
+    * `engine/sa/central_bank.py`, `engine/eu_sovereign.py`):
+    *
+    *  - named MDBs take the Art. 117(2) 0% without touching a ladder;
+    *  - EU central-government exposures denominated in the member
+    *    state's domestic currency take the Art. 114(4) 0% regardless of
+    *    rating (the domestic-currency match is the eligibility gate);
+    *  - non-named MDBs (Art. 117(1)) and demoted non-qualifying CCPs
+    *    (Art. 107(2)(a)) LIFT the counterparty-carried institution CQS
+    *    into the exposure's own cqs and then ride the ordinary
+    *    institution ladder — a lift never fabricates a rating: a null
+    *    source leaves cqs null and the row keeps its unrated fallback;
+    *  - central banks lift the SOVEREIGN's CQS (Art. 114(2A)) onto the
+    *    sovereign ladder;
+    *  - everything else rides its own ladder on its own rating.
+    *
+    * Scale shape: the lifts are pure when-chain projections in the scan;
+    * ONE broadcast ladder join serves every lifted and unlifted row; one
+    * census shuffle.
+    */
+  val q165SaPreladder = QueryDef(
+    "q165_sa_preladder",
+    (s, dir) => {
+      import s.implicits._
+      val rw = broadcast(DomainPipeline.rwTable.toDF("rw_class", "rw_cqs", "rw"))
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val book = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(
+          when(col("c_custkey") % 7 === 0, "named_mdb")
+            .when(col("c_custkey") % 7 === 1, "non_named_mdb")
+            .when(col("c_custkey") % 7 === 2, "nonq_ccp")
+            .when(col("c_custkey") % 7 === 3, "central_bank")
+            .when(col("c_custkey") % 7 === 4, "eu_sovereign")
+            .otherwise("corporate").as("entity_kind"),
+          (lit(1) + col("c_custkey") % 6).cast("int").as("cp_institution_cqs"),
+          (lit(1) + col("c_nationkey") % 6).cast("int").as("cp_sovereign_cqs"),
+          when(col("o_orderkey") % 5 === 0, lit(null).cast("int"))
+            .otherwise((lit(1) + col("o_orderkey") % 6).cast("int"))
+            .as("own_cqs"),
+          (col("o_orderkey") % 3 === 0).as("domestic_ccy"),
+          q2(col("o_totalprice")).as("ead"))
+      val lifted = book
+        .withColumn("treatment",
+          when(col("entity_kind") === "named_mdb", "art117_2_named_mdb_0pct")
+            .when(col("entity_kind") === "eu_sovereign" && col("domestic_ccy"),
+              "art114_4_domestic_0pct")
+            .when(col("entity_kind") === "non_named_mdb",
+              "art117_1_institution_ladder")
+            .when(col("entity_kind") === "nonq_ccp",
+              "art107_2a_institution_ladder")
+            .when(col("entity_kind") === "central_bank",
+              "art114_2a_sovereign_ladder")
+            .when(col("entity_kind") === "eu_sovereign", "sovereign_ladder")
+            .otherwise("corporate_ladder"))
+        .withColumn("ladder_class",
+          when(col("treatment").endsWith("institution_ladder"), "institution")
+            .when(col("treatment").endsWith("sovereign_ladder"), "sovereign")
+            .when(col("treatment") === "corporate_ladder", "corporate"))
+        .withColumn("cqs",
+          when(col("treatment").endsWith("institution_ladder"),
+            col("cp_institution_cqs"))
+            .when(col("treatment") === "art114_2a_sovereign_ladder",
+              col("cp_sovereign_cqs"))
+            .otherwise(col("own_cqs")))
+      lifted
+        .join(rw, col("ladder_class") === col("rw_class") &&
+          col("cqs") === col("rw_cqs"), "left")
+        .withColumn("risk_weight",
+          when(col("ladder_class").isNull, 0.0)
+            .otherwise(coalesce(col("rw"), lit(1.0))))
+        .groupBy(col("entity_kind"), col("treatment"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          count(when(col("ladder_class").isNotNull && col("cqs").isNull,
+            lit(1))).as("n_unrated_fallback"),
+          dsum(col("ead"), 2).as("total_ead"),
+          dsum(q2(col("ead") * col("risk_weight")), 2).as("total_rwa"))
+        .withColumn("avg_rw",
+          when(col("total_ead") > 0, q6(col("total_rwa") / col("total_ead"))))
+        .orderBy(col("entity_kind"), col("treatment"))
+    },
+    Some {
+      val rwValues = DomainPipeline.rwTable
+        .map { case (c0, q0, w) => s"('$c0', $q0, CAST($w AS DOUBLE))" }
+        .mkString(", ")
+      s"""
+      WITH x165rw(rw_class, rw_cqs, rw) AS (VALUES $rwValues),
+      x165book AS (
+        SELECT CASE WHEN c_custkey % 7 = 0 THEN 'named_mdb'
+                    WHEN c_custkey % 7 = 1 THEN 'non_named_mdb'
+                    WHEN c_custkey % 7 = 2 THEN 'nonq_ccp'
+                    WHEN c_custkey % 7 = 3 THEN 'central_bank'
+                    WHEN c_custkey % 7 = 4 THEN 'eu_sovereign'
+                    ELSE 'corporate' END AS entity_kind,
+               CAST(1 + c_custkey % 6 AS INT) AS cp_institution_cqs,
+               CAST(1 + c_nationkey % 6 AS INT) AS cp_sovereign_cqs,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE CAST(1 + o_orderkey % 6 AS INT) END AS own_cqs,
+               o_orderkey % 3 = 0 AS domestic_ccy,
+               ${sql2("o_totalprice")} AS ead
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      x165lift AS (
+        SELECT *,
+          CASE WHEN entity_kind = 'named_mdb' THEN 'art117_2_named_mdb_0pct'
+               WHEN entity_kind = 'eu_sovereign' AND domestic_ccy
+                 THEN 'art114_4_domestic_0pct'
+               WHEN entity_kind = 'non_named_mdb'
+                 THEN 'art117_1_institution_ladder'
+               WHEN entity_kind = 'nonq_ccp'
+                 THEN 'art107_2a_institution_ladder'
+               WHEN entity_kind = 'central_bank'
+                 THEN 'art114_2a_sovereign_ladder'
+               WHEN entity_kind = 'eu_sovereign' THEN 'sovereign_ladder'
+               ELSE 'corporate_ladder' END AS treatment
+        FROM x165book),
+      x165keyed AS (
+        SELECT *,
+          CASE WHEN treatment LIKE '%institution_ladder' THEN 'institution'
+               WHEN treatment LIKE '%sovereign_ladder' THEN 'sovereign'
+               WHEN treatment = 'corporate_ladder' THEN 'corporate' END
+            AS ladder_class,
+          CASE WHEN treatment LIKE '%institution_ladder'
+                 THEN cp_institution_cqs
+               WHEN treatment = 'art114_2a_sovereign_ladder'
+                 THEN cp_sovereign_cqs
+               ELSE own_cqs END AS cqs
+        FROM x165lift),
+      x165w AS (
+        SELECT k.*,
+          CASE WHEN k.ladder_class IS NULL THEN 0.0
+               ELSE coalesce(r.rw, 1.0) END AS risk_weight
+        FROM x165keyed k
+        LEFT JOIN x165rw r
+          ON k.ladder_class = r.rw_class AND k.cqs = r.rw_cqs)
+      SELECT entity_kind, treatment,
+             count(*) AS n_exposures,
+             count(CASE WHEN ladder_class IS NOT NULL AND cqs IS NULL
+                   THEN 1 END) AS n_unrated_fallback,
+             ${sqlDsum("ead", 2)} AS total_ead,
+             ${sqlDsum(sql2("ead * risk_weight"), 2)} AS total_rwa,
+             CASE WHEN ${sqlDsum("ead", 2)} > 0
+                  THEN ${sql6(s"${sqlDsum(sql2("ead * risk_weight"), 2)} / ${sqlDsum("ead", 2)}")}
+                  END AS avg_rw
+      FROM x165w
+      GROUP BY entity_kind, treatment
+      ORDER BY entity_kind, treatment
+    """.stripMargin.trim
+    })
+
   val all: Seq[QueryDef] = Seq(
     q50SaRwaFlagship, q51IrbKernel, q52OutputFloor, q53SupportingFactor,
-    q54FccmNetting, q55ReSplit, q101FloorSchedule, q111SimpleMethod)
+    q54FccmNetting, q55ReSplit, q101FloorSchedule, q111SimpleMethod,
+    q165SaPreladder)
 }
