@@ -319,5 +319,133 @@ object Ofcp {
       FROM blend GROUP BY approach ORDER BY approach
     """.stripMargin.trim))
 
-  val all: Seq[QueryDef] = Seq(q113LifeInsurance, q114ThirdPartyDeposit)
+  // ---- q166: two-layer protection look-through -------------------------
+
+  /** q166: the Art. 191A(2)(e)(i) funded-only look-through census over
+    * synthetic guarantee/collateral books (reference
+    * `engine/crm/look_through.py` — the CRM Step 0 transform,
+    * `operators/LookThrough.applyFundedOnly`):
+    *
+    *  - guarantee-posted collateral behind an electing guarantee
+    *    re-anchors onto the obligor exposure; the guarantee row itself
+    *    is suppressed from the substitution path;
+    *  - `both` elections stay untouched and emit the not-implemented
+    *    warning; `none` (and null) preserve existing behaviour;
+    *  - the output is the post-transform census: guarantee rows by
+    *    election, collateral rows by (beneficiary_type, re-anchored)
+    *    with value sums — the re-anchored slice lands under
+    *    beneficiary_type `exposure` — and the warning counts by code,
+    *    so a regression in any leg of the transform breaks the hash.
+    */
+  val q166LookThrough = QueryDef(
+    "q166_look_through",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val guarantees = li.filter(col("l_linenumber") === 2)
+        .select(
+          concat(lit("G-"), col("l_orderkey").cast("string"))
+            .as("guarantee_reference"),
+          lit("exposure").as("beneficiary_type"),
+          concat(lit("ORD-"), col("l_orderkey").cast("string"))
+            .as("beneficiary_reference"),
+          q2(col("l_extendedprice") * 0.5).as("coverage_value"),
+          when(col("l_partkey") % 5 === 0, "funded_only")
+            .when(col("l_partkey") % 5 === 1, "both")
+            .otherwise("none").as("look_through_election"))
+      val collateral = li.filter(col("l_linenumber") === 3)
+        .select(
+          concat(lit("COLL-"), col("l_orderkey").cast("string"), lit("-"),
+            col("l_suppkey").cast("string")).as("collateral_reference"),
+          when(col("l_partkey") % 3 === 0, "guarantee")
+            .otherwise("exposure").as("beneficiary_type"),
+          when(col("l_partkey") % 3 === 0,
+            concat(lit("G-"), col("l_orderkey").cast("string")))
+            .otherwise(concat(lit("ORD-"), col("l_orderkey").cast("string")))
+            .as("beneficiary_reference"),
+          q2(col("l_extendedprice") * 0.3).as("market_value"))
+      val (g2, c2, warnings) =
+        graft.operators.LookThrough.applyFundedOnly(guarantees, collateral)
+      val gCensus = g2.groupBy(col("look_through_election"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("coverage_value"), 2).as("total_value"))
+        .select(lit("guarantee").as("section"),
+          col("look_through_election").as("key"),
+          col("n_rows"), col("total_value"))
+      val cCensus = c2.groupBy(col("beneficiary_type"), col("re_anchored"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("market_value"), 2).as("total_value"))
+        .select(lit("collateral").as("section"),
+          concat(col("beneficiary_type"), lit(":"),
+            col("re_anchored").cast("string")).as("key"),
+          col("n_rows"), col("total_value"))
+      val wCensus = warnings.groupBy(col("code"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("warning").as("section"), col("code").as("key"),
+          col("n_rows"), lit(null).cast("double").as("total_value"))
+      gCensus.unionByName(cCensus).unionByName(wCensus)
+        .orderBy(col("section"), col("key"))
+    },
+    Some(s"""
+      WITH x166guar AS (
+        SELECT 'G-' || CAST(l_orderkey AS VARCHAR) AS guarantee_reference,
+               'exposure' AS beneficiary_type,
+               'ORD-' || CAST(l_orderkey AS VARCHAR) AS beneficiary_reference,
+               ${sql2("l_extendedprice * 0.5")} AS coverage_value,
+               CASE WHEN l_partkey % 5 = 0 THEN 'funded_only'
+                    WHEN l_partkey % 5 = 1 THEN 'both'
+                    ELSE 'none' END AS look_through_election
+        FROM lineitem WHERE l_linenumber = 2),
+      x166coll AS (
+        SELECT 'COLL-' || CAST(l_orderkey AS VARCHAR) || '-' ||
+                 CAST(l_suppkey AS VARCHAR) AS collateral_reference,
+               CASE WHEN l_partkey % 3 = 0 THEN 'guarantee'
+                    ELSE 'exposure' END AS beneficiary_type,
+               CASE WHEN l_partkey % 3 = 0
+                    THEN 'G-' || CAST(l_orderkey AS VARCHAR)
+                    ELSE 'ORD-' || CAST(l_orderkey AS VARCHAR) END
+                 AS beneficiary_reference,
+               ${sql2("l_extendedprice * 0.3")} AS market_value
+        FROM lineitem WHERE l_linenumber = 3),
+      x166flag AS (
+        SELECT guarantee_reference AS lt_ref,
+               beneficiary_type AS lt_bt,
+               beneficiary_reference AS lt_br
+        FROM x166guar WHERE look_through_election = 'funded_only'),
+      x166coll2 AS (
+        SELECT c.collateral_reference,
+               CASE WHEN f.lt_ref IS NOT NULL THEN f.lt_bt
+                    ELSE c.beneficiary_type END AS beneficiary_type,
+               CASE WHEN f.lt_ref IS NOT NULL THEN f.lt_br
+                    ELSE c.beneficiary_reference END AS beneficiary_reference,
+               c.market_value,
+               f.lt_ref IS NOT NULL AS re_anchored
+        FROM x166coll c
+        LEFT JOIN x166flag f
+          ON c.beneficiary_type = 'guarantee'
+         AND c.beneficiary_reference = f.lt_ref),
+      x166out AS (
+        SELECT 'guarantee' AS section, look_through_election AS key,
+               count(*) AS n_rows,
+               ${sqlDsum("coverage_value", 2)} AS total_value
+        FROM x166guar WHERE look_through_election <> 'funded_only'
+        GROUP BY look_through_election
+        UNION ALL
+        SELECT 'collateral',
+               beneficiary_type || ':' || CAST(re_anchored AS VARCHAR),
+               count(*), ${sqlDsum("market_value", 2)}
+        FROM x166coll2 GROUP BY beneficiary_type, re_anchored
+        UNION ALL
+        SELECT 'warning',
+               CASE WHEN look_through_election = 'funded_only'
+                    THEN 'CRM_LOOK_THROUGH_APPLIED'
+                    ELSE 'CRM_LOOK_THROUGH_NOT_IMPLEMENTED' END,
+               count(*), NULL::DOUBLE
+        FROM x166guar WHERE look_through_election IN ('funded_only', 'both')
+        GROUP BY 2)
+      SELECT * FROM x166out
+      ORDER BY section, key
+    """.stripMargin.trim))
+
+  val all: Seq[QueryDef] = Seq(
+    q113LifeInsurance, q114ThirdPartyDeposit, q166LookThrough)
 }
