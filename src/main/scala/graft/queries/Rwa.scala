@@ -787,8 +787,111 @@ object Rwa {
     """.stripMargin.trim
     })
 
+  // ---- q167: regulatory-threshold FX resolution ------------------------
+
+  /** q167: the monetary-threshold FX seam (reference
+    * `engine/thresholds.py` + `rulebook/packs/{crr,b31}.py`
+    * regulatory_thresholds): the packs hold FX-INVARIANT values — CRR
+    * EUR bases with the fx_derived Feature ON so the engine applies the
+    * run's EUR/GBP rate at the read site, Basel 3.1 PRA-native GBP with
+    * the Feature OFF — and the classifier consumes the RESOLVED values.
+    * Two sections:
+    *
+    *  - `threshold`: every bundle key under both regimes with its base
+    *    and resolved-GBP value at the default 0.8732 rate (the single
+    *    Decimal→Double boundary lives in the rulebook compile);
+    *  - `consumer`: the SME-turnover classification census per regime
+    *    over the counterparty book, plus the FLIP band — obligors whose
+    *    turnover falls between the two regimes' resolved thresholds
+    *    (EUR 50m × 0.8732 = 43.66m < GBP 44m), so the SAME book
+    *    classifies differently per regime by exactly that band.
+    */
+  val q167ThresholdResolution = QueryDef(
+    "q167_threshold_resolution",
+    (s, dir) => {
+      import s.implicits._
+      import graft.rulebook.{Packs, Rulepack}
+      val rate = Packs.DefaultEurGbpRate
+      val rows = for {
+        pack <- Seq(Packs.crr, Packs.b31)
+        (name, base) <- pack.lookup("regulatory_thresholds").mapping
+      } yield (pack.regime, name, base.toDouble,
+        Packs.regulatoryThreshold(pack, name, rate))
+      val thresholds = rows
+        .toDF("regime", "key", "base_value", "resolved_gbp")
+        .select(lit("threshold").as("section"), col("regime"), col("key"),
+          col("base_value"), col("resolved_gbp"),
+          lit(null).cast("long").as("n_obligors"))
+      val crrSme = Packs.regulatoryThreshold(
+        Packs.crr, "sme_turnover_threshold", rate)
+      val b31Sme = Packs.regulatoryThreshold(
+        Packs.b31, "sme_turnover_threshold", rate)
+      val turnover = Tables.customer(s, dir)
+        .select((col("c_acctbal") * 10000.0).as("turnover"))
+      val census = turnover.agg(
+        count(when(col("turnover") < crrSme, 1)).as("n_sme_crr"),
+        count(when(col("turnover") < b31Sme, 1)).as("n_sme_b31"),
+        count(when(col("turnover") >= crrSme && col("turnover") < b31Sme, 1))
+          .as("n_flipped"))
+      val consumer = census.selectExpr(
+        s"""stack(3,
+             'crr', 'sme_turnover_census', CAST($crrSme AS DOUBLE),
+               CAST($crrSme AS DOUBLE), n_sme_crr,
+             'b31', 'sme_turnover_census', CAST($b31Sme AS DOUBLE),
+               CAST($b31Sme AS DOUBLE), n_sme_b31,
+             'delta', 'flip_band', CAST($crrSme AS DOUBLE),
+               CAST($b31Sme AS DOUBLE), n_flipped)
+           AS (regime, key, base_value, resolved_gbp, n_obligors)""")
+        .select(lit("consumer").as("section"), col("regime"), col("key"),
+          col("base_value"), col("resolved_gbp"), col("n_obligors"))
+      thresholds.unionByName(consumer)
+        .orderBy(col("section"), col("regime"), col("key"))
+    },
+    Some {
+      import graft.rulebook.Packs
+      val rate = Packs.DefaultEurGbpRate
+      val tRows = (for {
+        pack <- Seq(Packs.crr, Packs.b31)
+        (name, base) <- pack.lookup("regulatory_thresholds").mapping
+      } yield s"('${pack.regime}', '$name', ${d(base.toDouble)}, " +
+        s"${d(Packs.regulatoryThreshold(pack, name, rate))})")
+        .mkString(",\n          ")
+      val crrSme = Packs.regulatoryThreshold(
+        Packs.crr, "sme_turnover_threshold", rate)
+      val b31Sme = Packs.regulatoryThreshold(
+        Packs.b31, "sme_turnover_threshold", rate)
+      s"""
+      WITH x167t(regime, key, base_value, resolved_gbp) AS (VALUES
+          $tRows),
+      x167turnover AS (
+        SELECT c_acctbal * 10000.0 AS turnover FROM customer),
+      x167census AS (
+        SELECT count(CASE WHEN turnover < ${d(crrSme)} THEN 1 END) AS n_sme_crr,
+               count(CASE WHEN turnover < ${d(b31Sme)} THEN 1 END) AS n_sme_b31,
+               count(CASE WHEN turnover >= ${d(crrSme)}
+                           AND turnover < ${d(b31Sme)} THEN 1 END) AS n_flipped
+        FROM x167turnover)
+      SELECT * FROM (
+        SELECT 'threshold' AS section, regime, key, base_value, resolved_gbp,
+               NULL::BIGINT AS n_obligors
+        FROM x167t
+        UNION ALL
+        SELECT 'consumer', 'crr', 'sme_turnover_census',
+               ${d(crrSme)}, ${d(crrSme)}, n_sme_crr FROM x167census
+        UNION ALL
+        SELECT 'consumer', 'b31', 'sme_turnover_census',
+               ${d(b31Sme)}, ${d(b31Sme)}, n_sme_b31 FROM x167census
+        UNION ALL
+        SELECT 'consumer', 'delta', 'flip_band',
+               ${d(crrSme)}, ${d(b31Sme)}, n_flipped FROM x167census)
+      ORDER BY section, regime, key
+    """.stripMargin.trim
+    })
+
+  private def d(v: Double): String = s"CAST($v AS DOUBLE)"
+
   val all: Seq[QueryDef] = Seq(
     q50SaRwaFlagship, q51IrbKernel, q52OutputFloor, q53SupportingFactor,
     q54FccmNetting, q55ReSplit, q101FloorSchedule, q111SimpleMethod,
-    q165SaPreladder)
+    q165SaPreladder, q167ThresholdResolution)
 }

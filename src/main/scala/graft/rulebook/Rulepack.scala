@@ -99,3 +99,57 @@ final case class Rulepack(
   def decision(name: String): DecisionTable = rules(name).asInstanceOf[DecisionTable]
   def flag(name: String): Boolean = rules(name).asInstanceOf[FeatureFlag].enabled
 }
+
+/** The regime packs' monetary-threshold bundles (reference
+  * `rulebook/packs/crr.py:762-784` / `packs/b31.py:600-623` — translated
+  * values with their citations) and the Phase-5 FX seam (reference
+  * `engine/thresholds.py`): the packs hold FX-INVARIANT regulatory
+  * values — CRR carries EUR bases with the `fx_derived` Feature ON, so
+  * the engine applies the run's EUR/GBP rate at the read site; Basel 3.1
+  * carries PRA-native GBP with the Feature OFF (the sole exception,
+  * `sme_balance_sheet_threshold`, is the Rec 2003/361/EC EUR 43m frozen
+  * at the default 0.8732 because PS1/26 does not restate it). The
+  * market-input rate never enters the pack — it stays on the run config.
+  */
+object Packs {
+
+  /** The reference's default EUR/GBP rate (`config` default 0.8732). */
+  val DefaultEurGbpRate: BigDecimal = BigDecimal("0.8732")
+
+  val crr: Rulepack = Rulepack("crr", "v3.0", Map(
+    "regulatory_thresholds" -> LookupTable(Seq(
+      "sme_turnover_threshold" -> BigDecimal("50000000"), // EUR 50m (Art. 501)
+      "sme_balance_sheet_threshold" -> BigDecimal("43000000"), // EUR 43m
+      "sme_exposure_threshold" -> BigDecimal("2500000"), // EUR 2.5m (Art. 501)
+      "large_corporate_revenue_threshold" -> BigDecimal("0"), // n/a under CRR
+      "retail_max_exposure" -> BigDecimal("1000000"), // EUR 1m (Art. 123(c))
+      "qrre_max_limit" -> BigDecimal("100000"), // EUR 100k (Art. 123)
+      "lfse_total_assets_threshold" -> BigDecimal("70000000000"))), // EUR 70bn
+    "regulatory_thresholds_fx_derived" -> FeatureFlag(true)))
+
+  val b31: Rulepack = Rulepack("b31", "v4.0.0", Map(
+    "regulatory_thresholds" -> LookupTable(Seq(
+      "sme_turnover_threshold" -> BigDecimal("44000000"), // GBP 44m (Art. 153(4))
+      "sme_balance_sheet_threshold" -> BigDecimal("37547600"), // 43m x 0.8732 frozen
+      "sme_exposure_threshold" -> BigDecimal("0"), // n/a under Basel 3.1
+      "large_corporate_revenue_threshold" -> BigDecimal("440000000"), // GBP 440m
+      "retail_max_exposure" -> BigDecimal("880000"), // GBP 880k (Art. 147(5A))
+      "qrre_max_limit" -> BigDecimal("90000"), // GBP 90k (Art. 147(5A)(c))
+      "lfse_total_assets_threshold" -> BigDecimal("79000000000"))), // GBP 79bn
+    "regulatory_thresholds_fx_derived" -> FeatureFlag(false)))
+
+  /** Resolve one GBP threshold from a pack, applying × rate where the
+    * regime's Feature says the values are FX-derived (the
+    * `engine/thresholds.py::regulatory_threshold` seam). Decimal
+    * arithmetic until the single Decimal→Double boundary. */
+  def regulatoryThreshold(
+      pack: Rulepack, name: String, eurGbpRate: BigDecimal): Double = {
+    val base = pack.lookup("regulatory_thresholds").mapping
+      .find(_._1 == name)
+      .getOrElse(throw new NoSuchElementException(name))._2
+    val resolved =
+      if (pack.flag("regulatory_thresholds_fx_derived")) base * eurGbpRate
+      else base
+    resolved.toDouble
+  }
+}
