@@ -3188,6 +3188,78 @@ object Domain {
       ORDER BY country
     """.stripMargin.trim))
 
+  // ---- q168: multi-entity reporting scope ------------------------------
+
+  /** q168: the scope resolver (reference `engine/stages/scope/stage.py`;
+    * CRR Part One Title II Art. 6/11-18 levels of application): consume
+    * the loaded bundle, republish the SAME artifact shape filtered to
+    * one reporting entity's consolidation perimeter, and run the
+    * UNCHANGED downstream pipeline over it. The perimeter here is a
+    * lending group (`parent_group`): counterparties in the group, their
+    * exposures by semi-join, and each side book narrowed to the scoped
+    * exposures/counterparties — the bundle filter, not a results filter.
+    *
+    * The output summarises the scoped run per (class, approach). The
+    * perimeter is CLOSED under every window partition the pipeline uses
+    * (group roll-ups key `parent_group`, provision pro-rata keys the
+    * counterparty, the CRM waterfall keys the exposure), so the scoped
+    * run equals the full run filtered to the entity — the reference's I1
+    * invariant generalised from `None` to any whole perimeter; the
+    * oracle exploits exactly that closure (one WHERE over the shared
+    * ledger chain), and DomainPipelineSpec pins it engine-side.
+    */
+  val q168ReportingScope = QueryDef(
+    "q168_reporting_scope",
+    (s, dir) => {
+      val entity = "GRP-3"
+      val cpty = DomainPipeline.counterparties(s, dir)
+        .filter(col("parent_group") === entity)
+      val exp = DomainPipeline.exposuresUnified(s, dir)
+        .join(cpty.select("counterparty_reference"),
+          Seq("counterparty_reference"), "semi")
+      val expKeys = exp.select("exposure_reference")
+      val coll = DomainPipeline.collateral(s, dir)
+        .join(expKeys, Seq("exposure_reference"), "semi")
+      val guar = DomainPipeline.guarantees(s, dir)
+        .join(expKeys, Seq("exposure_reference"), "semi")
+      val prov = DomainPipeline.provisions(s, dir)
+        .join(
+          expKeys.withColumnRenamed("exposure_reference", "beneficiary_reference")
+            .unionByName(cpty
+              .select(col("counterparty_reference").as("beneficiary_reference"))),
+          Seq("beneficiary_reference"), "semi")
+      val enriched = DomainPipeline.enrichFx(exp, cpty, s)
+      val h = DomainPipeline.hierarchy(enriched)
+      val cls = DomainPipeline.classify(h, DomainPipeline.modelPermissions(s, dir))
+      val ead = DomainPipeline.eadCalc(cls, prov, s)
+      val withRw = DomainPipeline.ownRiskWeight(ead, s)
+      val crm = DomainPipeline.crmWaterfall(withRw, coll, guar, s)
+      val led = DomainPipeline.rwaCalc(crm)
+      led.groupBy(col("exposure_class"), col("approach"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          dsum(col("ead_pre_crm"), 2).as("total_ead"),
+          dsum(col("coll_covered"), 2).as("collateral_covered"),
+          dsum(col("guar_covered"), 2).as("guarantee_covered"),
+          dsum(col("rwa"), 2).as("total_rwa"))
+        .withColumn("reporting_entity", lit(entity))
+        .orderBy(col("exposure_class"), col("approach"))
+    },
+    Some(s"""
+      WITH $domainLedgerCtes
+      SELECT exposure_class, approach,
+             count(*) AS n_exposures,
+             ${sqlDsum("ead_pre_crm", 2)} AS total_ead,
+             ${sqlDsum("coll_covered", 2)} AS collateral_covered,
+             ${sqlDsum("guar_covered", 2)} AS guarantee_covered,
+             ${sqlDsum("rwa", 2)} AS total_rwa,
+             'GRP-3' AS reporting_entity
+      FROM final
+      WHERE parent_group = 'GRP-3'
+      GROUP BY exposure_class, approach
+      ORDER BY exposure_class, approach
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q85ModelPermissions, q86RunComparison,
     q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation,
@@ -3196,5 +3268,5 @@ object Domain {
     q106LedgerAudit, q109DoubleDefault, q115Tieouts, q116GeoBreakdown,
     q117PdBacktesting, q118RwBands, q129GeoUltimateRisk, q145Cr9Full,
     q150Cr91EcaiBacktesting, q152CrossTemplate, q153SubmissionGate,
-    q154CapitalDrivers)
+    q154CapitalDrivers, q168ReportingScope)
 }

@@ -83,4 +83,22 @@ class DomainPipelineSpec extends SparkSpec {
     assert(led.filter(col("own_cqs").isNull).count() > 0)
     assert(led.filter(col("effective_cqs").isNull).count() == 0)
   }
+
+  test("reporting scope: the scoped run equals the full run filtered to " +
+    "the entity (the perimeter is closed under every window partition)") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Q.dsum
+    val scoped = graft.queries.Domain.q168ReportingScope
+      .build(spark, sfDir)
+      .select("exposure_class", "approach", "n_exposures", "total_rwa")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val filtered = DomainPipeline.ledger(spark, sfDir)
+      .filter(col("parent_group") === "GRP-3")
+      .groupBy(col("exposure_class"), col("approach"))
+      .agg(count(lit(1)).as("n"), dsum(col("rwa"), 2).as("rwa"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(scoped === filtered)
+  }
 }
