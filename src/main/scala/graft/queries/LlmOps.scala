@@ -1556,6 +1556,137 @@ object LlmOps {
       ORDER BY source
     """.stripMargin.trim))
 
+  // ---- q169: token-budget mix planner (epoch allocation) ---------------
+
+  /** q169: the training-mix EPOCH planner — allocate a hard global token
+    * budget across sources with low-resource upsampling bounded, the
+    * data-mixture step a large pretraining run performs after the
+    * per-source rates (q126) are known:
+    *
+    *  - target share per source ∝ √tokens × a quality-tier multiplier
+    *    (0.5/1/3 off the source key — the wiki-style upweighting a real
+    *    mix applies on top of q126's size smoothing), budget B = 3× the
+    *    corpus (sources repeat);
+    *  - raw epochs = B·wᵢ/(W·mᵢ), CAPPED at 4 epochs — repeating a
+    *    small source more degrades quality faster than it adds tokens;
+    *  - budget freed by capped sources WATER-FILLS back over the
+    *    uncapped ones by the same weights in one redistribution round
+    *    (then a final clamp — a single round is exact when at most one
+    *    cap generation exists, and conservative otherwise);
+    *  - integer-PPM epoch arithmetic end-to-end, so the plan is
+    *    bit-stable across engines (the q126/q155 discipline).
+    *
+    * Scale shape: ONE aggregation to source grain (~tens of rows);
+    * every subsequent step is arithmetic on that tiny frame — the plan
+    * for a 100 TB corpus costs one pass over the token counts.
+    */
+  val q169TokenBudgetMix = QueryDef(
+    "q169_token_budget_mix",
+    (s, dir) => {
+      val cap = 4.0
+      val d = Tables.documents(s, dir).select(col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val tierMult = when(
+        expr("CAST(substring(source, 4) AS INT)") % 3 === 0, 3.0)
+        .when(expr("CAST(substring(source, 4) AS INT)") % 3 === 1, 1.0)
+        .otherwise(0.5)
+      val perSrc = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("m"))
+        .withColumn("w", q6(sqrt(col("m").cast("double")) * tierMult))
+      val tot = perSrc.agg(
+        dsum(col("w"), 6).as("big_w"), sum(col("m")).as("corpus_tokens"))
+      val raw = perSrc.crossJoin(broadcast(tot))
+        .withColumn("budget", col("corpus_tokens") * 3)
+        .withColumn("raw_epochs",
+          q6(col("budget") * col("w") / (col("big_w") * col("m"))))
+        .withColumn("capped", col("raw_epochs") >= cap)
+      val residue = raw.agg(
+        dsum(when(col("capped"), col("m").cast("double") * cap)
+          .otherwise(0.0), 2).as("capped_tokens"),
+        dsum(when(!col("capped"), col("w")).otherwise(0.0), 6).as("w_left"))
+      val planned = raw.crossJoin(broadcast(residue))
+        .withColumn("epochs_ppm",
+          when(col("capped"), (cap * 1e6).toLong)
+            .otherwise(least(lit((cap * 1e6).toLong),
+              floor((col("budget") - col("capped_tokens")) * col("w") /
+                (col("w_left") * col("m")) * 1e6).cast("long"))))
+        .withColumn("planned_tokens",
+          expr("(m * epochs_ppm) DIV 1000000"))
+      val rows = planned.select(
+        col("source"), col("n_docs"), col("m").as("n_tokens"),
+        col("w").as("weight"), col("capped"), col("epochs_ppm"),
+        col("planned_tokens"))
+      val total = planned.agg(
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("m")).as("n_tokens"),
+          dsum(col("w"), 6).as("weight"),
+          sum(col("planned_tokens")).as("planned_tokens"),
+          max(col("budget")).as("budget"))
+        .select(lit("TOTAL").as("source"), col("n_docs"), col("n_tokens"),
+          col("weight"), lit(null).cast("boolean").as("capped"),
+          expr("(planned_tokens * 1000000) DIV budget").as("epochs_ppm"),
+          col("planned_tokens"))
+      rows.unionByName(total).orderBy(col("source"))
+    },
+    Some(s"""
+      WITH x169d AS (
+        SELECT source,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                 AS BIGINT) AS n_tokens
+        FROM documents),
+      x169src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS m,
+               ${sql6("sqrt(CAST(sum(n_tokens) AS DOUBLE)) * " +
+                 "(CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN 3.0 " +
+                 "WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN 1.0 " +
+                 "ELSE 0.5 END)")} AS w
+        FROM x169d GROUP BY source),
+      x169tot AS (
+        SELECT ${sqlDsum("w", 6)} AS big_w,
+               CAST(sum(m) AS BIGINT) AS corpus_tokens
+        FROM x169src),
+      x169raw AS (
+        SELECT s.*, t.big_w, t.corpus_tokens * 3 AS budget,
+               ${sql6("(t.corpus_tokens * 3) * s.w / (t.big_w * s.m)")}
+                 AS raw_epochs
+        FROM x169src s CROSS JOIN x169tot t),
+      x169cap AS (
+        SELECT *, raw_epochs >= 4.0 AS capped FROM x169raw),
+      x169res AS (
+        SELECT ${sqlDsum("CASE WHEN capped THEN CAST(m AS DOUBLE) * 4.0 " +
+                 "ELSE 0.0 END", 2)} AS capped_tokens,
+               ${sqlDsum("CASE WHEN NOT capped THEN w ELSE 0.0 END", 6)}
+                 AS w_left
+        FROM x169cap),
+      x169plan AS (
+        SELECT c.*,
+               CASE WHEN c.capped THEN CAST(4000000 AS BIGINT)
+                    ELSE least(CAST(4000000 AS BIGINT),
+                      CAST(floor((c.budget - r.capped_tokens) * c.w /
+                        (r.w_left * c.m) * 1e6) AS BIGINT)) END
+                 AS epochs_ppm
+        FROM x169cap c CROSS JOIN x169res r),
+      x169rows AS (
+        SELECT source, n_docs, m AS n_tokens, w AS weight, capped,
+               epochs_ppm, (m * epochs_ppm) // 1000000 AS planned_tokens,
+               budget
+        FROM x169plan)
+      SELECT * FROM (
+        SELECT source, n_docs, n_tokens, weight, capped, epochs_ppm,
+               planned_tokens
+        FROM x169rows
+        UNION ALL
+        SELECT 'TOTAL', CAST(sum(n_docs) AS BIGINT),
+               CAST(sum(n_tokens) AS BIGINT),
+               ${sqlDsum("weight", 6)}, NULL::BOOLEAN,
+               (CAST(sum(planned_tokens) AS BIGINT) * 1000000)
+                 // max(budget),
+               CAST(sum(planned_tokens) AS BIGINT)
+        FROM x169rows)
+      ORDER BY source
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q75DedupClusters, q76FilterFunnel, q77StableSplit, q78SequencePacking,
@@ -1564,5 +1695,5 @@ object LlmOps {
     q72VocabTopk, q73Chunking, q74EmbeddingQuantise,
     q124Decontamination, q125RepetitionFilter, q126MixtureSampling,
     q142Bm25Topk, q146PiiScrub, q151LengthStats, q155OovRate,
-    q156ShardPlan)
+    q156ShardPlan, q169TokenBudgetMix)
 }
