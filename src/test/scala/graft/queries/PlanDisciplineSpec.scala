@@ -117,6 +117,34 @@ class PlanDisciplineSpec extends SparkSpec {
     }
   }
 
+  test("the C 09 fan shuffles once on the data and broadcasts its axis " +
+    "(q158); the SA-CCR chain broadcasts its factor table (q163)") {
+    val df158 = SparkEntry.queries("q158_corep_c09")(spark, sfDir)
+    df158.collect() // drive AQE to the final plan (reuse is a runtime fact)
+    val p158 = df158.queryExecution.executedPlan.toString
+    // the published axis joins by broadcast, never a shuffled cross
+    assert(p158.contains("BroadcastNestedLoopJoin") ||
+      p158.contains("BroadcastHashJoin"), s"q158 axis should broadcast:\n$p158")
+    // every fan consumer reads the RE-ROOTED memoised ledger (a
+    // constant-size ExistingRDD leaf over the persisted blocks), never a
+    // re-execution of the nine-stage pipeline subtree; the axis-distinct
+    // consumer's fan is legitimately its own column-pruned keys-only
+    // aggregate, so the promise is the leaf, not exchange identity
+    assert(p158.contains("Scan ExistingRDD"),
+      s"q158 should scan the re-rooted ledger leaf:\n$p158")
+    assert(!p158.contains("Exchange SinglePartition"),
+      s"q158 must not funnel the data through one partition:\n$p158")
+    val p163 = SparkEntry.queries("q163_saccr_delta")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p163.contains("BroadcastHashJoin"),
+      s"q163 supervisory-factor join should broadcast:\n$p163")
+    val n163 = "(?m)Exchange (hash|range)partitioning".r
+      .findAllIn(p163).size
+    // trade -> bucket -> class -> set: three strictly-shrinking
+    // aggregations plus the final order
+    assert(n163 <= 4, s"q163 exchanges grew to $n163:\n$p163")
+  }
+
   test("no query's optimized plan exceeds the node ceiling") {
     // Higher ceilings for the deliberately-large plans: everything built
     // on the composed 9-stage domain ledger subtree (q90/q85/q86/q94 —
