@@ -475,5 +475,111 @@ object Corep09 {
         case _ => q160CorepC0902.build(s, dir)
       })
 
-  val all: Seq[QueryDef] = Seq(q158CorepC09, q160CorepC0902)
+  // ---- q170: cell-fact export ------------------------------------------
+
+  private val c0901FactCols = Seq(
+    "c0010", "c0020", "c0040", "c0050", "c0055", "c0060", "c0061",
+    "c0070", "c0075", "c0080", "c0081", "c0082", "c0090")
+  private val c0902FactCols = Seq(
+    "c0010", "c0030", "c0040", "c0050", "c0055", "c0060", "c0070",
+    "c0080", "c0090", "c0100", "c0105", "c0110", "c0120", "c0121",
+    "c0122", "c0125", "c0130")
+
+  /** q170: the cell-fact export (reference `reporting/facts.py` +
+    * `api/export.py` fact methods): flatten every cell of the run's
+    * GENERATED templates into ONE long frame keyed
+    * `(template_id, sheet, row_ref, col_ref)` — the flat address a
+    * vendor filing tool maps against, never a merged-header spreadsheet.
+    * The recorded value discipline carries over exactly: `value` is
+    * double and NEVER filled — a null cell (an inert row, an empty
+    * subset) stays a null FACT, distinct from an explicit 0.0 (a
+    * computed zero claim) — and the filing metadata (entity, framework,
+    * generator) stamps on as constant columns.
+    *
+    * Traversal reuses the run bundle ([[graft.reporting.TemplateBundle]])
+    * — this module never recomputes a cell, the reference's `facts`/
+    * `catalog` rule: the C 09 grids and the C 02.00 both-regime rows
+    * come from the same generated frames the gate and the cross-template
+    * rules read.
+    *
+    * Scale shape: the bundle frames are driver-local presentation
+    * grains; the flatten is a stack per frame and a union — no ledger
+    * work at all.
+    */
+  val q170CellFacts = QueryDef(
+    "q170_cell_facts",
+    (s, dir) => {
+      def meta(framework: String) = Seq(
+        lit("GRAFT-BANK").as("entity_id"),
+        lit(framework).as("framework"),
+        lit("graft-r10").as("generator"))
+      def geoFacts(template: String, which: String, cols: Seq[String]) = {
+        val sheet = generatedSheet(s, dir, which)
+        val stackArgs = cols.map(c =>
+          s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+        sheet.select(
+          (lit(template).as("template_id") +:
+            col("country").as("sheet") +:
+            col("row_ref") +:
+            expr(s"stack(${cols.size}, $stackArgs) AS (col_ref, value)")
+              +: meta("CRR")): _*)
+      }
+      val c09 = geoFacts("C09.01", "c0901", c0901FactCols)
+      val c0902 = geoFacts("C09.02", "c0902", c0902FactCols)
+      val c02sheet = graft.reporting.TemplateBundle.generated(s, dir, "c02",
+        Corep08.q140CorepC02.build(s, dir))
+      def c02Facts(framework: String, v: String) = c02sheet.select(
+        (lit("C02.00").as("template_id") +: lit("-").as("sheet") +:
+          col("row_ref") +: lit("0010").as("col_ref") +:
+          col(v).as("value") +: meta(framework)): _*)
+      c09.unionByName(c0902)
+        .unionByName(c02Facts("CRR", "rwea_crr"))
+        .unionByName(c02Facts("BASEL_3_1", "rwea_b31"))
+        .orderBy(col("template_id"), col("framework"), col("sheet"),
+          col("row_ref"), col("col_ref"))
+    },
+    Some {
+      def geoSql(alias: String, label: String, cols: Seq[String]) =
+        cols.map(c => s"""
+          SELECT '$label' AS template_id, country AS sheet, row_ref,
+                 '$c' AS col_ref, CAST($c AS DOUBLE) AS value,
+                 'GRAFT-BANK' AS entity_id, 'CRR' AS framework,
+                 'graft-r10' AS generator
+          FROM $alias""").mkString("\n          UNION ALL")
+      s"""
+      WITH ${Domain.domainLedgerCtes},
+      x170c09 AS MATERIALIZED (
+        SELECT * FROM (${stripLedgerCtes(q158CorepC09.oracle.get)})),
+      x170c0902 AS MATERIALIZED (
+        SELECT * FROM (${stripLedgerCtes(q160CorepC0902.oracle.get)})),
+      x170c02 AS MATERIALIZED (
+        SELECT * FROM (${stripLedgerCtes(Corep08.q140CorepC02.oracle.get)}))
+      SELECT * FROM (
+        ${geoSql("x170c09", "C09.01", c0901FactCols)}
+        UNION ALL
+        ${geoSql("x170c0902", "C09.02", c0902FactCols)}
+        UNION ALL
+        SELECT 'C02.00', '-', row_ref, '0010', CAST(rwea_crr AS DOUBLE),
+               'GRAFT-BANK', 'CRR', 'graft-r10'
+        FROM x170c02
+        UNION ALL
+        SELECT 'C02.00', '-', row_ref, '0010', CAST(rwea_b31 AS DOUBLE),
+               'GRAFT-BANK', 'BASEL_3_1', 'graft-r10'
+        FROM x170c02)
+      ORDER BY template_id, framework, sheet, row_ref, col_ref
+    """.stripMargin.trim
+    })
+
+  /** An embedded oracle re-declares the shared ledger CTE chain; inside
+    * q170's own WITH (which already declares it) the inner copy must be
+    * stripped so DuckDB does not reject the duplicate CTE names. The
+    * oracles all start `WITH <domainLedgerCtes>, <own ctes...>`. */
+  private def stripLedgerCtes(oracle: String): String = {
+    val marker = Domain.domainLedgerCtes
+    val idx = oracle.indexOf(marker)
+    require(idx >= 0, "embedded oracle does not start with the ledger chain")
+    "WITH " + oracle.substring(idx + marker.length).stripPrefix(",").trim
+  }
+
+  val all: Seq[QueryDef] = Seq(q158CorepC09, q160CorepC0902, q170CellFacts)
 }
