@@ -3260,8 +3260,125 @@ object Domain {
       ORDER BY exposure_class, approach
     """.stripMargin.trim))
 
+  // ---- q171: sub-row collapse to key grain (recon prep) ----------------
+
+  /** q171: `aggregate_to_key_grain` (reference
+    * `engine/aggregator/_collapse.py`; `operators/Collapse`): a split
+    * results frame — guarantee legs carrying
+    * `parent_exposure_reference` with `__G_`/`__REM` suffixed references
+    * — collapses back to loan grain before reconciliation: money sums,
+    * the risk weight recomputes from the summed numerator/denominator
+    * (never averaged), the representative column takes the
+    * deterministic min (the recorded Spark-side replacement for the
+    * reference's frame-order first), and groups whose APPROACH differs
+    * across legs flag heterogeneous. The census rolls the collapsed
+    * grain by (n_legs, heterogeneous) with a conservation total — the
+    * split book's money must survive the collapse to the cent.
+    */
+  val q171CollapseKeyGrain = QueryDef(
+    "q171_collapse_key_grain",
+    (s, dir) => {
+      import graft.operators.Collapse
+      val o = Tables.orders(s, dir)
+      val isSplit = col("o_orderkey") % 4 === 0
+      val legs = o.select(col("o_orderkey"), col("o_totalprice"),
+          explode(filter(array(
+            when(!isSplit, struct(
+              concat(lit("ORD-"), col("o_orderkey").cast("string")).as("ref"),
+              lit(null).cast("string").as("parent"),
+              lit(1.0).as("share"), lit(1.0).as("rw"),
+              lit("SA").as("approach"))),
+            when(isSplit, struct(
+              concat(lit("ORD-"), col("o_orderkey").cast("string"),
+                lit("__G_"), (col("o_orderkey") % 7).cast("string")).as("ref"),
+              concat(lit("ORD-"), col("o_orderkey").cast("string")).as("parent"),
+              lit(0.3).as("share"), lit(0.2).as("rw"),
+              lit("SA").as("approach"))),
+            when(isSplit, struct(
+              concat(lit("ORD-"), col("o_orderkey").cast("string"),
+                lit("__REM")).as("ref"),
+              concat(lit("ORD-"), col("o_orderkey").cast("string")).as("parent"),
+              lit(0.7).as("share"), lit(1.0).as("rw"),
+              // every eighth split's remainder leg routes differently —
+              // the heterogeneity the collapse must surface, not hide
+              when(col("o_orderkey") % 8 === 0, "IRB").otherwise("SA")
+                .as("approach")))), x => x.isNotNull)).as("leg"))
+        .select(
+          col("leg.ref").as("exposure_reference"),
+          col("leg.parent").as("parent_exposure_reference"),
+          q2(col("o_totalprice") * col("leg.share")).as("ead"),
+          q2(q2(col("o_totalprice") * col("leg.share")) * col("leg.rw"))
+            .as("rwa"),
+          col("leg.approach").as("approach"))
+      val collapsed = Collapse.aggregateToKeyGrain(legs,
+        coalesce(col("parent_exposure_reference"), col("exposure_reference")),
+        moneyCols = Seq("ead", "rwa"),
+        ratioCols = Seq(("risk_weight", "rwa", "ead")),
+        categoricalCols = Seq("approach"))
+      val census = collapsed.groupBy(col("n_legs"), col("heterogeneous"))
+        .agg(count(lit(1)).as("n_parents"),
+          dsum(col("ead"), 2).as("total_ead"),
+          dsum(col("rwa"), 2).as("total_rwa"))
+        .select(col("n_legs"), col("heterogeneous"), col("n_parents"),
+          col("total_ead"), col("total_rwa"),
+          q6(col("total_rwa") / col("total_ead")).as("avg_rw"))
+      val conservation = legs.agg(
+          lit(null).cast("long").as("n_legs"),
+          lit(null).cast("boolean").as("heterogeneous"),
+          count(lit(1)).as("n_parents"),
+          dsum(col("ead"), 2).as("total_ead"),
+          dsum(col("rwa"), 2).as("total_rwa"))
+        .withColumn("avg_rw", q6(col("total_rwa") / col("total_ead")))
+      census.unionByName(conservation)
+        .orderBy(col("n_legs").asc_nulls_last, col("heterogeneous"))
+    },
+    Some(s"""
+      WITH x171legs AS (
+        SELECT 'ORD-' || CAST(o_orderkey AS VARCHAR) AS exposure_reference,
+               NULL::VARCHAR AS parent_exposure_reference,
+               ${sql2("o_totalprice")} AS ead,
+               ${sql2(sql2("o_totalprice") + " * 1.0")} AS rwa,
+               'SA' AS approach
+        FROM orders WHERE o_orderkey % 4 <> 0
+        UNION ALL
+        SELECT 'ORD-' || CAST(o_orderkey AS VARCHAR) || '__G_' ||
+                 CAST(o_orderkey % 7 AS VARCHAR),
+               'ORD-' || CAST(o_orderkey AS VARCHAR),
+               ${sql2("o_totalprice * 0.3")},
+               ${sql2(sql2("o_totalprice * 0.3") + " * 0.2")},
+               'SA'
+        FROM orders WHERE o_orderkey % 4 = 0
+        UNION ALL
+        SELECT 'ORD-' || CAST(o_orderkey AS VARCHAR) || '__REM',
+               'ORD-' || CAST(o_orderkey AS VARCHAR),
+               ${sql2("o_totalprice * 0.7")},
+               ${sql2(sql2("o_totalprice * 0.7") + " * 1.0")},
+               CASE WHEN o_orderkey % 8 = 0 THEN 'IRB' ELSE 'SA' END
+        FROM orders WHERE o_orderkey % 4 = 0),
+      x171collapsed AS (
+        SELECT coalesce(parent_exposure_reference, exposure_reference)
+                 AS collapse_key,
+               ${sqlDsum("ead", 2)} AS ead,
+               ${sqlDsum("rwa", 2)} AS rwa,
+               count(DISTINCT approach) > 1 AS heterogeneous,
+               count(*) AS n_legs
+        FROM x171legs GROUP BY 1)
+      SELECT * FROM (
+        SELECT n_legs, heterogeneous, count(*) AS n_parents,
+               ${sqlDsum("ead", 2)} AS total_ead,
+               ${sqlDsum("rwa", 2)} AS total_rwa,
+               ${sql6(s"${sqlDsum("rwa", 2)} / ${sqlDsum("ead", 2)}")} AS avg_rw
+        FROM x171collapsed GROUP BY n_legs, heterogeneous
+        UNION ALL
+        SELECT NULL, NULL, count(*),
+               ${sqlDsum("ead", 2)}, ${sqlDsum("rwa", 2)},
+               ${sql6(s"${sqlDsum("rwa", 2)} / ${sqlDsum("ead", 2)}")}
+        FROM x171legs)
+      ORDER BY n_legs ASC NULLS LAST, heterogeneous
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
-    q85ModelPermissions, q86RunComparison,
+    q85ModelPermissions, q86RunComparison, q171CollapseKeyGrain,
     q90DomainPipeline, q91RwCascade, q92IrbPortfolio, q93Reconciliation,
     q94CorepTemplate, q95SaPortfolio, q98SecuritisationAllocator,
     q99Transition, q100Provisions, q102Pillar3Cr4, q103CiuLookthrough,
