@@ -380,9 +380,14 @@ final class RestServer(
                       .cast("double").as("v"))
                     .head.get(0)).getOrElse(0.0: Any)
                 }
+                // template working frames differ in carried columns
+                // (the CR5 leg fan has no approach column); preview
+                // whatever identity columns the frame provides
+                val idCols = Seq("exposure_reference", "exposure_class",
+                    "row_class", "approach")
+                  .filter(slice.columns.contains).map(col)
                 val preview = slice.select(
-                  col("exposure_reference"), col("exposure_class"),
-                  col("approach"), cell.measure.cast("double").as("measure"))
+                  idCols :+ cell.measure.cast("double").as("measure"): _*)
                 respond(ex, 200,
                   s"""{"cell_id":${jstr(cellId)},"value":${jval(value)},""" +
                   s""""n_rows":${slice.count()},""" +

@@ -1287,27 +1287,34 @@ object Pillar3 {
     * Scale shape: three projected leg rows per ledger row (a column-fan
     * select, no join), ONE rollup shuffle for class rows + total.
     */
+  /** The CR5 per-CRM-leg fan over a (scoped) SA ledger frame — shared by
+    * the q161 sheet build and the lineage cell drill. */
+  private[graft] def cr5Legs(led: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val applied = col("guar_covered") > 0 && col("guarantor_rw").isNotNull &&
+      col("guarantor_rw") < col("own_rw")
+    led.select(col("exposure_reference"),
+        col("exposure_class").as("row_class"),
+        lit(DomainPipeline.collateralRw).as("leg_rw"),
+        col("coll_covered").as("ev"), col("own_cqs"))
+      .unionByName(led.select(col("exposure_reference"),
+        when(applied, "institution").otherwise(col("exposure_class"))
+          .as("row_class"),
+        when(applied, col("guarantor_rw")).otherwise(col("own_rw"))
+          .as("leg_rw"),
+        col("guar_covered").as("ev"), col("own_cqs")))
+      .unionByName(led.select(col("exposure_reference"),
+        col("exposure_class").as("row_class"),
+        col("own_rw").as("leg_rw"),
+        col("unsecured").as("ev"), col("own_cqs")))
+  }
+
   val q161Pillar3Cr5 = QueryDef(
     "q161_pillar3_cr5",
     (s, dir) => {
       val led = graft.operators.SaScope.saCreditRiskPopulation(
         DomainPipeline.ledger(s, dir).filter(col("approach") === "SA"))
-      val applied = col("guar_covered") > 0 && col("guarantor_rw").isNotNull &&
-        col("guarantor_rw") < col("own_rw")
-      val legs = led.select(
-          col("exposure_class").as("row_class"),
-          lit(DomainPipeline.collateralRw).as("leg_rw"),
-          col("coll_covered").as("ev"), col("own_cqs"))
-        .unionByName(led.select(
-          when(applied, "institution").otherwise(col("exposure_class"))
-            .as("row_class"),
-          when(applied, col("guarantor_rw")).otherwise(col("own_rw"))
-            .as("leg_rw"),
-          col("guar_covered").as("ev"), col("own_cqs")))
-        .unionByName(led.select(
-          col("exposure_class").as("row_class"),
-          col("own_rw").as("leg_rw"),
-          col("unsecured").as("ev"), col("own_cqs")))
+      val legs = cr5Legs(led)
       val bandAggs = cr5Bands.map { case (name, w) =>
         dsum(when(abs(col("leg_rw") - w) < 0.005, col("ev")).otherwise(0.0), 2)
           .as(name)

@@ -192,6 +192,21 @@ object Lineage {
     }
   }
 
+  /** The CR5 band grid (q161 vocabulary): per-CRM-leg exposure values
+    * banded on the applied weight over the SaScope-narrowed SA book. */
+  private def cr5Prepare(led: DataFrame): DataFrame =
+    Pillar3.cr5Legs(graft.operators.SaScope.saCreditRiskPopulation(
+      led.filter(col("approach") === "SA")))
+
+  private def cr5Measure(ref: String): Option[Column] = ref match {
+    case "total_ev" => Some(col("ev"))
+    case "unrated_ev" => Some(when(col("own_cqs").isNull, col("ev"))
+      .otherwise(0.0))
+    case band => Pillar3.cr5Bands.find(_._1 == band).map { case (_, w) =>
+      when(abs(col("leg_rw") - w) < 0.005, col("ev")).otherwise(0.0)
+    } // other_deducted is the Formula residual — drill the bands
+  }
+
   /** The CR4 sheet columns (q102 vocabulary) over the SA-scoped book. */
   private def cr4Measure(ref: String): Option[Column] = ref match {
     case "on_bs_pre" => Some(col("drawn_base"))
@@ -270,6 +285,13 @@ object Lineage {
             if (parts(1) == "total") lit(true)
             else col("exposure_class") === parts(1)
           ResolvedCell(identity, col("approach") === "SA" && rowPred, m, 2)
+        }
+      case Some("CR5") if parts.length == 3 =>
+        cr5Measure(parts(2)).map { m =>
+          val rowPred =
+            if (parts(1) == "total") lit(true)
+            else col("row_class") === parts(1)
+          ResolvedCell(cr5Prepare, rowPred, m, 2)
         }
       case Some("CR9") if parts.length == 4 =>
         val Array(_, clsKey, band, colRef) = parts

@@ -130,6 +130,14 @@ class RestServerSpec extends SparkSpec {
           col("row_ref") === 99)
         .select("orig_exposure").head.getDouble(0)
       assert(drilled("C0802|institution|ALL|orig_exposure") === c0802)
+      // CR5: the corporate row's 100% band and the total row's exposure
+      // value tie the published band grid
+      val cr5 = graft.queries.Pillar3.q161Pillar3Cr5.build(spark, sfDir)
+        .collect().map(r => r.getAs[String]("row_id") -> r).toMap
+      assert(drilled("CR5|corporate|b100") ===
+        cr5("corporate").getAs[Double]("b100"))
+      assert(drilled("CR5|total|total_ev") ===
+        cr5("total").getAs[Double]("total_ev"))
       // formula cells carry no frame binding -> 404, like unknown cells
       val enc = java.net.URLEncoder.encode("C0902|ALL|0150|c0080", "UTF-8")
       assert(http(port, s"/api/lineage/cell?run_id=$runId&cell=$enc")._1 == 404)
