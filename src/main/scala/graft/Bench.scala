@@ -86,7 +86,22 @@ object Bench {
     // pytest-benchmark "best" estimator) — robust to a one-off external
     // stall poisoning a round; the mean is reported alongside and the
     // raw per-round times go to stderr so contention stays visible.
-    val qs = results.map { case (k, v) => jstr(k) + ":" + f3(v.min) }
+    //
+    // Record legibility (round-10 judge instruction): 146 queries at
+    // "qNN_long_name":N.NNN is ~4.5k chars — past the driver's ~2000-char
+    // tail, so BENCH_r06-r10 all recorded "parsed": null and lost the
+    // first ~74 queries' times. The official map is therefore keyed by
+    // query NUMBER with CENTISECOND integers ("94":118 = 1.18 s): 146
+    // queries ≈ 1.3k chars, so the full per-query record survives the
+    // tail for the first time since round 5. Name→number is the qNN
+    // prefix every query carries; the full-name seconds map still goes to
+    // stderr for human reading.
+    def qnum(name: String): String =
+      "^q0*([0-9]+)".r.findFirstMatchIn(name).map(_.group(1)).getOrElse(name)
+    def cs(d: Double): String = math.round(d * 100).toString
+    val qs = results.map { case (k, v) => jstr(qnum(k)) + ":" + cs(v.min) }
+      .mkString("{", ",", "}")
+    val qsNamed = results.map { case (k, v) => jstr(k) + ":" + f3(v.min) }
       .mkString("{", ",", "}")
     val perRound = results.map { case (k, v) =>
       jstr(k) + ":" + v.map(f3).mkString("[", ",", "]") }.mkString("{", ",", "}")
@@ -101,15 +116,19 @@ object Bench {
       .map(_.group(1)).getOrElse("0")
     System.err.println(
       s"""{"metric":"rounds","sf_dir":${jstr(sfDir)},"rounds":$perRound}""")
-    // Per-round times for the 5 slowest queries on STDOUT (compact, ahead
-    // of the metric line, inside the driver's ~2000-char tail): a round
-    // that re-paid a cold ledger rebuild is then visible in the official
-    // record, not only in the stderr rounds dump.
+    System.err.println(
+      s"""{"metric":"queries_sec","queries":$qsNamed}""")
+    // Per-round times for the 5 slowest queries on STDOUT (compact
+    // centisecond arrays keyed by query number, immediately ahead of the
+    // metric line, inside the driver's ~2000-char tail): a round that
+    // re-paid a cold ledger rebuild — or ran under external contention,
+    // the BENCH_r10 q94=28.5 s story — is then visible per-round in the
+    // official record, not only in the stderr rounds dump.
     val slow = results.sortBy { case (_, v) => -v.min }.take(5)
-      .map { case (k, v) => jstr(k) + ":" + v.map(f3).mkString("[", ",", "]") }
+      .map { case (k, v) => jstr(qnum(k)) + ":" + v.map(cs).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"slow_rounds","rounds":$slow}""")
-    println(s"""{"metric":"total","value":${f3(total)},"value_mean":${f3(totalMean)},"unit":"sec","queries":$qs,"n_failures":${failures.size},"failures":$fj,"sf":$sfNum}""")
+    println(s"""{"metric":"slow_rounds","unit":"centisec","rounds":$slow}""")
+    println(s"""{"metric":"total","value":${f3(total)},"value_mean":${f3(totalMean)},"unit":"sec","q_unit":"centisec","queries":$qs,"n_failures":${failures.size},"failures":$fj,"sf":$sfNum}""")
     spark.stop()
   }
 }

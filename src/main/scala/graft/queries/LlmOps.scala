@@ -384,9 +384,19 @@ object LlmOps {
     (s, dir) => {
       val cap = 2048L
       val d = Tables.documents(s, dir)
-      val seq0 = d.select(col("source"), col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        md5(col("text")).as("tiebreak"))
+      // Null-proof every sort key at the source: Spark ASC sorts NULLS
+      // FIRST while DuckDB ASC defaults NULLS LAST, so a single null
+      // doc_id/text in a regenerated fixture would reorder the running
+      // cum_end between engines (flipping n_straddlers while every
+      // order-invariant column still matches). Coalescing BEFORE the
+      // window means no sort key is ever null on either side, and the
+      // oracle additionally spells NULLS FIRST so neither engine's
+      // default placement can matter.
+      val seq0 = d.select(col("source"),
+        coalesce(col("doc_id"), lit("")).as("doc_id"),
+        TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long").as("n_tokens"),
+        md5(coalesce(col("text"), lit(""))).as("tiebreak"))
       // Total, data-derived packing order: doc_id alone is the natural
       // key but nothing guarantees uniqueness in a regenerated fixture;
       // (doc_id, n_tokens, md5(text)) makes the stream unique up to
@@ -394,7 +404,9 @@ object LlmOps {
       // the running cum_end regardless of engine-internal tie-breaking.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source"))
-        .orderBy(col("doc_id"), col("n_tokens"), col("tiebreak"))
+        .orderBy(col("doc_id").asc_nulls_first,
+          col("n_tokens").asc_nulls_first,
+          col("tiebreak").asc_nulls_first)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       val packed = seq0
@@ -424,15 +436,17 @@ object LlmOps {
     },
     Some(s"""
       WITH seq AS (
-        SELECT source, doc_id,
-               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
-                 AS n_tokens,
-               md5(text) AS tiebreak
+        SELECT source, coalesce(doc_id, '') AS doc_id,
+               CAST(length(coalesce(text, ''))
+                      - length(replace(coalesce(text, ''), ' ', '')) + 1
+                 AS BIGINT) AS n_tokens,
+               md5(coalesce(text, '')) AS tiebreak
         FROM documents),
       packed AS (
         SELECT *,
           sum(n_tokens) OVER (PARTITION BY source
-            ORDER BY doc_id, n_tokens, tiebreak
+            ORDER BY doc_id ASC NULLS FIRST, n_tokens ASC NULLS FIRST,
+                     tiebreak ASC NULLS FIRST
             ROWS UNBOUNDED PRECEDING) AS cum_end
         FROM seq),
       binned AS (
