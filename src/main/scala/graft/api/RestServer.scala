@@ -53,6 +53,17 @@ final class RestServer(
     })
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Registered reconciliations for the export endpoint (reference
+    * `register_reconciliation` / `_require_reconciliation`): bounded
+    * LRU like the run store — recon results hold lazy frames only. */
+  private val recons = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, ReconciliationResult](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ReconciliationResult]): Boolean =
+        size() > 16
+    })
+  private val reconSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Fingerprint → run-id reuse index (reference `api/run_index.py`);
     * session-scoped here — the run STORE is in-memory, so persisting
     * the index past the process would dangle. */
@@ -146,6 +157,29 @@ final class RestServer(
   private def isNestedValue(v: String): Boolean =
     v.startsWith("{") || v.startsWith("[")
 
+  /** Unescape a JSON string literal's body (the flat-JSON field codec
+    * returns it raw) — needed for multi-line fields like an inline
+    * reconciliation mapping TOML. */
+  private def junescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getQuery).getOrElse("").split("&").toSeq
       .filter(_.contains("="))
@@ -164,6 +198,37 @@ final class RestServer(
 
   private def error(ex: HttpExchange, status: Int, message: String): Unit =
     respond(ex, status, jobj(Map("error" -> message)))
+
+  /** Stream a server-built file back for download (the reference's
+    * `FileResponse` shape): the path is always a fresh server temp
+    * location — user-supplied ids never reach the filesystem path. */
+  private def respondFile(
+      ex: HttpExchange, path: java.nio.file.Path, filename: String,
+      contentType: String): Unit = {
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.getResponseHeaders.set("Content-Disposition",
+      s"""attachment; filename="$filename"""")
+    ex.sendResponseHeaders(200, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  /** Zip a directory's files (relative paths) into `zipPath`. */
+  private def zipDir(dir: java.nio.file.Path, zipPath: java.nio.file.Path): Unit = {
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zipPath))
+    try {
+      val files = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+        .sortBy(_.toString)
+      files.foreach { f =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(dir.relativize(f).toString))
+        zos.write(java.nio.file.Files.readAllBytes(f))
+        zos.closeEntry()
+      }
+    } finally zos.close()
+  }
 
   private def rowsAsJson(df: DataFrame, limit: Int): String = {
     val cols = df.columns.toSeq
@@ -394,6 +459,303 @@ final class RestServer(
                   s""""rows":${rowsAsJson(preview, 10)}}""")
             }
         }
+      }
+    }
+  }
+
+  // ---- template estate (reference `api/rest.py:325-370`) ---------------
+
+  import graft.reporting.{TemplateCatalog, WorkbookExport}
+
+  private def templateJson(t: TemplateCatalog.TemplateInfo): Map[String, Any] =
+    Map("id" -> t.id, "family" -> t.family, "title" -> t.title,
+      "query" -> t.query, "sheet_col" -> t.sheetCol)
+
+  /** `/api/templates` lists the estate's catalog (cheap — no sheet is
+    * built); `/api/templates/{id}` builds (bundle-cached) and returns
+    * one template's rows, with `?sheet=` selecting a per-key sheet of a
+    * sheeted template. Longest-prefix routing sends both here. */
+  handle("/api/templates") { ex =>
+    val sub = ex.getRequestURI.getPath.stripPrefix("/api/templates")
+      .stripPrefix("/")
+    if (sub.isEmpty) withRun(ex) { res =>
+      val fam = queryParams(ex).get("family")
+      val ts = TemplateCatalog.index
+        .filter(t => fam.forall(_ == t.family))
+      respond(ex, 200, jobj(Map(
+        "framework" -> res.config.framework,
+        "templates" -> ts.map(templateJson))))
+    } else withRun(ex) { res =>
+      TemplateCatalog.info(sub) match {
+        case None => error(ex, 404, s"unknown template: $sub")
+        case Some(t) =>
+          val df0 = TemplateCatalog.sheet(spark, res.config.dataPath, t.id).get
+          val sheetSel = queryParams(ex).get("sheet")
+          val df = (t.sheetCol, sheetSel) match {
+            case (Some(c), Some(k)) => df0.filter(col(c) === k)
+            case _ => df0
+          }
+          if (sheetSel.nonEmpty && df.isEmpty)
+            error(ex, 404, s"unknown sheet for $sub: ${sheetSel.get}")
+          else {
+            val banner = graft.reporting.TemplateCatalog.banner(t.id)
+            respond(ex, 200, jobj(Map(
+              "template" -> templateJson(t),
+              "sheet" -> sheetSel,
+              "columns" -> df.columns.toSeq.map(c => Map[String, Any](
+                "ref" -> c, "name" -> banner.getOrElse(c, c))),
+              "n_rows" -> df.count(),
+              "rows" -> rawRows(df, 1000))))
+          }
+      }
+    }
+  }
+
+  private def rawRows(df: DataFrame, limit: Int): Seq[Map[String, Any]] = {
+    val cols = df.columns.toSeq
+    df.limit(limit).collect().toSeq.map(r =>
+      cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+  }
+
+  // ---- supervisory validations (reference `api/rest.py:370-427`) -------
+
+  /** "Can this run be submitted?" against the machine-translated
+    * EBA/BoE validation catalogue (q159's frame, bundle-cached):
+    * `is_submittable` is false whenever any Error-severity rule breaks.
+    * Broken rules are data, not faults — always a 200. */
+  handle("/api/validations") { ex =>
+    withRun(ex) { res =>
+      val cat = if (res.config.framework == "BASEL_3_1") "b31" else "crr"
+      val publisher = if (cat == "crr") "EBA" else "BoE"
+      val frame = graft.reporting.TemplateBundle.generated(
+        spark, res.config.dataPath, "catalogue159",
+        graft.SparkEntry.queries("q159_validation_catalogue")(
+          spark, res.config.dataPath))
+        .filter(col("catalogue") === cat)
+      val counts = frame.groupBy(col("severity"), col("status"))
+        .count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      def n(sev: String, st: String) = counts.getOrElse((sev, st), 0L)
+      val blocking = n("ERROR", "fail")
+      val warning = n("WARNING", "fail")
+      def breaks(sev: String) = rawRows(
+        frame.filter(col("severity") === sev && col("status") === "fail")
+          .select(col("rule_id"), col("instance"),
+            col("lhs_total"), col("rhs_total"))
+          .orderBy(col("rule_id"), col("instance")), 50)
+      val reasons = frame.filter(col("status") === "not_evaluated")
+        .groupBy(coalesce(col("reason"), lit("unspecified")).as("reason"))
+        .count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      respond(ex, 200, jobj(Map(
+        "framework" -> res.config.framework,
+        "publisher" -> publisher,
+        "is_submittable" -> (blocking == 0L),
+        "was_checked" -> counts.nonEmpty,
+        "counts" -> Map[String, Any](
+          "rules_executed" -> counts.values.sum,
+          "passed" -> (n("ERROR", "pass") + n("WARNING", "pass")),
+          "failed" -> (blocking + warning),
+          "vacuous" -> (n("ERROR", "vacuous") + n("WARNING", "vacuous")),
+          "not_evaluated" -> (n("ERROR", "not_evaluated") + n("WARNING", "not_evaluated")),
+          "blocking" -> blocking, "warning" -> warning),
+        "blocking_breaks" -> breaks("ERROR"),
+        "warning_breaks" -> breaks("WARNING"),
+        "not_evaluated_reasons" -> reasons)))
+    }
+  }
+
+  // ---- framework comparison (reference `api/rest.py:530-577`) ----------
+
+  /** CRR vs Basel 3.1 over one dataset. Spark-first divergence from the
+    * reference (which runs the pipeline twice): the engine computes both
+    * regimes as shadow columns in ONE ledger pass, so the response
+    * carries one delta table and per-regime totals rather than two
+    * separately registered run ids. */
+  handle("/api/comparison") { ex =>
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    jsonField(body, "dataPath") match {
+      case None => error(ex, 422, "dataPath is required")
+      case Some(dir) if isNestedValue(dir) =>
+        error(ex, 422, "dataPath must be a flat string value")
+      case Some(dir0) => resolveDataPath(dir0) match {
+        case Left(msg) => error(ex, 422, msg)
+        case Right(dir) =>
+          val cmp = graft.SparkEntry.queries("q86_run_comparison")(spark, dir)
+          val rows = rawRows(cmp, 100)
+          val headline = rows.headOption.getOrElse(Map.empty)
+          respond(ex, 200, jobj(Map(
+            "crr" -> Map[String, Any](
+              "total_rwa" -> headline.getOrElse("total_rwa_base", null)),
+            "basel_3_1" -> Map[String, Any](
+              "total_rwa" -> {
+                val b = headline.get("total_rwa_base")
+                val d = headline.get("total_delta_rwa")
+                (b, d) match {
+                  case (Some(bn: java.lang.Number), Some(dn: java.lang.Number)) =>
+                    bn.doubleValue() + dn.doubleValue()
+                  case _ => null
+                }
+              }),
+            "deltas" -> rows)))
+      }
+    }
+  }
+
+  // ---- reconciliation (reference `api/rest.py:579-650`) ----------------
+
+  /** Reconcile against a mapped legacy output. The mapping rides inline
+    * as `mappingToml` (the reference's `mapping_toml`); `runId`, when
+    * set, reuses the stored calculation instead of re-running. Returns
+    * the bounded tiers; the wide forensic frame is downloaded via
+    * `/api/reconcile/export/{fmt}`. */
+  handle("/api/reconcile/export") { ex =>
+    val fmt = ex.getRequestURI.getPath
+      .stripPrefix("/api/reconcile/export").stripPrefix("/")
+    queryParams(ex).get("recon_id")
+      .flatMap(id => Option(recons.get(id))) match {
+      case None => error(ex, 404, "unknown recon_id")
+      case Some(r) => fmt match {
+        case "excel" =>
+          val tmp = java.nio.file.Files.createTempDirectory("graft_recon_export")
+          val out = tmp.resolve("reconciliation.xlsx")
+          WorkbookExport.reconWorkbook(r, out.toString)
+          respondFile(ex, out, "reconciliation.xlsx",
+            "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+        case "csv" =>
+          val tmp = java.nio.file.Files.createTempDirectory("graft_recon_export")
+          val outDir = tmp.resolve("csv")
+          WorkbookExport.reconCsv(r, outDir.toString)
+          val zip = tmp.resolve("reconciliation_csv.zip")
+          zipDir(outDir, zip)
+          respondFile(ex, zip, "reconciliation_csv.zip", "application/zip")
+        case other => error(ex, 404, s"unknown export format: $other")
+      }
+    }
+  }
+
+  handle("/api/reconcile") { ex =>
+    if (ex.getRequestURI.getPath.stripPrefix("/api/reconcile")
+        .stripPrefix("/").nonEmpty)
+      error(ex, 404, "not found")
+    else {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      (jsonField(body, "dataPath"), jsonField(body, "mappingToml")) match {
+        case (None, _) => error(ex, 422, "dataPath is required")
+        case (_, None) => error(ex, 422, "mappingToml is required")
+        case (Some(dir0), Some(tomlRaw)) => resolveDataPath(dir0) match {
+          case Left(msg) => error(ex, 422, msg)
+          case Right(dir) =>
+            try {
+              val settings = ReconConfig.loads(junescape(tomlRaw),
+                java.nio.file.Paths.get(dir))
+              // the mapping's legacy_file is caller input too: under a
+              // configured dataRoot it must resolve inside the root, or
+              // the TOML would smuggle an arbitrary path past the gate
+              resolveDataPath(settings.legacyFile) match {
+                case Left(msg) => error(ex, 422, s"legacy_file: $msg")
+                case Right(_) =>
+                  val prior = jsonField(body, "runId")
+                    .flatMap(id => Option(runs.get(id)))
+                  val cfg = prior.map(_.config)
+                    .getOrElse(CalcConfig(dataPath = dir))
+                  val result = new CreditRiskCalc(spark, cfg)
+                    .reconcile(settings, prior)
+                  if (!result.success)
+                    respond(ex, 200, jobj(Map("success" -> false,
+                      "errors" -> result.errors.map(e => Map[String, Any](
+                        "code" -> e.code, "message" -> e.message)))))
+                  else {
+                    val reconId = s"recon-${reconSeq.incrementAndGet()}"
+                    recons.put(reconId, result)
+                    val summaryRows = rawRows(result.summary.get, 100)
+                    val hasBreaks = summaryRows.exists(r =>
+                      r.get("row_bucket").exists(_ != "exact_match") &&
+                        r.get("n").exists { case n: Long => n > 0; case _ => false })
+                    respond(ex, 200, jobj(Map(
+                      "recon_id" -> reconId, "success" -> true,
+                      "has_breaks" -> hasBreaks,
+                      "summary_by_bucket" -> summaryRows,
+                      "worklist" -> rawRows(result.worklist.get, 100))))
+                  }
+              }
+            } catch {
+              case e: IllegalArgumentException =>
+                error(ex, 422, s"invalid reconciliation config: ${e.getMessage}")
+            }
+        }
+      }
+    }
+  }
+
+  // ---- run export (reference `api/rest.py:652-726`) --------------------
+
+  /** Export a completed run and stream it back: raw frames (parquet/
+    * csv zips, a summary excel), the COREP / Pillar 3 multi-sheet
+    * workbooks, or the flat cell-fact feed (ndjson / parquet zip). All
+    * on-disk paths are fresh server temp dirs + names stamped from
+    * server-validated run data — the caller's run_id never reaches the
+    * filesystem path. */
+  handle("/api/export") { ex =>
+    val fmt = ex.getRequestURI.getPath.stripPrefix("/api/export").stripPrefix("/")
+    withRun(ex) { res =>
+      val stamp = s"${res.config.framework}_${res.config.reportingDate}"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_export")
+      fmt match {
+        case "parquet" | "csv" =>
+          val outDir = tmp.resolve(fmt)
+          java.nio.file.Files.createDirectories(outDir)
+          val frames = Seq("ledger" -> res.ledger, "summary" -> res.summary)
+            .collect { case (n, Some(df)) => n -> df }
+          frames.foreach { case (n, df) =>
+            if (fmt == "parquet")
+              graft.sources.Sinks.writeParquet(df, outDir.resolve(n).toString)
+            else graft.sources.Sinks.writeCsv(df, outDir.resolve(n).toString)
+          }
+          val zip = tmp.resolve(s"results_${stamp}_$fmt.zip")
+          zipDir(outDir, zip)
+          respondFile(ex, zip, zip.getFileName.toString, "application/zip")
+        case "excel" =>
+          res.summary match {
+            case None => error(ex, 404, "run has no summary")
+            case Some(sm) =>
+              val out = tmp.resolve(s"results_$stamp.xlsx")
+              graft.reporting.XlsxWriter.writeWorkbook(Seq(
+                graft.reporting.XlsxWriter.Sheet("Summary", sm)), out.toString)
+              respondFile(ex, out, out.getFileName.toString,
+                "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+          }
+        case "corep" | "pillar3" =>
+          val out = tmp.resolve(s"${fmt}_$stamp.xlsx")
+          val metadata = Seq(
+            "Framework" -> res.config.framework,
+            "Reporting date" -> res.config.reportingDate.toString,
+            "Permission mode" -> res.config.permissionMode,
+            "Generator" -> "graft")
+          if (fmt == "corep")
+            WorkbookExport.corepWorkbook(spark, res.config.dataPath,
+              out.toString, metadata)
+          else WorkbookExport.pillar3Workbook(spark, res.config.dataPath,
+            out.toString, metadata)
+          respondFile(ex, out, out.getFileName.toString,
+            "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+        case "corep_facts_ndjson" | "corep_facts_parquet" =>
+          val facts = graft.SparkEntry.queries("q170_cell_facts")(
+            spark, res.config.dataPath)
+          if (fmt == "corep_facts_ndjson") {
+            val out = tmp.resolve(s"corep_facts_$stamp.ndjson")
+            val lines = facts.toJSON.collect()
+            java.nio.file.Files.write(out,
+              lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+            respondFile(ex, out, out.getFileName.toString, "application/x-ndjson")
+          } else {
+            val outDir = tmp.resolve("facts")
+            graft.sources.Sinks.writeParquet(facts, outDir.toString)
+            val zip = tmp.resolve(s"corep_facts_$stamp.zip")
+            zipDir(outDir, zip)
+            respondFile(ex, zip, zip.getFileName.toString, "application/zip")
+          }
+        case other => error(ex, 404, s"unknown export format: $other")
       }
     }
   }

@@ -49,7 +49,10 @@ object Collapse {
       (representativeCols ++ categoricalCols).distinct.map(c =>
         min(col(c)).as(c)) ++
       categoricalCols.map(c =>
-        (countDistinct(col(c)) > 1).as(s"_het_$c")) :+
+        // null counts as a distinct value (the reference's n_unique):
+        // countDistinct ignores nulls, so {SA, null} must still flag
+        ((countDistinct(col(c)) +
+          max(when(col(c).isNull, 1).otherwise(0))) > 1).as(s"_het_$c")) :+
       count(lit(1)).as("n_legs")
     val grouped = df.groupBy(key.as("collapse_key"))
       .agg(aggs.head, aggs.tail: _*)

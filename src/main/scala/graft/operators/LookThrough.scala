@@ -33,8 +33,15 @@ object LookThrough {
   def applyFundedOnly(guarantees: DataFrame, collateral: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     if (!guarantees.columns.contains("look_through_election"))
+      // legacy fast path: the warnings frame still carries the declared
+      // (guarantee_reference, code, severity) schema — an empty
+      // zero-column frame would throw AnalysisException in any caller
+      // that selects/filters/unions the documented columns
       return (guarantees, collateral,
-        guarantees.sparkSession.emptyDataFrame)
+        guarantees.filter(lit(false)).select(
+          col("guarantee_reference"),
+          lit(null).cast("string").as("code"),
+          lit(null).cast("string").as("severity")))
     val election = coalesce(col("look_through_election"), lit("none"))
     val flagged = guarantees.filter(election === "funded_only")
       .select(
@@ -43,7 +50,8 @@ object LookThrough {
         col("beneficiary_reference").as("_lt_br"))
     val coll2 = collateral
       .join(flagged,
-        col("beneficiary_type") === "guarantee" &&
+        // the reference matches 'guarantee' case-insensitively
+        lower(col("beneficiary_type")) === "guarantee" &&
           col("beneficiary_reference") === col("_lt_ref"), "left")
       .withColumn("re_anchored", col("_lt_ref").isNotNull)
       .withColumn("beneficiary_type",

@@ -3360,7 +3360,9 @@ object Domain {
                  AS collapse_key,
                ${sqlDsum("ead", 2)} AS ead,
                ${sqlDsum("rwa", 2)} AS rwa,
-               count(DISTINCT approach) > 1 AS heterogeneous,
+               count(DISTINCT approach) +
+                 max(CASE WHEN approach IS NULL THEN 1 ELSE 0 END) > 1
+                 AS heterogeneous,
                count(*) AS n_legs
         FROM x171legs GROUP BY 1)
       SELECT * FROM (

@@ -249,8 +249,15 @@ object Lineage {
           ResolvedCell(Corep08.c08Prepare, spec.predicate, spec.measure,
             spec.scale))
       case Some("C0802") | Some("C0803") if parts.length == 4 =>
-        val Array(_, cls, band, colRef) = parts
+        val Array(tpl, cls, band, colRef) = parts
+        // C 08.03 (q144) publishes only the count / RWEA / EL measures of
+        // the shared band-grid vocabulary — resolving a column the sheet
+        // never prints (orig_exposure, subst_outflow, ...) would break
+        // the drilled-value-matches-published-cell contract
+        val published = tpl != "C0803" ||
+          Set("n_exposures", "n_obligors", "rwea", "expected_loss")(colRef)
         for {
+          _ <- if (published) Some(()) else None
           bp <- bandPred(band)
           (m, sc, dk) <- c0802Measure(colRef)
         } yield {

@@ -20,19 +20,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TemplateBundle {
 
+  private type Entry = (org.apache.spark.sql.types.StructType,
+    java.util.List[org.apache.spark.sql.Row])
+
+  // Lazy-holder memo: TrieMap.getOrElseUpdate is NOT atomic for the
+  // by-name build (two concurrent first readers would both collect the
+  // sheet), so the map holds a lazy cell installed with the atomic
+  // putIfAbsent — exactly one caller's thunk runs, later callers block
+  // on the holder's lazy initialiser instead of re-building.
   private val memo = scala.collection.concurrent.TrieMap[
-    (SparkSession, String, String),
-    (org.apache.spark.sql.types.StructType,
-      java.util.List[org.apache.spark.sql.Row])]()
+    (SparkSession, String, String), Lazy[Entry]]()
+
+  private final class Lazy[A](thunk: () => A) { lazy val value: A = thunk() }
 
   /** The generated frame for `name`, building (and collecting) it on
-    * first use per (session, dir). */
+    * first use per (session, dir) — concurrent first readers build once. */
   def generated(s: SparkSession, dir: String, name: String,
       build: => DataFrame): DataFrame = {
-    val (schema, rows) = memo.getOrElseUpdate((s, dir, name), {
+    val key = (s, dir, name)
+    val holder = new Lazy[Entry]({ () =>
       val df = build
       (df.schema, java.util.Arrays.asList(df.collect(): _*))
     })
+    val cell = memo.putIfAbsent(key, holder).getOrElse(holder)
+    val (schema, rows) = cell.value
     s.createDataFrame(rows, schema)
   }
+
+  /** Drop every entry memoised for `session` — called when a run store
+    * or test harness closes a session, so collected sheets do not
+    * outlive it. */
+  def releaseSession(session: SparkSession): Unit =
+    memo.keys.filter(_._1 eq session).foreach(memo.remove)
 }
