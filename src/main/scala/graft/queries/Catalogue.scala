@@ -101,6 +101,25 @@ object Catalogue {
     "0070" -> "exposure_type = 'loan'",
     "0080" -> "exposure_type = 'facility_undrawn'")
 
+  /** The C 07.00.c/.d MEMORANDUM rows 0290-0320 (the DPM's row-partition
+    * variants of the one template, `validations/scope.py` _CRR_TABLES
+    * note), base-aware: the mortgage memo rows (0290/0310) are
+    * published-but-empty in this no-mortgage vocabulary and are REMOVED
+    * under B3.1 (reference `templates.py` B31 row sections); the
+    * defaulted-RW splits (0300 = Art. 127 secured 100%, 0320 = unsecured
+    * 150%) bind genuinely — the SA chain's `defaulted_secured` /
+    * `defaulted_unsecured` branches price exactly those two weights. */
+  private def c07RowPredFor(base: String): Map[String, String] = {
+    val w = if (base == "crr") "own_rw" else "own_rw_b31"
+    val memo = Map(
+      "0300" -> s"(is_defaulted AND $w = 1.0)",
+      "0320" -> s"(is_defaulted AND $w = 1.5)")
+    val mortgage =
+      if (base == "crr") Map("0290" -> "FALSE", "0310" -> "FALSE")
+      else Map.empty[String, String]
+    c07RowPred ++ memo ++ mortgage
+  }
+
   /** The published risk-weight breakdown rows 0140-0280 (`templates.py`
     * rows: 0140=0%, 0150=2%, …, 0280=other). This rulebook's closed
     * weight vocabulary reaches {0, 20, 50, 75, 100, 150}%; 30% and 85%
@@ -170,6 +189,7 @@ object Catalogue {
     * written. */
   private def c07Measure(
       sheet: String, row: String, colId: String, base: String): Option[String] = {
+    val rowPreds = c07RowPredFor(base)
     if (!c07SheetClasses.contains(sheet)) return None
     if (base == "b31" && Set("0215", "0216", "0217")(colId)) return None
     val cls = c07SheetClasses(sheet) match {
@@ -205,8 +225,8 @@ object Catalogue {
             (if (inflowSheet) s" + (CASE WHEN $pG THEN ${sql2(s"${legGuarPre(base)} * sf_factor")} ELSE 0.0 END)" else ""))
         case _ => None
       }
-    } else c07RowPred.get(row) match {
-      case None => None // row not emitted (CCR breakdown, CIU, memo rows)
+    } else rowPreds.get(row) match {
+      case None => None // row not emitted (CCR breakdown, CIU rows)
       case Some(rowPred) =>
         // "of which" sub-rows narrow every ORIGIN measure; the post-basis
         // and inflow legs only live on the section total row 0010.
@@ -386,6 +406,225 @@ object Catalogue {
     }
   }
 
+  // ---- TEMPLATE-FRAME sources (the "c02" pattern generalised) ---------
+  //      Each measure is an aggregate SQL over a GENERATED template
+  //      frame (the reference evaluates its catalogue over produced
+  //      sheets, `validations/checker.py`); the same text runs on both
+  //      engines against the template query's own build/oracle pair.
+
+  /** Exact single-cell pick from a template frame (at most one row
+    * matches the predicate; max() is the FirstNonNull idiom). */
+  private def mx(pred: String, e: String): String =
+    s"max(CASE WHEN $pred THEN ($e) END)"
+
+  /** Decimal-exact sum over template rows — a cross-engine float-sum of
+    * rounded frame values must not differ in the last ulp. */
+  private def dSumT(e: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  /** The CR6 leaf-band refs (= `Corep08.leafRefs`, inlined: expansion
+    * code must not trigger the Corep08→Domain→Corep09 object-init cycle
+    * from this entry point). */
+  private val c0802LeafRefs = Set(2, 3, 4, 5, 6, 8, 9, 11, 12, 14, 15, 16, 17)
+
+  /** The C 08.02 grade-row axis: q128's emitted CR6 LEAF bands plus the
+    * per-sheet total (rollup ref 99). The published row axis is OPEN
+    * (firm-internal obligor grades, `templates.py` C 08.02 note), so the
+    * axis labels are this engine's grade identifiers — a rule scoped
+    * `rows: (All)` iterates them; an explicit published row list has no
+    * binding on an open axis and stays a skip. */
+  private def c0802Rows: Seq[String] =
+    (c0802LeafRefs.toSeq.sorted.map(r => s"G$r") :+ "G99")
+
+  /** C 08.02 DPM column → (q128 frame expression, summable-across-
+    * classes). Shares the C 08.01 column space plus the grade column
+    * (`templates.py` CRR_C08_02_COLUMNS = 0005 + CRR_C08_COLUMNS);
+    * percentages are DPM fractions. The origin-basis frame has no
+    * inflow leg (the reference lands inflows on its 'Unassigned' grade
+    * row), so 0080 is a computed zero and 0090 = 0020 + 0070 + 0080
+    * (v0347_m) holds as the genuine net-origin identity. */
+  private def c0802Expr(colId: String, base: String): Option[(String, Boolean)] = {
+    if (base == "b31" && Set("0255", "0256", "0257")(colId)) return None
+    val m: Map[String, (String, Boolean)] = Map(
+      "0010" -> (("ead_w_pd_pct / 100.0", false)),
+      "0020" -> (("orig_exposure", true)),
+      "0040" -> (("- subst_outflow", true)), // (-) guarantees (all outflow is guarantees)
+      "0050" -> (("0.0", true)), // credit derivatives — none in this book
+      "0060" -> (("0.0", true)), // other funded protection
+      "0070" -> (("- subst_outflow", true)), // (-) total substitution outflows
+      "0080" -> (("0.0", true)), // inflows live on the reference's Unassigned row
+      "0090" -> (("net_origin_exposure", true)),
+      "0255" -> (("rwea", true)), // RWEA pre-SF (IRB supporting factor = 1)
+      "0260" -> (("rwea", true)),
+      "0280" -> (("expected_loss", true)),
+      "0300" -> (("CAST(n_obligors AS DOUBLE)", false))) // distinct — never summed
+    m.get(colId)
+  }
+
+  /** One C 08.02 cell over the q128 frame: class sheets via the shared
+    * C 08 sheet map; the Total sheet (0001) sums the class rows for
+    * summable measures only (distinct counts and averages cannot). */
+  private def c0802Measure(
+      sheet: String, row: String, colId: String, base: String): Option[String] = {
+    val sheetMap = c08SheetClasses(base)
+    if (!sheetMap.contains(sheet)) return None
+    if (!row.startsWith("G")) return None
+    val r = row.drop(1).toIntOption.getOrElse(return None)
+    if (!(c0802LeafRefs(r) || r == 99)) return None
+    c0802Expr(colId, base).flatMap { case (e, summable) =>
+      sheetMap(sheet) match {
+        case Nil =>
+          if (summable) Some(dSumT(s"CASE WHEN row_ref = $r THEN ($e) END"))
+          else None
+        case cs =>
+          val cls = cs.map(c => s"'$c'").mkString(", ")
+          Some(mx(s"exposure_class IN ($cls) AND row_ref = $r", e))
+      }
+    }
+  }
+
+  /** C 08.03 published row code ("0010".."0170") → q144's internal CR6
+    * band ref (1..17, same order as the published scale — the parents
+    * {0010,0070,0100,0130} are exactly c0803ParentRefs {1,7,10,13}).
+    * The B3.1-only sub-rows 0015/0025 are absent (this frame renders
+    * the CRR 17-row scale).
+    *
+    * Recorded breach class: the parent-equals-children rules
+    * (v09753-v09756 / boe equivalents) include the NUMBER-OF-OBLIGORS
+    * column, whose published additivity assumption a distinct count
+    * cannot satisfy — an obligor with exposures in two sub-bands counts
+    * once on the parent row but once PER CHILD below it (q144's exact-
+    * distinct design note). Those instances evaluate and FAIL (WARNING),
+    * faithfully: the reference's evaluator flags the same cells. */
+  private def c0803RowRef(row: String): Option[Int] =
+    row.toIntOption.filter(n => n % 10 == 0 && n >= 10 && n <= 170).map(_ / 10)
+
+  /** C 08.03 DPM column → q144 frame expression (11 published columns,
+    * `templates.py` CRR_C08_03_COLUMNS; percentages are DPM fractions;
+    * 0110 value adjustments has no carrier). */
+  private val c0803Cols: Map[String, String] = Map(
+    "0010" -> "gross_on_bs",
+    "0020" -> "gross_off_bs",
+    "0030" -> "avg_ccf",
+    "0040" -> "ead",
+    "0050" -> "ead_w_pd_pct / 100.0",
+    "0060" -> "CAST(n_obligors AS DOUBLE)",
+    "0070" -> "ead_w_lgd_pct / 100.0",
+    "0080" -> "ead_w_maturity_y",
+    "0090" -> "rwea",
+    "0100" -> "expected_loss")
+
+  /** One C 08.03 cell. The reference renders one sheet per IRB class;
+    * q144 renders the class-axis TOTAL — the C 09.01 axis-total
+    * discipline — so open sheet markers bind here and a named class
+    * sheet stays unbindable. Unpopulated bands are absent rows (NULL,
+    * never zero: sparse-row discipline). */
+  private def c0803Measure(sheet: String, row: String, colId: String): Option[String] = {
+    if (sheet != "*" && sheet != "-") return None
+    for {
+      r <- c0803RowRef(row)
+      e <- c0803Cols.get(colId)
+    } yield mx(s"row_ref = $r", e)
+  }
+
+  /** C 08.05 DPM column → q148 frame expression (5 published columns,
+    * `templates.py` CRR_C08_05_COLUMNS; fractions). */
+  private val c0805Cols: Map[String, String] = Map(
+    "0010" -> "mean_pd_pct / 100.0",
+    "0020" -> "CAST(n_obligors AS DOUBLE)",
+    "0030" -> "CAST(n_defaulted_obligors AS DOUBLE)",
+    "0040" -> "observed_rate_pct / 100.0",
+    "0050" -> "hist_rate_pct / 100.0")
+
+  /** One C 08.05 cell over the q148 frame: per-class sheets via the
+    * shared C 08 sheet map (the reference reuses it, `scope.py`
+    * sheet_map="c08"); no Total sheet — every column is a distinct
+    * count or an average, nothing sums across classes. Rows share the
+    * C 08.03 published scale. */
+  private def c0805Measure(
+      sheet: String, row: String, colId: String, base: String): Option[String] = {
+    val cs = c08SheetClasses(base).getOrElse(sheet, Nil)
+    if (cs.isEmpty) return None
+    for {
+      r <- c0803RowRef(row)
+      e <- c0805Cols.get(colId)
+    } yield {
+      val cls = cs.map(c => s"'$c'").mkString(", ")
+      mx(s"exposure_class IN ($cls) AND row_ref = $r", e)
+    }
+  }
+
+  /** C 08.07 published row → this vocabulary's exposure classes on the
+    * q149 frame (CRR rows = Art. 147(2) classes, `templates.py`
+    * CRR_C08_07_ROWS; B3.1 rows = the Art. 147B roll-out classes
+    * 0180-0260 — no sovereign roll-out class, and the B3.1 Total spans
+    * the roll-out taxonomy only, not the whole population). */
+  private def c0807Rows(base: String): Map[String, Seq[String]] =
+    if (base == "crr") Map(
+      "0010" -> Seq("sovereign"),
+      "0040" -> Seq("institution"),
+      "0050" -> Seq("corporate", "sme_corporate"),
+      "0080" -> Seq("sme_corporate"),
+      "0090" -> Seq("retail"),
+      "0170" -> Seq("TOTAL"))
+    else Map(
+      "0180" -> Seq("institution"),
+      "0210" -> Seq("corporate", "sme_corporate"),
+      "0260" -> Seq("corporate", "institution", "retail", "sme_corporate"))
+
+  /** C 08.07 DPM column → (q149 frame expression, summable): 0010/0020
+    * the IRB / total exposure values, 0030-0050 the DPM-fraction
+    * coverage percentages (q149's recorded 0030 + 0040 + 0050 = 1
+    * identity — v09796_m — holds by construction on single-class rows). */
+  private val c0807Cols: Map[String, (String, Boolean)] = Map(
+    "0010" -> (("ead_irb", true)),
+    "0020" -> (("ead_total", true)),
+    "0030" -> (("pct_ppu_sa", false)),
+    "0040" -> (("pct_rollout", false)),
+    "0050" -> (("pct_irb", false)))
+
+  /** One C 08.07 cell: single-class rows pick the frame row (all five
+    * columns); display-aggregate rows (corporates incl. SMEs, the B3.1
+    * roll-out Total) sum the class rows — exposure values only, a
+    * ratio never sums. */
+  private def c0807Measure(row: String, colId: String, base: String): Option[String] =
+    for {
+      cs <- c0807Rows(base).get(row)
+      (e, summable) <- c0807Cols.get(colId)
+      m <- cs match {
+        case Seq(one) => Some(mx(s"exposure_class = '$one'", e))
+        case many if summable =>
+          val cls = many.map(c => s"'$c'").mkString(", ")
+          Some(dSumT(s"CASE WHEN exposure_class IN ($cls) THEN ($e) END"))
+        case _ => None
+      }
+    } yield m
+
+  /** One C 34 family cell over the q141 stacked frame (reference
+    * `corep/c34.py`; the four in-scope sub-templates). C 34.02 is the
+    * reference's per-netting-set sheet family — the catalogue binds its
+    * geographical-axis-total analogue (sum over sets, the C 09.01
+    * discipline); a named set sheet stays unbindable. */
+  private def c34Measure(
+      tab: String, sheet: String, row: String, colId: String): Option[String] =
+    tab match {
+      case "C3401" if row == "0010" => colId match {
+        case "0010" => Some(mx("template = 'C34_01' AND row_ref = '0010'", "exposure_value"))
+        case "0020" => Some(mx("template = 'C34_01' AND row_ref = '0010'", "rwea"))
+        case _ => None
+      }
+      case "C3402" if (sheet == "*" || sheet == "-") && row == "0010" && colId == "0010" =>
+        Some(dSumT("CASE WHEN template = 'C34_02' THEN exposure_value END"))
+      case "C3404" if row == "0010" && colId == "0010" =>
+        Some(mx("template = 'C34_04' AND row_ref = '0010'", "rwea"))
+      case "C3408" if Set("0010", "0020", "0030")(row) => colId match {
+        case "0010" => Some(mx(s"template = 'C34_08' AND row_ref = '$row'", "exposure_value"))
+        case "0020" => Some(mx(s"template = 'C34_08' AND row_ref = '$row'", "rwea"))
+        case _ => None
+      }
+      case _ => None
+    }
+
   // =====================================================================
   // Binding + expansion
   // =====================================================================
@@ -396,11 +635,20 @@ object Catalogue {
     * of ONE template (`scope.py` _CRR_TABLES note) — all bind together. */
   private def tableKey(t: String): Option[String] = {
     val s = t.trim
+    val n = s.replace(" ", "") // the BoE writes C34.02.01.01 without a space
     if (s.startsWith("C 02.00") || s.startsWith("OF02.00")) Some("C02")
     else if (s.startsWith("C 07.00") || s.startsWith("OF07.00")) Some("C07")
     else if (s.startsWith("C 08.01") || s.startsWith("OF08.01")) Some("C08")
+    else if (s.startsWith("C 08.02") || s.startsWith("OF08.02")) Some("C0802")
+    else if (s.startsWith("C 08.03") || s.startsWith("OF08.03")) Some("C0803")
+    else if (s.startsWith("C 08.05") || s.startsWith("OF08.05")) Some("C0805")
+    else if (s.startsWith("C 08.07") || s.startsWith("OF08.07")) Some("C0807")
     else if (s.startsWith("C 09.01") || s.startsWith("OF09.01")) Some("C0901")
     else if (s.startsWith("C 09.02") || s.startsWith("OF09.02")) Some("C0902")
+    else if (n.startsWith("C34.01") || n.startsWith("OF34.01")) Some("C3401")
+    else if (n.startsWith("C34.02") || n.startsWith("OF34.02")) Some("C3402")
+    else if (n.startsWith("C34.04") || n.startsWith("OF34.04")) Some("C3404")
+    else if (n.startsWith("C34.08") || n.startsWith("OF34.08")) Some("C3408")
     else None
   }
 
@@ -447,6 +695,12 @@ object Catalogue {
       nullable = false)
   }
 
+  /** A template-frame cell (nullable: an absent sparse row extracts
+    * NULL — the record's missing-value policy decides, never a silent
+    * zero). */
+  private def tplCell(src: String, agg: String): BoundCell =
+    BoundCell(cellName(src, nullable = true, agg), agg, src, nullable = true)
+
   private def bindCell(tab: String, base: String, sheet: String, row: String,
       colId: String): Option[BoundCell] = tab match {
     case "C02" => c02Measure(row, colId, base).map { m =>
@@ -473,23 +727,51 @@ object Catalogue {
       ledgerCell("x91", sheet, row, colId, base, m))
     case "C0902" => c0902Measure(sheet, row, colId, base).map(m =>
       ledgerCell("x92", sheet, row, colId, base, m))
+    case "C0802" =>
+      val sheets = expandSheets(tab, base, sheet)
+      val ms = sheets.map(sh => c0802Measure(sh, row, colId, base))
+      if (ms.isEmpty || ms.exists(_.isEmpty)) None
+      else if (ms.size == 1) Some(tplCell("c0802", ms.head.get))
+      else Some(tplCell("c0802", ms.flatten.map(m => s"($m)").mkString(" + ")))
+    case "C0803" => c0803Measure(sheet, row, colId).map(tplCell("c0803", _))
+    case "C0805" =>
+      val sheets = expandSheets(tab, base, sheet)
+      val ms = sheets.map(sh => c0805Measure(sh, row, colId, base))
+      if (ms.isEmpty || ms.exists(_.isEmpty)) None
+      else if (ms.size == 1) Some(tplCell("c0805", ms.head.get))
+      else None // C 08.05 carries no summable column — no sheet sums
+    case "C3401" | "C3402" | "C3404" | "C3408" =>
+      c34Measure(tab, sheet, row, colId).map(tplCell("c34", _))
     case _ => None
   }
+
+  /** Tables with NO sheet axis on this engine's rendering — a ref
+    * without a sheet on one of these needs no axis expansion. */
+  private val flatTabs: Set[String] =
+    Set("C02", "C0807", "C3401", "C3404", "C3408")
 
   private def sheetsFor(tab: String, base: String): Seq[String] = tab match {
     case "C07" => c07SheetClasses.keys.toSeq.sorted
     case "C08" => c08SheetClasses(base).keys.toSeq.sorted
-    // the catalogue aggregation emits the geo templates at the
-    // geographical-axis TOTAL only (per-country sheets live in q158/q160)
-    case "C0901" | "C0902" => Seq("*")
+    case "C0802" => c08SheetClasses(base).keys.toSeq.sorted
+    case "C0805" =>
+      c08SheetClasses(base).filter(_._2.nonEmpty).keys.toSeq.sorted
+    // the catalogue aggregation emits these at the sheet-axis TOTAL only
+    // (per-country sheets live in q158/q160; per-set sheets in q141)
+    case "C0901" | "C0902" | "C0803" | "C3402" => Seq("*")
     case _ => Seq("-")
   }
-  private def rowsFor(tab: String): Seq[String] = tab match {
+  private def rowsFor(tab: String, base: String): Seq[String] = tab match {
     case "C02" => c02Rows.toSeq.sorted
-    case "C07" => (c07RowPred.keySet ++ c07BandW.keySet).toSeq.sorted
+    case "C07" => (c07RowPredFor(base).keySet ++ c07BandW.keySet).toSeq.sorted
     case "C08" => Seq("0010")
+    case "C0802" => c0802Rows
+    case "C0803" | "C0805" => (1 to 17).map(i => f"${i * 10}%04d")
+    case "C0807" => c0807Rows(base).keys.toSeq.sorted
     case "C0901" => c0901RowPred.keySet.toSeq.sorted
     case "C0902" => c0902RowPred.keySet.toSeq.sorted
+    case "C3401" | "C3402" | "C3404" => Seq("0010")
+    case "C3408" => Seq("0010", "0020", "0030")
     case _ => Nil
   }
   private def colsFor(tab: String): Seq[String] = tab match {
@@ -499,10 +781,18 @@ object Catalogue {
       "0215", "0216", "0217", "0220")
     case "C08" => Seq("0020", "0040", "0050", "0060", "0070", "0080", "0090",
       "0255", "0260")
+    case "C0802" => Seq("0010", "0020", "0040", "0050", "0060", "0070",
+      "0080", "0090", "0255", "0260", "0280", "0300")
+    case "C0803" => Seq("0010", "0020", "0030", "0040", "0050", "0060",
+      "0070", "0080", "0090", "0100")
+    case "C0805" => Seq("0010", "0020", "0030", "0040", "0050")
+    case "C0807" => Seq("0010", "0020", "0030", "0040", "0050")
     case "C0901" => Seq("0010", "0020", "0050", "0055", "0060", "0061",
       "0070", "0075", "0080", "0081", "0082", "0090")
     case "C0902" => Seq("0010", "0030", "0050", "0055", "0060", "0070",
       "0105", "0110", "0120", "0121", "0125")
+    case "C3401" | "C3408" => Seq("0010", "0020")
+    case "C3402" | "C3404" => Seq("0010")
     case _ => Nil
   }
 
@@ -555,9 +845,9 @@ object Catalogue {
           else {
             val tabs = refTabs.map(_.get)
             val needSheet = allRefs.zip(tabs).exists { case (r, t) =>
-              t != "C02" && r.sheet.isEmpty
+              !flatTabs(t) && r.sheet.isEmpty
             }
-            val expTab = tabs.find(_ != "C02").getOrElse("C02")
+            val expTab = tabs.find(t => !flatTabs(t)).getOrElse(tabs.head)
             val sheets: Seq[String] =
               if (!needSheet) Seq("-")
               else if (rec.sheetsScope == "list")
@@ -582,8 +872,8 @@ object Catalogue {
               }
             val rowInsts: Seq[Option[String]] = rec.rowsScope match {
               case "list" =>
-                scopeTokens(rec.rows, rowsFor(primary.getOrElse(expTab)))
-              case "all" => rowsFor(primary.getOrElse(expTab)).map(Some(_))
+                scopeTokens(rec.rows, rowsFor(primary.getOrElse(expTab), base))
+              case "all" => rowsFor(primary.getOrElse(expTab), base).map(Some(_))
               case _ => Seq(None)
             }
             val colInsts: Seq[Option[String]] = rec.colsScope match {
@@ -675,6 +965,27 @@ object Catalogue {
   private val nullD = "CAST(NULL AS DOUBLE)"
   private val nullS = "CAST(NULL AS STRING)"
 
+  /** The template-frame source registry: source id → (Spark build,
+    * oracle SQL). Each source whose cells a bound instance references
+    * contributes ONE 1-row aggregate cross-joined into the wide cell
+    * row — on the oracle side one MATERIALIZED CTE nesting the template
+    * query's own oracle (the gate's proven nesting pattern). */
+  private def tplSources: Seq[(String,
+      (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+      () => String)] = Seq(
+    ("c02", (s: org.apache.spark.sql.SparkSession, d: String) =>
+      Corep08.q140CorepC02.build(s, d), () => Corep08.q140CorepC02.oracle.get),
+    ("c0802", (s: org.apache.spark.sql.SparkSession, d: String) =>
+      Corep08.q128CorepC0802.build(s, d), () => Corep08.q128CorepC0802.oracle.get),
+    ("c0803", (s: org.apache.spark.sql.SparkSession, d: String) =>
+      Corep08.q144CorepC0803.build(s, d), () => Corep08.q144CorepC0803.oracle.get),
+    ("c0805", (s: org.apache.spark.sql.SparkSession, d: String) =>
+      Corep08.q148CorepC0805.build(s, d), () => Corep08.q148CorepC0805.oracle.get),
+    ("c0807", (s: org.apache.spark.sql.SparkSession, d: String) =>
+      Corep08.q149CorepC0807.build(s, d), () => Corep08.q149CorepC0807.oracle.get),
+    ("c34", (s: org.apache.spark.sql.SparkSession, d: String) =>
+      Ccr.q141CorepC34.build(s, d), () => Ccr.q141CorepC34.oracle.get))
+
   private val wideMemo = scala.collection.concurrent.TrieMap[
     (org.apache.spark.sql.SparkSession, String),
     (org.apache.spark.sql.types.StructType, org.apache.spark.sql.Row)]()
@@ -705,16 +1016,22 @@ object Catalogue {
       // of the 700-column aggregate.
       val (schema, row) = wideMemo.getOrElseUpdate((s, dir), {
         val ledgerCells = neededCells.filter(_.src == "ledger")
-        val c02Cells = neededCells.filter(_.src == "c02")
+        val srcCells = neededCells.filter(_.src != "ledger").groupBy(_.src)
         val led = DomainPipeline.ledger(s, dir)
           .selectExpr("*" +: legProjection.map { case (n, t) => s"($t) AS $n" }: _*)
         val lw = led.agg(
           expr(ledgerCells.head.aggSql).as(ledgerCells.head.name),
           ledgerCells.tail.map(c => expr(c.aggSql).as(c.name)): _*)
-        val cw = Corep08.q140CorepC02.build(s, dir).agg(
-          expr(c02Cells.head.aggSql).as(c02Cells.head.name),
-          c02Cells.tail.map(c => expr(c.aggSql).as(c.name)): _*)
-        val wide0 = lw.crossJoin(broadcast(cw))
+        val wide0 = tplSources.foldLeft(lw) { case (acc, (id, build, _)) =>
+          srcCells.get(id) match {
+            case Some(cells) =>
+              val fw = build(s, dir).agg(
+                expr(cells.head.aggSql).as(cells.head.name),
+                cells.tail.map(c => expr(c.aggSql).as(c.name)): _*)
+              acc.crossJoin(broadcast(fw))
+            case None => acc
+          }
+        }
         (wide0.schema, wide0.collect().head)
       })
       val wide = s.createDataFrame(
@@ -745,12 +1062,28 @@ object Catalogue {
         .orderBy(col("catalogue"), col("rule_id"), col("instance"))
     }),
     Some {
+      // Initialize Domain FIRST: the Corep08→Domain→Corep09→Corep08
+      // object-init cycle only resolves when entered from Domain (its
+      // shared CTE text is declared ahead of its template consumers).
+      val ledgerPrefix = Domain.domainLedgerCtes
       val ledgerCells = neededCells.filter(_.src == "ledger")
-      val c02Cells = neededCells.filter(_.src == "c02")
+      val srcCells = neededCells.filter(_.src != "ledger").groupBy(_.src)
       val lwSel = ledgerCells.map(c => s"${c.aggSql} AS ${c.name}")
         .mkString(",\n               ")
-      val cwSel = c02Cells.map(c => s"${c.aggSql} AS ${c.name}")
-        .mkString(",\n               ")
+      val srcCtes = tplSources.flatMap { case (id, _, osql) =>
+        srcCells.get(id).map { cells =>
+          val sel = cells.map(c => s"${c.aggSql} AS ${c.name}")
+            .mkString(",\n               ")
+          s"""t_$id AS MATERIALIZED (
+        ${osql()}),
+      w_$id AS MATERIALIZED (
+        SELECT $sel
+        FROM t_$id)"""
+        }
+      }
+      val srcJoins = tplSources.flatMap { case (id, _, _) =>
+        srcCells.get(id).map(_ => s" CROSS JOIN w_$id")
+      }.mkString
       // DuckDB counts a UNION ALL chain against its expression-depth
       // limit (default 1000) — batch the per-instance branches into
       // intermediate CTEs of 150 so no single chain approaches it.
@@ -771,8 +1104,7 @@ object Catalogue {
           s"'not_evaluated', '${k.reason}')"
       }.mkString(",\n          ")
       s"""
-      WITH ${Domain.domainLedgerCtes},
-      c02t AS MATERIALIZED (${Corep08.q140CorepC02.oracle.get}),
+      WITH $ledgerPrefix,
       fincat AS (
         SELECT *, ${Catalogue.legProjection.map { case (n, t) => s"($t) AS $n" }
           .mkString(",\n               ")}
@@ -780,10 +1112,8 @@ object Catalogue {
       lw AS MATERIALIZED (
         SELECT $lwSel
         FROM fincat),
-      cw AS MATERIALIZED (
-        SELECT $cwSel
-        FROM c02t),
-      w AS MATERIALIZED (SELECT * FROM lw CROSS JOIN cw),
+      ${srcCtes.mkString(",\n      ")},
+      w AS MATERIALIZED (SELECT * FROM lw$srcJoins),
       ${evalCtes.mkString(",\n      ")},
       ev AS (
         $evalUnion),

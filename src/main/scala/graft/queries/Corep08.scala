@@ -304,7 +304,7 @@ object Corep08 {
   /** The leaf bands of the CR6 master scale (a PARTITION of [0, 1] plus
     * the forced default band): C 08.02 reports obligor grades, so only
     * the leaves appear — parents/total come from the ROLLUP pass. */
-  private val leafRefs = Set(2, 3, 4, 5, 6, 8, 9, 11, 12, 14, 15, 16, 17)
+  private[queries] val leafRefs = Set(2, 3, 4, 5, 6, 8, 9, 11, 12, 14, 15, 16, 17)
 
   /** q128: COREP C 08.02 — the obligor-grade (PD scale) detail of
     * C 08.01 (reference `reporting/corep/c08.py`; EBA Annex II "Credit
