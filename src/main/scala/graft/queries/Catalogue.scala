@@ -554,6 +554,31 @@ object Catalogue {
     }
   }
 
+  /** C 08.06 DPM column → q172 frame expression (`templates.py`
+    * CRR_C08_06_COLUMNS; the B3.1-only FCCM delta 0031 and the value-
+    * adjustments memo 0100 have no carrier). */
+  private val c0806Cols: Map[String, String] = Map(
+    "0010" -> "orig_exposure",
+    "0020" -> "post_crm_exposure",
+    "0030" -> "off_bs_orig",
+    "0040" -> "exposure_value",
+    "0050" -> "off_bs_ev",
+    "0060" -> "ev_ccr",
+    "0070" -> "risk_weight",
+    "0080" -> "rwea",
+    "0090" -> "expected_loss")
+
+  /** One C 08.06 cell over the q172 slotting grid. The reference
+    * renders one sheet per SL TYPE; q172 renders the type-axis TOTAL,
+    * so open markers bind and a named type sheet stays unbindable. The
+    * B3.1 'substantially stronger' sub-rows 0015/0025 are absent. */
+  private def c0806Measure(sheet: String, row: String, colId: String): Option[String] = {
+    if (sheet != "*" && sheet != "-") return None
+    val rows = (1 to 12).map(i => f"${i * 10}%04d").toSet
+    if (!rows(row)) return None
+    c0806Cols.get(colId).map(e => mx(s"row_ref = '$row'", e))
+  }
+
   /** C 08.07 published row → this vocabulary's exposure classes on the
     * q149 frame (CRR rows = Art. 147(2) classes, `templates.py`
     * CRR_C08_07_ROWS; B3.1 rows = the Art. 147B roll-out classes
@@ -642,6 +667,7 @@ object Catalogue {
     else if (s.startsWith("C 08.02") || s.startsWith("OF08.02")) Some("C0802")
     else if (s.startsWith("C 08.03") || s.startsWith("OF08.03")) Some("C0803")
     else if (s.startsWith("C 08.05") || s.startsWith("OF08.05")) Some("C0805")
+    else if (s.startsWith("C 08.06") || s.startsWith("OF08.06")) Some("C0806")
     else if (s.startsWith("C 08.07") || s.startsWith("OF08.07")) Some("C0807")
     else if (s.startsWith("C 09.01") || s.startsWith("OF09.01")) Some("C0901")
     else if (s.startsWith("C 09.02") || s.startsWith("OF09.02")) Some("C0902")
@@ -734,6 +760,7 @@ object Catalogue {
       else if (ms.size == 1) Some(tplCell("c0802", ms.head.get))
       else Some(tplCell("c0802", ms.flatten.map(m => s"($m)").mkString(" + ")))
     case "C0803" => c0803Measure(sheet, row, colId).map(tplCell("c0803", _))
+    case "C0806" => c0806Measure(sheet, row, colId).map(tplCell("c0806", _))
     case "C0805" =>
       val sheets = expandSheets(tab, base, sheet)
       val ms = sheets.map(sh => c0805Measure(sh, row, colId, base))
@@ -758,7 +785,7 @@ object Catalogue {
       c08SheetClasses(base).filter(_._2.nonEmpty).keys.toSeq.sorted
     // the catalogue aggregation emits these at the sheet-axis TOTAL only
     // (per-country sheets live in q158/q160; per-set sheets in q141)
-    case "C0901" | "C0902" | "C0803" | "C3402" => Seq("*")
+    case "C0901" | "C0902" | "C0803" | "C0806" | "C3402" => Seq("*")
     case _ => Seq("-")
   }
   private def rowsFor(tab: String, base: String): Seq[String] = tab match {
@@ -767,6 +794,7 @@ object Catalogue {
     case "C08" => Seq("0010")
     case "C0802" => c0802Rows
     case "C0803" | "C0805" => (1 to 17).map(i => f"${i * 10}%04d")
+    case "C0806" => (1 to 12).map(i => f"${i * 10}%04d")
     case "C0807" => c0807Rows(base).keys.toSeq.sorted
     case "C0901" => c0901RowPred.keySet.toSeq.sorted
     case "C0902" => c0902RowPred.keySet.toSeq.sorted
@@ -786,6 +814,8 @@ object Catalogue {
     case "C0803" => Seq("0010", "0020", "0030", "0040", "0050", "0060",
       "0070", "0080", "0090", "0100")
     case "C0805" => Seq("0010", "0020", "0030", "0040", "0050")
+    case "C0806" => Seq("0010", "0020", "0030", "0040", "0050", "0060",
+      "0070", "0080", "0090")
     case "C0807" => Seq("0010", "0020", "0030", "0040", "0050")
     case "C0901" => Seq("0010", "0020", "0050", "0055", "0060", "0061",
       "0070", "0075", "0080", "0081", "0082", "0090")
@@ -981,6 +1011,8 @@ object Catalogue {
       Corep08.q144CorepC0803.build(s, d), () => Corep08.q144CorepC0803.oracle.get),
     ("c0805", (s: org.apache.spark.sql.SparkSession, d: String) =>
       Corep08.q148CorepC0805.build(s, d), () => Corep08.q148CorepC0805.oracle.get),
+    ("c0806", (s: org.apache.spark.sql.SparkSession, d: String) =>
+      Corep08.q172CorepC0806.build(s, d), () => Corep08.q172CorepC0806.oracle.get),
     ("c0807", (s: org.apache.spark.sql.SparkSession, d: String) =>
       Corep08.q149CorepC0807.build(s, d), () => Corep08.q149CorepC0807.oracle.get),
     ("c34", (s: org.apache.spark.sql.SparkSession, d: String) =>

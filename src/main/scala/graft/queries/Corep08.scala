@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.engine.DomainPipeline
+import graft.engine.{DomainPipeline, Slotting}
 import Q._
 
 /** COREP C 08.01 — the IRB own-funds template (reference
@@ -1173,7 +1173,149 @@ object Corep08 {
       """.stripMargin.trim
     })
 
+  // ---- q172: COREP C 08.06 — IRB specialised lending (slotting) -------
+
+  /** (category, is_short) → published row ref (`templates.py`
+    * CRR_C08_06_ROWS; totals 0110/0120 are per-MATURITY-LEG, the
+    * published v09782/v09783 row identities). */
+  private val c0806RowRefs: Seq[(String, Boolean, String)] = Seq(
+    ("strong", true, "0010"), ("strong", false, "0020"),
+    ("good", true, "0030"), ("good", false, "0040"),
+    ("satisfactory", true, "0050"), ("satisfactory", false, "0060"),
+    ("weak", true, "0070"), ("weak", false, "0080"),
+    ("default", true, "0090"), ("default", false, "0100"))
+
+  /** The CR10 slotting-view derivations as shared SQL texts (EXACTLY
+    * q131's hash vocabulary — C 08.06 and CR10 are two renderings of
+    * one slotting result set in the reference, so the COREP grid must
+    * tie to the Pillar-3 sheet cell-for-cell). */
+  private val slvCat =
+    "CASE WHEN is_defaulted THEN 'default' " +
+      "WHEN CAST(substring(exposure_reference, 5) AS BIGINT) % 4 = 0 THEN 'strong' " +
+      "WHEN CAST(substring(exposure_reference, 5) AS BIGINT) % 4 = 1 THEN 'good' " +
+      "WHEN CAST(substring(exposure_reference, 5) AS BIGINT) % 4 = 2 THEN 'satisfactory' " +
+      "ELSE 'weak' END"
+  private val slvMat =
+    "1.0 + CAST(CAST(substring(exposure_reference, 5) AS BIGINT) % 5 AS DOUBLE)"
+  /** Art. 153(5) Table 1 / Art. 158(6) Table B rendered to SQL (values
+    * identical to `engine/Slotting`). */
+  private val slRw = Slotting.table1.map { case (c, lt, ge) =>
+    s"WHEN cat = '$c' THEN (CASE WHEN is_short THEN $lt ELSE $ge END)"
+  }.mkString("CASE ", " ", " ELSE 2.5 END")
+  private val slEl = Slotting.elTable.map { case (c, lt, ge) =>
+    s"WHEN cat = '$c' THEN (CASE WHEN is_short THEN $lt ELSE $ge END)"
+  }.mkString("CASE ", " ", " ELSE 0.028 END")
+
+  /** q172: COREP C 08.06 — the slotting template (reference
+    * `reporting/corep/templates.py` CRR_C08_06_ROWS/COLUMNS; CRR
+    * Art. 153(5) Table 1, Art. 158(6)): the CR10 slotting view — the
+    * IRB corporate slice under q131's category/maturity vocabulary —
+    * banded category × residual-maturity leg onto the published 12-row
+    * grid. Columns follow the CRR surface: original exposure (0010),
+    * exposure after CRM substitution (0020 — CRM substitution does not
+    * reach the slotting view, which prices the obligor's own book, so
+    * it equals 0010 and the published monotonicities v09784-86 hold as
+    * written), of-which off-BS original (0030), exposure value (0040 =
+    * the ledger's post-CCF EAD — ties CR10's exposure_value column),
+    * of-which off-BS EV (0050 = EAD − drawn, the CCF-weighted undrawn
+    * leg), CCR leg (0060 — zero, no derivatives in this book), the
+    * row's Table-1 risk weight (0070, null on total rows), RWEA (0080 —
+    * ties CR10's rwea cell-for-cell) and the Art. 158(6) expected loss
+    * (0090). The reference renders one sheet per SL TYPE; this frame
+    * renders the type-axis TOTAL (the C 09.01 axis-total discipline —
+    * the catalogue binds the total, a named type sheet stays
+    * unbindable).
+    *
+    * Scale shape: one projection over the persisted ledger slice, ONE
+    * rollup shuffle (maturity leg, category) emitting category rows and
+    * both leg totals together — never a second pass for totals. */
+  val q172CorepC0806 = QueryDef(
+    "q172_corep_c0806",
+    (s, dir) => {
+      val refMap = c0806RowRefs.map { case (c, sh, r) =>
+        s"WHEN cat = '$c' AND is_short = $sh THEN '$r'"
+      }.mkString("CASE ",
+        " ", " WHEN cat IS NULL AND is_short THEN '0110' " +
+          "WHEN cat IS NULL THEN '0120' END")
+      DomainPipeline.ledger(s, dir)
+        .filter(col("approach") === "IRB" && col("exposure_class") === "corporate")
+        .selectExpr("*", s"$slvCat AS cat", s"($slvMat) < 2.5 AS is_short")
+        .selectExpr("*", s"$slRw AS rw", s"$slEl AS el_rate")
+        .rollup(col("is_short"), col("cat"))
+        .agg(
+          count(lit(1)).as("n_exposures"),
+          dsum(col("drawn_base") + col("undrawn_base"), 2).as("orig_exposure"),
+          dsum(col("undrawn_base"), 2).as("off_bs_orig"),
+          dsum(col("ead_pre_crm"), 2).as("exposure_value"),
+          dsum(q2(col("ead_pre_crm") - col("drawn_base")), 2).as("off_bs_ev"),
+          dsum(q2(col("ead_pre_crm") * col("rw")), 2).as("rwea"),
+          dsum(q2(col("ead_pre_crm") * col("el_rate")), 2).as("expected_loss"),
+          max(col("rw")).as("rw_max"))
+        .filter(col("is_short").isNotNull)
+        .selectExpr(
+          s"$refMap AS row_ref",
+          "coalesce(cat, 'total') AS category",
+          "is_short AS is_short_maturity",
+          "n_exposures",
+          "orig_exposure",
+          "orig_exposure AS post_crm_exposure",
+          "off_bs_orig",
+          "exposure_value",
+          "off_bs_ev",
+          "CAST(0.0 AS DOUBLE) AS ev_ccr",
+          "CASE WHEN cat IS NULL THEN CAST(NULL AS DOUBLE) ELSE rw_max END AS risk_weight",
+          "rwea",
+          "expected_loss")
+        .orderBy(col("row_ref"))
+    },
+    Some {
+      val refMap = c0806RowRefs.map { case (c, sh, r) =>
+        s"WHEN cat = '$c' AND is_short = $sh THEN '$r'"
+      }.mkString("CASE ",
+        " ", " WHEN cat IS NULL AND is_short THEN '0110' " +
+          "WHEN cat IS NULL THEN '0120' END")
+      s"""
+      WITH ${Domain.domainLedgerCtes},
+      c0806slice AS (
+        SELECT *, $slvCat AS cat, ($slvMat) < 2.5 AS is_short
+        FROM final
+        WHERE approach = 'IRB' AND exposure_class = 'corporate'),
+      c0806priced AS (
+        SELECT *, $slRw AS rw, $slEl AS el_rate
+        FROM c0806slice),
+      c0806rolled AS (
+        SELECT is_short, cat,
+               count(*) AS n_exposures,
+               ${sqlDsum("drawn_base + undrawn_base", 2)} AS orig_exposure,
+               ${sqlDsum("undrawn_base", 2)} AS off_bs_orig,
+               ${sqlDsum("ead_pre_crm", 2)} AS exposure_value,
+               ${sqlDsum(sql2("ead_pre_crm - drawn_base"), 2)} AS off_bs_ev,
+               ${sqlDsum(sql2("ead_pre_crm * rw"), 2)} AS rwea,
+               ${sqlDsum(sql2("ead_pre_crm * el_rate"), 2)} AS expected_loss,
+               max(rw) AS rw_max
+        FROM c0806priced
+        GROUP BY ROLLUP(is_short, cat))
+      SELECT * FROM (
+        SELECT $refMap AS row_ref,
+               coalesce(cat, 'total') AS category,
+               is_short AS is_short_maturity,
+               n_exposures,
+               orig_exposure,
+               orig_exposure AS post_crm_exposure,
+               off_bs_orig,
+               exposure_value,
+               off_bs_ev,
+               CAST(0.0 AS DOUBLE) AS ev_ccr,
+               CASE WHEN cat IS NULL THEN NULL ELSE rw_max END AS risk_weight,
+               rwea,
+               expected_loss
+        FROM c0806rolled
+        WHERE is_short IS NOT NULL)
+      ORDER BY row_ref
+      """.stripMargin.trim
+    })
+
   val all: Seq[QueryDef] = Seq(
     q121CorepC08, q128CorepC0802, q140CorepC02, q144CorepC0803,
-    q147C02Validations, q148CorepC0805, q149CorepC0807)
+    q147C02Validations, q148CorepC0805, q149CorepC0807, q172CorepC0806)
 }

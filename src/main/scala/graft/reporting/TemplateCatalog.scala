@@ -51,6 +51,9 @@ object TemplateCatalog {
     TemplateInfo("C08.05", "corep",
       "Credit risk IRB: back-testing of PD",
       "q148_corep_c0805", "c0805", sheetCol = Some("exposure_class")),
+    TemplateInfo("C08.06", "corep",
+      "Credit risk IRB: specialised lending slotting approach",
+      "q172_corep_c0806", "c0806"),
     TemplateInfo("C08.07", "corep",
       "Credit risk IRB: scope of use of IRB and SA approaches",
       "q149_corep_c0807", "c0807"),

@@ -150,6 +150,45 @@ class Pillar3Spec extends SparkSpec {
     }
   }
 
+  test("C 08.06: published grid geometry, leg totals, CR10 cell-for-cell tie") {
+    val rows = Corep08.q172CorepC0806.build(spark, sfDir).collect()
+    def v(r: org.apache.spark.sql.Row, i: Int): Double =
+      Option(r.get(i)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+    // the full published 12-row CRR grid renders (5 categories × 2
+    // maturity legs + the two leg totals 0110/0120)
+    assert(rows.map(_.getString(0)).toSeq ==
+      (1 to 12).map(i => f"${i * 10}%04d"))
+    // v09782/v09783: each maturity-leg total row pools its category rows
+    val byRef = rows.map(r => r.getString(0) -> r).toMap
+    for ((tot, cats) <- Seq(
+        "0110" -> Seq("0010", "0030", "0050", "0070", "0090"),
+        "0120" -> Seq("0020", "0040", "0060", "0080", "0100"));
+        c <- Seq(4, 7, 11)) { // orig_exposure, exposure_value, rwea
+      val sum = cats.map(ref => v(byRef(ref), c)).sum
+      assert(math.abs(v(byRef(tot), c) - sum) < 0.05,
+        s"$tot col $c: ${v(byRef(tot), c)} != $sum")
+    }
+    // row risk weights are the Art. 153(5) Table 1 values; totals null
+    val expect = graft.engine.Slotting.table1.flatMap {
+      case (cat, s, l) => Seq((cat, true) -> s, (cat, false) -> l)
+    }.toMap
+    rows.filter(_.getString(1) != "total").foreach { r =>
+      assert(r.getDouble(10) == expect((r.getString(1), r.getBoolean(2))))
+    }
+    assert(byRef("0110").isNullAt(10) && byRef("0120").isNullAt(10))
+    // cross-template: C 08.06 and CR10 are two renderings of ONE
+    // slotting result set — exposure value and RWEA tie cell-for-cell
+    val cr10 = Pillar3.q131Cr10Slotting.build(spark, sfDir).collect()
+      .filter(_.getString(1) != "TOTAL")
+      .map(r => (r.getString(1), r.getString(2) == "lt_2_5") ->
+        (v(r, 7), v(r, 8))).toMap
+    rows.filter(_.getString(1) != "total").foreach { r =>
+      val (ev, rwea) = cr10((r.getString(1), r.getBoolean(2)))
+      assert(v(r, 7) == ev, s"${r.getString(0)} EV ${v(r, 7)} != CR10 $ev")
+      assert(v(r, 11) == rwea, s"${r.getString(0)} RWEA ${v(r, 11)} != CR10 $rwea")
+    }
+  }
+
   test("CMS1/CMS2: column partition identity and cross-sheet total tie-out") {
     val cms1 = Pillar3.q132Cms1.build(spark, sfDir).collect()
       .map(r => r.getString(1) -> r).toMap
