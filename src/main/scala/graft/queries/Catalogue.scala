@@ -296,6 +296,9 @@ object Catalogue {
       case "0080" => origin("0.0").map(_ + infl("guar_covered")) // inflows
       case "0090" =>
         origin("ead_pre_crm - guar_covered").map(_ + infl("guar_covered"))
+      case "0110" => // exposure value — the ledger is already post-CCF,
+        // so EV coincides with the post-substitution exposure (0090)
+        origin("ead_pre_crm - guar_covered").map(_ + infl("guar_covered"))
       case "0255" => origin("rwa") // RWEA origin basis (IRB sf = 1)
       case "0260" => // RWEA post-substitution basis (q121 C0260 legs)
         origin(s"($legCollPre + ${legUnsecPre(base)})")
@@ -378,7 +381,15 @@ object Catalogue {
     * no Art. 111(2) deduction, so original exposure and exposure value
     * coincide (`ead_gross = ead_pre_crm` on every IRB leg) — the v0415/
     * v0420 family's C 08.01 ties hold as genuine identities, not
-    * rebindings of one text. */
+    * rebindings of one text.
+    *
+    * Recorded breach: q160 renders the geo template on the ORIGIN class
+    * grain, while the BoE keys the EV/RWEA columns on the ULTIMATE
+    * (post-substitution) obligor (reference `c09.py` ¶87 note) — so the
+    * cross-template tie boe_b0277 (OF09.02 c0105 = OF08.01 post-basis
+    * c0110 on the institutions sheet) evaluates and FAILS by exactly
+    * the substituted leg. A faithful record of the rendering decision,
+    * not a binding defect. */
   private def c0902Measure(
       sheet: String, row: String, colId: String, base: String): Option[String] = {
     if (sheet != "*" && sheet != "-" && !sheet.startsWith("R:")) return None
@@ -454,6 +465,7 @@ object Catalogue {
       "0070" -> (("- subst_outflow", true)), // (-) total substitution outflows
       "0080" -> (("0.0", true)), // inflows live on the reference's Unassigned row
       "0090" -> (("net_origin_exposure", true)),
+      "0110" -> (("net_origin_exposure", true)), // EV: the book is already post-CCF
       "0255" -> (("rwea", true)), // RWEA pre-SF (IRB supporting factor = 1)
       "0260" -> (("rwea", true)),
       "0280" -> (("expected_loss", true)),
@@ -743,6 +755,29 @@ object Catalogue {
       if (ms.isEmpty || ms.exists(_.isEmpty)) None
       else Some(ledgerCell("x07", sheet, row, colId, base,
         ms.flatten.map(m => s"($m)").mkString(" + ")))
+    case "C08" if colId == "0010" =>
+      // C 08.01 col 0010 — the sheet's EW-average PD as a DPM fraction
+      // (a RATIO cell: never summable across a sheet marker). The PD is
+      // the ledger's q128/q144 floored derivation, so the Art. 160
+      // 0.03% floor rule (v10671_m) evaluates against the actual book.
+      val sheets = expandSheets(tab, base, sheet)
+      if (sheets.size != 1 || row != "0010") None
+      else c08SheetClasses(base).get(sheets.head).map { cs =>
+        val irb = cs match {
+          case Nil => "approach = 'IRB'"
+          case l => "approach = 'IRB' AND " +
+            l.map(c => s"exposure_class = '$c'").mkString("(", " OR ", ")")
+        }
+        val pd = "greatest(0.0001 + (CAST(substr(exposure_reference, 5) " +
+          "AS BIGINT) % 997) * 0.001, 0.0003)"
+        val agg =
+          s"(CAST(sum(CAST((CASE WHEN $irb THEN ($pd) * ead_pre_crm ELSE 0.0 END) " +
+            "AS DECIMAL(38,6))) AS DOUBLE) / " +
+            s"nullif(CAST(sum(CAST((CASE WHEN $irb THEN ead_pre_crm ELSE 0.0 END) " +
+            "AS DECIMAL(38,2))) AS DOUBLE), 0.0))"
+        BoundCell(cellName("ledger", nullable = true, agg), agg, "ledger",
+          nullable = true)
+      }
     case "C08" =>
       val sheets = expandSheets(tab, base, sheet)
       val ms = sheets.map(sh => c08Measure(sh, row, colId, base))
@@ -808,9 +843,9 @@ object Catalogue {
       "0090", "0100", "0110", "0120", "0130", "0150", "0200", "0210", "0211",
       "0215", "0216", "0217", "0220")
     case "C08" => Seq("0020", "0040", "0050", "0060", "0070", "0080", "0090",
-      "0255", "0260")
+      "0110", "0255", "0260")
     case "C0802" => Seq("0010", "0020", "0040", "0050", "0060", "0070",
-      "0080", "0090", "0255", "0260", "0280", "0300")
+      "0080", "0090", "0110", "0255", "0260", "0280", "0300")
     case "C0803" => Seq("0010", "0020", "0030", "0040", "0050", "0060",
       "0070", "0080", "0090", "0100")
     case "C0805" => Seq("0010", "0020", "0030", "0040", "0050")
@@ -862,10 +897,12 @@ object Catalogue {
         skps += SkipRow(rec.catalogue, rec.id, rec.severity,
           reason.replace("'", ""))
       if (rec.missing == "W") { skip("where_join_precondition"); }
-      else ValidationCatalogue.parse(rec.formula) match {
+      else ValidationCatalogue.parseRule(rec.formula) match {
         case Left(reason) => skip(reason)
-        case Right(cmp) =>
-          val allRefs = refs(cmp.lhs) ++ refs(cmp.rhs)
+        case Right(rule) =>
+          val cmp = rule.main
+          val allRefs = rule.cond.toSeq.flatMap(c => refs(c.lhs) ++ refs(c.rhs)) ++
+            refs(cmp.lhs) ++ refs(cmp.rhs)
           val primary = rec.tables.headOption.flatMap(tableKey)
           val refTabs = allRefs.map(r => r.table.map(tableKey).getOrElse(primary))
           if (refTabs.exists(_.isEmpty) || allRefs.isEmpty)
@@ -961,10 +998,17 @@ object Catalogue {
                     Some(cells.filter(_.nullable).map(c => s"${c.name} IS NULL")
                       .distinct.mkString(" OR "))
                   else None
+                // the `if` precondition evaluates EXACTLY (a reported
+                // zero must not trigger a `> 0` gate through a tolerance)
+                val condGate = rule.cond.map { c =>
+                  val op = if (c.op == "==") "=" else c.op
+                  s"(${compile(c.lhs, bindF)}) $op (${compile(c.rhs, bindF)})"
+                }
                 val vac = cells.map(c =>
                   s"abs(coalesce(${c.name}, 0.0))").distinct.mkString(" + ") + " = 0.0"
                 val status =
                   nullCheck.fold("CASE ")(nc => s"CASE WHEN $nc THEN 'not_evaluated' ") +
+                    condGate.fold("")(cg => s"WHEN NOT ($cg) THEN 'not_triggered' ") +
                     s"WHEN $vac THEN 'vacuous' WHEN $passCond THEN 'pass' ELSE 'fail' END"
                 val key = Seq(sh, ri.getOrElse("-"), ci.getOrElse("-")).mkString("|")
                 insts += Instance(rec.catalogue, rec.id, key, rec.severity,

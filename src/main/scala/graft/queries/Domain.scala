@@ -2554,7 +2554,9 @@ object Domain {
       // identities while the catalogue breach counts stay visible.
       val cat = Catalogue.q159ValidationCatalogue.build(s, dir)
         .agg(
-          count(when(col("status").isin("pass", "fail", "vacuous"), lit(1)))
+          count(when(
+            col("status").isin("pass", "fail", "vacuous", "not_triggered"),
+            lit(1)))
             .as("n_catalogue_evaluated"),
           count(when(col("severity") === "ERROR" && col("status") === "fail",
             lit(1))).as("n_catalogue_error_breaches"),
@@ -2587,7 +2589,8 @@ object Domain {
           WHERE n_rows IS NOT NULL
         )
       ) e CROSS JOIN (
-        SELECT count(CASE WHEN status IN ('pass', 'fail', 'vacuous')
+        SELECT count(CASE WHEN status IN ('pass', 'fail', 'vacuous',
+                                          'not_triggered')
                      THEN 1 END) AS n_catalogue_evaluated,
                count(CASE WHEN severity = 'ERROR' AND status = 'fail'
                      THEN 1 END) AS n_catalogue_error_breaches,

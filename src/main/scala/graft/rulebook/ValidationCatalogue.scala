@@ -56,27 +56,48 @@ object ValidationCatalogue {
   /** One parsed comparison. */
   final case class Cmp(op: String, lhs: Expr, rhs: Expr)
 
+  /** One parsed rule: an optional `if` PRECONDITION comparison gating
+    * the main comparison (the EBA/BoE `if {..} > 0 then {..} = 0`
+    * family). A rule whose precondition evaluates false is
+    * NOT TRIGGERED — an outcome, never a silent pass. The reference's
+    * evaluator refuses this family by name (`_UNSUPPORTED_MARKERS`);
+    * the generic compiler here evaluates it — both sides of the gate
+    * are the same one-comparison grammar. */
+  final case class ParsedRule(cond: Option[Cmp], main: Cmp)
+
   /** Constructs refused by name → Left(reason). */
   private val unsupportedMarkers: Seq[(String, String)] = Seq(
-    "if " -> "conditional_rule", "then" -> "conditional_rule",
     "where(" -> "where_filter", "count(" -> "count_aggregate",
     "isnull" -> "isnull_predicate", "true()" -> "boolean_literal",
     " and " -> "boolean_conjunction", " or " -> "boolean_disjunction",
-    "empty(" -> "empty_function", "not(" -> "negated_filter",
+    "empty(" -> "empty_function", " empty" -> "empty_literal",
+    "not(" -> "negated_filter",
     "min(" -> "min_function",
     "max(" -> "max_function", " in " -> "enum_membership",
     "match(" -> "match_function", "rnnn" -> "row_wildcard")
 
-  /** Parse one formula into a single comparison, or a named refusal. */
-  def parse(formula: String): Either[String, Cmp] = {
-    val low = formula.toLowerCase
+  /** Parse one formula into an optionally-conditional rule, or a named
+    * refusal. */
+  def parseRule(formula: String): Either[String, ParsedRule] = {
+    // `if A then B else true()` ≡ `if A then B` — drop the vacuous else
+    // BEFORE marker checks so the true() literal marker cannot refuse it
+    val trimmed = formula.trim.replaceAll("(?i)\\s+else\\s+true\\(\\)$", "")
+    val low = trimmed.toLowerCase
     unsupportedMarkers.collectFirst {
       case (m, why) if low.contains(m) => why
     } match {
       case Some(why) => Left(why)
-      case None => new Parser(formula).comparison()
+      case None => new Parser(trimmed).rule()
     }
   }
+
+  /** Parse one formula into a single comparison, or a named refusal
+    * (the pre-conditional entry point — a conditional rule is refused
+    * here by name, matching the reference's evaluator surface). */
+  def parse(formula: String): Either[String, Cmp] =
+    parseRule(formula).flatMap { r =>
+      if (r.cond.isEmpty) Right(r.main) else Left("conditional_rule")
+    }
 
   /** Zero-pad a legacy 3-digit row/col code to the 4-digit DPM form
     * (older EBA rules write r090/c010 for r0090/c0010). */
@@ -96,14 +117,55 @@ object ValidationCatalogue {
 
     def comparison(): Either[String, Cmp] =
       try {
-        val l = sum()
-        ws()
-        val op = cmpOp()
-        val r = sum()
+        val c = cmp()
         ws()
         if (pos != input.length) fail(s"trailing input at $pos")
-        Right(Cmp(op, l, r))
+        Right(c)
       } catch { case e: IllegalArgumentException => Left(s"grammar:${e.getMessage}") }
+
+    /** rule := 'if' cmp 'then' cmp | cmp */
+    def rule(): Either[String, ParsedRule] =
+      try {
+        ws()
+        if (input.regionMatches(true, pos, "if ", 0, 3)) {
+          pos += 3
+          val c = cmp()
+          ws()
+          if (!input.regionMatches(true, pos, "then ", 0, 5))
+            fail(s"'then' expected at $pos")
+          pos += 5
+          val m = cmp()
+          ws()
+          if (pos != input.length) fail(s"trailing input at $pos")
+          Right(ParsedRule(Some(c), m))
+        } else comparison().map(ParsedRule(None, _))
+      } catch { case e: IllegalArgumentException => Left(s"grammar:${e.getMessage}") }
+
+    private def cmp(): Cmp = {
+      // tolerate a fully-parenthesized comparison — `if (A > B) then
+      // (C = D)` (the BoE cross-template conditional family). A '(' is
+      // ambiguous (it may group arithmetic), so try-and-backtrack.
+      ws()
+      if (peek == '(') {
+        val save = pos
+        pos += 1
+        try {
+          val c = cmpBare(); ws()
+          if (peek != ')') fail("')' expected")
+          pos += 1
+          return c
+        } catch { case _: IllegalArgumentException => pos = save }
+      }
+      cmpBare()
+    }
+
+    private def cmpBare(): Cmp = {
+      val l = sum()
+      ws()
+      val op = cmpOp()
+      val r = sum()
+      Cmp(op, l, r)
+    }
 
     private def cmpOp(): String = {
       val ops = Seq("==", "!=", ">=", "<=", "=", "<", ">")
