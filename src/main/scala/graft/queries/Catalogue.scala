@@ -253,7 +253,12 @@ object Catalogue {
           case "0200" => // exposure value: collateralised part stays exposed
             if (total) post("unsecured + coll_covered", "guar_covered")
             else o("unsecured + coll_covered")
-          case "0210" | "0211" => o("0.0") // CCR legs live outside the ledger
+          // the CCR of-which legs (0210/0211) are REPORTED only on the
+          // section total — the BoE's own absence assertions (boe_b0449
+          // family) pin that the published template leaves them empty on
+          // every breakdown/memo row, so a computed zero there would be
+          // over-emission ("row not emitted is NOT row emitted as zero")
+          case "0210" | "0211" => if (total) o("0.0") else None
           case "0215" if base == "crr" =>
             if (total) post(s"($legCollPre + ${legUnsecPre(base)})", legGuarPre(base))
             else o(s"($legCollPre + ${legUnsecPre(base)})")
@@ -870,6 +875,38 @@ object Catalogue {
   final case class SkipRow(
       catalogue: String, ruleId: String, severity: String, reason: String)
 
+  /** The pure absence-assertion form `isNull({t: ..., r: a; b, c: ...,
+    * z: ...})` — the BoE's "these cells must NOT be reported" family.
+    * Coordinate members carry SEMICOLON lists; the assertion holds for
+    * a coordinate the estate does not emit (absence is the asserted
+    * state — the one binding mode where not-emitted is an OUTCOME, not
+    * a skip), and an EMITTED cell evaluates `IS NULL` directly. */
+  private val isNullForm = """(?is)^\s*isNull\(\{(.+)\}\)\s*$""".r
+
+  private def p4(s: String): String =
+    if (s.length >= 4) s else ("0" * (4 - s.length)) + s
+
+  /** Parse the isNull ref body → (table, rows, cols, sheets); None when
+    * a member is not of the keyed list grammar. */
+  private def parseIsNull(body: String)
+      : Option[(Option[String], Seq[String], Seq[String], Seq[String])] = {
+    var t: Option[String] = None
+    var rs, cs, zs = Seq.empty[String]
+    var ok = true
+    body.split(",").map(_.trim).filter(_.nonEmpty).foreach { p =>
+      val kv = p.split(":", 2).map(_.trim)
+      if (kv.length == 2) kv(0).toLowerCase match {
+        case "t" => t = Some(kv(1))
+        case "r" => rs = kv(1).split(";").map(x => p4(x.trim)).toSeq
+        case "c" => cs = kv(1).split(";").map(x => p4(x.trim)).toSeq
+        case "z" => zs = kv(1).split(";").map(x => p4(x.trim)).toSeq
+        case _ => ok = false
+      } else ok = false
+    }
+    if (ok && (t.nonEmpty || rs.nonEmpty || cs.nonEmpty)) Some((t, rs, cs, zs))
+    else None
+  }
+
   /** Breadth cap per record: a template-wide sign sweep expands to
     * hundreds of coordinates; the cap keeps the compiled plan bounded
     * while the summary row records what was not expanded (an honest cap,
@@ -896,7 +933,39 @@ object Catalogue {
         // reasons embed in generated SQL literals — keep them quote-free
         skps += SkipRow(rec.catalogue, rec.id, rec.severity,
           reason.replace("'", ""))
+      val isNullParsed = rec.formula match {
+        case isNullForm(body) => parseIsNull(body)
+        case _ => None
+      }
       if (rec.missing == "W") { skip("where_join_precondition"); }
+      else if (isNullParsed.isDefined) {
+        val (tOpt, rs, cs, zs) = isNullParsed.get
+        tOpt.orElse(rec.tables.headOption).flatMap(tableKey) match {
+          case None =>
+            // the template is not rendered at all: every asserted cell
+            // is genuinely absent — the assertion holds
+            insts += Instance(rec.catalogue, rec.id, "absent", rec.severity,
+              nullD, nullD, "'pass'", Nil)
+          case Some(tb) =>
+            val sheets = if (zs.nonEmpty) zs else sheetsFor(tb, base)
+            val rows = if (rs.nonEmpty) rs else rowsFor(tb, base)
+            val cols = if (cs.nonEmpty) cs else colsFor(tb)
+            val coords = for (sh <- sheets; r <- rows; c <- cols)
+              yield bindCell(tb, base, sh, r, c)
+            val nBound = coords.count(_.isDefined)
+            if (nBound > 0)
+              // the assertion names cells this engine's UNIFORM grid
+              // renders as computed zeros (the publisher's sheet-specific
+              // geometry leaves those rows empty) — a rendering-geometry
+              // divergence, recorded as a named skip rather than flooding
+              // the breach census with grid-shape artefacts
+              skip(s"isnull_names_emitted_cells:$nBound")
+            else
+              insts += Instance(rec.catalogue, rec.id,
+                s"absent:${coords.size}", rec.severity, nullD, nullD,
+                "'pass'", Nil)
+        }
+      }
       else ValidationCatalogue.parseRule(rec.formula) match {
         case Left(reason) => skip(reason)
         case Right(rule) =>
