@@ -1701,7 +1701,136 @@ object LlmOps {
       ORDER BY source
     """.stripMargin.trim))
 
+  /** q173: SemDeDup — semantic deduplication through embedding-cluster
+    * pruning (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, compare pairs ONLY within a cluster, and drop every vector
+    * that has a higher-similarity-than-threshold neighbour with a
+    * smaller id (the deterministic keep-first representative — the
+    * paper's keep-one-per-duplicate-set with an id tiebreak instead of
+    * its centroid-distance pick).
+    *
+    * Determinism discipline: the coarse quantiser is NOT k-means (q65's
+    * spark.ml IVF is the no-oracle scale path) — clusters are assigned
+    * to the nearest of K = 8 SEED vectors (the embeddings of vec_id
+    * 0-7) by exact decimal squared distance with an id tiebreak, so
+    * both engines derive the identical partition and the query stays
+    * hash-exact. Cosines are decimal-exact dots over once-materialised
+    * norms (the lambda-CSE discipline).
+    *
+    * 100 TB posture: the cluster partition bounds the pair space — K
+    * scales with N (fixed expected cluster size), so within-cluster
+    * all-pairs stays O(N · clusterSize), never global all-pairs; the
+    * assignment is one broadcast join + one shuffle on the cluster key,
+    * and the drop rule is a per-cluster join, no fixpoint. */
+  val q173SemDedup = QueryDef(
+    "q173_semdedup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          Similarity.sqDistExact(col("embedding"), col("cv")).as("d"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("cid").as("cluster"), col("vec_id"), col("embedding"))
+        // norms ONCE in their own select — a lambda dot re-evaluates per
+        // reference otherwise
+        .withColumn("nrm", sqrt(Similarity.dotExact(col("embedding"), col("embedding"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+        col("embedding").as("av"), col("nrm").as("an"))
+      val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
+        col("embedding").as("bv"), col("nrm").as("bn"))
+      val pairs = a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
+        .withColumn("cos",
+          Similarity.dotExact(col("av"), col("bv")) / (col("an") * col("bn")))
+        .filter(col("cos") >= 0.3)
+        .select(col("cluster"), col("a_id"), col("b_id"), col("cos"))
+      val dropped = pairs.select(col("cluster"), col("b_id")).distinct()
+      val nv = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vectors"))
+      val np = pairs.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_dup_pairs"), q6(max(col("cos"))).as("max_cosine"))
+      val nd = dropped.groupBy(col("cluster")).agg(count(lit(1)).as("n_dropped"))
+      nv.join(np, Seq("cluster"), "left").join(nd, Seq("cluster"), "left")
+        .select(
+          col("cluster"),
+          col("n_vectors"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_vectors") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
+          col("max_cosine"))
+        .orderBy(col("cluster"))
+    },
+    Some(s"""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      dterms AS (
+        SELECT e.vec_id, c.cid,
+               CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+                    (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                    AS DECIMAL(38,14)) AS t
+        FROM embeddings e CROSS JOIN cents c,
+        LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) s),
+      dists AS (
+        SELECT vec_id, cid, CAST(sum(t) AS DOUBLE) AS d
+        FROM dterms GROUP BY vec_id, cid),
+      assigned AS (
+        SELECT vec_id, cid AS cluster FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM dists) WHERE rn = 1),
+      nterms AS (
+        SELECT e.vec_id,
+               CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                    AS DECIMAL(38,14)) AS t
+        FROM embeddings e,
+        LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) s),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(t) AS DOUBLE)) AS nrm
+        FROM nterms GROUP BY vec_id),
+      clustered AS (
+        SELECT a.cluster, a.vec_id, e.embedding, n.nrm
+        FROM assigned a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN norms n ON n.vec_id = a.vec_id),
+      pterms AS (
+        SELECT x.cluster, x.vec_id AS a_id, y.vec_id AS b_id,
+               x.nrm AS an, y.nrm AS bn,
+               CAST(CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)
+                    AS DECIMAL(38,14)) AS t
+        FROM clustered x JOIN clustered y
+          ON x.cluster = y.cluster AND x.vec_id < y.vec_id,
+        LATERAL (SELECT unnest(generate_series(1, len(x.embedding))) AS i) s),
+      pairs AS (
+        SELECT cluster, a_id, b_id,
+               CAST(sum(t) AS DOUBLE) / (any_value(an) * any_value(bn)) AS cos
+        FROM pterms GROUP BY cluster, a_id, b_id),
+      dup AS (SELECT * FROM pairs WHERE cos >= 0.3),
+      nv AS (SELECT cluster, count(*) AS n_vectors FROM assigned GROUP BY cluster),
+      np AS (
+        SELECT cluster, count(*) AS n_dup_pairs,
+               ${sql6("max(cos)")} AS max_cosine
+        FROM dup GROUP BY cluster),
+      nd AS (
+        SELECT cluster, count(*) AS n_dropped FROM (
+          SELECT DISTINCT cluster, b_id FROM dup) GROUP BY cluster)
+      SELECT nv.cluster, nv.n_vectors,
+             coalesce(np.n_dup_pairs, 0) AS n_dup_pairs,
+             coalesce(nd.n_dropped, 0) AS n_dropped,
+             nv.n_vectors - coalesce(nd.n_dropped, 0) AS n_kept,
+             np.max_cosine
+      FROM nv LEFT JOIN np ON np.cluster = nv.cluster
+              LEFT JOIN nd ON nd.cluster = nv.cluster
+      ORDER BY nv.cluster
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
+    q173SemDedup,
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q75DedupClusters, q76FilterFunnel, q77StableSplit, q78SequencePacking,
     q64CosineTopk, q65AnnIvf, q119PqAnn, q66LangId, q67QualityScore,
