@@ -1203,7 +1203,20 @@ object Catalogue {
           s"stack(${batch.size}, ${entries.mkString(", ")}) " +
             "AS (catalogue, rule_id, instance, severity, lhs_total, rhs_total, status, reason)")
       }.toSeq
-      (evalBatches ++ skipBatches).reduce(_ unionByName _)
+      // Pin the OUTCOME as a local relation (the TemplateBundle
+      // presentation-grain pattern): the assembled plan is ~2k stack
+      // branches whose analysis + constant-fold re-runs per ACTION —
+      // ~5 s of pure driver re-planning every consumer count() after the
+      // one-time evaluation. The outcome grid (one row per rule
+      // instance) is derived, deterministic data for a given dir, so
+      // collecting it once and handing every consumer the ~2k-row local
+      // frame removes the re-planning without touching the evaluation
+      // itself (which still runs as one Spark job on first build).
+      val assembled = (evalBatches ++ skipBatches).reduce(_ unionByName _)
+        .orderBy(col("catalogue"), col("rule_id"), col("instance"))
+      val outSchema = assembled.schema
+      val outRows = assembled.collect()
+      s.createDataFrame(java.util.Arrays.asList(outRows: _*), outSchema)
         .orderBy(col("catalogue"), col("rule_id"), col("instance"))
     }),
     Some {
