@@ -1829,8 +1829,93 @@ object LlmOps {
       ORDER BY nv.cluster
     """.stripMargin.trim))
 
+  /** q174: duplicated-SPAN removal census — exact substring-level dedup
+    * at n-gram-tile granularity (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": remove every repeated
+    * substring occurrence, keeping one canonical copy; the suffix-array
+    * machinery is approximated by DISJOINT 8-token tiles, which is the
+    * shape a distributed engine can key a shuffle on). Each document is
+    * tiled into ceil(n/8) spans; an occurrence is removable when an
+    * identical span occurs anywhere else in the corpus (within- or
+    * cross-document) and this occurrence is not the canonical rank-1 by
+    * (doc_id, position) — a total order, so the keep-set is
+    * deterministic on both engines. Census per source: span and removal
+    * counts, words removed, and the integer-ppm retention after
+    * removal.
+    *
+    * 100 TB posture: the tiling is per-row Column work (no explode of
+    * sliding windows — disjoint tiles keep the exploded row count at
+    * n/8, not n); the shuffle key is the fixed-width md5 of the span,
+    * never the text; ranking is one window over that key (one shuffle)
+    * and the census one aggregation. Nothing is all-pairs and the raw
+    * text never rides a shuffle. */
+  val q174SpanDedup = QueryDef(
+    "q174_span_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 8
+      val d = Tables.documents(s, dir)
+      val tiled = d
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("source"), col("t"),
+          explode(sequence(lit(0), expr(s"(size(t) + ${n - 1}) DIV $n - 1")))
+            .as("i"))
+      val spans = tiled.select(col("doc_id"), col("source"), col("i"),
+          md5(concat_ws(" ", slice(col("t"), col("i") * n + 1, lit(n))))
+            .as("gh"),
+          least(lit(n), size(col("t")) - col("i") * n).cast("long")
+            .as("span_words"))
+      val ranked = spans
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("gh")).orderBy(col("doc_id"), col("i"))))
+        .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gh"))))
+      ranked.groupBy(col("source"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_spans"),
+          count(when(col("occ") > 1, lit(1))).as("n_dup_spans"),
+          count(when(col("occ") > 1 && col("rn") > 1, lit(1))).as("n_removed"),
+          coalesce(sum(when(col("occ") > 1 && col("rn") > 1,
+            col("span_words"))), lit(0L)).as("words_removed"),
+          expr("""(CAST(sum(span_words) AS BIGINT)
+                   - CAST(coalesce(sum(CASE WHEN occ > 1 AND rn > 1
+                                        THEN span_words END), 0) AS BIGINT))
+                  * 1000000 DIV CAST(sum(span_words) AS BIGINT)""")
+            .as("retention_ppm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH b174 AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      sp174 AS (
+        SELECT doc_id, source, i,
+               md5(array_to_string(t[i*8+1:i*8+8], ' ')) AS gh,
+               CAST(least(8, len(t) - i*8) AS BIGINT) AS span_words
+        FROM b174, LATERAL (
+          SELECT unnest(generate_series(0, (len(t) + 7) // 8 - 1)) AS i) g),
+      rk174 AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY gh ORDER BY doc_id, i) AS rn,
+          count(*) OVER (PARTITION BY gh) AS occ
+        FROM sp174)
+      SELECT source, count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_spans,
+             count(CASE WHEN occ > 1 THEN 1 END) AS n_dup_spans,
+             count(CASE WHEN occ > 1 AND rn > 1 THEN 1 END) AS n_removed,
+             CAST(coalesce(sum(CASE WHEN occ > 1 AND rn > 1
+                               THEN span_words END), 0) AS BIGINT)
+               AS words_removed,
+             (CAST(sum(span_words) AS BIGINT)
+               - CAST(coalesce(sum(CASE WHEN occ > 1 AND rn > 1
+                                    THEN span_words END), 0) AS BIGINT))
+               * 1000000 // CAST(sum(span_words) AS BIGINT) AS retention_ppm
+      FROM rk174
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
-    q173SemDedup,
+    q173SemDedup, q174SpanDedup,
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q75DedupClusters, q76FilterFunnel, q77StableSplit, q78SequencePacking,
     q64CosineTopk, q65AnnIvf, q119PqAnn, q66LangId, q67QualityScore,
