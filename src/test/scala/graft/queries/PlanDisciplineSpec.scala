@@ -145,6 +145,23 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(n163 <= 4, s"q163 exchanges grew to $n163:\n$p163")
   }
 
+  test("q173 broadcasts the centroid side of the assignment cross-join") {
+    val plan = SparkEntry.queries("q173_semdedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q173 centroid assignment should broadcast the 8 seeds:\n$plan")
+  }
+
+  test("q174 shuffles on the span digest, never the span text") {
+    val plan = SparkEntry.queries("q174_span_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(gh"),
+      s"q174 ranking should partition on the md5 key:\n$plan")
+    assert(!plan.contains("hashpartitioning(span"),
+      s"q174 must not shuffle raw span text:\n$plan")
+  }
+
   test("no query's optimized plan exceeds the node ceiling") {
     // Higher ceilings for the deliberately-large plans: everything built
     // on the composed 9-stage domain ledger subtree (q90/q85/q86/q94 —
