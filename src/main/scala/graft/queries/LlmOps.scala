@@ -1914,8 +1914,79 @@ object LlmOps {
       ORDER BY source
     """.stripMargin.trim))
 
+  /** q175: duplicate-FLOW attribution matrix — for every span occurrence
+    * q174 would remove, attribute the removal to the CANONICAL
+    * occurrence's source: the (canonical_source → removing_source)
+    * census tells a corpus curator which sources copy from which (the
+    * provenance question behind C4/RefinedWeb-style boilerplate and
+    * mirror-site analyses). Canonicality is q174's total rank-1 by
+    * (doc_id, position), so the matrix is deterministic on both
+    * engines; `self_flow` marks within-source duplication.
+    *
+    * 100 TB posture: identical to q174 (digest-keyed window, one
+    * shuffle) plus ONE self-join of the ids-only ranked frame on the
+    * digest — canonical rows against removed rows, both sides already
+    * partitioned by the join key from the window shuffle, and only
+    * (gh, doc_id, source, span_words) ride it. The matrix grain is
+    * |sources|², never data-sized. */
+  val q175DupFlow = QueryDef(
+    "q175_dup_flow",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 8
+      val d = Tables.documents(s, dir)
+      val tiled = d
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("source"), col("t"),
+          explode(sequence(lit(0), expr(s"(size(t) + ${n - 1}) DIV $n - 1")))
+            .as("i"))
+      val ranked = tiled.select(col("doc_id"), col("source"), col("i"),
+          md5(concat_ws(" ", slice(col("t"), col("i") * n + 1, lit(n))))
+            .as("gh"),
+          least(lit(n), size(col("t")) - col("i") * n).cast("long")
+            .as("span_words"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("gh")).orderBy(col("doc_id"), col("i"))))
+      val canon = ranked.filter(col("rn") === 1)
+        .select(col("gh"), col("source").as("canonical_source"))
+      val removed = ranked.filter(col("rn") > 1)
+        .select(col("gh"), col("source").as("removing_source"),
+          col("doc_id"), col("span_words"))
+      removed.join(canon, Seq("gh"))
+        .groupBy(col("canonical_source"), col("removing_source"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(col("span_words")).as("words_flowed"),
+          countDistinct(col("doc_id")).as("n_removing_docs"))
+        .withColumn("self_flow",
+          col("canonical_source") === col("removing_source"))
+        .orderBy(col("canonical_source"), col("removing_source"))
+    },
+    Some(s"""
+      WITH b175 AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      rk175 AS (
+        SELECT doc_id, source, i,
+               md5(array_to_string(t[i*8+1:i*8+8], ' ')) AS gh,
+               CAST(least(8, len(t) - i*8) AS BIGINT) AS span_words,
+               row_number() OVER (
+                 PARTITION BY md5(array_to_string(t[i*8+1:i*8+8], ' '))
+                 ORDER BY doc_id, i) AS rn
+        FROM b175, LATERAL (
+          SELECT unnest(generate_series(0, (len(t) + 7) // 8 - 1)) AS i) g)
+      SELECT c.source AS canonical_source, r.source AS removing_source,
+             count(*) AS n_spans,
+             CAST(sum(r.span_words) AS BIGINT) AS words_flowed,
+             count(DISTINCT r.doc_id) AS n_removing_docs,
+             c.source = r.source AS self_flow
+      FROM rk175 r JOIN rk175 c ON c.gh = r.gh AND c.rn = 1
+      WHERE r.rn > 1
+      GROUP BY c.source, r.source
+      ORDER BY canonical_source, removing_source
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
-    q173SemDedup, q174SpanDedup,
+    q173SemDedup, q174SpanDedup, q175DupFlow,
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q75DedupClusters, q76FilterFunnel, q77StableSplit, q78SequencePacking,
     q64CosineTopk, q65AnnIvf, q119PqAnn, q66LangId, q67QualityScore,
