@@ -47,6 +47,47 @@ object Multimodal {
     Row(id, mediaType, n, Row(w, h, 3), features.toSeq)
   }
 
+  /** Output schema of the frame-sampling stage. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_offset", IntegerType),
+    StructField("frame_bytes", IntegerType),
+    StructField("f0", FloatType)))
+
+  /** Frame SAMPLING for video-like payloads: treat the binary payload as
+    * a sequence of fixed-size frame blocks and emit `k` frames at the
+    * uniform mid-stride offsets floor(nFrames·(2j+1) / 2k) — the
+    * deterministic equivalent of ffmpeg's `fps=`-style uniform sampling.
+    * Runs per-partition with a fan-OUT iterator (one input row → up to k
+    * output rows), the flatMap batch shape a real codec integration
+    * needs; the per-frame feature is the same deterministic byte stub as
+    * [[decodeStub]]. Constant memory: only the sampled frames' offsets
+    * and the running byte sum are held, never a decoded frame tensor.
+    */
+  def sampleFrames(
+      df: DataFrame, idCol: String, payloadCol: String,
+      frameSize: Int = 256, k: Int = 4): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload =
+          if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val nFrames = math.max(1, (payload.length + frameSize - 1) / frameSize)
+        (0 until k).map(j => (nFrames * (2 * j + 1)) / (2 * k))
+          .distinct.filter(_ < nFrames)
+          .map { fi =>
+            val off = fi * frameSize
+            val len = math.max(0, math.min(frameSize, payload.length - off))
+            var acc = 0L
+            var i = off
+            while (i < off + len) { acc += (payload(i) & 0xff); i += 1 }
+            Row(r.getLong(0), fi, off, len, (acc % 1000L).toFloat / 1000.0f)
+          }
+      }
+    }(RowEncoder.encoderFor(frameSchema))
+  }
+
   /** The feature-extraction stage: binary payloads → typed features, one
     * pass per partition, constant memory per row batch.
     *

@@ -1985,8 +1985,79 @@ object LlmOps {
       ORDER BY canonical_source, removing_source
     """.stripMargin.trim))
 
+  /** q176: multimodal FRAME-SAMPLE census — the video-side completion of
+    * the q70 plumbing: payloads tiled into 64-byte frame blocks, 4
+    * frames sampled at deterministic uniform mid-stride offsets
+    * (`Multimodal.sampleFrames`, the fan-out mapPartitions shape a codec
+    * integration needs), per-frame stub features aggregated per source
+    * with the integer-ppm byte coverage of the sample. The oracle
+    * replicates the stride arithmetic and the byte-sum stub in SQL, so
+    * the whole sampling plan — not just row counts — is hash-checked.
+    *
+    * 100 TB posture: sampling is per-row iterator work (no shuffle until
+    * the census aggregation); only sampled offsets and running sums are
+    * held, never a decoded frame; the source join is on the id column
+    * that rode in with the frame row. */
+  val q176FrameSample = QueryDef(
+    "q176_frame_sample",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val media = d.select(col("doc_id"), col("source"),
+        encode(col("text"), "UTF-8").as("payload"))
+      val frames = graft.operators.Multimodal
+        .sampleFrames(media, "doc_id", "payload", frameSize = 64, k = 4)
+      val srcOf = d.select(col("doc_id").as("media_id"), col("source"))
+      val agg = frames.join(srcOf, Seq("media_id"))
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(col("media_id")).as("n_media"),
+          count(lit(1)).as("n_frames"),
+          sum(col("frame_bytes")).cast("long").as("sum_frame_bytes"),
+          dsum(col("f0").cast("double"), 6).as("sum_f0"))
+      val tot = d.groupBy(col("source"))
+        .agg(sum(length(col("text"))).cast("long").as("total_bytes"))
+      agg.join(tot, Seq("source"))
+        .select(col("source"), col("n_media"), col("n_frames"),
+          col("sum_frame_bytes"), col("sum_f0"),
+          expr("sum_frame_bytes * 1000000 DIV greatest(1, total_bytes)")
+            .as("coverage_ppm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH m176 AS (
+        SELECT doc_id, source, text, length(text) AS n,
+               greatest(1, (length(text) + 63) // 64) AS nf
+        FROM documents),
+      fr176 AS (
+        SELECT doc_id, source, fi, fi*64 AS off,
+               greatest(0, least(64, n - fi*64)) AS len, text
+        FROM m176, LATERAL (
+          SELECT DISTINCT unnest([(nf * 1) // 8, (nf * 3) // 8,
+                                  (nf * 5) // 8, (nf * 7) // 8]) AS fi) g
+        WHERE fi < nf),
+      sc176 AS (
+        SELECT doc_id, source, len,
+               CAST(CAST((SELECT coalesce(sum(ord(substring(fr176.text, p, 1))), 0)
+                 FROM (SELECT unnest(generate_series(off + 1, off + len)) AS p))
+                 % 1000 AS FLOAT) / CAST(1000 AS FLOAT) AS DOUBLE) AS f0
+        FROM fr176),
+      ag176 AS (
+        SELECT source, count(DISTINCT doc_id) AS n_media, count(*) AS n_frames,
+               CAST(sum(len) AS BIGINT) AS sum_frame_bytes,
+               ${sqlDsum("f0", 6)} AS sum_f0
+        FROM sc176 GROUP BY source),
+      tt176 AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS total_bytes
+        FROM m176 GROUP BY source)
+      SELECT a.source, n_media, n_frames, sum_frame_bytes, sum_f0,
+             sum_frame_bytes * 1000000 // greatest(1, total_bytes)
+               AS coverage_ppm
+      FROM ag176 a JOIN tt176 t ON t.source = a.source
+      ORDER BY a.source
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
-    q173SemDedup, q174SpanDedup, q175DupFlow,
+    q173SemDedup, q174SpanDedup, q175DupFlow, q176FrameSample,
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q75DedupClusters, q76FilterFunnel, q77StableSplit, q78SequencePacking,
     q64CosineTopk, q65AnnIvf, q119PqAnn, q66LangId, q67QualityScore,

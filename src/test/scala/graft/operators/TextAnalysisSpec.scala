@@ -72,4 +72,25 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("media_id").collect()
     assert(rows.sameElements(again), "decode stub must be deterministic")
   }
+
+  test("frame sampling: uniform mid-stride offsets, fan-out, edge payloads") {
+    // 10-frame payload (640 bytes at frameSize 64): mid-stride indices
+    // floor(10*(2j+1)/8) for j=0..3 are 1, 3, 6, 8.
+    val big = "x" * 640
+    val media = Seq((1L, big), (2L, "short"), (3L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val out = Multimodal.sampleFrames(media, "doc_id", "payload",
+        frameSize = 64, k = 4)
+      .orderBy("media_id", "frame_idx").collect()
+    val byId = out.groupBy(_.getLong(0))
+    assert(byId(1L).map(_.getInt(1)).toSeq == Seq(1, 3, 6, 8),
+      s"mid-stride indices wrong: ${byId(1L).map(_.getInt(1)).toSeq}")
+    assert(byId(1L).forall(_.getInt(3) == 64))
+    // single-frame doc: k samples collapse to the one distinct index
+    assert(byId(2L).map(_.getInt(1)).toSeq == Seq(0))
+    assert(byId(2L).head.getInt(3) == 5)
+    // empty payload still yields its one zero-length frame row
+    assert(byId(3L).map(r => (r.getInt(1), r.getInt(3))).toSeq == Seq((0, 0)))
+  }
 }
