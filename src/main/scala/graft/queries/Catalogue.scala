@@ -911,8 +911,11 @@ object Catalogue {
     * hundreds of coordinates; the cap keeps the compiled plan bounded
     * while the summary row records what was not expanded (an honest cap,
     * logged — never a silent truncation). Deterministic prefix in sorted
-    * (sheet, row, col) order. */
-  private val instanceCapPerRecord = 60
+    * (sheet, row, col) order. Since the outcome frame became a
+    * once-evaluated local relation the cap only bounds the ONE-TIME
+    * stack compile, so it sits above the widest published sweep
+    * (v3697_s at 375) and nothing is capped in practice. */
+  private val instanceCapPerRecord = 400
 
   private def compile(e: Expr, bind: CellRef => (String, BoundCell)): String =
     e match {
