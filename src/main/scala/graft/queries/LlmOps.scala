@@ -2056,8 +2056,88 @@ object LlmOps {
       ORDER BY a.source
     """.stripMargin.trim))
 
+  /** q177: exact span-CONTAINMENT near-dup pairs — the deterministic
+    * tier of Broder's resemblance/containment framework (Broder 1997,
+    * "On the resemblance and containment of documents"): two documents
+    * pair when they share ≥ 1 exact 8-token tile, and the reported
+    * containment is |shared tiles| / min(|tiles_a|, |tiles_b|) — exact,
+    * where MinHash (q61) estimates and SemDeDup (q173) embeds. Pairs at
+    * containment ≥ 200000 ppm are flagged near-dups.
+    *
+    * 100 TB posture: the pair space is generated ONLY through shared
+    * span digests (an equi-join on gh, never all-pairs), with the LSH
+    * hygiene shape: a window on the SAME digest key (shares the
+    * shuffle) caps pathological span buckets at 16 occurrences before
+    * the ids-only self-join; distinct tiles per doc bound each doc's
+    * contribution; containment is integer-ppm arithmetic. */
+  val q177SpanContainment = QueryDef(
+    "q177_span_containment",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 8
+      val bucketCap = 16
+      val d = Tables.documents(s, dir)
+      val tiled = d
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), expr(s"(size(t) + ${n - 1}) DIV $n - 1")))
+            .as("i"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("t"), col("i") * n + 1, lit(n))))
+            .as("gh"))
+        .distinct()
+      val nTiles = tiled.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tiles"))
+      val capped = tiled
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("gh"))))
+        .filter(col("bn") <= bucketCap)
+        .select(col("doc_id"), col("gh"))
+      val pairs = capped.select(col("gh"), col("doc_id").as("id_a"))
+        .join(capped.select(col("gh"), col("doc_id").as("id_b")), Seq("gh"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(nTiles.select(col("doc_id").as("id_a"), col("n_tiles").as("na")),
+          Seq("id_a"))
+        .join(nTiles.select(col("doc_id").as("id_b"), col("n_tiles").as("nb")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          expr("n_shared * 1000000 DIV least(na, nb)").as("containment_ppm"))
+        .filter(col("containment_ppm") >= 200000)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH b177 AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      tl177 AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(t[i*8+1:i*8+8], ' ')) AS gh
+        FROM b177, LATERAL (
+          SELECT unnest(generate_series(0, (len(t) + 7) // 8 - 1)) AS i) g),
+      nt177 AS (
+        SELECT doc_id, count(*) AS n_tiles FROM tl177 GROUP BY doc_id),
+      cp177 AS (
+        SELECT doc_id, gh FROM (
+          SELECT doc_id, gh, count(*) OVER (PARTITION BY gh) AS bn
+          FROM tl177) WHERE bn <= 16),
+      pr177 AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM cp177 a JOIN cp177 b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b, n_shared,
+             n_shared * 1000000 // least(na.n_tiles, nb.n_tiles)
+               AS containment_ppm
+      FROM pr177
+      JOIN nt177 na ON na.doc_id = id_a
+      JOIN nt177 nb ON nb.doc_id = id_b
+      WHERE n_shared * 1000000 // least(na.n_tiles, nb.n_tiles) >= 200000
+      ORDER BY id_a, id_b
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q173SemDedup, q174SpanDedup, q175DupFlow, q176FrameSample,
+    q177SpanContainment,
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q75DedupClusters, q76FilterFunnel, q77StableSplit, q78SequencePacking,
     q64CosineTopk, q65AnnIvf, q119PqAnn, q66LangId, q67QualityScore,
