@@ -2135,9 +2135,77 @@ object LlmOps {
       ORDER BY id_a, id_b
     """.stripMargin.trim))
 
+  /** q178: split-BALANCE audit — the QA gate behind q77's deterministic
+    * split: a held-out slice carved by hash must look like the
+    * population it claims to represent. Per source: doc/token counts in
+    * each split, the test token SHARE in integer ppm, and its absolute
+    * deviation from the 5% design share — the imbalance statistic a
+    * curator alarms on before trusting eval numbers (hash-bucket splits
+    * are unbiased in expectation but not per-stratum; this measures the
+    * realised skew). One aggregation over the labelled frame, then a
+    * 20-row pivot — nothing data-sized past the first groupBy.
+    */
+  val q178SplitBalance = QueryDef(
+    "q178_split_balance",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val bucket = graft.operators.Sampling.stableBucket(
+        concat(lit("DOC-"), col("doc_id").cast("string")), 100)
+      val lab = d.select(col("source"),
+        graft.operators.Sampling.splitLabel(bucket, 90, 5).as("split"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      lab.groupBy(col("source"))
+        .agg(
+          count(when(col("split") === "train", lit(1))).as("train_docs"),
+          count(when(col("split") === "test", lit(1))).as("test_docs"),
+          coalesce(sum(when(col("split") === "train", col("n_tokens"))), lit(0L))
+            .as("train_tokens"),
+          coalesce(sum(when(col("split") === "test", col("n_tokens"))), lit(0L))
+            .as("test_tokens"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .select(col("source"), col("train_docs"), col("test_docs"),
+          col("train_tokens"), col("test_tokens"),
+          expr("test_tokens * 1000000 DIV greatest(1, total_tokens)")
+            .as("test_share_ppm"),
+          expr("abs(test_tokens * 1000000 DIV greatest(1, total_tokens) - 50000)")
+            .as("test_skew_ppm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH lb178 AS (
+        SELECT source,
+               CASE WHEN b < 90 THEN 'train'
+                    WHEN b < 95 THEN 'validation'
+                    ELSE 'test' END AS split,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                 AS BIGINT) AS n_tokens
+        FROM (
+          SELECT source, text,
+                 ${graft.operators.Sampling.sqlStableBucket(
+                   "'DOC-' || CAST(doc_id AS VARCHAR)", 100)} AS b
+          FROM documents)),
+      ag178 AS (
+        SELECT source,
+               count(CASE WHEN split = 'train' THEN 1 END) AS train_docs,
+               count(CASE WHEN split = 'test' THEN 1 END) AS test_docs,
+               CAST(coalesce(sum(CASE WHEN split = 'train' THEN n_tokens END), 0)
+                 AS BIGINT) AS train_tokens,
+               CAST(coalesce(sum(CASE WHEN split = 'test' THEN n_tokens END), 0)
+                 AS BIGINT) AS test_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM lb178 GROUP BY source)
+      SELECT source, train_docs, test_docs, train_tokens, test_tokens,
+             test_tokens * 1000000 // greatest(1, total_tokens)
+               AS test_share_ppm,
+             abs(test_tokens * 1000000 // greatest(1, total_tokens) - 50000)
+               AS test_skew_ppm
+      FROM ag178
+      ORDER BY source
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q173SemDedup, q174SpanDedup, q175DupFlow, q176FrameSample,
-    q177SpanContainment,
+    q177SpanContainment, q178SplitBalance,
     q60DedupExact, q61MinhashLsh, q62Simhash, q63NgramJaccard,
     q75DedupClusters, q76FilterFunnel, q77StableSplit, q78SequencePacking,
     q64CosineTopk, q65AnnIvf, q119PqAnn, q66LangId, q67QualityScore,
