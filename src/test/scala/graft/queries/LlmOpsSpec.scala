@@ -26,6 +26,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.map(_._3).sum > 0, "expected at least one high-cosine pair")
   }
 
+  test("q78 packing handles null keys and duplicate doc_ids deterministically") {
+    // The four-round driver-red hypothesis: a fixture with null sort
+    // keys reorders the running cum_end between engines. This plants
+    // exactly that — a null doc_id, a null text, a duplicate doc_id —
+    // and asserts the hand-computed census under the DECLARED order
+    // (null keys coalesce to '' and sort FIRST).
+    val cap = 2048
+    def w(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val rows = Seq(
+      // source a: '' (2 tok), d1-null-text (1 tok via tokenCount('')),
+      // d1 (3 tok), d2 (2049 tok) -> cum 2, 3, 6, 2055
+      ("a", null.asInstanceOf[String], w(2)),
+      ("a", "d1", null.asInstanceOf[String]),
+      ("a", "d1", w(3)),
+      ("a", "d2", w(cap + 1)),
+      // source b: null doc (2048 tok) MUST pack first: then 'z' (1 tok)
+      // sits entirely in window 2 -> 0 straddlers. Nulls-last packing
+      // would make the null doc straddle (1 straddler) instead.
+      ("b", null.asInstanceOf[String], w(cap)),
+      ("b", "z", "solo"))
+    val dir = java.nio.file.Files.createTempDirectory("pack78").toString
+    rows.toDF("source", "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmOps.q78SequencePacking.build(spark, dir)
+      .select("source", "n_docs", "total_tokens", "n_windows", "n_straddlers")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("a") === (("a", 4L, 2055L, 2L, 1L)),
+      s"source a census wrong: ${out("a")}")
+    assert(out("b") === (("b", 2L, 2049L, 2L, 0L)),
+      s"source b: null doc_id must pack FIRST (got ${out("b")})")
+  }
+
   test("q173 SemDeDup never drops a cluster's smallest surviving id") {
     // tiny planted frame: ids 0-7 are the seeds (one per cluster); 100/101
     // duplicate seed 0's direction so both land in cluster 0 and only the
