@@ -924,6 +924,10 @@ object Catalogue {
       case Bin(op, l, r) => s"(${compile(l, bind)} $op ${compile(r, bind)})"
       case Neg(x) => s"(- ${compile(x, bind)})"
       case Abs(x) => s"abs(${compile(x, bind)})"
+      // least/greatest skip NULL args identically in Spark and DuckDB
+      case Fn("min", args) => s"least(${args.map(compile(_, bind)).mkString(", ")})"
+      case Fn("max", args) => s"greatest(${args.map(compile(_, bind)).mkString(", ")})"
+      case Fn(other, _) => throw new IllegalArgumentException(s"fn:$other")
     }
 
   /** Expand + bind + compile the full live catalogue. */
@@ -972,9 +976,8 @@ object Catalogue {
       else ValidationCatalogue.parseRule(rec.formula) match {
         case Left(reason) => skip(reason)
         case Right(rule) =>
-          val cmp = rule.main
-          val allRefs = rule.cond.toSeq.flatMap(c => refs(c.lhs) ++ refs(c.rhs)) ++
-            refs(cmp.lhs) ++ refs(cmp.rhs)
+          val allRefs = rule.conds.flatMap(c => refs(c.lhs) ++ refs(c.rhs)) ++
+            rule.mains.flatMap(m => refs(m.lhs) ++ refs(m.rhs))
           val primary = rec.tables.headOption.flatMap(tableKey)
           val refTabs = allRefs.map(r => r.table.map(tableKey).getOrElse(primary))
           if (refTabs.exists(_.isEmpty) || allRefs.isEmpty)
@@ -1050,41 +1053,50 @@ object Catalogue {
                     else bc.name
                   (txt, bc)
                 }
-                val l = compile(cmp.lhs, bindF)
-                val r = compile(cmp.rhs, bindF)
                 val cells = bound.map(_.get)
                 val nRefs = allRefs.size
-                val tol =
-                  if (rec.arithmetic == "P") "0.0"
-                  else s"greatest(${0.5 * nRefs}, 1e-9 * greatest(abs($l), abs($r)))"
-                val passCond = cmp.op match {
-                  case "=" | "==" => s"abs(($l) - ($r)) <= $tol"
-                  case "!=" => s"abs(($l) - ($r)) > $tol"
-                  case "<=" => s"(($l) - ($r)) <= $tol"
-                  case ">=" => s"(($r) - ($l)) <= $tol"
-                  case "<" => s"(($l) - ($r)) < $tol"
-                  case ">" => s"(($r) - ($l)) < $tol"
-                }
                 val nullCheck =
                   if (rec.missing == "X" && cells.exists(_.nullable))
                     Some(cells.filter(_.nullable).map(c => s"${c.name} IS NULL")
                       .distinct.mkString(" OR "))
                   else None
-                // the `if` precondition evaluates EXACTLY (a reported
-                // zero must not trigger a `> 0` gate through a tolerance)
-                val condGate = rule.cond.map { c =>
-                  val op = if (c.op == "==") "=" else c.op
-                  s"(${compile(c.lhs, bindF)}) $op (${compile(c.rhs, bindF)})"
+                // the `if` preconditions evaluate EXACTLY (a reported
+                // zero must not trigger a `> 0` gate through a
+                // tolerance); a conjunction gates on ALL of them
+                val condGate = rule.conds match {
+                  case Nil => None
+                  case cs => Some(cs.map { c =>
+                    val op = if (c.op == "==") "=" else c.op
+                    s"((${compile(c.lhs, bindF)}) $op (${compile(c.rhs, bindF)}))"
+                  }.mkString(" AND "))
                 }
                 val vac = cells.map(c =>
                   s"abs(coalesce(${c.name}, 0.0))").distinct.mkString(" + ") + " = 0.0"
-                val status =
-                  nullCheck.fold("CASE ")(nc => s"CASE WHEN $nc THEN 'not_evaluated' ") +
-                    condGate.fold("")(cg => s"WHEN NOT ($cg) THEN 'not_triggered' ") +
-                    s"WHEN $vac THEN 'vacuous' WHEN $passCond THEN 'pass' ELSE 'fail' END"
-                val key = Seq(sh, ri.getOrElse("-"), ci.getOrElse("-")).mkString("|")
-                insts += Instance(rec.catalogue, rec.id, key, rec.severity,
-                  l, r, status, cells)
+                // each main conjunct is its own instance (suffixed key)
+                rule.mains.zipWithIndex.foreach { case (cmp, ki) =>
+                  val l = compile(cmp.lhs, bindF)
+                  val r = compile(cmp.rhs, bindF)
+                  val tol =
+                    if (rec.arithmetic == "P") "0.0"
+                    else s"greatest(${0.5 * nRefs}, 1e-9 * greatest(abs($l), abs($r)))"
+                  val passCond = cmp.op match {
+                    case "=" | "==" => s"abs(($l) - ($r)) <= $tol"
+                    case "!=" => s"abs(($l) - ($r)) > $tol"
+                    case "<=" => s"(($l) - ($r)) <= $tol"
+                    case ">=" => s"(($r) - ($l)) <= $tol"
+                    case "<" => s"(($l) - ($r)) < $tol"
+                    case ">" => s"(($r) - ($l)) < $tol"
+                  }
+                  val status =
+                    nullCheck.fold("CASE ")(nc => s"CASE WHEN $nc THEN 'not_evaluated' ") +
+                      condGate.fold("")(cg => s"WHEN NOT ($cg) THEN 'not_triggered' ") +
+                      s"WHEN $vac THEN 'vacuous' WHEN $passCond THEN 'pass' ELSE 'fail' END"
+                  val key = Seq(sh, ri.getOrElse("-"), ci.getOrElse("-"))
+                    .mkString("|") +
+                    (if (rule.mains.size > 1) s"&${ki + 1}" else "")
+                  insts += Instance(rec.catalogue, rec.id, key, rec.severity,
+                    l, r, status, cells)
+                }
               }
             }
             if (nEval == 0 && nSkip == 0 && nCap == 0) skip("no_coordinates")

@@ -52,28 +52,40 @@ object ValidationCatalogue {
   final case class Bin(op: Char, l: Expr, r: Expr) extends Expr
   final case class Neg(e: Expr) extends Expr
   final case class Abs(e: Expr) extends Expr
+  /** Horizontal min/max over argument expressions — compiles to
+    * least/greatest, whose NULL-skipping semantics are identical in
+    * Spark and DuckDB (verified: both ignore NULL args, return NULL
+    * only when every arg is NULL). The BoE writes one multi-row ref
+    * (`max({t: X, r: 0020; 0030; …})`); the parser expands it into one
+    * arg per row. */
+  final case class Fn(name: String, args: Seq[Expr]) extends Expr
 
   /** One parsed comparison. */
   final case class Cmp(op: String, lhs: Expr, rhs: Expr)
 
-  /** One parsed rule: an optional `if` PRECONDITION comparison gating
-    * the main comparison (the EBA/BoE `if {..} > 0 then {..} = 0`
-    * family). A rule whose precondition evaluates false is
-    * NOT TRIGGERED — an outcome, never a silent pass. The reference's
-    * evaluator refuses this family by name (`_UNSUPPORTED_MARKERS`);
-    * the generic compiler here evaluates it — both sides of the gate
-    * are the same one-comparison grammar. */
-  final case class ParsedRule(cond: Option[Cmp], main: Cmp)
+  /** One parsed rule: optional `if` PRECONDITION comparisons (a
+    * conjunction — every cond must hold for the rule to trigger) gating
+    * the main comparisons (also a conjunction: the publishers write
+    * `(X <= 1) and (X >= 0)` range assertions — each conjunct is
+    * evaluated as its own instance). A rule whose precondition
+    * evaluates false is NOT TRIGGERED — an outcome, never a silent
+    * pass. The reference's evaluator refuses the conditional and
+    * conjunction families by name (`_UNSUPPORTED_MARKERS`); the generic
+    * compiler here evaluates them — every conjunct is the same
+    * one-comparison grammar. */
+  final case class ParsedRule(conds: Seq[Cmp], mains: Seq[Cmp]) {
+    def cond: Option[Cmp] = conds.headOption
+    def main: Cmp = mains.head
+  }
 
   /** Constructs refused by name → Left(reason). */
   private val unsupportedMarkers: Seq[(String, String)] = Seq(
     "where(" -> "where_filter", "count(" -> "count_aggregate",
     "isnull" -> "isnull_predicate", "true()" -> "boolean_literal",
-    " and " -> "boolean_conjunction", " or " -> "boolean_disjunction",
+    " or " -> "boolean_disjunction",
     "empty(" -> "empty_function", " empty" -> "empty_literal",
     "not(" -> "negated_filter",
-    "min(" -> "min_function",
-    "max(" -> "max_function", " in " -> "enum_membership",
+    " in " -> "enum_membership",
     "match(" -> "match_function", "rnnn" -> "row_wildcard")
 
   /** Parse one formula into an optionally-conditional rule, or a named
@@ -96,7 +108,9 @@ object ValidationCatalogue {
     * here by name, matching the reference's evaluator surface). */
   def parse(formula: String): Either[String, Cmp] =
     parseRule(formula).flatMap { r =>
-      if (r.cond.isEmpty) Right(r.main) else Left("conditional_rule")
+      if (r.conds.nonEmpty) Left("conditional_rule")
+      else if (r.mains.size > 1) Left("boolean_conjunction")
+      else Right(r.main)
     }
 
   /** Zero-pad a legacy 3-digit row/col code to the 4-digit DPM form
@@ -123,23 +137,41 @@ object ValidationCatalogue {
         Right(c)
       } catch { case e: IllegalArgumentException => Left(s"grammar:${e.getMessage}") }
 
-    /** rule := 'if' cmp 'then' cmp | cmp */
+    /** rule := 'if' cmpAnd 'then' cmpAnd | cmpAnd
+      * cmpAnd := cmp ('and' cmp)* */
     def rule(): Either[String, ParsedRule] =
       try {
         ws()
         if (input.regionMatches(true, pos, "if ", 0, 3)) {
           pos += 3
-          val c = cmp()
+          val cs = cmpAnd()
           ws()
           if (!input.regionMatches(true, pos, "then ", 0, 5))
             fail(s"'then' expected at $pos")
           pos += 5
-          val m = cmp()
+          val ms = cmpAnd()
           ws()
           if (pos != input.length) fail(s"trailing input at $pos")
-          Right(ParsedRule(Some(c), m))
-        } else comparison().map(ParsedRule(None, _))
+          Right(ParsedRule(cs, ms))
+        } else {
+          val ms = cmpAnd()
+          ws()
+          if (pos != input.length) fail(s"trailing input at $pos")
+          Right(ParsedRule(Nil, ms))
+        }
       } catch { case e: IllegalArgumentException => Left(s"grammar:${e.getMessage}") }
+
+    private def cmpAnd(): Seq[Cmp] = {
+      val out = Seq.newBuilder[Cmp]
+      out += cmp()
+      ws()
+      while (input.regionMatches(true, pos, "and ", 0, 4)) {
+        pos += 4
+        out += cmp()
+        ws()
+      }
+      out.result()
+    }
 
     private def cmp(): Cmp = {
       // tolerate a fully-parenthesized comparison — `if (A > B) then
@@ -207,6 +239,21 @@ object ValidationCatalogue {
         case 'a' | 'A' if input.regionMatches(true, pos, "abs(", 0, 4) =>
           pos += 4; val e = sum(); ws()
           if (peek != ')') fail(s"')' expected at $pos"); pos += 1; Abs(e)
+        case 'm' | 'M' if input.regionMatches(true, pos, "min(", 0, 4) ||
+            input.regionMatches(true, pos, "max(", 0, 4) =>
+          val name = input.substring(pos, pos + 3).toLowerCase
+          pos += 4
+          val args = Seq.newBuilder[Expr]
+          args += sum(); ws()
+          while (peek == ',') { pos += 1; args += sum(); ws() }
+          if (peek != ')') fail(s"')' expected at $pos"); pos += 1
+          // the BoE multi-row shorthand: one ref whose r: member lists
+          // rows expands to one argument per row
+          Fn(name, args.result().flatMap {
+            case c: CellRef if c.row.exists(_.contains(";")) =>
+              c.row.get.split(";").toSeq.map(r => c.copy(row = Some(r)))
+            case e => Seq(e)
+          })
         // sum-over-sheets: sum({ref, (sNNN)}) / sum({ref, (sA-B)}) — the
         // published cross-template shape (v0350_m family). The inner ref
         // carries the open or ranged sheet axis as a sheet MARKER; any
@@ -255,7 +302,9 @@ object ValidationCatalogue {
         val kv = p.split(":", 2).map(_.trim)
         if (kv.length == 2) kv(0) match {          // BoE keyed members
           case "t" => table = Some(kv(1))
-          case "r" => row = Some(pad4(kv(1)))
+          case "r" => // a semicolon list is legal ONLY inside min/max
+            // (expanded there); elsewhere it simply never binds
+            row = Some(kv(1).split(";").map(c => pad4(c.trim)).mkString(";"))
           case "c" => colId = Some(pad4(kv(1)))
           case "z" => // a semicolon list names particular sheets (a
             // STRICT marker: every listed sheet must bind or the
@@ -289,6 +338,7 @@ object ValidationCatalogue {
     case Bin(_, l, r) => refs(l) ++ refs(r)
     case Neg(x) => refs(x)
     case Abs(x) => refs(x)
+    case Fn(_, args) => args.flatMap(refs)
     case _: Num => Nil
   }
 }

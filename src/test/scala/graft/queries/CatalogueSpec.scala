@@ -50,8 +50,34 @@ class CatalogueSpec extends SparkSpec {
 
   test("parser: unsupported constructs refused by name") {
     assert(parse("if {r0010, c0010} > 0 then {r0020, c0010} > 0") == Left("conditional_rule"))
-    assert(parse("min({r0010, c0010}, 0) = 0") == Left("min_function"))
     assert(parse("[ei219] in {[eba_CT:x10]}") == Left("enum_membership"))
+    assert(parse("{r0010} > 0 or {r0020} > 0") == Left("boolean_disjunction"))
+  }
+
+  test("parser: min/max compile to least/greatest arguments") {
+    // the v6263_m shape: a scalar floor inside max
+    val Right(c) = parse("{r0160} = max(0.08, {r0130}) + {r0740}")
+    val fns = ValidationCatalogue.refs(c.rhs)
+    assert(fns.map(_.row.get) == Seq("0130", "0740"))
+    // the BoE multi-row shorthand expands to one arg per row
+    val Right(c2) = parse(
+      "{t: OF09.02.01.01, r: 0150} <= max({t: OF09.02.01.01, r: 0020; 0030; 0100})")
+    assert(ValidationCatalogue.refs(c2.rhs).map(_.row.get) ==
+      Seq("0020", "0030", "0100"))
+  }
+
+  test("parser: conjunctions split into conjunct comparisons") {
+    // range assertion: each conjunct is its own main comparison
+    val Right(r1) = ValidationCatalogue.parseRule(
+      "({r0010, c0010} <= 1) and ({r0010, c0010} >= 0)")
+    assert(r1.conds.isEmpty && r1.mains.size == 2)
+    assert(r1.mains.map(_.op) == Seq("<=", ">="))
+    // conditional with a conjunction precondition (the v6404_m shape)
+    val Right(r2) = ValidationCatalogue.parseRule(
+      "if {r0010, c0010} > 0 and {r0170, c0010} > 0 then {r0170, c0020} > 0")
+    assert(r2.conds.size == 2 && r2.mains.size == 1)
+    // the pre-conditional entry still refuses the multi-main family
+    assert(parse("({r0010} <= 1) and ({r0010} >= 0)") == Left("boolean_conjunction"))
   }
 
   test("parser: sum-over-sheets open and ranged axis markers") {
