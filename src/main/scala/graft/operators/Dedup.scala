@@ -49,7 +49,14 @@ object Dedup {
     val marked = withDigest
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("keeper_id", min(col(idCol)).over(w))
-    val survivors = marked.filter(col(idCol) === col("keeper_id"))
+    // survivor = rank-1 by id (NULLS LAST) — identical to `id == min(id)`
+    // on any group with ids, but a group whose every id is NULL still
+    // emits exactly ONE survivor (a plain equality filter null-drops it,
+    // desyncing the census from a SQL `GROUP BY digest` oracle)
+    val survivors = marked
+      .withColumn("_sr", row_number().over(
+        w.orderBy(col(idCol).asc_nulls_last)))
+      .filter(col("_sr") === 1).drop("_sr")
     val dupes = marked.filter(col("group_size") > 1)
     (survivors, dupes)
   }

@@ -47,7 +47,8 @@ object Multimodal {
     Row(id, mediaType, n, Row(w, h, 3), features.toSeq)
   }
 
-  /** Output schema of the frame-sampling stage. */
+  /** Output schema of the frame-sampling stage (passthrough column
+    * appended when requested). */
   val frameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("frame_idx", IntegerType),
@@ -67,12 +68,25 @@ object Multimodal {
     */
   def sampleFrames(
       df: DataFrame, idCol: String, payloadCol: String,
-      frameSize: Int = 256, k: Int = 4): DataFrame = {
-    val input = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      frameSize: Int = 256, k: Int = 4,
+      passthroughCol: Option[String] = None): DataFrame = {
+    // `passthroughCol` rides each frame row as a string — metadata a
+    // downstream census needs (source, shard, …) must travel WITH the
+    // fan-out rather than join back on the id: ids may carry a null
+    // sentinel shared across rows, and a join-back would cross-match
+    // every sentinel row's frames (measured: doubled frame counts).
+    val outSchema = passthroughCol.fold(frameSchema)(p =>
+      StructType(frameSchema.fields.patch(1, Seq(StructField(p, StringType)), 0)))
+    val input = df.select(
+      (Seq(col(idCol).cast("long"), col(payloadCol).cast("binary")) ++
+        passthroughCol.map(p => col(p).cast("string"))): _*)
     input.mapPartitions { rows =>
-      rows.flatMap { r =>
+      rows.filter(!_.isNullAt(0)).flatMap { r =>
         val payload =
           if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val pass: Seq[Any] =
+          if (r.length > 2) Seq(if (r.isNullAt(2)) null else r.getString(2))
+          else Nil
         val nFrames = math.max(1, (payload.length + frameSize - 1) / frameSize)
         (0 until k).map(j => (nFrames * (2 * j + 1)) / (2 * k))
           .distinct.filter(_ < nFrames)
@@ -82,10 +96,11 @@ object Multimodal {
             var acc = 0L
             var i = off
             while (i < off + len) { acc += (payload(i) & 0xff); i += 1 }
-            Row(r.getLong(0), fi, off, len, (acc % 1000L).toFloat / 1000.0f)
+            Row.fromSeq(Seq[Any](r.getLong(0)) ++ pass ++
+              Seq[Any](fi, off, len, (acc % 1000L).toFloat / 1000.0f))
           }
       }
-    }(RowEncoder.encoderFor(frameSchema))
+    }(RowEncoder.encoderFor(outSchema))
   }
 
   /** The feature-extraction stage: binary payloads → typed features, one

@@ -29,7 +29,7 @@ object LlmOps {
     "q60_dedup_exact",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val digest = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      val digest = md5(concat_ws(" ", slice(split(coalesce(col("text"), lit("")), " "), 1, 3)))
       val (survivors, dupes) = Dedup.exact(d, "doc_id", digest)
       survivors.agg(
         count(lit(1)).as("n_survivors"),
@@ -41,7 +41,7 @@ object LlmOps {
     Some("""
       WITH digests AS (
         SELECT doc_id,
-               md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS content_digest
+               md5(array_to_string(string_split(coalesce(text, ''), ' ')[1:3], ' ')) AS content_digest
         FROM documents),
       keepers AS (
         SELECT content_digest, min(doc_id) AS keeper_id
@@ -393,7 +393,7 @@ object LlmOps {
       // oracle additionally spells NULLS FIRST so neither engine's
       // default placement can matter.
       val seq0 = d.select(col("source"),
-        coalesce(col("doc_id"), lit("")).as("doc_id"),
+        coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
         TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
           .cast("long").as("n_tokens"),
         md5(coalesce(col("text"), lit(""))).as("tiebreak"))
@@ -436,7 +436,7 @@ object LlmOps {
     },
     Some(s"""
       WITH seq AS (
-        SELECT source, coalesce(doc_id, '') AS doc_id,
+        SELECT source, coalesce(doc_id, -1) AS doc_id,
                CAST(length(coalesce(text, ''))
                       - length(replace(coalesce(text, ''), ' ', '')) + 1
                  AS BIGINT) AS n_tokens,
@@ -1867,7 +1867,10 @@ object LlmOps {
             .as("span_words"))
       val ranked = spans
         .withColumn("rn", row_number().over(
-          Window.partitionBy(col("gh")).orderBy(col("doc_id"), col("i"))))
+          // null-proof rank order: Spark ASC = NULLS FIRST, DuckDB ASC
+          // defaults NULLS LAST (the q78 lesson) — spell it on both sides
+          Window.partitionBy(col("gh"))
+            .orderBy(col("doc_id").asc_nulls_first, col("i"))))
         .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gh"))))
       ranked.groupBy(col("source"))
         .agg(
@@ -1895,7 +1898,7 @@ object LlmOps {
           SELECT unnest(generate_series(0, (len(t) + 7) // 8 - 1)) AS i) g),
       rk174 AS (
         SELECT *,
-          row_number() OVER (PARTITION BY gh ORDER BY doc_id, i) AS rn,
+          row_number() OVER (PARTITION BY gh ORDER BY doc_id ASC NULLS FIRST, i) AS rn,
           count(*) OVER (PARTITION BY gh) AS occ
         FROM sp174)
       SELECT source, count(DISTINCT doc_id) AS n_docs,
@@ -1946,7 +1949,10 @@ object LlmOps {
           least(lit(n), size(col("t")) - col("i") * n).cast("long")
             .as("span_words"))
         .withColumn("rn", row_number().over(
-          Window.partitionBy(col("gh")).orderBy(col("doc_id"), col("i"))))
+          // null-proof rank order: Spark ASC = NULLS FIRST, DuckDB ASC
+          // defaults NULLS LAST (the q78 lesson) — spell it on both sides
+          Window.partitionBy(col("gh"))
+            .orderBy(col("doc_id").asc_nulls_first, col("i"))))
       val canon = ranked.filter(col("rn") === 1)
         .select(col("gh"), col("source").as("canonical_source"))
       val removed = ranked.filter(col("rn") > 1)
@@ -1971,7 +1977,7 @@ object LlmOps {
                CAST(least(8, len(t) - i*8) AS BIGINT) AS span_words,
                row_number() OVER (
                  PARTITION BY md5(array_to_string(t[i*8+1:i*8+8], ' '))
-                 ORDER BY doc_id, i) AS rn
+                 ORDER BY doc_id ASC NULLS FIRST, i) AS rn
         FROM b175, LATERAL (
           SELECT unnest(generate_series(0, (len(t) + 7) // 8 - 1)) AS i) g)
       SELECT c.source AS canonical_source, r.source AS removing_source,
@@ -2002,12 +2008,18 @@ object LlmOps {
     "q176_frame_sample",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val media = d.select(col("doc_id"), col("source"),
-        encode(col("text"), "UTF-8").as("payload"))
+      // ASCII projection BEFORE byte work: non-ASCII chars become '?',
+      // so UTF-8 byte offsets equal character offsets and the oracle's
+      // substring/ord arithmetic is byte-exact on ANY fixture (the q78
+      // regenerated-fixture lesson). Ids are null-proofed the same way.
+      val ascii = regexp_replace(coalesce(col("text"), lit("")),
+        "[^\\u0000-\\u007F]", "?")
+      val media = d.select(coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
+        col("source"), encode(ascii, "UTF-8").as("payload"))
       val frames = graft.operators.Multimodal
-        .sampleFrames(media, "doc_id", "payload", frameSize = 64, k = 4)
-      val srcOf = d.select(col("doc_id").as("media_id"), col("source"))
-      val agg = frames.join(srcOf, Seq("media_id"))
+        .sampleFrames(media, "doc_id", "payload", frameSize = 64, k = 4,
+          passthroughCol = Some("source"))
+      val agg = frames
         .groupBy(col("source"))
         .agg(
           countDistinct(col("media_id")).as("n_media"),
@@ -2015,7 +2027,7 @@ object LlmOps {
           sum(col("frame_bytes")).cast("long").as("sum_frame_bytes"),
           dsum(col("f0").cast("double"), 6).as("sum_f0"))
       val tot = d.groupBy(col("source"))
-        .agg(sum(length(col("text"))).cast("long").as("total_bytes"))
+        .agg(sum(length(ascii)).cast("long").as("total_bytes"))
       agg.join(tot, Seq("source"))
         .select(col("source"), col("n_media"), col("n_frames"),
           col("sum_frame_bytes"), col("sum_f0"),
@@ -2025,9 +2037,14 @@ object LlmOps {
     },
     Some(s"""
       WITH m176 AS (
-        SELECT doc_id, source, text, length(text) AS n,
+        SELECT coalesce(doc_id, -1) AS doc_id, source, text,
+               length(text) AS n,
                greatest(1, (length(text) + 63) // 64) AS nf
-        FROM documents),
+        FROM (
+          SELECT doc_id, source,
+                 regexp_replace(coalesce(text, ''),
+                   '[^\\x00-\\x7F]', '?', 'g') AS text
+          FROM documents)),
       fr176 AS (
         SELECT doc_id, source, fi, fi*64 AS off,
                greatest(0, least(64, n - fi*64)) AS len, text

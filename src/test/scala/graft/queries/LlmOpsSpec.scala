@@ -34,18 +34,20 @@ class LlmOpsSpec extends SparkSpec {
     // (null keys coalesce to '' and sort FIRST).
     val cap = 2048
     def w(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    // doc_id is BIGINT in the harness fixture; nulls coalesce to the -1
+    // sentinel, which packs FIRST numerically
     val rows = Seq(
-      // source a: '' (2 tok), d1-null-text (1 tok via tokenCount('')),
-      // d1 (3 tok), d2 (2049 tok) -> cum 2, 3, 6, 2055
-      ("a", null.asInstanceOf[String], w(2)),
-      ("a", "d1", null.asInstanceOf[String]),
-      ("a", "d1", w(3)),
-      ("a", "d2", w(cap + 1)),
-      // source b: null doc (2048 tok) MUST pack first: then 'z' (1 tok)
+      // source a: null id (2 tok), 5-null-text (1 tok via
+      // tokenCount('')), 5 (3 tok), 7 (2049 tok) -> cum 2, 3, 6, 2055
+      ("a", Option.empty[Long], Option(w(2))),
+      ("a", Option(5L), Option.empty[String]),
+      ("a", Option(5L), Option(w(3))),
+      ("a", Option(7L), Option(w(cap + 1))),
+      // source b: null doc (2048 tok) MUST pack first: then id 9 (1 tok)
       // sits entirely in window 2 -> 0 straddlers. Nulls-last packing
       // would make the null doc straddle (1 straddler) instead.
-      ("b", null.asInstanceOf[String], w(cap)),
-      ("b", "z", "solo"))
+      ("b", Option.empty[Long], Option(w(cap))),
+      ("b", Option(9L), Option("solo")))
     val dir = java.nio.file.Files.createTempDirectory("pack78").toString
     rows.toDF("source", "doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
