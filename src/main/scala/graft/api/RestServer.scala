@@ -202,6 +202,15 @@ final class RestServer(
   /** Stream a server-built file back for download (the reference's
     * `FileResponse` shape): the path is always a fresh server temp
     * location — user-supplied ids never reach the filesystem path. */
+  /** Delete an export temp tree; responses are fully buffered before
+    * streaming, so artifacts never outlive their request. */
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(root)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   private def respondFile(
       ex: HttpExchange, path: java.nio.file.Path, filename: String,
       contentType: String): Unit = {
@@ -218,8 +227,9 @@ final class RestServer(
   private def zipDir(dir: java.nio.file.Path, zipPath: java.nio.file.Path): Unit = {
     val zos = new java.util.zip.ZipOutputStream(
       java.nio.file.Files.newOutputStream(zipPath))
+    val walk = java.nio.file.Files.walk(dir)
     try {
-      val files = java.nio.file.Files.walk(dir).iterator().asScala
+      val files = walk.iterator().asScala
         .filter(java.nio.file.Files.isRegularFile(_)).toSeq
         .sortBy(_.toString)
       files.foreach { f =>
@@ -227,7 +237,7 @@ final class RestServer(
         zos.write(java.nio.file.Files.readAllBytes(f))
         zos.closeEntry()
       }
-    } finally zos.close()
+    } finally { zos.close(); walk.close() }
   }
 
   private def rowsAsJson(df: DataFrame, limit: Int): String = {
@@ -495,7 +505,11 @@ final class RestServer(
             case (Some(c), Some(k)) => df0.filter(col(c) === k)
             case _ => df0
           }
-          if (sheetSel.nonEmpty && df.isEmpty)
+          // a sheet selector on an unsheeted template must not echo
+          // back the full frame as if the slice existed
+          if (sheetSel.nonEmpty && t.sheetCol.isEmpty)
+            error(ex, 404, s"template $sub has no sheet axis")
+          else if (sheetSel.nonEmpty && df.isEmpty)
             error(ex, 404, s"unknown sheet for $sub: ${sheetSel.get}")
           else {
             val banner = graft.reporting.TemplateCatalog.banner(t.id)
@@ -557,6 +571,7 @@ final class RestServer(
           "passed" -> (n("ERROR", "pass") + n("WARNING", "pass")),
           "failed" -> (blocking + warning),
           "vacuous" -> (n("ERROR", "vacuous") + n("WARNING", "vacuous")),
+          "not_triggered" -> (n("ERROR", "not_triggered") + n("WARNING", "not_triggered")),
           "not_evaluated" -> (n("ERROR", "not_evaluated") + n("WARNING", "not_evaluated")),
           "blocking" -> blocking, "warning" -> warning),
         "blocking_breaks" -> breaks("ERROR"),
@@ -615,22 +630,22 @@ final class RestServer(
     queryParams(ex).get("recon_id")
       .flatMap(id => Option(recons.get(id))) match {
       case None => error(ex, 404, "unknown recon_id")
-      case Some(r) => fmt match {
-        case "excel" =>
-          val tmp = java.nio.file.Files.createTempDirectory("graft_recon_export")
-          val out = tmp.resolve("reconciliation.xlsx")
-          WorkbookExport.reconWorkbook(r, out.toString)
-          respondFile(ex, out, "reconciliation.xlsx",
-            "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
-        case "csv" =>
-          val tmp = java.nio.file.Files.createTempDirectory("graft_recon_export")
-          val outDir = tmp.resolve("csv")
-          WorkbookExport.reconCsv(r, outDir.toString)
-          val zip = tmp.resolve("reconciliation_csv.zip")
-          zipDir(outDir, zip)
-          respondFile(ex, zip, "reconciliation_csv.zip", "application/zip")
-        case other => error(ex, 404, s"unknown export format: $other")
-      }
+      case Some(r) =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_recon_export")
+        try fmt match {
+          case "excel" =>
+            val out = tmp.resolve("reconciliation.xlsx")
+            WorkbookExport.reconWorkbook(r, out.toString)
+            respondFile(ex, out, "reconciliation.xlsx",
+              "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+          case "csv" =>
+            val outDir = tmp.resolve("csv")
+            WorkbookExport.reconCsv(r, outDir.toString)
+            val zip = tmp.resolve("reconciliation_csv.zip")
+            zipDir(outDir, zip)
+            respondFile(ex, zip, "reconciliation_csv.zip", "application/zip")
+          case other => error(ex, 404, s"unknown export format: $other")
+        } finally deleteTree(tmp)
     }
   }
 
@@ -655,8 +670,15 @@ final class RestServer(
               resolveDataPath(settings.legacyFile) match {
                 case Left(msg) => error(ex, 422, s"legacy_file: $msg")
                 case Right(_) =>
-                  val prior = jsonField(body, "runId")
-                    .flatMap(id => Option(runs.get(id)))
+                  val runIdReq = jsonField(body, "runId")
+                  val prior = runIdReq.flatMap(id => Option(runs.get(id)))
+                  if (runIdReq.nonEmpty && prior.isEmpty)
+                    // a named run that is unknown (or LRU-evicted) must
+                    // not silently reconcile under a fresh default
+                    // config — the breaks would be against the wrong
+                    // ledger with no indication
+                    error(ex, 404, s"unknown run: ${runIdReq.get}")
+                  else {
                   val cfg = prior.map(_.config)
                     .getOrElse(CalcConfig(dataPath = dir))
                   val result = new CreditRiskCalc(spark, cfg)
@@ -677,6 +699,7 @@ final class RestServer(
                       "has_breaks" -> hasBreaks,
                       "summary_by_bucket" -> summaryRows,
                       "worklist" -> rawRows(result.worklist.get, 100))))
+                  }
                   }
               }
             } catch {
@@ -701,7 +724,7 @@ final class RestServer(
     withRun(ex) { res =>
       val stamp = s"${res.config.framework}_${res.config.reportingDate}"
       val tmp = java.nio.file.Files.createTempDirectory("graft_export")
-      fmt match {
+      try fmt match {
         case "parquet" | "csv" =>
           val outDir = tmp.resolve(fmt)
           java.nio.file.Files.createDirectories(outDir)
@@ -756,7 +779,7 @@ final class RestServer(
             respondFile(ex, zip, zip.getFileName.toString, "application/zip")
           }
         case other => error(ex, 404, s"unknown export format: $other")
-      }
+      } finally deleteTree(tmp)
     }
   }
 

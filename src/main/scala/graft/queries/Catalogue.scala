@@ -1076,9 +1076,20 @@ object Catalogue {
                 rule.mains.zipWithIndex.foreach { case (cmp, ki) =>
                   val l = compile(cmp.lhs, bindF)
                   val r = compile(cmp.rhs, bindF)
+                  // Interval tolerance: the publishers' half-unit-per-
+                  // reported-figure slack — but CAPPED at 1e-3 of the
+                  // operand magnitude, so fraction-scale rules (the PD
+                  // floor's 3e-4, ratio range assertions) stay
+                  // FALSIFIABLE: an uncapped 0.5·nRefs exceeds every
+                  // possible fraction operand and can never fail. Money
+                  // magnitudes (≫ 500·nRefs) keep the half-unit slack
+                  // unchanged; the 1e-9 relative floor covers exact-sum
+                  // FP noise either way.
                   val tol =
                     if (rec.arithmetic == "P") "0.0"
-                    else s"greatest(${0.5 * nRefs}, 1e-9 * greatest(abs($l), abs($r)))"
+                    else s"greatest(least(${0.5 * nRefs}, " +
+                      s"1e-3 * greatest(abs($l), abs($r))), " +
+                      s"1e-9 * greatest(abs($l), abs($r)))"
                   val passCond = cmp.op match {
                     case "=" | "==" => s"abs(($l) - ($r)) <= $tol"
                     case "!=" => s"abs(($l) - ($r)) > $tol"

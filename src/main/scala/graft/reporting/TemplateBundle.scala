@@ -33,10 +33,25 @@ object TemplateBundle {
 
   private final class Lazy[A](thunk: () => A) { lazy val value: A = thunk() }
 
+  // one release hook per session: collected sheets die with the app so
+  // harnesses that cycle sessions cannot accumulate every session's rows
+  private val hooked = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  private def hookRelease(s: SparkSession): Unit =
+    if (hooked.add(s))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          releaseSession(s)
+      })
+
   /** The generated frame for `name`, building (and collecting) it on
     * first use per (session, dir) — concurrent first readers build once. */
   def generated(s: SparkSession, dir: String, name: String,
       build: => DataFrame): DataFrame = {
+    hookRelease(s)
     val key = (s, dir, name)
     val holder = new Lazy[Entry]({ () =>
       val df = build

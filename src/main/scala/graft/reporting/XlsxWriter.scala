@@ -139,12 +139,22 @@ object XlsxWriter {
       maxRows: Int = 100000): Unit = {
     require(sheets.nonEmpty, "workbook needs at least one sheet")
     val named = {
-      val seen = scala.collection.mutable.Map[String, Int]()
+      // every EMITTED name registers in `used`, and a synthetic suffix
+      // that itself collides (e.g. input ['X','X','X_1']) keeps bumping
+      // — Excel rejects a workbook with duplicate worksheet names
+      val used = scala.collection.mutable.Set[String]()
       sheets.map { sh =>
         val base = sanitiseSheetName(sh.name)
-        val n = seen.getOrElse(base, 0); seen(base) = n + 1
-        val unique = if (n == 0) base
-          else sanitiseSheetName(base.take(28) + s"_$n")
+        var unique = base
+        var n = 1
+        while (used.contains(unique)) {
+          // shrink the stem as the suffix grows so the 31-char clamp
+          // can never collapse distinct candidates onto each other
+          val suffix = s"_$n"
+          unique = sanitiseSheetName(base.take(31 - suffix.length) + suffix)
+          n += 1
+        }
+        used += unique
         (unique, sh)
       }
     }
