@@ -727,8 +727,14 @@ object LlmOps {
     "q69_fingerprint",
     (s, dir) => {
       val d = Tables.documents(s, dir)
+      // the rolling hash runs on UTF-8 BYTES while the oracle's ord()
+      // sees codepoints — identical only on ASCII, so project first
+      // (same discipline as q176); coalesce keeps a null-text doc in
+      // the census on both engines
       d.select(col("source"),
-          hashfns.min_window_hash(col("text"), 16).as("fp"))
+          hashfns.min_window_hash(regexp_replace(
+            coalesce(col("text"), lit("")), "[^\u0000-\u007F]", "?"), 16)
+            .as("fp"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
              countDistinct(col("fp")).as("n_distinct_fp"))
@@ -741,7 +747,13 @@ object LlmOps {
         .mkString(", ")
       s"""
       WITH pw(k, p) AS (VALUES $pwVals),
-      docs AS (SELECT source, doc_id, text, length(text) AS n FROM documents),
+      docs AS (
+        SELECT source, doc_id,
+               regexp_replace(coalesce(text, ''),
+                 '[^\\x00-\\x7F]', '?', 'g') AS text,
+               length(regexp_replace(coalesce(text, ''),
+                 '[^\\x00-\\x7F]', '?', 'g')) AS n
+        FROM documents),
       wins AS (
         SELECT source, doc_id, text, n, least(16, n) AS w,
                unnest(generate_series(1, n - least(16, n) + 1)) AS i
@@ -1113,7 +1125,10 @@ object LlmOps {
     "q125_repetition_filter",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val toks = split(col("text"), " ")
+      // coalesce BEFORE splitting: a null text must not diverge the
+      // ratio between engines (DuckDB's null-skipping greatest would
+      // manufacture a flagged all-null gram while Spark drops the row)
+      val toks = split(coalesce(col("text"), lit("")), " ")
       val grams = transform(
         sequence(lit(0), greatest(size(toks) - 2, lit(0))),
         i => concat_ws(" ", slice(toks, i + 1, lit(2))))
@@ -1135,7 +1150,7 @@ object LlmOps {
     },
     Some(s"""
       WITH toks AS (
-        SELECT source, string_split(text, ' ') AS t FROM documents),
+        SELECT source, string_split(coalesce(text, ''), ' ') AS t FROM documents),
       g AS (
         SELECT source, t,
                list_transform(generate_series(0, greatest(len(t) - 2, 0)),
@@ -1543,7 +1558,8 @@ object LlmOps {
       val overhead = 16L      // per-record framing (length + separators)
       val d = Tables.documents(s, dir)
       d.select(col("source"),
-          (octet_length(col("text")).cast("long") + overhead).as("rec_bytes"))
+          (octet_length(coalesce(col("text"), lit(""))).cast("long") + overhead)
+            .as("rec_bytes"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -1556,7 +1572,7 @@ object LlmOps {
     Some("""
       WITH rec AS (
         SELECT source,
-               CAST(octet_length(CAST(text AS BLOB)) + 16 AS BIGINT)
+               CAST(octet_length(encode(coalesce(text, ''))) + 16 AS BIGINT)
                  AS rec_bytes
         FROM documents),
       rolled AS (
