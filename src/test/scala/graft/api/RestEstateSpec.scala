@@ -74,6 +74,12 @@ class RestEstateSpec extends SparkSpec {
       assert(http(port, s"/api/templates/NOPE?run_id=$runId")._1 == 404)
       assert(http(port,
         s"/api/templates/C09.01?run_id=$runId&sheet=ATLANTIS")._1 == 404)
+      // a sheet selector on an UNSHEETED template is a 404, not a
+      // silent full-frame echo
+      val flat = graft.reporting.TemplateCatalog.index
+        .find(_.sheetCol.isEmpty).get.id
+      assert(http(port,
+        s"/api/templates/$flat?run_id=$runId&sheet=0001")._1 == 404)
       assert(http(port, "/api/templates")._1 == 404) // no run_id
 
       // validations: catalogue verdict for the run's framework
@@ -82,6 +88,11 @@ class RestEstateSpec extends SparkSpec {
         vb.contains("\"is_submittable\":") &&
         vb.contains("\"rules_executed\":") &&
         vb.contains("\"not_evaluated_reasons\""), vb.take(300))
+      // the status buckets (incl. not_triggered) sum to rules_executed
+      def n(key: String): Long =
+        ("\"" + key + "\":(\\d+)").r.findFirstMatchIn(vb).get.group(1).toLong
+      assert(n("passed") + n("failed") + n("vacuous") + n("not_triggered") +
+        n("not_evaluated") == n("rules_executed"), vb.take(400))
 
       // comparison: one-pass shadow-regime deltas + per-regime totals
       val (cs2, cb2) = http(port, "/api/comparison", "POST",
@@ -168,6 +179,11 @@ class RestEstateSpec extends SparkSpec {
       assert(cs3 == 200 && cbts(0) == 'P'.toByte && cbts(1) == 'K'.toByte)
 
       // error semantics
+      // an unknown/evicted runId must 404, never silently reconcile
+      // under a fresh default config
+      assert(http(port, "/api/reconcile", "POST",
+        s"""{"dataPath": "$sfDir", "runId": "run-99999", """ +
+          s""""mappingToml": "${jsonEscape(toml)}"}""")._1 == 404)
       assert(http(port, "/api/reconcile/export/excel?recon_id=nope")._1 == 404)
       assert(http(port, "/api/reconcile", "POST",
         s"""{"dataPath": "$sfDir"}""")._1 == 422)
