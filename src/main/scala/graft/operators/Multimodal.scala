@@ -114,9 +114,9 @@ object Multimodal {
       col(idCol).cast("long"), col(typeCol).cast("string"),
       col(payloadCol).cast("binary"))
     input.mapPartitions { rows =>
-      rows.map { r =>
+      rows.filter(!_.isNullAt(0)).map { r =>
         val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
-        decodeStub(r.getLong(0), r.getString(1), payload)
+        decodeStub(r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1), payload)
       }
     }(RowEncoder.encoderFor(featureSchema))
   }

@@ -79,6 +79,26 @@ object Similarity {
   def cosineExact(a: Column, b: Column): Column =
     dotExact(a, b) / (sqrt(dotExact(a, a)) * sqrt(dotExact(b, b)))
 
+  /** Entry hygiene shared by the similarity operators: a vector with a
+    * null id, a null embedding, or all-zero components has no usable
+    * direction — Spark's ANSI division would ERROR on the zero norm
+    * where DuckDB quietly NULLs, so exclusion is the only semantics
+    * both engines can express identically. A DUPLICATE id is likewise
+    * resolved deterministically (keep-first by lexicographic embedding
+    * order — the id is the vector's identity; two vectors under one id
+    * would desync every id-keyed window/groupBy between engines).
+    * Oracle side:
+    * `WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND
+    *    len(list_filter(embedding, x -> x <> 0)) > 0
+    *  QUALIFY row_number() OVER (PARTITION BY vec_id
+    *    ORDER BY embedding) = 1`. A no-op on well-formed fixtures. */
+  def scorable(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        exists(col(vecCol), x => x =!= 0.0f))
+      .withColumn("_sc_rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col(vecCol))))
+      .filter(col("_sc_rn") === 1).drop("_sc_rn")
+
   /** Plain double dot product (internal ranking only). */
   private def dotPlain(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
@@ -99,11 +119,13 @@ object Similarity {
       exact: Boolean = true): DataFrame = {
     // per-vector norms once (N + P lambda evaluations), not per pair
     // (3·N·P) — bit-identical cosine, 3× less decimal-lambda work
-    val cand = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val cand = scorable(candidates, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
       .withColumn("cand_norm",
         if (exact) sqrt(dotExact(col("cand_vec"), col("cand_vec")))
         else sqrt(dot2(col("cand_vec"))))
-    val prob = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val prob = scorable(probes, idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
       .withColumn("probe_norm",
         if (exact) sqrt(dotExact(col("probe_vec"), col("probe_vec")))
         else sqrt(dot2(col("probe_vec"))))
@@ -150,13 +172,18 @@ object Similarity {
       bands: Int = 4, rowsPerBand: Int = 8,
       minCosine: Double = 0.8, maxBucket: Int = 1000,
       hammingMax: Int = 40): DataFrame = {
-    val v = df.select(col(idCol).as("nn_id"), col(vecCol).as("vec"))
+    val v = scorable(df, idCol, vecCol)
+      .select(col(idCol).as("nn_id"), col(vecCol).as("vec"))
     val banded = v.select(
       col("nn_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => concat((0 until rowsPerBand).map { j =>
-          when(element_at(col("vec"), (b * lit(rowsPerBand) + lit(j + 1)).cast("int")) >= 0,
+          // try_element_at: a vector shorter than bands×rowsPerBand
+          // dims zero-pads (NULL >= 0 is false) instead of erroring —
+          // matching the oracle's out-of-range list index semantics
+          when(try_element_at(col("vec"),
+              (b * lit(rowsPerBand) + lit(j + 1)).cast("int")) >= 0,
             lit("1")).otherwise(lit("0"))
         }: _*))))
       .withColumnRenamed("pos", "band_idx")
@@ -207,7 +234,7 @@ object Similarity {
     */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String, nlist: Int, seed: Long = 42L)
       : (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
-    val feat = df.select(col(idCol), col(vecCol),
+    val feat = scorable(df, idCol, vecCol).select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
       .fit(feat)
@@ -224,7 +251,7 @@ object Similarity {
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
       .toSeq.toDF("cell", "centroid")
-    val probCells = probes
+    val probCells = scorable(probes, idCol, vecCol)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
       .crossJoin(broadcast(centroids))
       .select(col("probe_id"), col("probe_vec"), col("cell"),

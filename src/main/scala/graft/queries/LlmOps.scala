@@ -484,7 +484,8 @@ object LlmOps {
   val q119PqAnn = QueryDef(
     "q119_pq_ann",
     (s, dir) => {
-      val e = Tables.embeddings(s, dir)
+      val e = graft.operators.Similarity.scorable(
+        Tables.embeddings(s, dir), "vec_id", "embedding")
       val vecs = e.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       val cents = vecs.filter(col("vec_id") < 16)
@@ -515,7 +516,9 @@ object LlmOps {
     Some(s"""
       WITH elems AS MATERIALIZED (
         SELECT vec_id, i, (i - 1) // 8 AS sub, CAST(embedding[i] AS DOUBLE) AS x
-        FROM embeddings,
+        FROM (SELECT * FROM embeddings
+              WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY embedding) = 1) embeddings,
         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s),
       cent AS MATERIALIZED (
         SELECT vec_id AS k, i, x AS cx FROM elems WHERE vec_id < 16),
@@ -564,8 +567,12 @@ object LlmOps {
         .orderBy(col("probe_id"), col("rank"))
     },
     Some(s"""
-      WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 8),
-      cand AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+      WITH e64 AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY embedding) = 1),
+      probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM e64 WHERE vec_id < 8),
+      cand AS (SELECT vec_id AS cand_id, embedding AS cv FROM e64),
       terms AS (
         SELECT probe_id, cand_id, i,
                CAST(CAST(pv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(38,14)) AS pq,
@@ -791,8 +798,13 @@ object LlmOps {
     "q70_multimodal",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val media = d.select(col("doc_id"), lit("image").as("media_type"),
-        encode(col("text"), "UTF-8").as("payload"))
+      // same fixture hygiene as q176: ASCII-project so payload BYTES
+      // equal the oracle's codepoint arithmetic, null-proof id and text
+      val ascii70 = regexp_replace(coalesce(col("text"), lit("")),
+        "[^\u0000-\u007F]", "?")
+      val media = d.select(coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
+        lit("image").as("media_type"),
+        encode(ascii70, "UTF-8").as("payload"))
       Multimodal.extractFeatures(media, "doc_id", "media_type", "payload")
         .select(col("media_type"), col("byte_length"),
                 col("meta.width").as("w"), element_at(col("features"), 1).as("f0"))
@@ -804,7 +816,12 @@ object LlmOps {
         .orderBy(col("media_type"))
     },
     Some(s"""
-      WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      WITH b AS (
+        SELECT coalesce(doc_id, -1) AS doc_id, text, length(text) AS n
+        FROM (SELECT doc_id,
+                     regexp_replace(coalesce(text, ''),
+                       '[^\\x00-\\x7F]', '?', 'g') AS text
+              FROM documents)),
       acc AS (
         SELECT doc_id, n, text,
                (SELECT coalesce(sum(ord(substring(b.text, j, 1))), 0)
@@ -835,7 +852,10 @@ object LlmOps {
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
       val cands = Similarity.signLshNearDup(e, "vec_id", "embedding", minCosine = 0.3)
-      val lab = e.select(col("vec_id"), col("label"))
+      // labels from the SAME sanitised frame the operator scored — the
+      // raw frame would fan pairs out on a duplicate id
+      val lab = Similarity.scorable(e, "vec_id", "embedding")
+        .select(col("vec_id"), col("label"))
       cands
         .join(lab.select(col("vec_id").as("id_a"), col("label").as("label_a")), Seq("id_a"))
         .join(lab.select(col("vec_id").as("id_b"), col("label").as("label_b")), Seq("id_b"))
@@ -846,7 +866,9 @@ object LlmOps {
           q6(coalesce(max(col("cosine")), lit(0.0))).as("max_cosine"))
     },
     Some(s"""
-      WITH v AS (SELECT vec_id, embedding, label FROM embeddings),
+      WITH v AS (SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY embedding) = 1),
       bands AS (
         SELECT vec_id, b,
                (SELECT string_agg(CASE WHEN v.embedding[b.b*8 + j + 1] >= 0 THEN '1' ELSE '0' END, '' ORDER BY j)
@@ -1617,8 +1639,8 @@ object LlmOps {
       val d = Tables.documents(s, dir).select(col("source"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
       val tierMult = when(
-        expr("CAST(substring(source, 4) AS INT)") % 3 === 0, 3.0)
-        .when(expr("CAST(substring(source, 4) AS INT)") % 3 === 1, 1.0)
+        expr("coalesce(TRY_CAST(substring(source, 4) AS INT), 0)") % 3 === 0, 3.0)
+        .when(expr("coalesce(TRY_CAST(substring(source, 4) AS INT), 0)") % 3 === 1, 1.0)
         .otherwise(0.5)
       val perSrc = d.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("m"))
@@ -1668,8 +1690,8 @@ object LlmOps {
         SELECT source, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS m,
                ${sql6("sqrt(CAST(sum(n_tokens) AS DOUBLE)) * " +
-                 "(CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN 3.0 " +
-                 "WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN 1.0 " +
+                 "(CASE WHEN coalesce(TRY_CAST(substr(source, 4) AS INT), 0) % 3 = 0 THEN 3.0 " +
+                 "WHEN coalesce(TRY_CAST(substr(source, 4) AS INT), 0) % 3 = 1 THEN 1.0 " +
                  "ELSE 0.5 END)")} AS w
         FROM x169d GROUP BY source),
       x169tot AS (
@@ -1743,7 +1765,8 @@ object LlmOps {
     "q173_semdedup",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = Tables.embeddings(s, dir)
+      val e = graft.operators.Similarity.scorable(
+        Tables.embeddings(s, dir), "vec_id", "embedding")
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val assigned = e.crossJoin(broadcast(cents))
@@ -1783,14 +1806,18 @@ object LlmOps {
         .orderBy(col("cluster"))
     },
     Some(s"""
-      WITH cents AS (
-        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      WITH e173 AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY embedding) = 1),
+      cents AS (
+        SELECT vec_id AS cid, embedding AS cv FROM e173 WHERE vec_id < 8),
       dterms AS (
         SELECT e.vec_id, c.cid,
                CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
                     (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
                     AS DECIMAL(38,14)) AS t
-        FROM embeddings e CROSS JOIN cents c,
+        FROM e173 e CROSS JOIN cents c,
         LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) s),
       dists AS (
         SELECT vec_id, cid, CAST(sum(t) AS DOUBLE) AS d
@@ -1804,7 +1831,7 @@ object LlmOps {
         SELECT e.vec_id,
                CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
                     AS DECIMAL(38,14)) AS t
-        FROM embeddings e,
+        FROM e173 e,
         LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) s),
       norms AS (
         SELECT vec_id, sqrt(CAST(sum(t) AS DOUBLE)) AS nrm
@@ -1812,7 +1839,7 @@ object LlmOps {
       clustered AS (
         SELECT a.cluster, a.vec_id, e.embedding, n.nrm
         FROM assigned a
-        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN e173 e ON e.vec_id = a.vec_id
         JOIN norms n ON n.vec_id = a.vec_id),
       pterms AS (
         SELECT x.cluster, x.vec_id AS a_id, y.vec_id AS b_id,

@@ -28,20 +28,38 @@ def main(out_dir: str, sf_dir: str = "/root/testdata/sf0.001") -> None:
     base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
             "lambda mu")
     rows = [
-        (None, "srcA", base),                                # null id
-        (1, "srcA", base),                                   # exact dup text
-        (2, "srcB", base + " extra tail words here now ok fine yes"),
-        (3, "srcB", "café naïve résumé " + base),            # non-ASCII
-        (3, "srcC", "duplicate id row " + base),             # dup id
-        (None, "srcC", None),                                # null id + text
+        (None, "srcA", base, "en"),                          # null id
+        (1, "srcA", base, "en"),                             # exact dup text
+        (2, "srcB", base + " extra tail words here now ok fine yes", "en"),
+        (3, "srcB", "café naïve résumé " + base, None),      # non-ASCII, null lang
+        (3, "srcC", "duplicate id row " + base, "de"),       # dup id
+        (None, "srcC", None, None),                          # null id + text
     ]
-    con.execute(
-        "CREATE TABLE documents(doc_id BIGINT, source VARCHAR, text VARCHAR)")
-    con.executemany("INSERT INTO documents VALUES (?,?,?)", rows)
+    con.execute("CREATE TABLE documents(doc_id BIGINT, source VARCHAR, "
+                "text VARCHAR, lang VARCHAR, n_chars BIGINT)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, ?, ?, length(coalesce(?, '')))",
+        [(r[0], r[1], r[2], r[3], r[2]) for r in rows])
     con.execute(
         f"COPY documents TO '{out_dir}/documents.parquet' (FORMAT PARQUET)")
+    # adversarial embeddings: null vec_id, null embedding, zero vector
+    # (norm 0 -> ANSI divide-by-zero unless guarded), duplicate id, and
+    # 16-dim vectors (shorter than the LSH band span). Round-11 catches:
+    # Similarity.scorable hygiene, q71 label fan-out, try_element_at
+    # banding, q119 null-code ranking.
+    import random
+    random.seed(7)
+    erows = [(i, [round(random.uniform(-1, 1), 3) for _ in range(16)], i % 4)
+             for i in range(40)]
+    erows += [(None, [0.5] * 16, 1), (100, None, 2), (101, [0.0] * 16, 3),
+              (5, [round(random.uniform(-1, 1), 3) for _ in range(16)], 0)]
+    con.execute("CREATE TABLE embeddings"
+                "(vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+    con.executemany("INSERT INTO embeddings VALUES (?,?,?)", erows)
+    con.execute(
+        f"COPY embeddings TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "embeddings"]:
+              "lineitem", "events"]:
         shutil.copy(f"{sf_dir}/{t}.parquet", f"{out_dir}/{t}.parquet")
     print(f"adversarial fixture written to {out_dir}")
 
