@@ -91,13 +91,24 @@ object Similarity {
     * `WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND
     *    len(list_filter(embedding, x -> x <> 0)) > 0
     *  QUALIFY row_number() OVER (PARTITION BY vec_id
-    *    ORDER BY embedding) = 1`. A no-op on well-formed fixtures. */
+    *    ORDER BY embedding) = 1`. A no-op on well-formed fixtures.
+    *
+    * The sanitised frame is PERSISTED: the keep-first window is a full
+    * shuffle over the embeddings table, and every similarity query
+    * consumes the frame at least twice (probe + corpus side, or
+    * candidates + label join-back). Spark's CacheManager canonicalises
+    * cached plans, so repeated `scorable` calls over the same input
+    * share ONE in-memory copy instead of re-paying the window per
+    * consumer (measured: q71 re-ran it 3× at sf0.1, doubling the query).
+    * The harness clears cache between queries, so entries don't leak
+    * across the battery; within a query LRU eviction bounds memory. */
   def scorable(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
         exists(col(vecCol), x => x =!= 0.0f))
       .withColumn("_sc_rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col(vecCol))))
       .filter(col("_sc_rn") === 1).drop("_sc_rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Plain double dot product (internal ranking only). */
   private def dotPlain(x: Column, y: Column): Column =

@@ -5,20 +5,73 @@ Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from oracle_sql.json in DuckDB over views of the sfDir
-tables, and compares: schema (column names), row count, and values (columns
-sorted by name, rows sorted, exact match for non-floats, bit-exact preferred
-/ 1e-9-relative fallback reported for floats).
+tables, and compares:
+
+  1. column names (sorted),
+  2. RESULT TYPES — the arrow type family of each oracle column against the
+     Spark parquet schema. An integer column on one side and a decimal or
+     floating column on the other is a FAILURE even when every value compares
+     equal: the driver's hasher canonicalises a DuckDB HUGEINT/decimal as a
+     float ("5.0") while Spark's int64 renders "5", so a value-level == check
+     stays green where the driver hashes red (this exact class kept
+     q78_sequence_packing red for five rounds — the oracle's window
+     sum(BIGINT) is HUGEINT and one derived column escaped its CAST).
+     A float-vs-decimal pair is only a WARN: both sides render as floats in
+     the driver, so those hash green (six estate queries rely on this).
+  3. row count, and values (columns sorted by name, rows sorted, exact match
+     for non-floats, bit-exact preferred / 1e-9-relative fallback reported
+     for floats).
 """
 import json, math, sys
 import duckdb
+import pyarrow.dataset as pads
+import pyarrow.types as pt
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(v):
-    if isinstance(v, float):
-        return v
-    return v
+def type_family(t):
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_decimal(t):
+        return "decimal"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "string"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t):
+        return "list"
+    if pt.is_struct(t):
+        return "struct"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "binary"
+    return str(t)
+
+# Families whose cross-pairing the driver's hasher tolerates (both fetch as
+# Python floats). Everything else cross-family is a hard failure.
+_SOFT_PAIRS = {frozenset(("float", "decimal"))}
+
+def type_check(name, spark_schema, oracle_schema):
+    """Returns (hard_mismatches, soft_mismatches) as lists of strings."""
+    hard, soft = [], []
+    ora = {f.name: f.type for f in oracle_schema}
+    spk = {f.name: f.type for f in spark_schema}
+    for col in sorted(set(ora) & set(spk)):
+        fo, fs = type_family(ora[col]), type_family(spk[col])
+        if fo == fs:
+            continue
+        msg = f"{col}: spark {spk[col]} ({fs}) vs oracle {ora[col]} ({fo})"
+        if frozenset((fo, fs)) in _SOFT_PAIRS:
+            soft.append(msg)
+        else:
+            hard.append(msg)
+    return hard, soft
 
 def cmp_cell(a, b):
     if a is None or b is None:
@@ -45,9 +98,12 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            spark_tbl = pads.dataset(f"{out_dir}/{name}", format="parquet")
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
-            exp = con.execute(sql).fetchdf()
+            exp_rel = con.execute(sql)
+            exp_arrow = exp_rel.fetch_arrow_table()
+            exp = exp_arrow.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
@@ -55,6 +111,12 @@ def main():
         gc, ec = sorted(got.columns), sorted(exp.columns)
         if gc != ec:
             print(f"FAIL {name}: columns {gc} vs oracle {ec}")
+            n_fail += 1
+            continue
+        hard, soft = type_check(name, spark_tbl.schema, exp_arrow.schema)
+        if hard:
+            print(f"FAIL {name}: result-type mismatch (driver-hash-red even if "
+                  f"values match): {hard}")
             n_fail += 1
             continue
         g = got[gc].values.tolist()
@@ -78,7 +140,12 @@ def main():
             print(f"FAIL {name}: {len(bad)} cell diffs, e.g. {bad[:3]}")
             n_fail += 1
         else:
-            tag = "" if inexact == 0 else f"  [WARN {inexact} cells close-not-bitexact]"
+            tags = []
+            if inexact:
+                tags.append(f"WARN {inexact} cells close-not-bitexact")
+            if soft:
+                tags.append(f"WARN soft type pairs {soft}")
+            tag = "" if not tags else "  [" + "; ".join(tags) + "]"
             print(f"PASS {name}: {len(g)} rows{tag}")
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
