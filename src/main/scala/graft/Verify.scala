@@ -28,6 +28,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Sweep per-query persists (Similarity.scorable, q173's assigned,
+      // pipeline stage edges): the battery runs 150+ queries in one
+      // session, so without this the pinned frames accumulate with
+      // unbounded disk spill. Bench.scala does the same between queries.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -100,15 +100,39 @@ object Similarity {
     * cached plans, so repeated `scorable` calls over the same input
     * share ONE in-memory copy instead of re-paying the window per
     * consumer (measured: q71 re-ran it 3× at sf0.1, doubling the query).
-    * The harness clears cache between queries, so entries don't leak
-    * across the battery; within a query LRU eviction bounds memory. */
-  def scorable(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+    *
+    * LIFECYCLE: both harnesses — Bench.scala and Verify.scala — call
+    * `spark.catalog.clearCache()` between queries, so entries don't
+    * leak across the battery. A long-lived session (the REST server
+    * path) calling similarity operators over many DISTINCT inputs must
+    * instead call [[releaseScorables]] when a working set is done —
+    * every persisted frame is tracked here for exactly that sweep
+    * (mirrors `DomainPipeline.releaseLedger`). Within a query, LRU
+    * eviction bounds memory. */
+  def scorable(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cleaned = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
         exists(col(vecCol), x => x =!= 0.0f))
       .withColumn("_sc_rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col(vecCol))))
       .filter(col("_sc_rn") === 1).drop("_sc_rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tracked.synchronized { tracked += cleaned }
+    cleaned
+  }
+
+  /** Frames pinned by [[scorable]] and not yet released. CacheManager
+    * canonicalisation means same-input frames share one cache entry, so
+    * duplicates in this list cost nothing beyond the unpersist call. */
+  private val tracked =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Unpersist every frame [[scorable]] has pinned since the last
+    * release. Blocking=false: eviction proceeds asynchronously, callers
+    * never wait on executor cleanup. */
+  def releaseScorables(): Unit = tracked.synchronized {
+    tracked.foreach(_.unpersist(false))
+    tracked.clear()
+  }
 
   /** Plain double dot product (internal ranking only). */
   private def dotPlain(x: Column, y: Column): Column =

@@ -153,6 +153,35 @@ class PlanDisciplineSpec extends SparkSpec {
       s"q173 centroid assignment should broadcast the 8 seeds:\n$plan")
   }
 
+  test("q173's pair generation is rank-window-capped, never an unbounded " +
+    "within-cluster all-pairs self-join") {
+    import org.apache.spark.sql.catalyst.expressions.BinaryComparison
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, EqualNullSafe}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.queries("q173_semdedup")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    // (a) candidates come from the explode-to-W-successor-ranks shape —
+    // reverting to an `a_id < b_id` all-pairs join removes this node
+    assert(opt.toString.contains("explode(sequence("),
+      s"q173 pair candidates must come from the W-window explode:\n$opt")
+    // (b) every join is a pure EQUI-join on its attributes: the
+    // unbounded all-pairs shape joins on cluster alone and bounds pairs
+    // with an id-vs-id INEQUALITY in the condition (O(n²/K), quadratic
+    // under cluster skew); the capped shape equi-joins on (cluster,
+    // successor-rank) so candidates stay ≤ N·W by construction. A
+    // comparison against a LITERAL (the pushed cos >= 0.3 threshold) is
+    // a row filter, not a pair generator — only attribute-to-attribute
+    // inequalities are the all-pairs signature.
+    val nonEqui = opt.collect { case j: Join => j }.flatMap(_.condition)
+      .flatMap(_.collect {
+        case c: BinaryComparison
+            if !c.isInstanceOf[EqualTo] && !c.isInstanceOf[EqualNullSafe] &&
+              c.left.references.nonEmpty && c.right.references.nonEmpty => c
+      })
+    assert(nonEqui.isEmpty,
+      s"q173 has inequality join conditions (all-pairs shape): $nonEqui")
+  }
+
   test("q174 shuffles on the span digest, never the span text") {
     val plan = SparkEntry.queries("q174_span_dedup")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -23,6 +23,7 @@ tables, and compares:
      for floats).
 """
 import json, math, sys
+import pandas as pd
 import duckdb
 import pyarrow.dataset as pads
 import pyarrow.types as pt
@@ -51,6 +52,11 @@ def type_family(t):
         return "struct"
     if pt.is_binary(t) or pt.is_large_binary(t):
         return "binary"
+    if pt.is_null(t):
+        # An all-NULL column (arrow null type) carries no type signal —
+        # the driver hashes NULLs identically whatever the declared type,
+        # so this must not hard-fail against any Spark family.
+        return "null"
     return str(t)
 
 # Families whose cross-pairing the driver's hasher tolerates (both fetch as
@@ -67,7 +73,7 @@ def type_check(name, spark_schema, oracle_schema):
         if fo == fs:
             continue
         msg = f"{col}: spark {spk[col]} ({fs}) vs oracle {ora[col]} ({fo})"
-        if frozenset((fo, fs)) in _SOFT_PAIRS:
+        if "null" in (fo, fs) or frozenset((fo, fs)) in _SOFT_PAIRS:
             soft.append(msg)
         else:
             hard.append(msg)
@@ -99,11 +105,27 @@ def main():
     for name, sql in sorted(oracle.items()):
         try:
             spark_tbl = pads.dataset(f"{out_dir}/{name}", format="parquet")
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+            # BOTH sides go arrow -> pandas so NULL gets ONE representation
+            # per dtype (a null bool is None via arrow but NaN via duckdb's
+            # fetchdf — an asymmetry that false-failed 7 green queries and
+            # cascaded into row-sort misalignment).
+            got = spark_tbl.to_table().to_pandas()
             exp_rel = con.execute(sql)
             exp_arrow = exp_rel.fetch_arrow_table()
             exp = exp_arrow.to_pandas()
+            # The driver's hasher canonicalises DECIMAL as float; arrow's
+            # to_pandas instead yields object columns of Decimal with None
+            # for NULL — coerce decimal columns (either side) to float64 on
+            # BOTH sides so NULL is NaN everywhere and values compare as the
+            # driver sees them.
+            dec_cols = (
+                {f.name for f in exp_arrow.schema if pt.is_decimal(f.type)} |
+                {f.name for f in spark_tbl.schema if pt.is_decimal(f.type)})
+            for c in dec_cols:
+                if c in got.columns:
+                    got[c] = pd.to_numeric(got[c], errors="coerce")
+                if c in exp.columns:
+                    exp[c] = pd.to_numeric(exp[c], errors="coerce")
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
