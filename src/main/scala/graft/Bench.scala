@@ -45,16 +45,41 @@ object Bench {
     // only; the driver never sets it and benches the full set).
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // Contention self-adjudication (round-11/12 judge instruction): four
+    // rounds of record inflation (r9-r12) were external-contention
+    // artifacts that each needed a judge reproduction to dismiss. Per
+    // timed round we now capture the JVM GC-time delta and the
+    // process-CPU/wall ratio: a slow round with low GC and a CPU/wall
+    // ratio far below the worker count was waiting on the machine, not
+    // executing a slow plan; a genuinely slow plan burns CPU.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMs(): Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s
+    }
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    // one timed execution: (wall sec, GC delta ms, process-CPU/wall ratio)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, Long, Double) = {
+        val g0 = gcMs()
+        val c0 = osBean.map(_.getProcessCpuTime).getOrElse(0L)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
           failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         }
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val gcd = gcMs() - g0
+        val cw = osBean.map(b =>
+          if (wall > 0) (b.getProcessCpuTime - c0) / 1e9 / wall else 0.0)
+          .getOrElse(0.0)
+        (wall, gcd, cw)
       }
       once() // warmup: plan + codegen + page-cache
       // If this query consumed the memoised domain ledger, re-materialise
@@ -75,6 +100,9 @@ object Bench {
       System.gc()
       name -> timed
     }
+    // seconds-only view used by every statistic below
+    val times: Seq[(String, Seq[Double])] =
+      results.map { case (k, v) => k -> v.map(_._1) }
     // The driver records only the LAST ~2000 chars of output and must be
     // able to json-parse the metric line from it, so the stdout line is
     // kept compact (3-decimal times, no per-round arrays) and the forked
@@ -99,19 +127,19 @@ object Bench {
     def qnum(name: String): String =
       "^q0*([0-9]+)".r.findFirstMatchIn(name).map(_.group(1)).getOrElse(name)
     def cs(d: Double): String = math.round(d * 100).toString
-    val qs = results.map { case (k, v) => jstr(qnum(k)) + ":" + cs(v.min) }
+    val qs = times.map { case (k, v) => jstr(qnum(k)) + ":" + cs(v.min) }
       .mkString("{", ",", "}")
-    val qsNamed = results.map { case (k, v) => jstr(k) + ":" + f3(v.min) }
+    val qsNamed = times.map { case (k, v) => jstr(k) + ":" + f3(v.min) }
       .mkString("{", ",", "}")
-    val perRound = results.map { case (k, v) =>
+    val perRound = times.map { case (k, v) =>
       jstr(k) + ":" + v.map(f3).mkString("[", ",", "]") }.mkString("{", ",", "}")
     // cap per-failure detail on stdout (the metric line must stay inside
     // the driver's ~2000-char tail); full messages go to stderr
     failures.foreach { case (k, v) => System.err.println(s"[bench-fail] $k: $v") }
     val fj = failures.map { case (k, v) => jstr(k) + ":" + jstr(v.take(80)) }
       .mkString("{", ",", "}")
-    val total = results.map { case (_, v) => v.min }.sum
-    val totalMean = results.map { case (_, v) => v.sum / v.size }.sum
+    val total = times.map { case (_, v) => v.min }.sum
+    val totalMean = times.map { case (_, v) => v.sum / v.size }.sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
     System.err.println(
@@ -124,10 +152,22 @@ object Bench {
     // re-paid a cold ledger rebuild — or ran under external contention,
     // the BENCH_r10 q94=28.5 s story — is then visible per-round in the
     // official record, not only in the stderr rounds dump.
-    val slow = results.sortBy { case (_, v) => -v.min }.take(5)
-      .map { case (k, v) => jstr(qnum(k)) + ":" + v.map(cs).mkString("[", ",", "]") }
+    val slowest = results.sortBy { case (_, v) => -v.map(_._1).min }.take(5)
+    val slow = slowest
+      .map { case (k, v) => jstr(qnum(k)) + ":" + v.map(r => cs(r._1)).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     println(s"""{"metric":"slow_rounds","unit":"centisec","rounds":$slow}""")
+    // Telemetry for the same 5 queries, one compact stdout line: per round
+    // [GC delta ms, process-CPU/wall x100]. Reading: cw ≈ 100 means ~one
+    // core busy, cw ≫ 100 a parallel plan burning CPU, cw ≪ 100 with a
+    // long wall and low gc = the JVM was starved by EXTERNAL load — the
+    // round is contended, not the plan slow. gc ≈ wall means a GC stall.
+    val tele = slowest
+      .map { case (k, v) =>
+        jstr(qnum(k)) + ":" + v.map(r =>
+          s"[${r._2},${math.round(r._3 * 100)}]").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"slow_telemetry","unit":"[gc_ms,cpu_per_wall_pct]","q":$tele}""")
     println(s"""{"metric":"total","value":${f3(total)},"value_mean":${f3(totalMean)},"unit":"sec","q_unit":"centisec","queries":$qs,"n_failures":${failures.size},"failures":$fj,"sf":$sfNum}""")
     spark.stop()
   }
