@@ -104,20 +104,21 @@ object Catalogue {
   /** The C 07.00.c/.d MEMORANDUM rows 0290-0320 (the DPM's row-partition
     * variants of the one template, `validations/scope.py` _CRR_TABLES
     * note), base-aware: the mortgage memo rows (0290/0310) are
-    * published-but-empty in this no-mortgage vocabulary and are REMOVED
-    * under B3.1 (reference `templates.py` B31 row sections); the
-    * defaulted-RW splits (0300 = Art. 127 secured 100%, 0320 = unsecured
-    * 150%) bind genuinely — the SA chain's `defaulted_secured` /
-    * `defaulted_unsecured` branches price exactly those two weights. */
+    * published-but-empty in this no-mortgage vocabulary — they stay OUT
+    * of the row map under BOTH bases (an emitted computed-zero cell
+    * would defeat the BoE isNull absence assertions, the same
+    * published-but-empty discipline the 0210/0211 rows follow; under
+    * B3.1 they are additionally REMOVED from the template, reference
+    * `templates.py` B31 row sections). The defaulted-RW splits (0300 =
+    * Art. 127 secured 100%, 0320 = unsecured 150%) bind genuinely — the
+    * SA chain's `defaulted_secured` / `defaulted_unsecured` branches
+    * price exactly those two weights. */
   private def c07RowPredFor(base: String): Map[String, String] = {
     val w = if (base == "crr") "own_rw" else "own_rw_b31"
     val memo = Map(
       "0300" -> s"(is_defaulted AND $w = 1.0)",
       "0320" -> s"(is_defaulted AND $w = 1.5)")
-    val mortgage =
-      if (base == "crr") Map("0290" -> "FALSE", "0310" -> "FALSE")
-      else Map.empty[String, String]
-    c07RowPred ++ memo ++ mortgage
+    c07RowPred ++ memo
   }
 
   /** The published risk-weight breakdown rows 0140-0280 (`templates.py`
@@ -1084,11 +1085,17 @@ object Catalogue {
                   // possible fraction operand and can never fail. Money
                   // magnitudes (≫ 500·nRefs) keep the half-unit slack
                   // unchanged; the 1e-9 relative floor covers exact-sum
-                  // FP noise either way.
+                  // FP noise either way. The cap is itself FLOORED at the
+                  // frame's 2dp rounding granularity (0.005 per reported
+                  // figure): a mid-magnitude cell (~hundreds) would
+                  // otherwise get a tolerance TIGHTER than the publishers'
+                  // half-unit slack and false-breach on legitimate
+                  // 2dp-rounding accumulation.
                   val tol =
                     if (rec.arithmetic == "P") "0.0"
                     else s"greatest(least(${0.5 * nRefs}, " +
                       s"1e-3 * greatest(abs($l), abs($r))), " +
+                      s"${0.005 * nRefs}, " +
                       s"1e-9 * greatest(abs($l), abs($r)))"
                   val passCond = cmp.op match {
                     case "=" | "==" => s"abs(($l) - ($r)) <= $tol"
