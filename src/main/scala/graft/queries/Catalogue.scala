@@ -884,6 +884,13 @@ object Catalogue {
     * a skip), and an EMITTED cell evaluates `IS NULL` directly. */
   private val isNullForm = """(?is)^\s*isNull\(\{(.+)\}\)\s*$""".r
 
+  /** The published whole-scope absence form `{ref} = empty` (the
+    * v4721/e4891 families): the record's scoped (sheet, row, col)
+    * coordinates must not be reported — the same semantics as the BoE
+    * isNull(...) assertions, with the scope carried on the RECORD's
+    * axis lists instead of inside the ref. */
+  private val emptyForm = """(?is)^\s*\{(.+)\}\s*=\s*empty\s*$""".r
+
   private def p4(s: String): String =
     if (s.length >= 4) s else ("0" * (4 - s.length)) + s
 
@@ -928,8 +935,44 @@ object Catalogue {
       // least/greatest skip NULL args identically in Spark and DuckDB
       case Fn("min", args) => s"least(${args.map(compile(_, bind)).mkString(", ")})"
       case Fn("max", args) => s"greatest(${args.map(compile(_, bind)).mkString(", ")})"
+      // one expanded where-sum term: value when the row's condition cell
+      // compares true against the literal, else 0 (an empty grade row
+      // extracts NULL -> coalesced 0 on both sides, contributing 0)
+      case Fn(n, Seq(c, Num(f), v)) if n.startsWith("ifcmp") =>
+        val op = n.stripPrefix("ifcmp")
+        s"(CASE WHEN (${compile(c, bind)}) $op $f " +
+          s"THEN coalesce(${compile(v, bind)}, 0.0) ELSE 0.0 END)"
       case Fn(other, _) => throw new IllegalArgumentException(s"fn:$other")
+      // a WhereSum reaching compilation means expansion was skipped — a
+      // programming error, not a data condition
+      case _: ValidationCatalogue.WhereSum =>
+        throw new IllegalStateException("unexpanded where-sum")
     }
+
+  /** Expand every [[ValidationCatalogue.WhereSum]] over the referenced
+    * template's emitted LEAF row axis (the open-row-axis `rNNN`
+    * iterator): each leaf grade row contributes
+    * `CASE WHEN cond(row) OP flag THEN value(row) ELSE 0 END`, summed.
+    * Only C 08.02 carries a live where-sum (the v7520/v7536 families);
+    * the rollup row G99 is excluded — including the per-sheet total
+    * would double-count every leaf. Any other table is refused by
+    * name. */
+  private def expandWhereSums(e: Expr, base: String): Expr = e match {
+    case w: ValidationCatalogue.WhereSum =>
+      val tab = w.value.table.orElse(w.cond.table).flatMap(tableKey)
+      if (!tab.contains("C0802"))
+        throw new IllegalArgumentException("wheresum_table_unsupported")
+      c0802Rows.filterNot(_ == "G99").map { g =>
+        Fn("ifcmp" + w.op, Seq(w.cond.copy(row = Some(g)), w.flag,
+          w.value.copy(row = Some(g)))): Expr
+      }.reduce(Bin('+', _, _))
+    case Bin(o, l, r) =>
+      Bin(o, expandWhereSums(l, base), expandWhereSums(r, base))
+    case Neg(x) => Neg(expandWhereSums(x, base))
+    case Abs(x) => Abs(expandWhereSums(x, base))
+    case Fn(n, args) => Fn(n, args.map(expandWhereSums(_, base)))
+    case other => other
+  }
 
   /** Expand + bind + compile the full live catalogue. */
   lazy val (instances: Seq[Instance], skips: Seq[SkipRow]) = {
@@ -943,6 +986,13 @@ object Catalogue {
           reason.replace("'", ""))
       val isNullParsed = rec.formula match {
         case isNullForm(body) => parseIsNull(body)
+        case emptyForm(body) =>
+          val b = body.trim
+          val (t, rs) =
+            if (b.matches("(?i)r\\d{3,4}")) (None, Seq(p4(b.substring(1))))
+            else (Some(b), Seq.empty[String])
+          Some((t, if (rs.nonEmpty) rs else rec.rows.map(p4),
+            rec.cols.map(p4), rec.sheets.map(p4)))
         case _ => None
       }
       if (rec.missing == "W") { skip("where_join_precondition"); }
@@ -976,7 +1026,19 @@ object Catalogue {
       }
       else ValidationCatalogue.parseRule(rec.formula) match {
         case Left(reason) => skip(reason)
-        case Right(rule) =>
+        case Right(rule0) =>
+          val rule = try {
+            ValidationCatalogue.ParsedRule(
+              rule0.conds.map(c => ValidationCatalogue.Cmp(c.op,
+                expandWhereSums(c.lhs, base), expandWhereSums(c.rhs, base))),
+              rule0.mains.map(m => ValidationCatalogue.Cmp(m.op,
+                expandWhereSums(m.lhs, base), expandWhereSums(m.rhs, base))))
+          } catch {
+            case e: IllegalArgumentException =>
+              skip(e.getMessage); ValidationCatalogue.ParsedRule(Nil, Nil)
+          }
+          if (rule.mains.isEmpty) () // refused during expansion
+          else {
           val allRefs = rule.conds.flatMap(c => refs(c.lhs) ++ refs(c.rhs)) ++
             rule.mains.flatMap(m => refs(m.lhs) ++ refs(m.rhs))
           val primary = rec.tables.headOption.flatMap(tableKey)
@@ -1124,6 +1186,7 @@ object Catalogue {
                 if (nCap > 0) Some(s"instance_cap:$nCap") else None).flatten
               skip(parts.mkString(";"))
             }
+          }
           }
       }
     }

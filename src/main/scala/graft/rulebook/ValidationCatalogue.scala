@@ -60,6 +60,16 @@ object ValidationCatalogue {
     * arg per row. */
   final case class Fn(name: String, args: Seq[Expr]) extends Expr
 
+  /** The published where-filtered row sum (the v7520/v7536 families):
+    * `sum(where({T, rNNN, cCOND, sS} OP flag){T, rNNN, cVAL, sS})` —
+    * iterate the referenced template's open row axis, keep the rows
+    * whose condition cell compares true against the literal, and sum
+    * the value cell over them. `cond`/`value` carry the row WILDCARD
+    * (`row = Some("NNN")`); the binder expands them over the emitted
+    * leaf-row axis before compilation. */
+  final case class WhereSum(op: String, flag: Num, cond: CellRef,
+      value: CellRef) extends Expr
+
   /** One parsed comparison. */
   final case class Cmp(op: String, lhs: Expr, rhs: Expr)
 
@@ -80,13 +90,13 @@ object ValidationCatalogue {
 
   /** Constructs refused by name → Left(reason). */
   private val unsupportedMarkers: Seq[(String, String)] = Seq(
-    "where(" -> "where_filter", "count(" -> "count_aggregate",
+    "count(" -> "count_aggregate",
     "isnull" -> "isnull_predicate", "true()" -> "boolean_literal",
     " or " -> "boolean_disjunction",
     "empty(" -> "empty_function", " empty" -> "empty_literal",
     "not(" -> "negated_filter",
     " in " -> "enum_membership",
-    "match(" -> "match_function", "rnnn" -> "row_wildcard")
+    "match(" -> "match_function")
 
   /** Parse one formula into an optionally-conditional rule, or a named
     * refusal. */
@@ -258,12 +268,32 @@ object ValidationCatalogue {
         // published cross-template shape (v0350_m family). The inner ref
         // carries the open or ranged sheet axis as a sheet MARKER; any
         // other sum( body is a named refusal.
-        case 's' | 'S' if input.regionMatches(true, pos, "sum(", 0, 4) =>
-          pos += 4; ws()
-          if (peek != '{') fail("sum_scope_complex")
-          val e = cellref(); ws()
-          if (peek != ')') fail("sum_scope_complex")
-          pos += 1; e
+        case 's' | 'S' if input.regionMatches(true, pos, "sum", 0, 3) =>
+          pos += 3; ws()
+          if (peek != '(') fail(s"'(' expected at $pos")
+          pos += 1; ws()
+          if (input.regionMatches(true, pos, "where", 0, 5)) {
+            // sum(where({ref} OP flag){ref}) — the row-filtered sum
+            pos += 5; ws()
+            if (peek != '(') fail("where_scope_complex")
+            pos += 1
+            val c = cmpBare(); ws()
+            if (peek != ')') fail("where_scope_complex")
+            pos += 1; ws()
+            val v = cellref(); ws()
+            if (peek != ')') fail("where_scope_complex")
+            pos += 1
+            (c, v) match {
+              case (Cmp(op, cr: CellRef, n: Num), vr: CellRef) =>
+                WhereSum(if (op == "==") "=" else op, n, cr, vr)
+              case _ => fail("where_scope_complex")
+            }
+          } else {
+            if (peek != '{') fail("sum_scope_complex")
+            val e = cellref(); ws()
+            if (peek != ')') fail("sum_scope_complex")
+            pos += 1; e
+          }
         case c if c.isDigit || c == '.' => number()
         case c => fail(s"unexpected '$c' at $pos")
       }
@@ -317,6 +347,7 @@ object ValidationCatalogue {
           case other => fail(s"unknown member '$other'")
         } else p match {                            // EBA positional members
           case m if m.matches("r\\d{3,4}") => row = Some(pad4(m.substring(1)))
+          case m if m.matches("(?i)\\(?rNNN\\)?") => row = Some("NNN")
           case m if m.matches("c\\d{3,4}") => colId = Some(pad4(m.substring(1)))
           case m if m.matches("s\\d{3,4}") => sheet = Some(pad4(m.substring(1)))
           // open sheet axis "(sNNN)" -> sum over every sheet; ranged
@@ -335,6 +366,7 @@ object ValidationCatalogue {
   /** All cell refs in an expression tree. */
   def refs(e: Expr): Seq[CellRef] = e match {
     case c: CellRef => Seq(c)
+    case w: WhereSum => Seq(w.cond, w.value)
     case Bin(_, l, r) => refs(l) ++ refs(r)
     case Neg(x) => refs(x)
     case Abs(x) => refs(x)

@@ -48,6 +48,23 @@ class CatalogueSpec extends SparkSpec {
     assert(rs(1).sheet.contains("0002"))
   }
 
+  test("parser: where-filtered row sum (the v7520/v7536 families)") {
+    val Right(rule) = ValidationCatalogue.parseRule(
+      "if {C 08.01.a, r0070, c0020, s0013} = {C 08.01.a, r0010, c0020, s0013} " +
+        "then sum(where({C 08.02,rNNN,c0010,s0013}=1)" +
+        "{C 08.02, rNNN, c0020, s0013}) = {C 09.02, r0080, c0030, [CEG=eba_GA:x1]}")
+    assert(rule.conds.size == 1)
+    val ws = rule.mains.head.lhs.asInstanceOf[ValidationCatalogue.WhereSum]
+    assert(ws.op == "=" && ws.flag == ValidationCatalogue.Num("1"))
+    assert(ws.cond.row.contains("NNN") && ws.cond.colId.contains("0010"))
+    assert(ws.value.colId.contains("0020") && ws.value.sheet.contains("0013"))
+    // the complement shape uses a `< 1` condition and survives spacing
+    val Right(r2) = ValidationCatalogue.parseRule(
+      "sum (where({C 08.02,rNNN,c0010,s0005} <1){C 08.02, rNNN, c0255, s0005}) " +
+        "= {C 09.02, r0090, c0110, [CEG=eba_GA:x1]}")
+    assert(r2.mains.head.lhs.asInstanceOf[ValidationCatalogue.WhereSum].op == "<")
+  }
+
   test("parser: unsupported constructs refused by name") {
     assert(parse("if {r0010, c0010} > 0 then {r0020, c0010} > 0") == Left("conditional_rule"))
     assert(parse("[ei219] in {[eba_CT:x10]}") == Left("enum_membership"))
