@@ -149,6 +149,23 @@ object SaCcrKernel {
 
   // ---- netting-set add-on roll-up -------------------------------------
 
+  /** Decimal-exact effective-notional sum: per-trade eff values are
+    * summed as DECIMAL(38,6) so the result is independent of partition
+    * order and bit-identical across engines (the repo's dsum
+    * discipline); downstream scalar math stays double. At 1e-6 absolute
+    * quantisation on 1e8-scale notionals the relative effect is ~1e-14
+    * — far inside the acceptance gate. */
+  private def dsum6(c: Column): Column =
+    sum(c.cast("decimal(38,6)")).cast("double")
+
+  /** Engine-portable 1e-6 quantiser (floor arithmetic on the same double
+    * is bit-identical in Spark and DuckDB). Applied to every
+    * level-crossing intermediate BEFORE its decimal sum: a product of
+    * pretty decimals (sf × a 6-decimal sum) can land exactly on the
+    * decimal cast's .5 boundary, where Spark (shortest-string HALF_UP)
+    * and DuckDB (binary rounding) disagree — the floor form cannot. */
+  private def qz(c: Column): Column = floor(c * 1e6 + lit(0.5)) / 1e6
+
   /** Asset-class add-on aggregation (Art. 277a/278(2)).
     *
     * Input: trade grain with columns
@@ -168,7 +185,12 @@ object SaCcrKernel {
     */
   def addonAggregate(trades: DataFrame): DataFrame = {
     // finest shared grain: per-class sub-keys projected into one pair of
-    // generic key columns so a single exchange serves all five branches
+    // generic key columns so a single exchange serves all five branches.
+    // Class-IRRELEVANT attributes are nulled per class before grouping —
+    // a credit quality carried on an equity row, or an index flag on a
+    // commodity row, must not subdivide that class's netting grain (the
+    // per-entity / per-hedging-set nets of Art. 277a would silently
+    // lose cancellation otherwise).
     val base = trades.select(
       col("netting_set"), col("asset_class"),
       when(col("asset_class") === "interest_rate",
@@ -178,24 +200,27 @@ object SaCcrKernel {
         .otherwise(coalesce(col("reference_entity"), lit("-"))).as("k1"),
       when(col("asset_class") === "commodity",
           coalesce(col("reference_entity"), col("trade_id")))
-        .when(col("asset_class").isin("credit", "equity"),
-          concat_ws("|", coalesce(col("is_index"), lit(false)).cast("string"),
-            coalesce(col("credit_quality"), lit("-")))).otherwise(lit("-"))
-        .as("k2"),
-      coalesce(col("is_index"), lit(false)).as("is_index"),
-      col("credit_quality"), col("commodity_type"), col("eff"))
+        .otherwise(lit("-")).as("k2"),
+      when(col("asset_class").isin("credit", "equity"),
+        coalesce(col("is_index"), lit(false))).otherwise(lit(false))
+        .as("is_index"),
+      when(col("asset_class") === "credit", col("credit_quality"))
+        .as("credit_quality"),
+      when(col("asset_class") === "commodity", col("commodity_type"))
+        .as("commodity_type"),
+      col("eff"))
       .groupBy("netting_set", "asset_class", "k1", "k2",
         "is_index", "credit_quality", "commodity_type")
-      .agg(sum(col("eff")).as("d_k"))
+      .agg(dsum6(col("eff")).as("d_k"))
 
     // IR (Art. 277a(1)(a)): bucket pivot by conditional aggregation, then
     // the three-bucket correlation composition
     val ir = base.filter(col("asset_class") === "interest_rate")
       .groupBy("netting_set")
-      .agg(sum(when(col("k1") === "1", col("d_k")).otherwise(0.0)).as("b1"),
-        sum(when(col("k1") === "2", col("d_k")).otherwise(0.0)).as("b2"),
-        sum(when(col("k1") === "3", col("d_k")).otherwise(0.0)).as("b3"))
-      .select(col("netting_set"), (lit(SfIr) * sqrt(
+      .agg(dsum6(when(col("k1") === "1", col("d_k")).otherwise(0.0)).as("b1"),
+        dsum6(when(col("k1") === "2", col("d_k")).otherwise(0.0)).as("b2"),
+        dsum6(when(col("k1") === "3", col("d_k")).otherwise(0.0)).as("b3"))
+      .select(col("netting_set"), qz(lit(SfIr) * sqrt(
         col("b1") * col("b1") + col("b2") * col("b2") + col("b3") * col("b3") +
           lit(2.0 * RhoIr12) * col("b1") * col("b2") +
           lit(2.0 * RhoIr23) * col("b2") * col("b3") +
@@ -204,7 +229,7 @@ object SaCcrKernel {
     // FX (Art. 277a(2) + CRE52.55): SF·|D_HS| summed across hedging sets
     val fx = base.filter(col("asset_class") === "fx")
       .groupBy("netting_set")
-      .agg(sum(lit(SfFx) * abs(col("d_k"))).as("addon"))
+      .agg(qz(dsum6(qz(lit(SfFx) * abs(col("d_k"))))).as("addon"))
 
     // credit (Art. 280a): one hedging set per netting set; entity-grain
     // systematic/idiosyncratic split with ρ by single-name vs index
@@ -212,13 +237,14 @@ object SaCcrKernel {
     val crSf = when(col("is_index"), sfCreditIdx(col("credit_quality")))
       .otherwise(sfCreditSn(col("credit_quality")))
     val credit = base.filter(col("asset_class") === "credit")
-      .select(col("netting_set"), crRho.as("rho"), (crSf * col("d_k")).as("a"))
+      .select(col("netting_set"), crRho.as("rho"),
+        qz(crSf * col("d_k")).as("a"))
       .groupBy("netting_set")
-      .agg(sum(col("rho") * col("a")).as("sys"),
-        sum((lit(1.0) - col("rho") * col("rho")) * col("a") * col("a"))
+      .agg(dsum6(qz(col("rho") * col("a"))).as("sys"),
+        dsum6(qz((lit(1.0) - col("rho") * col("rho")) * col("a") * col("a")))
           .as("idio"))
       .select(col("netting_set"),
-        sqrt(col("sys") * col("sys") + col("idio")).as("addon"))
+        qz(sqrt(col("sys") * col("sys") + col("idio"))).as("addon"))
 
     // equity (Art. 280b): SN and IDX sub-classes aggregate separately
     // (ρ/SF per sub-class), then sum — no cross-sub-class correlation
@@ -226,12 +252,12 @@ object SaCcrKernel {
     val eqSf = when(col("is_index"), SfEquityIdx).otherwise(SfEquitySn)
     val equity = base.filter(col("asset_class") === "equity")
       .groupBy("netting_set", "is_index")
-      .agg(sum(col("d_k")).as("sum_d"),
-        sum(col("d_k") * col("d_k")).as("sum_d2"))
-      .select(col("netting_set"), (eqSf * sqrt(
+      .agg(dsum6(col("d_k")).as("sum_d"),
+        dsum6(col("d_k") * col("d_k")).as("sum_d2"))
+      .select(col("netting_set"), qz(eqSf * sqrt(
         (eqRho * col("sum_d")) * (eqRho * col("sum_d")) +
           (lit(1.0) - eqRho * eqRho) * col("sum_d2"))).as("sub_addon"))
-      .groupBy("netting_set").agg(sum(col("sub_addon")).as("addon"))
+      .groupBy("netting_set").agg(qz(dsum6(col("sub_addon"))).as("addon"))
 
     // commodity (Art. 280c): per-commodity netting already in the base
     // grain (k2 = commodity reference); bucket ρ=0.40 composition, then
@@ -239,19 +265,20 @@ object SaCcrKernel {
     val commodity = base.filter(col("asset_class") === "commodity" &&
         col("commodity_type").isNotNull)
       .groupBy("netting_set", "commodity_type")
-      .agg(sum(col("d_k")).as("d_b"),
-        sum(col("d_k") * col("d_k")).as("sum_dk2"))
-      .select(col("netting_set"), (sfCommodity(col("commodity_type")) * sqrt(
-        lit(RhoCommodity * RhoCommodity) * col("d_b") * col("d_b") +
-          lit(1.0 - RhoCommodity * RhoCommodity) * col("sum_dk2")))
-        .as("addon_b"))
+      .agg(dsum6(col("d_k")).as("d_b"),
+        dsum6(col("d_k") * col("d_k")).as("sum_dk2"))
+      .select(col("netting_set"),
+        qz(sfCommodity(col("commodity_type")) * sqrt(
+          lit(RhoCommodity * RhoCommodity) * col("d_b") * col("d_b") +
+            lit(1.0 - RhoCommodity * RhoCommodity) * col("sum_dk2")))
+          .as("addon_b"))
       .groupBy("netting_set")
-      .agg(sqrt(sum(col("addon_b") * col("addon_b"))).as("addon"))
+      .agg(qz(sqrt(dsum6(col("addon_b") * col("addon_b")))).as("addon"))
 
     // Art. 278(2): simple sum across asset classes
     ir.unionByName(fx).unionByName(credit).unionByName(equity)
       .unionByName(commodity)
-      .groupBy("netting_set").agg(sum(col("addon")).as("addon_aggregate"))
+      .groupBy("netting_set").agg(dsum6(col("addon")).as("addon_aggregate"))
   }
 
   // ---- EAD composition (netting-set grain) -----------------------------

@@ -1590,10 +1590,312 @@ object Ccr {
       ORDER BY netting_set
     """.stripMargin.trim))
 
+
+  // ---- q179: the SaCcrKernel chain over the synthetic book --------------
+
+  /** q179: the full [[graft.engine.SaCcrKernel]] chain — the acceptance
+    * replay's kernel driven at book scale with a DuckDB oracle (reference
+    * `engine/ccr/adjusted_notional.py` + `supervisory_delta.py` +
+    * `maturity_factor.py` + `pfe.py` + `rc.py` end-to-end, where
+    * q163/q164 exercise the bucket roll-up and EAD composition in
+    * isolation). The synthetic trade book derives every kernel input
+    * from lineitem deterministically:
+    *
+    *  - five asset classes (l_partkey % 5), tenors 30..3029 days (both
+    *    MF arms + all three IR buckets), notionals scaled to
+    *    l_extendedprice/10000 (the dsum magnitude rule: every
+    *    sum-of-squares stays far inside 2^53/1e6 at the gate SFs);
+    *  - equity trades on every third order are European options through
+    *    the Black Φ(d1) supervisory-delta branch (strike/underlying from
+    *    part/supp keys, the q51/q163 norm_cdf cross-engine precedent);
+    *  - netting sets 0..49; every fourth set is margined and takes the
+    *    Art. 285 MPOR cascade (remargin frequency 1..130, dispute
+    *    doubling on sets with ns % 5 > 2) — n_trades comes from a
+    *    window count over the same scan;
+    *  - credit/equity entities and commodity references fan out the
+    *    per-entity netting grain; every third commodity trade has a NULL
+    *    reference and falls back to per-trade grain.
+    *
+    * Hash-exactness: eff is q6-floored; the kernel sums every level as
+    * DECIMAL(38,6) with q6 floors at level crossings (see SaCcrKernel),
+    * so both engines compute bit-identical add-ons; outputs quantise at
+    * the q2/q6 grain. One scan, one window, the kernel's single base
+    * shuffle + netting-set rollups. */
+  val q179SaCcrKernelChain = QueryDef(
+    "q179_saccr_kernel",
+    (s, dir) => {
+      import graft.engine.SaCcrKernel
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+      val ns = col("l_orderkey") % 50
+      val ac = element_at(
+        array(lit("interest_rate"), lit("fx"), lit("credit"), lit("equity"),
+          lit("commodity")), (col("l_partkey") % 5 + 1).cast("int"))
+      val days = (lit(30) + col("l_orderkey") % 3000).cast("int")
+      val years = days.cast("double") / 365.25
+      val bd = floor(days.cast("double") * 5.0 / 7.0).cast("int")
+      val sign = when(col("l_suppkey") % 2 === 0, 1.0).otherwise(-1.0)
+      val notional = q6(col("l_extendedprice") / 10000.0)
+      val price = q2(col("l_extendedprice") / 10000.0)
+      val isOpt = col("l_partkey") % 5 === 3 && col("l_orderkey") % 3 === 0
+      val strike = when(isOpt, (lit(100) + col("l_partkey") % 20).cast("double"))
+      val undrl = when(isOpt, (lit(95) + col("l_suppkey") % 25).cast("double"))
+      val optType = when(isOpt && col("l_partkey") % 2 === 0, "put")
+        .when(isOpt, "call")
+      val t0 = li.select(
+        ns.as("netting_set"),
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("trade_id"),
+        ac.as("asset_class"), days.as("days"), years.as("years_to_maturity"),
+        bd.as("bd"), sign.as("sign"), notional.as("notional"),
+        price.as("price"),
+        (col("l_suppkey") % 2 === 0).as("is_index"),
+        element_at(array(lit("IG"), lit("HY"), lit("NON_RATED")),
+          (col("l_suppkey") % 3 + 1).cast("int")).as("credit_quality"),
+        element_at(array(lit("ELECTRICITY"), lit("OIL_GAS"), lit("METALS"),
+          lit("AGRICULTURAL")), (col("l_suppkey") % 4 + 1).cast("int"))
+          .as("commodity_type"),
+        concat(lit("HS"), col("l_suppkey") % 3).as("hedging_set"),
+        concat(lit("E"), col("l_partkey") % 7).as("cr_entity"),
+        concat(lit("Q"), col("l_partkey") % 5).as("eq_entity"),
+        when(col("l_partkey") % 3 =!= 0, concat(lit("C"), col("l_partkey") % 6))
+          .as("co_ref"),
+        (col("l_orderkey") % 2 === 0).as("leg1_base"),
+        strike.as("strike"), undrl.as("undrl"), optType.as("opt_type"),
+        (lit(1) + col("l_partkey") % 9).cast("double").as("units"),
+        q2(col("l_extendedprice") / 10000.0 *
+          when(col("l_orderkey") % 3 === 0, -1.0).otherwise(0.5)).as("mtm"))
+      val nCnt = count(lit(1)).over(Window.partitionBy(col("netting_set")))
+      val margined = col("netting_set") % 4 === 0
+      val t1 = t0.withColumn("n_trades", nCnt)
+        .withColumn("mf",
+          when(margined, SaCcrKernel.maturityFactorMargined(
+            SaCcrKernel.mporEffective(col("n_trades"), lit(false),
+              (col("netting_set") % 5).cast("int"),
+              (lit(1) + col("netting_set") % 130).cast("int"), lit(10))))
+            .otherwise(SaCcrKernel.maturityFactorUnmargined(col("bd"))))
+        .withColumn("sd_dur",
+          SaCcrKernel.supervisoryDuration(lit(0), col("days")))
+        .withColumn("adj",
+          when(col("asset_class").isin("interest_rate", "credit"),
+            col("notional") * col("sd_dur"))
+            .when(col("asset_class") === "fx", SaCcrKernel.adjustedNotionalFx(
+              col("notional"), q6(col("notional") * 0.8),
+              col("leg1_base"), !col("leg1_base")))
+            .otherwise(q6(col("price") * col("units"))))
+        .withColumn("delta", SaCcrKernel.supervisoryDelta(
+          col("sign") === 1.0, col("opt_type"), col("strike"), col("undrl"),
+          col("days"), SaCcrKernel.optionVolatility(col("asset_class"),
+            coalesce(col("is_index"), lit(false)))))
+      val trades = t1.select(
+        col("netting_set"), col("trade_id"), col("asset_class"),
+        q6(col("delta") * col("adj") * col("mf")).as("eff"),
+        col("years_to_maturity"), col("hedging_set"),
+        when(col("asset_class") === "credit", col("cr_entity"))
+          .when(col("asset_class") === "equity", col("eq_entity"))
+          .when(col("asset_class") === "commodity", col("co_ref"))
+          .as("reference_entity"),
+        col("is_index"), col("credit_quality"), col("commodity_type"),
+        col("mtm"))
+      val addons = graft.engine.SaCcrKernel.addonAggregate(trades)
+      val nsFrame = trades.groupBy(col("netting_set"))
+        .agg(dsum(col("mtm"), 2).as("v_net"), count(lit(1)).as("n_trades"))
+        .withColumn("c_net", q2(lit(500.0) * (col("netting_set") % 7)))
+        .withColumn("margined", col("netting_set") % 4 === 0)
+        .withColumn("th", (lit(2000) * (col("netting_set") + 1)).cast("double"))
+        .withColumn("mta", (lit(500) * (col("netting_set") % 3)).cast("double"))
+        .withColumn("nica", (lit(250) * (col("netting_set") % 2)).cast("double"))
+        .join(addons, Seq("netting_set"))
+      graft.engine.SaCcrKernel.ead(nsFrame)
+        .select(col("netting_set").cast("long").as("netting_set"),
+          col("n_trades"),
+          q2(col("addon_aggregate")).as("addon_aggregate"),
+          q2(col("rc")).as("rc"),
+          q6(col("pfe_multiplier")).as("pfe_multiplier"),
+          q2(col("pfe_addon")).as("pfe_addon"),
+          q2(col("ead_ccr")).as("ead_ccr"))
+        .orderBy(col("netting_set"))
+    },
+    Some {
+      val sd = "(exp((-0.05)*0.04) - exp((-0.05)*(days/365.25)))/0.05"
+      val t = "(days/365.0)"
+      val sigma = "(CASE WHEN is_index THEN 0.75 ELSE 1.20 END)"
+      val d1 = s"(ln(undrl/strike) + 0.5*$sigma*$sigma*$t) / ($sigma*sqrt($t))"
+      val phiD1 = Rwa.sqlNormCdf(d1)
+      val phiNegD1 = Rwa.sqlNormCdf(s"-($d1)")
+      val optDelta =
+        s"""CASE WHEN opt_type = 'put'
+              THEN CASE WHEN is_long THEN -($phiNegD1) ELSE ($phiNegD1) END
+              ELSE CASE WHEN is_long THEN ($phiD1) ELSE -($phiD1) END END"""
+      def dsum6(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+      s"""
+      WITH x179t AS (
+        SELECT l_orderkey % 50 AS netting_set,
+               CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS trade_id,
+               CASE l_partkey % 5 WHEN 0 THEN 'interest_rate' WHEN 1 THEN 'fx'
+                 WHEN 2 THEN 'credit' WHEN 3 THEN 'equity' ELSE 'commodity' END AS asset_class,
+               CAST(30 + l_orderkey % 3000 AS INT) AS days,
+               (30 + l_orderkey % 3000) / 365.25 AS years,
+               CAST(floor((30 + l_orderkey % 3000) * 5.0 / 7.0) AS INT) AS bd,
+               CASE WHEN l_suppkey % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign,
+               l_suppkey % 2 = 0 AS is_long,
+               ${sql6("l_extendedprice / 10000.0")} AS notional,
+               ${sql2("l_extendedprice / 10000.0")} AS price,
+               l_suppkey % 2 = 0 AS is_index,
+               CASE l_suppkey % 3 WHEN 0 THEN 'IG' WHEN 1 THEN 'HY' ELSE 'NON_RATED' END AS credit_quality,
+               CASE l_suppkey % 4 WHEN 0 THEN 'ELECTRICITY' WHEN 1 THEN 'OIL_GAS'
+                 WHEN 2 THEN 'METALS' ELSE 'AGRICULTURAL' END AS commodity_type,
+               'HS' || CAST(l_suppkey % 3 AS VARCHAR) AS hedging_set,
+               'E' || CAST(l_partkey % 7 AS VARCHAR) AS cr_entity,
+               'Q' || CAST(l_partkey % 5 AS VARCHAR) AS eq_entity,
+               CASE WHEN l_partkey % 3 <> 0 THEN 'C' || CAST(l_partkey % 6 AS VARCHAR) END AS co_ref,
+               l_orderkey % 2 = 0 AS leg1_base,
+               l_partkey % 5 = 3 AND l_orderkey % 3 = 0 AS is_opt,
+               CASE WHEN l_partkey % 5 = 3 AND l_orderkey % 3 = 0
+                 THEN CAST(100 + l_partkey % 20 AS DOUBLE) END AS strike,
+               CASE WHEN l_partkey % 5 = 3 AND l_orderkey % 3 = 0
+                 THEN CAST(95 + l_suppkey % 25 AS DOUBLE) END AS undrl,
+               CASE WHEN l_partkey % 5 = 3 AND l_orderkey % 3 = 0
+                 THEN (CASE WHEN l_partkey % 2 = 0 THEN 'put' ELSE 'call' END) END AS opt_type,
+               CAST(1 + l_partkey % 9 AS DOUBLE) AS units,
+               ${sql2("l_extendedprice / 10000.0 * (CASE WHEN l_orderkey % 3 = 0 THEN -1.0 ELSE 0.5 END)")} AS mtm
+        FROM lineitem),
+      x179eff AS (
+        SELECT *,
+               count(*) OVER (PARTITION BY netting_set) AS n_trades,
+               ${sql6(
+                 s"""(CASE WHEN strike IS NULL OR undrl IS NULL
+                       THEN sign ELSE ($optDelta) END) *
+                    (CASE WHEN asset_class IN ('interest_rate', 'credit')
+                       THEN notional * ($sd)
+                       WHEN asset_class = 'fx'
+                       THEN (CASE WHEN leg1_base
+                             THEN ${sql6("notional * 0.8")} ELSE notional END)
+                       ELSE ${sql6("price * units")} END) *
+                    (CASE WHEN netting_set % 4 = 0
+                       THEN 1.5 * sqrt(greatest(
+                         (CASE WHEN count(*) OVER (PARTITION BY netting_set) > 5000
+                            THEN 20 ELSE 10 END) *
+                         (CASE WHEN netting_set % 5 > 2 THEN 2 ELSE 1 END)
+                         + (1 + netting_set % 130) - 1, 10) / 250.0)
+                       ELSE sqrt(least(greatest(bd, 10), 250) / 250.0) END)""")}
+                 AS eff
+        FROM x179t),
+      x179ir AS (
+        SELECT netting_set, ${sql6(
+          "0.005 * sqrt(b1*b1 + b2*b2 + b3*b3 + 2*0.7*b1*b2 + 2*0.7*b2*b3 + 2*0.3*b1*b3)")} AS addon
+        FROM (
+          SELECT netting_set,
+                 ${dsum6("CASE WHEN bucket = 1 THEN d_k ELSE 0.0 END")} AS b1,
+                 ${dsum6("CASE WHEN bucket = 2 THEN d_k ELSE 0.0 END")} AS b2,
+                 ${dsum6("CASE WHEN bucket = 3 THEN d_k ELSE 0.0 END")} AS b3
+          FROM (
+            SELECT netting_set,
+                   CASE WHEN years < 1.0 THEN 1 WHEN years <= 5.0 THEN 2 ELSE 3 END AS bucket,
+                   ${dsum6("eff")} AS d_k
+            FROM x179eff WHERE asset_class = 'interest_rate'
+            GROUP BY 1, 2)
+          GROUP BY 1)),
+      x179fx AS (
+        SELECT netting_set, ${sql6(dsum6(sql6("0.04 * abs(d_k)")))} AS addon
+        FROM (
+          SELECT netting_set, hedging_set, ${dsum6("eff")} AS d_k
+          FROM x179eff WHERE asset_class = 'fx' GROUP BY 1, 2)
+        GROUP BY 1),
+      x179cr AS (
+        SELECT netting_set, ${sql6("sqrt(sys*sys + idio)")} AS addon
+        FROM (
+          SELECT netting_set,
+                 ${dsum6(sql6("rho * a"))} AS sys,
+                 ${dsum6(sql6("(1.0 - rho*rho) * a * a"))} AS idio
+          FROM (
+            SELECT netting_set,
+                   CASE WHEN is_index THEN 0.80 ELSE 0.50 END AS rho,
+                   ${sql6(
+                     """(CASE WHEN is_index
+                          THEN (CASE credit_quality WHEN 'IG' THEN 0.0038 ELSE 0.0106 END)
+                          ELSE (CASE credit_quality WHEN 'IG' THEN 0.0046
+                                WHEN 'HY' THEN 0.013 ELSE 0.06 END) END) * d_k""")} AS a
+            FROM (
+              SELECT netting_set, cr_entity, is_index, credit_quality,
+                     ${dsum6("eff")} AS d_k
+              FROM x179eff WHERE asset_class = 'credit' GROUP BY 1, 2, 3, 4))
+          GROUP BY 1)),
+      x179eq AS (
+        SELECT netting_set, ${sql6(dsum6("sub_addon"))} AS addon
+        FROM (
+          SELECT netting_set, ${sql6(
+            """(CASE WHEN is_index THEN 0.20 ELSE 0.32 END) * sqrt(
+               ((CASE WHEN is_index THEN 0.80 ELSE 0.50 END) * sum_d) *
+               ((CASE WHEN is_index THEN 0.80 ELSE 0.50 END) * sum_d) +
+               (1.0 - (CASE WHEN is_index THEN 0.80 ELSE 0.50 END) *
+                (CASE WHEN is_index THEN 0.80 ELSE 0.50 END)) * sum_d2)""")} AS sub_addon
+          FROM (
+            SELECT netting_set, is_index,
+                   ${dsum6("d_k")} AS sum_d, ${dsum6("d_k * d_k")} AS sum_d2
+            FROM (
+              SELECT netting_set, eq_entity, is_index, ${dsum6("eff")} AS d_k
+              FROM x179eff WHERE asset_class = 'equity' GROUP BY 1, 2, 3)
+            GROUP BY 1, 2))
+        GROUP BY 1),
+      x179co AS (
+        SELECT netting_set, ${sql6(s"sqrt(${dsum6("addon_b * addon_b")})")} AS addon
+        FROM (
+          SELECT netting_set, ${sql6(
+            """(CASE WHEN commodity_type = 'ELECTRICITY' THEN 0.40 ELSE 0.18 END) *
+               sqrt(0.4*0.4 * d_b * d_b + (1.0 - 0.4*0.4) * sum_dk2)""")} AS addon_b
+          FROM (
+            SELECT netting_set, commodity_type,
+                   ${dsum6("d_k")} AS d_b, ${dsum6("d_k * d_k")} AS sum_dk2
+            FROM (
+              SELECT netting_set, commodity_type, coalesce(co_ref, trade_id) AS ref,
+                     ${dsum6("eff")} AS d_k
+              FROM x179eff WHERE asset_class = 'commodity' AND commodity_type IS NOT NULL
+              GROUP BY 1, 2, 3)
+            GROUP BY 1, 2))
+        GROUP BY 1),
+      x179addon AS (
+        SELECT netting_set, ${dsum6("addon")} AS addon_aggregate
+        FROM (SELECT * FROM x179ir UNION ALL SELECT * FROM x179fx
+              UNION ALL SELECT * FROM x179cr UNION ALL SELECT * FROM x179eq
+              UNION ALL SELECT * FROM x179co)
+        GROUP BY 1),
+      x179ns AS (
+        SELECT t.netting_set, t.n_trades, t.v_net,
+               ${sql2("500.0 * (t.netting_set % 7)")} AS c_net,
+               t.netting_set % 4 = 0 AS margined,
+               CAST(2000 * (t.netting_set + 1) AS DOUBLE) AS th,
+               CAST(500 * (t.netting_set % 3) AS DOUBLE) AS mta,
+               CAST(250 * (t.netting_set % 2) AS DOUBLE) AS nica,
+               a.addon_aggregate
+        FROM (
+          SELECT netting_set, ${sqlDsum("mtm", 2)} AS v_net, count(*) AS n_trades
+          FROM x179eff GROUP BY 1) t
+        JOIN x179addon a ON a.netting_set = t.netting_set),
+      x179out AS (
+        SELECT netting_set, n_trades, addon_aggregate,
+               CASE WHEN margined
+                 THEN greatest(v_net - c_net, th + mta - nica, 0.0)
+                 ELSE greatest(v_net - c_net, 0.0) END AS rc,
+               CASE WHEN addon_aggregate > 0.0
+                 THEN least(1.0, 0.05 + 0.95 * exp((v_net - c_net) /
+                   ((2.0 * 0.95) * addon_aggregate)))
+                 ELSE 1.0 END AS mult
+        FROM x179ns)
+      SELECT netting_set, n_trades,
+             ${sql2("addon_aggregate")} AS addon_aggregate,
+             ${sql2("rc")} AS rc,
+             ${sql6("mult")} AS pfe_multiplier,
+             ${sql2("mult * addon_aggregate")} AS pfe_addon,
+             ${sql2("1.4 * (rc + mult * addon_aggregate)")} AS ead_ccr
+      FROM x179out
+      ORDER BY netting_set
+    """.stripMargin.trim
+    })
+
   val all: Seq[QueryDef] = Seq(
     q56SaCcrAddon, q57Slotting, q58CrmCascade, q59GuaranteeSubstitution,
     q96BaCva, q97FailedTrades, q104SftHaircutLegs, q105DefaultFund,
     q108TranchedGuarantee, q110LinkAllocation, q112OfcpRouting,
     q134Ccr1, q135Ccr3, q136Ccr8, q141CorepC34, q143Ccr2,
-    q162CcrWwrGate, q163SaCcrDelta, q164SaCcrEad)
+    q162CcrWwrGate, q163SaCcrDelta, q164SaCcrEad, q179SaCcrKernelChain)
 }

@@ -182,6 +182,19 @@ class PlanDisciplineSpec extends SparkSpec {
       s"q173 has inequality join conditions (all-pairs shape): $nonEqui")
   }
 
+  test("q179's five asset-class branches reuse ONE base exchange") {
+    val df = SparkEntry.queries("q179_saccr_kernel")(spark, sfDir)
+    df.collect() // finalise the adaptive plan: reuse is a runtime fact
+    val plan = df.queryExecution.executedPlan.toString
+    // the finest-grain base aggregation shuffles once; the IR/FX/credit/
+    // equity/commodity rollups all derive from that subtree and must
+    // arrive as ReusedExchange, not five re-executions of the scan
+    val baseExchanges = "Exchange hashpartitioning\\(netting_set".r
+      .findAllIn(plan).size
+    assert(plan.contains("ReusedExchange") || baseExchanges <= 3,
+      s"q179 base exchange not shared across class branches:\n$plan")
+  }
+
   test("q174 shuffles on the span digest, never the span text") {
     val plan = SparkEntry.queries("q174_span_dedup")(spark, sfDir)
       .queryExecution.executedPlan.toString
