@@ -97,6 +97,8 @@ object SaKernel {
 
   /** Expects (nullable unless noted): framework, approach, exposure_class,
     * entity_type, ead, cqs, sovereign_cqs, currency, local_currency,
+    * country_code, original_maturity_years (both presence-tolerant:
+    * added as null when the frame lacks them),
     * cp_is_natural_person, qualifies_as_retail, is_payroll_loan,
     * is_qrre_transactor, ltv, property_type, has_income_cover, is_adc,
     * is_presold, is_defaulted, provision_allocated, scra_grade,
@@ -107,10 +109,29 @@ object SaKernel {
     *
     * Adds: risk_weight, rwa (CRR SME / infrastructure factors applied).
     */
-  def calculate(df: DataFrame): DataFrame = {
+  def calculate(df0: DataFrame): DataFrame = {
+    // Presence-tolerant optional columns (the reference's convention for
+    // attributes only some books carry): an absent column is an absent
+    // assertion, never an error — it degrades every predicate reading it
+    // to False/null (reference `engine/sa/jurisdiction.py` null-VALUE
+    // convention).
+    val optional = Seq(
+      "country_code" -> "string",
+      "original_maturity_years" -> "double")
+    val df = optional.foldLeft(df0) { case (d, (n, t)) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(t))
+    }
     val crr = col("framework") === "CRR"
     val isLocal = col("currency").isNotNull && col("local_currency").isNotNull &&
       col("currency") === col("local_currency")
+    // Art. 115(5) / Art. 116(3) jurisdiction limbs: GB counterparty funded
+    // in sterling (reference `risk_weights.py:957`). Null-collapsed to
+    // False — a null country code cannot prove UK-ness (reference
+    // `engine/sa/jurisdiction.py` null-VALUE convention), and a Kleene
+    // null in the Art. 116(5) gate's negation would silently grant the
+    // preferential treatment.
+    val isUk = coalesce(col("country_code") === "GB", lit(false))
+    val isUkDomestic = isUk && coalesce(col("currency") === "GBP", lit(false))
     val cqs = col("cqs")
     val sov = col("sovereign_cqs")
     val cptyRw = when(flag("cp_is_natural_person"), 0.75).otherwise(1.0)
@@ -188,27 +209,47 @@ object SaKernel {
         .when(col("exposure_class") === "central_govt_central_bank",
           when(isLocal, 0.0).otherwise(lookupI(cqs, sovereignT1, lit(1.0))))
         .when(col("exposure_class") === "rgla",
-          when(crr,
-            when(isLocal, 0.2)
-              .otherwise(when(sov.isNotNull, lookupI(sov, crrInstitutionT5, lit(1.0)))
-                .otherwise(lit(1.0))))
-            .otherwise(
-              when(cqs.isNotNull, lookupI(cqs, b31RglaT1b, lit(1.0)))
-                .when(isLocal, 0.2)
-                .otherwise(when(sov.isNotNull, lookupI(sov, b31RglaT1a, lit(1.0)))
-                  .otherwise(lit(1.0)))))
+          // Art. 115, regime-invariant shape (the own-rating Table 1B and
+          // sovereign-derived Table 1A values coincide across CRR and
+          // PS1/26). Order is load-bearing (reference `engine/sa/rgla.py`
+          // + the override ladders): (2)/(4) sovereign-equivalence prices
+          // on the Art. 114 CGCB ladder, the (5) UK-sterling flat 20%
+          // overrides even a rated row, then rated Table 1B, then the
+          // sovereign-derived Table 1A with a 100% residual.
+          when(col("entity_type") === "rgla_sovereign" &&
+               (isUk || (sov.isNotNull && sov > 0)),
+            when(isUkDomestic, 0.0)
+              .otherwise(lookupI(sov, sovereignT1, lit(0.0))))
+            .when(isUkDomestic, 0.2)
+            .when(cqs.isNotNull, lookupI(cqs, b31RglaT1b, lit(1.0)))
+            .when(sov.isNotNull, lookupI(sov, b31RglaT1a, lit(1.0)))
+            .otherwise(1.0))
         .when(col("exposure_class") === "pse",
-          when(crr,
-            when(isLocal || flag("is_equivalent_jurisdiction"),
-              lookupI(sov, pseT2, lit(1.0)))
-              .otherwise(lit(1.0)))
-            .otherwise(
-              when(cqs.isNotNull, lookupI(cqs, b31PseT2a, lit(1.0)))
-                .otherwise(lookupI(sov, pseT2, lit(1.0)))))
+          // Art. 116, regime-invariant shape: the (5) third-country
+          // equivalence gate suppresses EVERY preferential treatment
+          // (flat 100%), the (3) short-term 20% is UK-only on ORIGINAL
+          // maturity, then rated Table 2A, then sovereign-derived
+          // Table 2 (reference `engine/sa/jurisdiction.py`).
+          when(!(isUk || coalesce(col("is_equivalent_jurisdiction"),
+              lit(false))), 1.0)
+            .when(isUk && col("original_maturity_years") <= 0.25, 0.2)
+            .when(cqs.isNotNull, lookupI(cqs, b31PseT2a, lit(1.0)))
+            .when(sov.isNotNull, lookupI(sov, pseT2, lit(1.0)))
+            .otherwise(1.0))
         .when(col("exposure_class") === "mdb",
+          // Art. 117(2) named list 0% in both regimes; then CRR Art.
+          // 117(1) treats a non-named MDB as an INSTITUTION (Table 3
+          // rated / Table 5 sovereign-derived / 100% residual), while
+          // PS1/26 Art. 117(1)(a) gives MDBs their own Table 2B ECRA
+          // schedule with a 50% unrated row.
           when(col("entity_type") === "mdb_named", 0.0)
-            .when(cqs.isNotNull, lookupI(cqs, b31MdbT2b, lit(1.0)))
-            .otherwise(0.5))
+            .when(crr,
+              when(cqs.isNotNull, lookupI(cqs, crrInstitutionT3, lit(1.0)))
+                .when(sov.isNotNull, lookupI(sov, crrInstitutionT5, lit(1.0)))
+                .otherwise(1.0))
+            .otherwise(
+              when(cqs.isNotNull, lookupI(cqs, b31MdbT2b, lit(1.0)))
+                .otherwise(0.5)))
         .when(col("exposure_class") === "international_organisation", 0.0)
         .when(col("exposure_class") === "institution", institutionRw)
         .when(col("exposure_class").isin("retail_other", "retail_qrre"), retailRw)

@@ -1305,7 +1305,15 @@ object Domain {
         when(col("o_custkey") % 2 === 0, "CRR").otherwise("BASEL_3_1").as("framework"),
         lit("SA").as("approach"),
         classChain.as("exposure_class"),
-        when(col("o_custkey") % 3 === 0, "mdb_named").otherwise("generic").as("entity_type"),
+        when(col("o_custkey") % 3 === 0, "mdb_named")
+          .when(col("o_orderkey") % 10 === 0, "rgla_sovereign")
+          .otherwise("generic").as("entity_type"),
+        when(col("o_custkey") % 5 === 1, "GB")
+          .when(col("o_custkey") % 5 === 2, "FR")
+          .otherwise("US").as("country_code"),
+        when(col("o_orderkey") % 13 === 0, 0.25)
+          .otherwise(lit(1.0) + (col("o_orderkey") % 5).cast("double"))
+          .as("original_maturity_years"),
         col("o_totalprice").as("ead"),
         when((col("o_custkey") % 8).between(1, 6),
           (col("o_custkey") % 8).cast("int")).as("cqs"),
@@ -1379,7 +1387,14 @@ object Domain {
                     WHEN o_orderkey % 12 = 9 THEN 'covered_bond'
                     WHEN o_orderkey % 12 = 10 THEN 'corporate_sme'
                     ELSE 'corporate' END AS exposure_class,
-               CASE WHEN o_custkey % 3 = 0 THEN 'mdb_named' ELSE 'generic' END AS entity_type,
+               CASE WHEN o_custkey % 3 = 0 THEN 'mdb_named'
+                    WHEN o_orderkey % 10 = 0 THEN 'rgla_sovereign'
+                    ELSE 'generic' END AS entity_type,
+               CASE WHEN o_custkey % 5 = 1 THEN 'GB'
+                    WHEN o_custkey % 5 = 2 THEN 'FR'
+                    ELSE 'US' END AS country_code,
+               CASE WHEN o_orderkey % 13 = 0 THEN 0.25
+                    ELSE 1.0 + o_orderkey % 5 END AS original_maturity_years,
                o_totalprice AS ead,
                CASE WHEN o_custkey % 8 BETWEEN 1 AND 6 THEN o_custkey % 8 END AS cqs,
                CASE WHEN o_orderkey % 9 BETWEEN 1 AND 6 THEN o_orderkey % 9 END AS sovereign_cqs,
@@ -1413,7 +1428,10 @@ object Domain {
         SELECT *,
           framework = 'CRR' AS crr,
           currency IS NOT NULL AND local_currency IS NOT NULL
-            AND currency = local_currency AS is_local
+            AND currency = local_currency AS is_local,
+          coalesce(country_code = 'GB', false) AS is_uk,
+          coalesce(country_code = 'GB', false)
+            AND coalesce(currency = 'GBP', false) AS is_uk_domestic
         FROM attrs),
       weighted AS (
         SELECT *,
@@ -1426,27 +1444,32 @@ object Domain {
               CASE WHEN is_local THEN 0.0
                    ELSE ${sqlLookupI("cqs", sovereignT1, "CAST(1.0 AS DOUBLE)")} END
             WHEN exposure_class = 'rgla' THEN
-              CASE WHEN crr THEN
-                     CASE WHEN is_local THEN 0.2
-                          WHEN sovereign_cqs IS NOT NULL
-                            THEN ${sqlLookupI("sovereign_cqs", crrInstitutionT5, "CAST(1.0 AS DOUBLE)")}
-                          ELSE 1.0 END
+              CASE WHEN entity_type = 'rgla_sovereign'
+                        AND (is_uk OR (sovereign_cqs IS NOT NULL AND sovereign_cqs > 0)) THEN
+                     CASE WHEN is_uk_domestic THEN 0.0
+                          ELSE ${sqlLookupI("sovereign_cqs", sovereignT1, "CAST(0.0 AS DOUBLE)")} END
+                   WHEN is_uk_domestic THEN 0.2
                    WHEN cqs IS NOT NULL
                      THEN ${sqlLookupI("cqs", b31RglaT1b, "CAST(1.0 AS DOUBLE)")}
-                   WHEN is_local THEN 0.2
                    WHEN sovereign_cqs IS NOT NULL
                      THEN ${sqlLookupI("sovereign_cqs", b31RglaT1a, "CAST(1.0 AS DOUBLE)")}
                    ELSE 1.0 END
             WHEN exposure_class = 'pse' THEN
-              CASE WHEN crr THEN
-                     CASE WHEN is_local OR coalesce(is_equivalent_jurisdiction, false)
-                          THEN ${sqlLookupI("sovereign_cqs", pseT2, "CAST(1.0 AS DOUBLE)")}
-                          ELSE 1.0 END
+              CASE WHEN NOT (is_uk OR coalesce(is_equivalent_jurisdiction, false)) THEN 1.0
+                   WHEN is_uk AND original_maturity_years <= 0.25 THEN 0.2
                    WHEN cqs IS NOT NULL
                      THEN ${sqlLookupI("cqs", b31PseT2a, "CAST(1.0 AS DOUBLE)")}
-                   ELSE ${sqlLookupI("sovereign_cqs", pseT2, "CAST(1.0 AS DOUBLE)")} END
+                   WHEN sovereign_cqs IS NOT NULL
+                     THEN ${sqlLookupI("sovereign_cqs", pseT2, "CAST(1.0 AS DOUBLE)")}
+                   ELSE 1.0 END
             WHEN exposure_class = 'mdb' THEN
               CASE WHEN entity_type = 'mdb_named' THEN 0.0
+                   WHEN crr THEN
+                     CASE WHEN cqs IS NOT NULL
+                            THEN ${sqlLookupI("cqs", crrInstitutionT3, "CAST(1.0 AS DOUBLE)")}
+                          WHEN sovereign_cqs IS NOT NULL
+                            THEN ${sqlLookupI("sovereign_cqs", crrInstitutionT5, "CAST(1.0 AS DOUBLE)")}
+                          ELSE 1.0 END
                    WHEN cqs IS NOT NULL
                      THEN ${sqlLookupI("cqs", b31MdbT2b, "CAST(1.0 AS DOUBLE)")}
                    ELSE 0.5 END
