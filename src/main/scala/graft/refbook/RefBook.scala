@@ -1,0 +1,357 @@
+package graft.refbook
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.SaKernel
+
+/** The reference-schema book pipeline: a [[RefBundle]] of input tables in
+  * the reference's published input vocabulary, run end-to-end into the
+  * SEALED per-exposure results ledger the reporting layer reads
+  * (reference `engine/pipeline.py` `PipelineOrchestrator.run_with_data` →
+  * `engine/aggregator/aggregator.py` `_add_reporting_projection`).
+  *
+  * Spark-first: every stage is a declarative DataFrame transform — the
+  * classification maps compile to when-chains, the rating pick is a
+  * rank-1 window, the SA calculator is [[graft.engine.SaKernel]]'s
+  * codegen'd Column chain — so the whole ledger is ONE Catalyst plan
+  * (scan → broadcast joins → window → projection), no driver-side loops.
+  *
+  * The sealed column vocabulary mirrors the reference's aggregator exit
+  * (`aggregator.py:1016-1056`): the `reporting_*` projection (class /
+  * approach twins, per-side gross carriers, EAD, RW), `rwa_final` /
+  * `rwa_pre_factor` / `rwa_pre_floor` / `sa_rwa`, the CRM substitution
+  * carriers, and the counterparty attributes the sheet axes key on.
+  * Columns the reference's seal deliberately does NOT carry
+  * (`own_funds_deduction_amount`, `sa_cqs`, `scra/gcra_provision_amount`,
+  * `ciu_approach`, …) are equally absent here, so the template layer's
+  * structural-null cells render identically.
+  */
+object RefBook {
+
+  /** Entity-type → SA exposure class (reference rulepack
+    * `entity_type_to_sa_class`, `rulebook/packs/common.py:735`). */
+  val entityToSaClass: Seq[(String, String)] = Seq(
+    "sovereign" -> "central_govt_central_bank",
+    "central_bank" -> "central_govt_central_bank",
+    "central_bank_ecb" -> "central_govt_central_bank",
+    "rgla_sovereign" -> "rgla",
+    "rgla_institution" -> "rgla",
+    "pse_sovereign" -> "pse",
+    "pse_institution" -> "pse",
+    "mdb" -> "mdb",
+    "mdb_named" -> "mdb",
+    "international_org" -> "international_organisation",
+    "institution" -> "institution",
+    "bank" -> "institution",
+    "ccp" -> "institution",
+    "financial_institution" -> "institution",
+    "corporate" -> "corporate",
+    "company" -> "corporate",
+    "individual" -> "retail_other",
+    "retail" -> "retail_other",
+    "natural_person" -> "retail_other",
+    "specialised_lending" -> "corporate",
+    "equity" -> "equity",
+    "covered_bond" -> "covered_bond",
+    "other_cash" -> "other",
+    "other_gold" -> "other",
+    "other_items_in_collection" -> "other",
+    "other_tangible" -> "other",
+    "other_residual_lease" -> "other",
+    "high_risk" -> "high_risk",
+    "high_risk_venture_capital" -> "high_risk",
+    "high_risk_private_equity" -> "high_risk",
+    "high_risk_speculative_re" -> "high_risk")
+
+  /** Entity-type → IRB exposure class (Art. 147; rulepack
+    * `entity_type_to_irb_class`). Diverges from the SA map on the
+    * quasi-sovereigns (Art. 147(3)/(4)(b)) and specialised lending
+    * (Art. 147(8)). */
+  val entityToIrbClass: Seq[(String, String)] = Seq(
+    "sovereign" -> "central_govt_central_bank",
+    "central_bank" -> "central_govt_central_bank",
+    "central_bank_ecb" -> "central_govt_central_bank",
+    "rgla_sovereign" -> "central_govt_central_bank",
+    "rgla_institution" -> "institution",
+    "pse_sovereign" -> "central_govt_central_bank",
+    "pse_institution" -> "institution",
+    "mdb" -> "central_govt_central_bank",
+    "mdb_named" -> "central_govt_central_bank",
+    "international_org" -> "central_govt_central_bank",
+    "institution" -> "institution",
+    "bank" -> "institution",
+    "ccp" -> "institution",
+    "financial_institution" -> "institution",
+    "corporate" -> "corporate",
+    "company" -> "corporate",
+    "individual" -> "retail_other",
+    "retail" -> "retail_other",
+    "natural_person" -> "retail_other",
+    "specialised_lending" -> "specialised_lending",
+    "equity" -> "equity",
+    "covered_bond" -> "covered_bond",
+    "other_cash" -> "other",
+    "other_gold" -> "other",
+    "other_items_in_collection" -> "other",
+    "other_tangible" -> "other",
+    "other_residual_lease" -> "other",
+    "high_risk" -> "high_risk",
+    "high_risk_venture_capital" -> "high_risk",
+    "high_risk_private_equity" -> "high_risk",
+    "high_risk_speculative_re" -> "high_risk")
+
+  private def chainOf(pairs: Seq[(String, String)], key: org.apache.spark.sql.Column,
+      default: String): org.apache.spark.sql.Column =
+    pairs.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (None, (k, v)) => Some(when(key === k, v))
+      case (Some(acc), (k, v)) => Some(acc.when(key === k, v))
+    }.get.otherwise(default)
+
+  /** Optional column with a typed null default (the reference loader's
+    * `ensure_columns` discipline, `data/column_spec.py:51-67`). */
+  private def optCol(df: DataFrame, name: String, sqlType: String): org.apache.spark.sql.Column =
+    if (df.columns.contains(name)) col(name) else lit(null).cast(sqlType)
+
+  /** Rank-1 best EXTERNAL rating per counterparty: lowest CQS wins, agency
+    * then reference as the deterministic tie-break (reference
+    * `stages/hierarchy/ratings.py:106-127`). */
+  def bestExternalCqs(ratings: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("counterparty_reference"))
+      .orderBy(col("cqs"), col("rating_agency"), col("rating_reference"))
+    ratings
+      .filter(col("rating_type") === "external" && col("cqs").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("counterparty_reference"), col("cqs").cast("int").as("external_cqs"))
+  }
+
+  /** Counterparties carrying an INTERNAL rating with a usable PD — the
+    * IRB routing precondition (reference `stages/classify/approach.py`). */
+  def internalPd(ratings: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("counterparty_reference"))
+      .orderBy(col("rating_date").desc, col("rating_reference"))
+    val withPd = ratings.filter(col("rating_type") === "internal" &&
+      col("pd").isNotNull)
+    val pdCols = Seq(
+      col("counterparty_reference"), col("pd").cast("double").as("internal_pd")) ++
+      (if (ratings.columns.contains("model_id")) Seq(col("model_id").as("internal_model_id"))
+       else Seq(lit(null).cast("string").as("internal_model_id")))
+    withPd.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(pdCols: _*)
+  }
+
+  /** Unify loans / facilities / contingents into one exposures frame
+    * (reference `stages/hierarchy/unify.py`): per leg, the on-side gross
+    * (drawn), the off-side gross (undrawn headroom or contingent
+    * nominal), and the Annex I CCF for the off-side. */
+  def unifyExposures(b: RefBundle, s: SparkSession): DataFrame = {
+    val loans = b.loans.select(
+      col("loan_reference").as("exposure_reference"),
+      lit("loan").as("exposure_type"),
+      col("counterparty_reference"),
+      col("drawn_amount").cast("double").as("drawn_amount"),
+      lit(null).cast("double").as("undrawn_amount"),
+      lit(null).cast("double").as("nominal_amount"),
+      col("currency"),
+      optCol(b.loans, "value_date", "date").as("value_date"),
+      optCol(b.loans, "maturity_date", "date").as("maturity_date"),
+      optCol(b.loans, "product_type", "string").as("product_type"),
+      optCol(b.loans, "seniority", "string").as("seniority"),
+      optCol(b.loans, "is_defaulted", "boolean").as("leg_defaulted"))
+    val fac = b.facilities.map(f => f.select(
+      col("facility_reference").as("exposure_reference"),
+      lit("facility_undrawn").as("exposure_type"),
+      col("counterparty_reference"),
+      lit(0.0).as("drawn_amount"),
+      col("undrawn_amount").cast("double").as("undrawn_amount"),
+      lit(null).cast("double").as("nominal_amount"),
+      col("currency"),
+      optCol(f, "value_date", "date").as("value_date"),
+      optCol(f, "maturity_date", "date").as("maturity_date"),
+      optCol(f, "product_type", "string").as("product_type"),
+      optCol(f, "seniority", "string").as("seniority"),
+      optCol(f, "is_defaulted", "boolean").as("leg_defaulted")))
+    val cont = b.contingents.map(c => c.select(
+      col("contingent_reference").as("exposure_reference"),
+      lit("contingent").as("exposure_type"),
+      col("counterparty_reference"),
+      lit(0.0).as("drawn_amount"),
+      lit(null).cast("double").as("undrawn_amount"),
+      col("nominal_amount").cast("double").as("nominal_amount"),
+      col("currency"),
+      optCol(c, "value_date", "date").as("value_date"),
+      optCol(c, "maturity_date", "date").as("maturity_date"),
+      optCol(c, "product_type", "string").as("product_type"),
+      optCol(c, "seniority", "string").as("seniority"),
+      optCol(c, "is_defaulted", "boolean").as("leg_defaulted")))
+    (Seq(loans) ++ fac ++ cont).reduce(_.unionByName(_))
+  }
+
+  /** Build the sealed results ledger for one bundle under one config. */
+  def ledger(b: RefBundle, cfg: RefRunConfig, s: SparkSession): DataFrame = {
+    val cpty = b.counterparties.select(
+      col("counterparty_reference"),
+      col("entity_type").as("cp_entity_type"),
+      col("country_code").as("cp_country_code"),
+      optCol(b.counterparties, "annual_revenue", "double").as("annual_revenue"),
+      optCol(b.counterparties, "is_sme", "boolean").as("cp_is_sme"),
+      optCol(b.counterparties, "default_status", "boolean").as("cp_default_status"),
+      optCol(b.counterparties, "is_natural_person", "boolean").as("cp_is_natural_person"))
+    val exposures = unifyExposures(b, s)
+      .join(broadcast(cpty), Seq("counterparty_reference"), "left")
+      .join(broadcast(bestExternalCqs(b.ratings)), Seq("counterparty_reference"), "left")
+      .join(broadcast(internalPd(b.ratings)), Seq("counterparty_reference"), "left")
+
+    // ---- classification (reference `engine/stages/classify`) ----------
+    val saClass = chainOf(entityToSaClass, col("cp_entity_type"), "other")
+    val irbClass = chainOf(entityToIrbClass, col("cp_entity_type"), "other")
+    val isDefaulted =
+      coalesce(col("leg_defaulted"), lit(false)) ||
+      coalesce(col("cp_default_status"), lit(false))
+    // IRB routes only with an internal PD, under IRB permission mode
+    // (`api/service.py:47-53`; grants are per model/class — the bundle's
+    // model_permissions book gates when supplied).
+    val irbEligible = lit(cfg.permissionMode == "irb") &&
+      col("internal_pd").isNotNull && !isDefaulted
+
+    val classified = exposures.withColumns(Map(
+      "is_defaulted" -> isDefaulted,
+      "exposure_class" ->
+        when(irbEligible, irbClass).otherwise(saClass),
+      "approach_applied" ->
+        when(irbEligible, lit("foundation_irb")).otherwise(lit("standardised"))))
+
+    // ---- EAD (Art. 111): drawn + CCF-converted off-balance nominal ----
+    // Annex I CCF buckets by product type; extended per scenario family.
+    val ccfChain =
+      when(col("exposure_type") === "loan", 0.0)
+        .when(col("product_type") === "guarantee_issued", 1.0)
+        .when(col("product_type") === "documentary_credit", 0.2)
+        .when(col("product_type") === "performance_bond", 0.5)
+        .when(col("product_type") === "note_issuance", 0.5)
+        .when(col("product_type") === "undrawn_committed", if (cfg.isB31) 0.4 else 0.5)
+        .when(col("product_type") === "undrawn_uncommitted", if (cfg.isB31) 0.1 else 0.0)
+        .otherwise(if (cfg.isB31) 0.4 else 0.5)
+    val offGross = coalesce(col("undrawn_amount"), col("nominal_amount"))
+    val withEad = classified.withColumns(Map(
+      "ccf" -> ccfChain,
+      "ead_final" ->
+        (greatest(col("drawn_amount"), lit(0.0)) +
+          coalesce(greatest(offGross, lit(0.0)) * ccfChain, lit(0.0)))))
+
+    // ---- SA risk weighting (SaKernel — Art. 114-134 both regimes) -----
+    val originalMaturityYears =
+      when(col("maturity_date").isNotNull && col("value_date").isNotNull,
+        datediff(col("maturity_date"), col("value_date")) / lit(365.0))
+    val attrs = withEad.withColumns(Map(
+      "framework" -> lit(cfg.framework),
+      "approach" -> upper(col("approach_applied")),
+      "entity_type" -> col("cp_entity_type"),
+      "ead" -> col("ead_final"),
+      "cqs" -> col("external_cqs"),
+      "sovereign_cqs" -> lit(null).cast("int"),
+      "local_currency" -> lit(cfg.baseCurrency),
+      "country_code" -> col("cp_country_code"),
+      "original_maturity_years" -> originalMaturityYears,
+      "qualifies_as_retail" -> lit(false),
+      "is_payroll_loan" -> lit(false),
+      "is_qrre_transactor" -> lit(false),
+      "ltv" -> lit(null).cast("double"),
+      "property_type" -> lit(null).cast("string"),
+      "has_income_cover" -> lit(false),
+      "is_adc" -> lit(false),
+      "is_presold" -> lit(false),
+      "provision_allocated" -> lit(0.0),
+      "scra_grade" -> lit(null).cast("string"),
+      "is_equivalent_jurisdiction" -> lit(null).cast("boolean"),
+      "is_sme" -> coalesce(col("cp_is_sme"), lit(false)),
+      "is_investment_grade" -> lit(false),
+      "use_investment_grade_assessment" -> lit(false),
+      "is_infrastructure" -> lit(false),
+      "equity_type" -> lit(null).cast("string"),
+      "is_diversified" -> lit(false),
+      "is_exchange_traded" -> lit(false),
+      "permission" -> lit(cfg.permissionMode.toUpperCase),
+      "slotting_category" -> lit(null).cast("string"),
+      "is_short_maturity" -> lit(false),
+      "is_hvcre" -> lit(false)))
+    val weighted = SaKernel.calculate(attrs)
+
+    // ---- seal: the reporting projection (`aggregator.py:1016-1056`) ---
+    val crr = !cfg.isB31
+    val rwaPre = col("risk_weight") * col("ead_final")
+    val smeApplied = lit(crr) && col("exposure_class") === "corporate_sme" &&
+      coalesce(col("is_sme"), lit(false))
+    val infraApplied = lit(crr) && coalesce(col("is_infrastructure"), lit(false))
+    weighted.select(
+      col("exposure_reference"),
+      col("counterparty_reference"),
+      col("exposure_type"),
+      lit("CREDIT").as("risk_type"),
+      col("exposure_class"),
+      col("exposure_class").as("reporting_class_origin"),
+      col("exposure_class").as("reporting_class"),
+      col("approach_applied"),
+      col("approach_applied").as("reporting_approach_origin"),
+      col("approach_applied").as("reporting_approach"),
+      col("cp_entity_type"),
+      col("cp_country_code"),
+      col("cp_country_code").as("reporting_country_origin"),
+      col("cp_country_code").as("reporting_country"),
+      col("external_cqs"),
+      col("is_defaulted"),
+      coalesce(col("cp_is_sme"), lit(false)).as("is_sme"),
+      lit(false).as("is_infrastructure"),
+      smeApplied.as("sme_supporting_factor_applied"),
+      infraApplied.as("infrastructure_factor_applied"),
+      lit(false).as("currency_mismatch_multiplier_applied"),
+      lit(null).cast("string").as("sl_type"),
+      lit(null).cast("string").as("property_type"),
+      lit(null).cast("boolean").as("materially_dependent_on_property"),
+      lit(null).cast("boolean").as("is_qualifying_re"),
+      lit(false).as("is_adc"),
+      lit(null).cast("boolean").as("cp_is_qccp"),
+      lit(false).as("is_under_irb_rollout"),
+      // per-side floored gross carriers (null outside the leg's side)
+      greatest(col("drawn_amount"), lit(0.0)).as("reporting_gross_drawn"),
+      greatest(coalesce(col("undrawn_amount"), col("nominal_amount")), lit(0.0))
+        .as("reporting_gross_undrawn"),
+      when(col("exposure_type") === "loan", greatest(col("drawn_amount"), lit(0.0)))
+        .otherwise(lit(null).cast("double")).as("reporting_gross_on_bs"),
+      when(col("exposure_type") === "facility_undrawn",
+        greatest(col("undrawn_amount"), lit(0.0)))
+        .when(col("exposure_type") === "contingent",
+          greatest(col("nominal_amount"), lit(0.0)))
+        .when(col("exposure_type") === "loan", lit(0.0))
+        .otherwise(lit(null).cast("double")).as("reporting_gross_off_bs"),
+      when(col("exposure_type") === "loan", lit(true))
+        .when(col("exposure_type").isin("facility_undrawn", "contingent"), lit(false))
+        .otherwise(lit(null).cast("boolean")).as("reporting_on_balance_sheet"),
+      col("ccf"),
+      col("ead_final"),
+      col("ead_final").as("reporting_ead"),
+      col("risk_weight"),
+      col("risk_weight").as("reporting_rw"),
+      rwaPre.as("rwa_pre_factor"),
+      col("rwa").as("rwa_final"),
+      col("rwa").as("rwa_pre_floor"),
+      // S-TREA leg: an SA leg's standardised-equivalent RWA is its own
+      // (pre-floor) RWA; IRB legs substitute the shadow SA run when the
+      // book carries one (the output-floor comparison basis).
+      col("rwa").as("sa_rwa"),
+      lit(if (cfg.isB31) cfg.outputFloorPct else null)
+        .cast("double").as("output_floor_pct"),
+      lit(0.0).as("provision_deducted"),
+      lit(0.0).as("guaranteed_portion"),
+      lit(null).cast("string").as("protection_type"),
+      lit(null).cast("boolean").as("is_guarantee_beneficial"),
+      lit(null).cast("string").as("post_crm_exposure_class_guaranteed"),
+      lit(0.0).as("collateral_adjusted_value"),
+      lit(0.0).as("collateral_market_value"),
+      lit(0.0).as("fcsm_collateral_value"),
+      lit(0.0).as("life_ins_collateral_value"),
+      lit(0.0).as("third_party_deposit_value"))
+  }
+}

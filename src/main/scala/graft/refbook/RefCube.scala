@@ -1,0 +1,158 @@
+package graft.refbook
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** The reporting cube: ONE distributed aggregation of the sealed ledger
+  * over the full discriminator key set, collected at presentation grain.
+  *
+  * Every COREP / Pillar 3 cell in the estate is a conditional sum over
+  * the sealed ledger keyed by bounded-cardinality discriminators (class,
+  * approach, risk type, balance-sheet side, risk weight, CCF, flags…).
+  * Materialising the cube once — `groupBy(keys).agg(sum(measures))`, a
+  * single map-side-combinable shuffle whose output is bounded by the
+  * number of REALISED key profiles, not by row count — and assembling
+  * the small published grids driver-side keeps the whole template estate
+  * at one pass over a 100 TB book (the reference collects each
+  * template's population separately; this is the Spark-shaped
+  * equivalent of its `_predicate_subsets` batching).
+  */
+object RefCube {
+
+  /** Discriminator keys (nullable; null is a legitimate key value). */
+  val keyCols: Seq[String] = Seq(
+    "exposure_class", "reporting_class_origin", "reporting_class",
+    "reporting_approach_origin", "reporting_approach", "risk_type",
+    "exposure_type", "reporting_on_balance_sheet", "reporting_rw", "ccf",
+    "is_defaulted", "is_sme", "sme_supporting_factor_applied",
+    "infrastructure_factor_applied", "currency_mismatch_multiplier_applied",
+    "is_under_irb_rollout", "sl_type", "property_type",
+    "materially_dependent_on_property", "is_qualifying_re", "is_adc",
+    "cp_entity_type", "cp_is_qccp", "cp_country_code",
+    "reporting_country_origin", "reporting_country",
+    "is_guarantee_beneficial", "post_crm_exposure_class_guaranteed",
+    "protection_type", "external_unrated")
+
+  /** Summed measures (nulls count 0.0 — the reference `col_sum` rule). */
+  val measureCols: Seq[String] = Seq(
+    "reporting_gross_on_bs", "reporting_gross_off_bs",
+    "reporting_gross_drawn", "reporting_gross_undrawn",
+    "ead_final", "rwa_final", "rwa_pre_factor", "rwa_pre_floor", "sa_rwa",
+    "provision_deducted", "collateral_adjusted_value", "vol_mat_adj",
+    "prot_guarantee", "prot_credit_derivative", "prot_fcsm",
+    "prot_other_funded", "prot_unfunded")
+
+  /** One collected cube row: typed key accessors + measure sums. */
+  final case class CRow(k: Map[String, Any], m: Map[String, Double], n: Long) {
+    def s(name: String): Option[String] = k.get(name).collect { case v: String => v }
+    def b(name: String): Option[Boolean] = k.get(name).collect { case v: Boolean => v }
+    def d(name: String): Option[Double] = k.get(name).collect {
+      case v: Double => v
+      case v: java.lang.Number => v.doubleValue()
+    }
+    def is(name: String): Boolean = b(name).contains(true)
+  }
+
+  /** Derive the per-row reporting magnitudes the cube sums (reference
+    * `reporting/corep/c07.py::_prepare` + `_protection_exprs`: the
+    * Annex II substitution block with the proportional block cap, the
+    * collateral volatility adjustment) then cube the ledger. */
+  def build(ledger: DataFrame): Vector[CRow] = {
+    val guaranteed = coalesce(col("guaranteed_portion"), lit(0.0))
+    val applied = coalesce(col("is_guarantee_beneficial") === true, lit(false))
+    val guarantee = when(col("protection_type") === "guarantee" && applied, guaranteed)
+      .otherwise(0.0)
+    val creditDeriv =
+      when(col("protection_type") === "credit_derivative" && applied, guaranteed)
+        .otherwise(0.0)
+    val fcsm = coalesce(col("fcsm_collateral_value"), lit(0.0))
+    val otherFunded = coalesce(col("life_ins_collateral_value"), lit(0.0)) +
+      coalesce(col("third_party_deposit_value"), lit(0.0))
+    val blockTotal = guarantee + creditDeriv + fcsm + otherFunded
+    // Cap basis: the row's contribution to C 07.00 col 0040 (gross net of
+    // provisions), floored at zero; proportional shed on over-run.
+    val grossBasis =
+      coalesce(col("reporting_gross_on_bs"), lit(0.0)) +
+        coalesce(col("reporting_gross_off_bs"), lit(0.0))
+    val basis = greatest(
+      grossBasis - coalesce(col("provision_deducted"), lit(0.0)), lit(0.0))
+    val scale = when(blockTotal > basis, basis / blockTotal).otherwise(lit(1.0))
+    val prepared = ledger.withColumns(Map(
+      "external_unrated" -> col("external_cqs").isNull,
+      "vol_mat_adj" ->
+        (coalesce(col("collateral_market_value"), lit(0.0)) -
+          coalesce(col("collateral_adjusted_value"), lit(0.0))),
+      "prot_guarantee" -> guarantee * scale,
+      "prot_credit_derivative" -> creditDeriv * scale,
+      "prot_fcsm" -> fcsm * scale,
+      "prot_other_funded" -> otherFunded * scale,
+      "prot_unfunded" -> (guarantee + creditDeriv) * scale))
+    val aggs = measureCols.map(c => sum(coalesce(col(c), lit(0.0))).as(c)) :+
+      count(lit(1)).as("__n")
+    val rows = prepared
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.iterator.map { r: Row =>
+      val k = keyCols.map(c => c -> r.get(r.fieldIndex(c))).toMap
+      val m = measureCols.map { c =>
+        val v = r.get(r.fieldIndex(c))
+        c -> (if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue())
+      }.toMap
+      CRow(k, m, r.getLong(r.fieldIndex("__n")))
+    }.toVector
+  }
+
+  // ---- driver-side aggregation helpers (the cellspec sum semantics) ---
+
+  type Pred = CRow => Boolean
+
+  def n(cube: Vector[CRow], pred: Pred): Long =
+    cube.iterator.filter(pred).map(_.n).sum
+
+  def total(cube: Vector[CRow], pred: Pred, measure: String): Double =
+    cube.iterator.filter(pred).map(_.m(measure)).sum
+
+  /** `Sum` with the COREP/Pillar 3 empty-subset policy: None when the
+    * subset is empty and the policy is null; 0.0 when zero. */
+  def sumCell(cube: Vector[CRow], pred: Pred, measure: String,
+      emptyAsNone: Boolean): Option[Double] =
+    if (emptyAsNone && n(cube, pred) == 0) None
+    else Some(total(cube, pred, measure))
+}
+
+/** One rendered template frame in the published grid. */
+final case class RefFrame(
+    rows: Vector[(String, String)],
+    cols: Vector[String],
+    cells: Map[(String, String), Option[Double]]) {
+
+  def value(rowRef: String, colRef: String): Option[Double] =
+    cells.getOrElse((rowRef, colRef), None)
+
+  /** Negate the "(-)"-labelled deduction columns (COREP Annex II §1.3),
+    * normalising -0.0 and keeping nulls null (reference
+    * `corep/postpass.py::negate_deduction_cols`). */
+  def negate(colRefs: Set[String]): RefFrame =
+    copy(cells = cells.map {
+      case ((r, c), Some(v)) if colRefs(c) =>
+        ((r, c), Some(if (v == 0.0) 0.0 else -v))
+      case other => other
+    })
+
+  /** Render the named rows all-null (empty-subset / structural rows). */
+  def nullRows(refs: Set[String]): RefFrame =
+    if (refs.isEmpty) this
+    else copy(cells = cells.map {
+      case ((r, c), _) if refs(r) => ((r, c), None)
+      case other => other
+    })
+}
+
+object RefFrame {
+  /** Assemble a frame over a published grid from a cell function. */
+  def build(grid: RefLayouts.Grid)(
+      cell: (String, String) => Option[Double]): RefFrame =
+    RefFrame(grid.rows, grid.cols,
+      (for { (r, _) <- grid.rows; c <- grid.cols } yield ((r, c), cell(r, c))).toMap)
+}

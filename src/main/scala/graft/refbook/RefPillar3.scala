@@ -1,0 +1,373 @@
+package graft.refbook
+
+import RefCube._
+
+/** Pillar 3 disclosure templates over the reporting cube, in the
+  * published grids (CRR Part 8 / PRA PS1/26 Annex XX-XXII layouts):
+  * OV1, CR4, CR5, CR6-A, CR7, CR8, and the Basel 3.1 CMS1 / CMS2
+  * modelled-vs-standardised comparisons. Cell semantics mirror the
+  * reference's declarative specs (`reporting/pillar3/{ov1,cr4,cr5,cr6a,
+  * cr7,cr8,cms1,cms2}.py`) re-expressed over the cube; Pillar 3's
+  * empty-subset policy is null unless a cell carries the zero override.
+  */
+object RefPillar3 {
+
+  // ---- shared population predicates ------------------------------------
+
+  val ccrRiskTypes: Set[String] = Set("CCR_DERIVATIVE", "CCR_SFT", "CCR_DEFAULT_FUND")
+  def isCcr(r: CRow): Boolean = r.s("risk_type").exists(ccrRiskTypes)
+  private def isDerivative(r: CRow) = r.s("risk_type").contains("CCR_DERIVATIVE")
+  private def facesCcp(r: CRow) = r.s("cp_entity_type").contains("ccp")
+
+  val irbFamily: Set[String] = Set("foundation_irb", "advanced_irb", "slotting")
+
+  def approachOrigin(r: CRow): Option[String] = r.s("reporting_approach_origin")
+  def approachPost(r: CRow): Option[String] = r.s("reporting_approach")
+
+  /** CR4/CR5 population: SA CREDIT risk — the CCR / settlement synthetic
+    * legs leave entirely (reference `pillar3/sa_scope.py`); the
+    * `facility_undrawn` leg reclassifies off-balance-sheet (already the
+    * sealed convention here). */
+  def saCreditPop(r: CRow): Boolean =
+    !r.s("exposure_type").exists(Set("ccr_netting_set", "ccr_default_fund", "ccr_failed_trade"))
+
+  // ---- OV1 --------------------------------------------------------------
+
+  private val ov1ApproachRefs: Map[String, Set[String]] = Map(
+    "2" -> Set("standardised", "equity"),
+    "3" -> Set("foundation_irb"),
+    "4" -> Set("slotting"),
+    "UK4a" -> Set("equity"),
+    "5" -> Set("advanced_irb"))
+
+  def ov1(cfg: RefRunConfig, cube: Vector[CRow]): RefFrame = {
+    val grid = RefLayouts.grid(cfg.framework, "ov1")
+    def ccp(r: CRow) = isCcr(r) && facesCcp(r)
+    def saCcr(r: CRow) = isDerivative(r) && !facesCcp(r)
+    def aCell(ref: String): Option[Double] = ref match {
+      case "29" => sumCell(cube, _ => true, "rwa_final", emptyAsNone = true)
+      case "1" => sumCell(cube, r => !isCcr(r), "rwa_final", emptyAsNone = true)
+      case "6" => sumCell(cube, isCcr, "rwa_final", emptyAsNone = false)
+      case "7" => sumCell(cube, saCcr, "rwa_final", emptyAsNone = false)
+      case "UK8a" => sumCell(cube, ccp, "rwa_final", emptyAsNone = false)
+      case "9" => sumCell(cube, r => isCcr(r) && !saCcr(r) && !ccp(r),
+        "rwa_final", emptyAsNone = false)
+      case "24" =>
+        // Art. 48(4) threshold items: origin "other" class at a 250% RW
+        // (recorded approximation — reference ov1.py row 24).
+        sumCell(cube,
+          r => r.s("reporting_class_origin").contains("other") &&
+            r.d("reporting_rw").exists(w => w >= 2.495 && w <= 2.505),
+          "rwa_final", emptyAsNone = true)
+      case "26" if cfg.isB31 => Some(cfg.outputFloorPct)
+      case ref if ov1ApproachRefs.contains(ref) =>
+        sumCell(cube,
+          r => !isCcr(r) && approachPost(r).exists(ov1ApproachRefs(ref)),
+          "rwa_final", emptyAsNone = false)
+      // 8 (IMM — not implemented: null, not 0), 11-14 (F6-stripped equity
+      // discriminators), 27 (OF-ADJ side input — not threaded here).
+      case _ => None
+    }
+    RefFrame.build(grid) { (ref, colRef) =>
+      colRef match {
+        case "a" => aCell(ref)
+        case "c" if ref != "26" && ref != "27" => aCell(ref).map(_ * 0.08)
+        case _ => None
+      }
+    }
+  }
+
+  // ---- CR4 ----------------------------------------------------------------
+
+  /** The Art. 112 SA disclosure row classes (reference
+    * `pillar3/templates.py::SA_DISCLOSURE_CLASSES`). */
+  val saDisclosureClasses: Vector[(String, Set[String])] = Vector(
+    "1" -> Set("central_govt_central_bank"),
+    "2" -> Set("rgla"),
+    "3" -> Set("pse"),
+    "4" -> Set("mdb"),
+    "5" -> Set("international_organisation"),
+    "6" -> Set("institution"),
+    "7" -> Set("corporate", "corporate_sme"),
+    "8" -> Set("retail_other", "retail_qrre"),
+    "9" -> Set("retail_mortgage", "residential_mortgage", "commercial_mortgage"),
+    "10" -> Set("defaulted"),
+    "12" -> Set("covered_bond"),
+    "15" -> Set("equity"),
+    "16" -> Set("other"))
+  private val cr4Classes = saDisclosureClasses.toMap +
+    ("7a" -> Set("specialised_lending"))
+
+  def cr4(cfg: RefRunConfig, cube: Vector[CRow]): RefFrame = {
+    val grid = RefLayouts.grid(cfg.framework, "cr4")
+    val pop = cube.filter(r => saCreditPop(r) &&
+      approachOrigin(r).contains("standardised"))
+    def rowCells(classes: Option[Set[String]]): String => Option[Double] = {
+      def co(r: CRow) = classes.forall(cs => r.s("reporting_class_origin").exists(cs))
+      def cp(r: CRow) = classes.forall(cs => r.s("reporting_class").exists(cs))
+      val c = total(pop, r => cp(r) && r.b("reporting_on_balance_sheet").contains(true), "ead_final")
+      val d = total(pop, r => cp(r) && r.b("reporting_on_balance_sheet").contains(false), "ead_final")
+      val e = total(pop, cp, "rwa_final")
+      Map(
+        "a" -> Some(total(pop, co, "reporting_gross_on_bs")),
+        "b" -> Some(total(pop, co, "reporting_gross_off_bs")),
+        "c" -> Some(c), "d" -> Some(d), "e" -> Some(e),
+        "f" -> (if (c + d > 0) Some(e / (c + d)) else None))
+    }
+    RefFrame.build(grid) { (ref, colRef) =>
+      if (ref == "17") rowCells(None)(colRef)
+      else cr4Classes.get(ref) match {
+        case Some(cs) => rowCells(Some(cs))(colRef)
+        case None => None // unmapped rows (11/13/14, B31 9a-9e memo sub-rows)
+      }
+    }
+  }
+
+  // ---- CR5 ----------------------------------------------------------------
+
+  /** CR5 risk-weight bands per framework (reference
+    * `pillar3/templates.py::{CRR,B31}_CR5_RISK_WEIGHTS`). */
+  val cr5BandsCrr: Vector[Double] = Vector(
+    0.0, 0.02, 0.04, 0.10, 0.20, 0.35, 0.50, 0.70, 0.75, 1.00, 1.50,
+    2.50, 3.70, 12.50)
+  val cr5BandsB31: Vector[Double] = Vector(
+    0.0, 0.02, 0.04, 0.10, 0.15, 0.20, 0.25, 0.30, 0.35, 0.40, 0.45,
+    0.50, 0.60, 0.65, 0.70, 0.75, 0.80, 0.85, 1.00, 1.05, 1.10, 1.30,
+    1.35, 1.50, 2.50, 3.00, 4.00, 12.50)
+
+  def cr5(cfg: RefRunConfig, cube: Vector[CRow]): RefFrame = {
+    val grid = RefLayouts.grid(cfg.framework, "cr5")
+    val bands = if (cfg.isB31) cr5BandsB31 else cr5BandsCrr
+    val bandRefs = grid.cols.take(bands.size)
+    val otherRef = grid.cols(bands.size)
+    val totalRef = grid.cols(bands.size + 1)
+    val unratedRef = grid.cols(bands.size + 2)
+    val pop = cube.filter(r => saCreditPop(r) &&
+      approachOrigin(r).contains("standardised"))
+    def member(classes: Option[Set[String]])(r: CRow) =
+      classes.forall(cs => r.s("reporting_class").exists(cs))
+    def bucketOf(r: CRow): Option[Int] =
+      r.d("reporting_rw").flatMap { w =>
+        bands.zipWithIndex.find { case (b, _) => w >= b - 0.005 && w < b + 0.005 }
+          .map(_._2)
+      }
+    RefFrame.build(grid) { (ref, colRef) =>
+      // CR5 shares the CR4 row classes; the B31 9f/9g 55%-LTV split memo
+      // rows key the splitter's `re_split_role` tag — a carrier this
+      // ledger does not yet produce, so their membership is empty (the
+      // reference's tolerant-equals absent-column behaviour: 0.0 cells).
+      val membership: Option[CRow => Boolean] =
+        if (ref == "17") Some(_ => true)
+        else if (ref == "9f" || ref == "9g") Some(_ => false)
+        else cr4Classes.get(ref).map(cs => member(Some(cs)) _)
+      membership match {
+        case None => None
+        case Some(m) =>
+          val totalEad = total(pop, m, "ead_final")
+          if (bandRefs.contains(colRef)) {
+            val i = bandRefs.indexOf(colRef)
+            Some(total(pop, r => m(r) && bucketOf(r).contains(i), "ead_final"))
+          } else if (colRef == otherRef) {
+            val allocated = bandRefs.indices.map(i =>
+              total(pop, r => m(r) && bucketOf(r).contains(i), "ead_final")).sum
+            Some(math.max(0.0, totalEad - allocated))
+          } else if (colRef == totalRef) Some(totalEad)
+          else if (colRef == unratedRef)
+            Some(total(pop, r => m(r) && r.is("external_unrated"), "ead_final"))
+          else if (cfg.isB31 && colRef == "ba") Some(total(pop, m, "reporting_gross_on_bs"))
+          else if (cfg.isB31 && colRef == "bb") Some(total(pop, m, "reporting_gross_off_bs"))
+          else if (cfg.isB31 && colRef == "bc") {
+            // EAD-weighted average CCF over the off-balance-sheet rows.
+            def off(r: CRow) = m(r) && r.b("reporting_on_balance_sheet").contains(false)
+            val w = total(pop, off, "ead_final")
+            if (w == 0.0) None
+            else Some(pop.iterator.filter(off)
+              .map(r => r.d("ccf").getOrElse(0.0) * r.m("ead_final")).sum / w)
+          } else if (cfg.isB31 && colRef == "bd") Some(totalEad)
+          else None
+      }
+    }
+  }
+
+  // ---- CR6-A --------------------------------------------------------------
+
+  private val cr6aClasses: Map[String, Set[String]] = Map(
+    "1" -> Set("central_govt_central_bank"),
+    "2" -> Set("institution"),
+    "3" -> Set("corporate", "corporate_sme", "specialised_lending"),
+    "4" -> Set("retail_mortgage"),
+    "5" -> Set("retail_qrre"),
+    "6" -> Set("retail_other"))
+
+  def cr6a(cfg: RefRunConfig, cube: Vector[CRow]): RefFrame = {
+    val grid = RefLayouts.grid(cfg.framework, "cr6a")
+    val totalRef = if (cfg.isB31) "7" else "8"
+    val crrEquityRef = if (cfg.isB31) None else Some("7")
+    RefFrame.build(grid) { (ref, colRef) =>
+      val classes: Option[Option[Set[String]]] =
+        if (ref == totalRef) Some(None)
+        else if (crrEquityRef.contains(ref)) Some(Some(Set("equity")))
+        else cr6aClasses.get(ref).map(Some(_))
+      classes match {
+        case None => None
+        case Some(cls) =>
+          // Membership is on the raw ORIGINATION exposure_class.
+          def m(r: CRow) = cls.forall(cs => r.s("exposure_class").exists(cs))
+          val a = total(cube, r => m(r) && approachOrigin(r).exists(irbFamily), "ead_final")
+          val b = total(cube, m, "ead_final")
+          colRef match {
+            case "a" => Some(a)
+            case "b" => Some(b)
+            case "c" => if (b > 0) Some((b - a) / b * 100.0) else None
+            case "d" => if (b > 0) Some(a / b * 100.0) else None
+            case "e" => Some(0.0) // roll-out plans are not pipeline data
+            case _ => None
+          }
+      }
+    }
+  }
+
+  // ---- CR7 ----------------------------------------------------------------
+
+  def cr7(cfg: RefRunConfig, cube: Vector[CRow]): RefFrame = {
+    val grid = RefLayouts.grid(cfg.framework, "cr7")
+    val firb = Set("foundation_irb"); val airb = Set("advanced_irb")
+    val corpB31 = Set("corporate", "corporate_sme", "specialised_lending")
+    val preds: Map[String, CRow => Boolean] =
+      if (cfg.isB31) Map(
+        "1" -> (r => approachOrigin(r).exists(firb)),
+        "2" -> (r => approachOrigin(r).exists(firb) &&
+          r.s("reporting_class_origin").contains("institution")),
+        "3" -> (r => approachOrigin(r).exists(firb) &&
+          r.s("reporting_class_origin").exists(corpB31)),
+        "4" -> (r => approachOrigin(r).exists(airb)),
+        "5" -> (r => approachOrigin(r).exists(airb) &&
+          r.s("reporting_class_origin").exists(corpB31)),
+        "6" -> (r => approachOrigin(r).exists(airb) &&
+          r.s("reporting_class_origin").exists(
+            Set("retail_mortgage", "retail_qrre", "retail_other"))),
+        "7" -> (r => approachOrigin(r).contains("slotting")),
+        "8" -> (r => approachOrigin(r).exists(irbFamily)))
+      else Map(
+        "1" -> (r => approachOrigin(r).exists(firb)),
+        "2" -> (r => approachOrigin(r).exists(firb) &&
+          r.s("reporting_class_origin").contains("central_govt_central_bank")),
+        "3" -> (r => approachOrigin(r).exists(firb) &&
+          r.s("reporting_class_origin").contains("institution")),
+        "4" -> (r => approachOrigin(r).exists(firb) &&
+          r.s("reporting_class_origin").contains("corporate_sme")),
+        "5" -> (r => approachOrigin(r).exists(firb) &&
+          r.s("reporting_class_origin").exists(Set("corporate", "specialised_lending"))),
+        "6" -> (r => approachOrigin(r).exists(airb)),
+        "7" -> (r => approachOrigin(r).exists(airb) &&
+          r.s("reporting_class_origin").exists(corpB31)),
+        "8" -> (r => approachOrigin(r).exists(airb) &&
+          r.s("reporting_class_origin").contains("retail_mortgage")),
+        "9" -> (r => approachOrigin(r).exists(airb) &&
+          r.s("reporting_class_origin").exists(Set("retail_other", "retail_qrre"))),
+        "10" -> (r => approachOrigin(r).exists(irbFamily)))
+    RefFrame.build(grid) { (ref, colRef) =>
+      preds.get(ref).flatMap { p =>
+        if (colRef == "a" || colRef == "b") sumCell(cube, p, "rwa_final", emptyAsNone = true)
+        else None
+      }
+    }
+  }
+
+  // ---- CR8 ----------------------------------------------------------------
+
+  def cr8(cfg: RefRunConfig, cube: Vector[CRow]): RefFrame = {
+    val grid = RefLayouts.grid(cfg.framework, "cr8")
+    val pop: Pred = r =>
+      r.s("approach_applied").exists(Set("foundation_irb", "advanced_irb")) ||
+        approachOrigin(r).exists(Set("foundation_irb", "advanced_irb"))
+    RefFrame.build(grid) { (ref, colRef) =>
+      // No prior-period frame is threaded: rows 1 (opening) and 8 (the flow
+      // residual) stay null, exactly as the reference dispatch without one.
+      if (ref == "9" && colRef == "a") sumCell(cube, pop, "rwa_final", emptyAsNone = true)
+      else None
+    }
+  }
+
+  // ---- CMS1 / CMS2 (Basel 3.1 only) ----------------------------------------
+
+  private def modelled(r: CRow) = approachOrigin(r).exists(irbFamily)
+
+  def cms1(cfg: RefRunConfig, cube: Vector[CRow]): RefFrame = {
+    val grid = RefLayouts.grid(cfg.framework, "cms1")
+    val rowCcr: Map[String, Option[Boolean]] =
+      Map("0010" -> Some(false), "0020" -> Some(true), "0080" -> None)
+    RefFrame.build(grid) { (ref, colRef) =>
+      rowCcr.get(ref).flatMap { ccrSide =>
+        def side(r: CRow) = ccrSide.forall(_ == isCcr(r))
+        colRef match {
+          case "a" => Some(total(cube, r => side(r) && modelled(r), "rwa_final"))
+          case "b" => Some(total(cube, r => side(r) && !modelled(r), "rwa_final"))
+          case "c" => Some(total(cube, r => side(r) && modelled(r), "rwa_final") +
+            total(cube, r => side(r) && !modelled(r), "rwa_final"))
+          case "d" => Some(total(cube, side, "sa_rwa"))
+          case _ => None
+        }
+      }
+    }
+  }
+
+  private val cms2Classes: Map[String, Set[String]] = Map(
+    "0010" -> Set("central_govt_central_bank"),
+    "0011" -> Set("mdb", "pse"),
+    "0020" -> Set("institution"),
+    "0030" -> Set("equity"),
+    "0040" -> Set("corporate", "corporate_sme", "specialised_lending"),
+    "0043" -> Set("specialised_lending"),
+    "0050" -> Set("retail_mortgage", "retail_qrre", "retail_other"),
+    "0051" -> Set("retail_qrre"),
+    "0052" -> Set("retail_other"),
+    "0053" -> Set("retail_mortgage"),
+    "0060" -> Set("other", "rgla", "covered_bond", "defaulted"))
+
+  def cms2(cfg: RefRunConfig, cube: Vector[CRow]): RefFrame = {
+    val grid = RefLayouts.grid(cfg.framework, "cms2")
+    val corp = cms2Classes("0040")
+    def member(cs: Set[String])(r: CRow) = r.s("exposure_class").exists(cs)
+    RefFrame.build(grid) { (ref, colRef) =>
+      def classCells(cs: Set[String]): Option[Double] = colRef match {
+        case "a" => sumCell(cube, r => member(cs)(r) && modelled(r), "rwa_final",
+          emptyAsNone = true)
+        case "b" => sumCell(cube, r => member(cs)(r) && modelled(r), "sa_rwa",
+          emptyAsNone = true)
+        case "c" => Some(total(cube, member(cs), "rwa_final"))
+        case "d" => sumCell(cube, member(cs), "sa_rwa", emptyAsNone = true)
+        case _ => None
+      }
+      ref match {
+        case "0070" => colRef match { // Total
+          case "a" => sumCell(cube, modelled, "rwa_final", emptyAsNone = true)
+          case "b" => sumCell(cube, modelled, "sa_rwa", emptyAsNone = true)
+          case "c" => Some(total(cube, _ => true, "rwa_final"))
+          case "d" => sumCell(cube, _ => true, "sa_rwa", emptyAsNone = true)
+          case _ => None
+        }
+        case "0041" =>
+          def firbCorp(r: CRow) = member(corp)(r) &&
+            approachOrigin(r).contains("foundation_irb")
+          colRef match {
+            case "a" => sumCell(cube, firbCorp, "rwa_final", emptyAsNone = true)
+            case "b" => sumCell(cube, firbCorp, "sa_rwa", emptyAsNone = true)
+            case "c" => Some(total(cube, firbCorp, "rwa_final"))
+            case "d" => sumCell(cube, member(corp), "sa_rwa", emptyAsNone = true)
+            case _ => None
+          }
+        case "0042" =>
+          def airbCorp(r: CRow) = member(corp)(r) &&
+            approachOrigin(r).contains("advanced_irb")
+          colRef match {
+            case "a" => sumCell(cube, airbCorp, "rwa_final", emptyAsNone = true)
+            case "b" => sumCell(cube, airbCorp, "sa_rwa", emptyAsNone = true)
+            case "c" => sumCell(cube, airbCorp, "rwa_final", emptyAsNone = true) // mirrors a
+            case _ => None
+          }
+        case _ => cms2Classes.get(ref).flatMap(classCells)
+      }
+    }
+  }
+}
