@@ -1720,12 +1720,16 @@ object Ccr {
       val t = "(days/365.0)"
       val sigma = "(CASE WHEN is_index THEN 0.75 ELSE 1.20 END)"
       val d1 = s"(ln(undrl/strike) + 0.5*$sigma*$sigma*$t) / ($sigma*sqrt($t))"
-      val phiD1 = Rwa.sqlNormCdf(d1)
-      val phiNegD1 = Rwa.sqlNormCdf(s"-($d1)")
+      // d1 / Φ(d1) / Φ(-d1) are computed ONCE as CTE columns below, so the
+      // Cody-erf polynomial expands over the 2-char column name `d1` rather
+      // than the full d1 expression text — the generated SQL shrinks ~10×
+      // and DuckDB's expression-tree memory with it (r13 driver OOM fix).
+      // Value-identical: each textual occurrence of d1 evaluated the same
+      // IEEE double, so materialising it as a DOUBLE column is bit-exact.
       val optDelta =
         s"""CASE WHEN opt_type = 'put'
-              THEN CASE WHEN is_long THEN -($phiNegD1) ELSE ($phiNegD1) END
-              ELSE CASE WHEN is_long THEN ($phiD1) ELSE -($phiD1) END END"""
+              THEN CASE WHEN is_long THEN -(phi_neg_d1) ELSE (phi_neg_d1) END
+              ELSE CASE WHEN is_long THEN (phi_d1) ELSE -(phi_d1) END END"""
       def dsum6(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
       s"""
       WITH x179t AS (
@@ -1759,6 +1763,16 @@ object Ccr {
                CAST(1 + l_partkey % 9 AS DOUBLE) AS units,
                ${sql2("l_extendedprice / 10000.0 * (CASE WHEN l_orderkey % 3 = 0 THEN -1.0 ELSE 0.5 END)")} AS mtm
         FROM lineitem),
+      x179d AS (
+        SELECT *,
+               CASE WHEN strike IS NOT NULL AND undrl IS NOT NULL
+                 THEN $d1 END AS d1
+        FROM x179t),
+      x179phi AS (
+        SELECT *,
+               ${Rwa.sqlNormCdf("d1")} AS phi_d1,
+               ${Rwa.sqlNormCdf("(-d1)")} AS phi_neg_d1
+        FROM x179d),
       x179eff AS (
         SELECT *,
                count(*) OVER (PARTITION BY netting_set) AS n_trades,
@@ -1779,7 +1793,7 @@ object Ccr {
                          + (1 + netting_set % 130) - 1, 10) / 250.0)
                        ELSE sqrt(least(greatest(bd, 10), 250) / 250.0) END)""")}
                  AS eff
-        FROM x179t),
+        FROM x179phi),
       x179ir AS (
         SELECT netting_set, ${sql6(
           "0.005 * sqrt(b1*b1 + b2*b2 + b3*b3 + 2*0.7*b1*b2 + 2*0.7*b2*b3 + 2*0.3*b1*b3)")} AS addon
