@@ -132,10 +132,13 @@ object RefBook {
   def internalPd(ratings: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("counterparty_reference"))
       .orderBy(col("rating_date").desc, col("rating_reference"))
-    val withPd = ratings.filter(col("rating_type") === "internal" &&
-      col("pd").isNotNull)
+    // `pd` is an OPTIONAL ratings column (the loader's `ensure_columns`
+    // discipline): an external-only book carries none, and no pd means no
+    // IRB routing precondition — an empty frame, not an analysis error.
+    val pd = optCol(ratings, "pd", "double")
+    val withPd = ratings.filter(col("rating_type") === "internal" && pd.isNotNull)
     val pdCols = Seq(
-      col("counterparty_reference"), col("pd").cast("double").as("internal_pd")) ++
+      col("counterparty_reference"), pd.cast("double").as("internal_pd")) ++
       (if (ratings.columns.contains("model_id")) Seq(col("model_id").as("internal_model_id"))
        else Seq(lit(null).cast("string").as("internal_model_id")))
     withPd.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

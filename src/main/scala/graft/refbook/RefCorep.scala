@@ -1,0 +1,847 @@
+package graft.refbook
+
+import RefCube._
+
+/** COREP template renderers over the reporting cube, in the published grids
+  * ([[RefLayouts]]): C 07.00 per obligor-class sheet, C 08.07, C 09.01 per
+  * country, C 02.00, and OF 02.01 (Basel 3.1). Cell semantics mirror the
+  * reference's declarative specs re-expressed over the cube:
+  *
+  *  - C 07.00: `reporting/corep/c07.py` (`_build_spec`/`_row_cells` column
+  *    bindings, `_terms_for_row` row dispatch, `_prepare` discriminators,
+  *    `postpass.null_empty_rows` + `negate_deduction_cols`);
+  *  - C 08.07: `reporting/corep/c08_07.py` (`_c08_07_spec`, `_pct_ppu`,
+  *    `_pct_irb`, the fixed structural-null row set);
+  *  - C 09.01: `reporting/corep/c09.py` (`_c09_01_spec` — the ¶86/¶87
+  *    two-basis country axis, the reverse class map, the 0020 memo);
+  *  - C 02.00 / OF 02.00: `reporting/corep/c02.py` (`generate_c02_00`,
+  *    `_aggregate_by_approach`, `_apply_b31_cols`);
+  *  - OF 02.01: `reporting/corep/of02.py` (`_of_02_01_spec`).
+  *
+  * COREP's recorded empty-subset policy is `zero` (an unbound or empty cell
+  * renders 0.0 on a populated row) with per-cell `null` overrides (the CCF
+  * buckets), and rows whose basis-free membership subset is empty render
+  * all-null (`null_empty_rows`). Deduction columns are emitted negative
+  * after the waterfalls consume the positive magnitudes
+  * (`negate_deduction_cols`; `-0.0` is normalised to `+0.0`).
+  *
+  * Everything here is driver-side assembly over the ONE distributed
+  * aggregation [[RefCube.build]] runs — the Spark-shaped equivalent of the
+  * reference collecting each template's population separately. The cube's
+  * discriminator keys carry every ledger column these templates read, so
+  * the assembly is exact, not approximate.
+  *
+  * Substitution inflows (C 07.00 col 0100): computed from the cube's
+  * protection keys (`post_crm_exposure_class_guaranteed`, `protection_type`,
+  * `is_guarantee_beneficial`) and the capped `prot_unfunded` measure. The
+  * per-risk-weight-band inflow split needs the GUARANTOR's weight, which
+  * [[RefBook]] does not yet seal — by-band inflows are therefore empty; on a
+  * book with no beneficial substitution (every scenario the golden spec
+  * currently replays) the whole inflow surface is exactly zero.
+  */
+object RefCorep {
+
+  type Terms = Seq[(String, Any)]
+
+  /** One cell binding over the cube (the reference `cellspec` verbs the
+    * COREP estate uses, minus the ones no template here needs). */
+  private sealed trait Binding
+  /** Sum a per-row magnitude over the cell's subset (`Sum`/`SafeSum`). */
+  private final case class MSum(m: CRow => Double) extends Binding
+  /** Structural null / constant (`Formula(refs=(), fn=_const(v))`). */
+  private final case class FConst(v: Option[Double]) extends Binding
+  /** Intra-row formula over already-computed column refs. */
+  private final case class FFormula(refs: Seq[String],
+      fn: Map[String, Option[Double]] => Option[Double]) extends Binding
+  /** A named out-of-frame value (`SideContext` — the substitution inflow). */
+  private final case class FSide(v: Double) extends Binding
+
+  private final case class Cell(binding: Binding, pred: CRow => Boolean = _ => true,
+      emptyNull: Boolean = false)
+
+  /** Execute one template: pass 1 non-formula cells, pass 2 formulas —
+    * exactly `cellspec.execute` with `empty_cell="zero"`. */
+  private def execute(grid: RefLayouts.Grid, rows: Vector[CRow],
+      cells: Map[(String, String), Cell]): Map[(String, String), Option[Double]] = {
+    val computed = scala.collection.mutable.Map[(String, String), Option[Double]]()
+    val formulas = scala.collection.mutable.ArrayBuffer[(String, String, FFormula)]()
+    for ((rowRef, _) <- grid.rows; colRef <- grid.cols) {
+      cells.get((rowRef, colRef)) match {
+        case None => computed((rowRef, colRef)) = Some(0.0)
+        case Some(Cell(f: FFormula, _, _)) => formulas += ((rowRef, colRef, f))
+        case Some(Cell(FConst(v), _, _)) => computed((rowRef, colRef)) = v
+        case Some(Cell(FSide(v), _, _)) => computed((rowRef, colRef)) = Some(v)
+        case Some(Cell(MSum(m), pred, emptyNull)) =>
+          val subset = rows.filter(pred)
+          computed((rowRef, colRef)) =
+            if (emptyNull && subset.isEmpty) None
+            else Some(subset.iterator.map(m).sum)
+      }
+    }
+    for ((rowRef, colRef, f) <- formulas) {
+      val inputs = f.refs.map(r => r -> computed.getOrElse((rowRef, r),
+        computed.getOrElse((r, colRef), Some(0.0)))).toMap
+      computed((rowRef, colRef)) = f.fn(inputs)
+    }
+    computed.toMap
+  }
+
+  /** `postpass.null_empty_rows`: inert rows (None terms) and constrained
+    * rows with an empty membership subset render all-null; `keep` exempts
+    * inflow rows; an unconstrained (Total) row is never nulled. */
+  private def nullEmptyRows(frame: RefFrame, sheetRows: Vector[CRow],
+      rowPreds: Map[String, Option[CRow => Boolean]],
+      constrained: Set[String], keep: Set[String]): RefFrame = {
+    val nullRefs = rowPreds.collect {
+      case (ref, None) if !keep(ref) => ref
+      case (ref, Some(p)) if constrained(ref) && !keep(ref) &&
+        !sheetRows.exists(p) => ref
+    }.toSet
+    frame.nullRows(nullRefs)
+  }
+
+  private def frameOf(grid: RefLayouts.Grid,
+      computed: Map[(String, String), Option[Double]]): RefFrame =
+    RefFrame(grid.rows, grid.cols,
+      (for { (r, _) <- grid.rows; c <- grid.cols }
+        yield ((r, c), computed.getOrElse((r, c), None))).toMap)
+
+  // ---- shared discriminators (reference `c07.py::_prepare` ladder) -------
+
+  private val ccrRiskTypes = Set("CCR_SFT", "CCR_DERIVATIVE", "CCR_DEFAULT_FUND")
+  /** The four exposure types whose gross lives on the per-side carriers —
+    * any other leg carries its original exposure on drawn+undrawn
+    * (`c07_ccr_gross`, `c07.py:688`). */
+  private val sideCarrierTypes = Set("loan", "contingent", "facility_undrawn", "facility")
+
+  def isCcr(r: CRow): Boolean = r.s("risk_type").exists(ccrRiskTypes)
+  private def bsSide(r: CRow): Option[String] = r.s("exposure_type") match {
+    case Some("loan") => Some("on")
+    case Some(t) if Set("facility", "contingent", "facility_undrawn")(t) => Some("off")
+    case _ => None
+  }
+  private def qccp(r: CRow): Boolean =
+    r.s("cp_entity_type").contains("ccp") && r.b("cp_is_qccp").forall(identity)
+  private def smeClass(r: CRow): Boolean =
+    r.s("exposure_class").exists(_.contains("sme"))
+  private def round4(x: Double): Double = math.rint(x * 1e4) / 1e4
+
+  /** Gross original exposure — `SafeSum(on_bs, off_bs, c07_ccr_gross)`:
+    * the side carriers for the credit legs, drawn+undrawn for CCR /
+    * settlement legs (whose side carriers are null by design). */
+  private def grossAll(r: CRow): Double =
+    if (r.s("exposure_type").exists(sideCarrierTypes)) gOn(r) + gOff(r)
+    else r.m("reporting_gross_drawn") + r.m("reporting_gross_undrawn")
+  private def gOn(r: CRow): Double = r.m("reporting_gross_on_bs")
+  private def gOff(r: CRow): Double = r.m("reporting_gross_off_bs")
+  private def sfDelta(r: CRow): Double = r.m("rwa_pre_factor") - r.m("rwa_final")
+
+  /** Risk-weight band label for one cube row (`_rw_band_expr`): the grid's
+    * own `%`-named band rows are the ladder; no match → the catch-all. */
+  private def rwBand(bands: Seq[(Double, String)])(r: CRow): Option[String] =
+    r.d("reporting_rw").map { rw =>
+      bands.find { case (v, _) => round4(rw) == round4(v) }
+        .map(_._2).getOrElse("Other risk weights")
+    }
+
+  /** The `%`-named band rows of a C 07.00 grid, in published order. */
+  private def bandLadder(grid: RefLayouts.Grid): Seq[(Double, String)] =
+    grid.rows.collect {
+      case (_, name) if name.nonEmpty && name.endsWith("%") &&
+        name.dropRight(1).forall(c => c.isDigit || c == '.') =>
+        (name.dropRight(1).toDouble / 100.0, name)
+    }
+
+  private def ccfBucket(fw: String)(r: CRow): Option[String] = {
+    val map: Seq[(Double, String)] =
+      if (fw == "BASEL_3_1")
+        Seq(0.1 -> "0160", 0.2 -> "0170", 0.4 -> "0171", 0.5 -> "0180", 1.0 -> "0190")
+      else Seq(0.0 -> "0160", 0.2 -> "0170", 0.5 -> "0180", 1.0 -> "0190")
+    r.d("ccf").flatMap(c => map.find { case (v, _) => round4(c) == round4(v) }.map(_._2))
+  }
+
+  // ---- two-basis population / sheet keys (`kernel/bases.py`) -------------
+
+  /** Art. 112 Table A2: SL is a corporate sub-type under SA. */
+  private def mergeSl(c: String): String =
+    if (c == "specialised_lending") "corporate" else c
+  private def popOrigin(r: CRow): Boolean =
+    r.s("reporting_approach_origin").contains("standardised") ||
+      r.s("reporting_approach_origin").contains("standardised_ccr") || isCcr(r)
+  private def popPost(r: CRow): Boolean =
+    r.s("reporting_approach").contains("standardised") ||
+      r.s("reporting_approach").contains("standardised_ccr") || isCcr(r)
+  private def classOrigin(r: CRow): Option[String] =
+    r.s("reporting_class_origin").map(mergeSl)
+  private def classPost(r: CRow): Option[String] =
+    r.s("reporting_class").map(mergeSl)
+
+  // ---- substitution inflows (C 07.00 col 0100, `_sa_inflows`) ------------
+
+  final case class Inflows(total: Map[String, Double], onBs: Map[String, Double],
+      offBs: Map[String, Double])
+
+  def inflows(cube: Vector[CRow]): Inflows = {
+    val rows = cube.filter(r => r.is("is_guarantee_beneficial") &&
+      r.s("protection_type").exists(Set("guarantee", "credit_derivative")) &&
+      r.s("post_crm_exposure_class_guaranteed").isDefined &&
+      r.m("prot_unfunded") != 0.0)
+    def byClass(sel: CRow => Boolean) = rows.filter(sel)
+      .groupBy(r => mergeSl(r.s("post_crm_exposure_class_guaranteed").get))
+      .map { case (k, rs) => k -> rs.map(_.m("prot_unfunded")).sum }
+    Inflows(byClass(_ => true), byClass(r => bsSide(r).contains("on")),
+      byClass(r => bsSide(r).contains("off")))
+  }
+
+  // =========================================================================
+  // C 07.00 — per obligor-class sheet (reference `c07.py`)
+  // =========================================================================
+
+  /** Row membership terms per C 07.00 row ref (`_terms_for_row`, cols-aware
+    * for the sealed vocabulary: `ppu_reason`/`sl_project_phase`/
+    * `ciu_approach`/`equity_transitional_approach`/`equity_higher_risk`
+    * are never sealed, so their terms match nothing and the rows render
+    * null; an inert row returns None). */
+  private def c07Terms(ref: String, name: String,
+      bands: Seq[(Double, String)]): Option[Terms] = ref match {
+    case "0010" => Some(Nil)
+    case "0015" => Some(Seq("c07_defaulted" -> true))
+    case "0020" => Some(Seq("c07_sme" -> true))
+    case "0021" => Some(Seq("sl_type" -> "object_finance"))
+    case "0022" => Some(Seq("sl_type" -> "commodities_finance"))
+    case "0023" => Some(Seq("sl_type" -> "project_finance"))
+    case "0024" => Some(Seq("sl_type" -> "project_finance", "sl_project_phase" -> "pre_operational"))
+    case "0025" => Some(Seq("sl_type" -> "project_finance", "sl_project_phase" -> "operational"))
+    case "0026" => Some(Seq("sl_type" -> "project_finance", "sl_project_phase" -> "high_quality_operational"))
+    // B31 real-estate rows (`_RE_ROW_FILTERS` via `_re_terms`)
+    case "0330" => Some(Seq("property_type" -> "residential"))
+    case "0331" => Some(Seq("property_type" -> "residential", "c07_md" -> false))
+    case "0332" => Some(Seq("property_type" -> "residential", "c07_md" -> true))
+    case "0340" => Some(Seq("property_type" -> "commercial"))
+    case "0341" => Some(Seq("property_type" -> "commercial", "c07_md" -> false, "c07_sme" -> false))
+    case "0342" => Some(Seq("property_type" -> "commercial", "c07_md" -> true))
+    case "0343" => Some(Seq("property_type" -> "commercial", "c07_md" -> false, "c07_sme" -> true))
+    case "0344" => Some(Seq("property_type" -> "commercial", "c07_md" -> true, "c07_sme" -> true))
+    case "0350" => Some(Seq("c07_has_property" -> true, "c07_qualifying_re" -> false))
+    case "0351" => Some(Seq("c07_qualifying_re" -> false, "property_type" -> "residential", "c07_md" -> false))
+    case "0352" => Some(Seq("c07_qualifying_re" -> false, "property_type" -> "residential", "c07_md" -> true))
+    case "0353" => Some(Seq("c07_qualifying_re" -> false, "property_type" -> "commercial", "c07_md" -> false))
+    case "0354" => Some(Seq("c07_qualifying_re" -> false, "property_type" -> "commercial", "c07_md" -> true))
+    case "0360" => Some(Seq("is_adc" -> true))
+    case "0030" => Some(Seq("is_sme" -> true, "sme_supporting_factor_applied" -> true))
+    case "0035" => // CRR section-0 row only (B31's grid has no 0035 row)
+      Some(Seq("is_infrastructure" -> true, "infrastructure_factor_applied" -> true))
+    case "0050" => Some(Seq("c07_ppu" -> true))
+    case "0060" => Some(Seq("ppu_reason" -> "art_148_rollout"))
+    case "0070" => Some(Seq("c07_bs" -> "on"))
+    case "0080" => Some(Seq("c07_bs" -> "off"))
+    case "0090" => Some(Seq("risk_type" -> "CCR_SFT"))
+    case "0100" => Some(Seq("risk_type" -> "CCR_SFT", "c07_qccp" -> true))
+    case "0110" => Some(Seq("risk_type" -> "CCR_DERIVATIVE"))
+    case "0120" => Some(Seq("risk_type" -> "CCR_DERIVATIVE", "c07_qccp" -> true))
+    case "0281" => Some(Seq("ciu_approach" -> "look_through"))
+    case "0282" => Some(Seq("ciu_approach" -> "mandate_based"))
+    case "0283" => Some(Seq("ciu_approach" -> "fallback"))
+    case "0290" => Some(Seq("property_type" -> "commercial"))
+    case "0310" => Some(Seq("property_type" -> "residential"))
+    case "0300" => Some(Seq("c07_defaulted" -> true, "c07_rw_band" -> "100%"))
+    case "0320" => Some(Seq("c07_defaulted" -> true, "c07_rw_band" -> "150%"))
+    case "0372" => Some(Seq("equity_transitional_approach" -> "sa_transitional"))
+    case "0374" => Some(Seq("equity_transitional_approach" -> "irb_transitional"))
+    case "0380" => Some(Seq("currency_mismatch_multiplier_applied" -> true))
+    case _ if name.endsWith("%") &&
+      name.dropRight(1).forall(c => c.isDigit || c == '.') =>
+      Some(Seq("c07_rw_band" -> name))
+    case _ if name == "Other risk weights" =>
+      Some(Seq("c07_rw_band" -> "Other risk weights"))
+    // 0130 (cross-product netting), 0040-CRR (residential-mortgage of-which
+    // — no term in `_terms_for_row`), 0284/0285 (relevant-CIU of-which),
+    // 0371/0373 (equity transitional higher-risk without the flag): inert.
+    case _ => None
+  }
+
+  /** Resolve one C 07.00 discriminator for a cube row — None where the
+    * source is null or (for the never-sealed columns) absent, so the
+    * tolerant term matches nothing. */
+  private def c07Key(fw: String, bands: Seq[(Double, String)])(
+      r: CRow, key: String): Option[Any] = key match {
+    case "c07_defaulted" => Some(r.is("is_defaulted"))
+    case "c07_sme" => Some(smeClass(r))
+    case "c07_bs" => bsSide(r)
+    case "c07_qccp" => Some(qccp(r))
+    case "c07_rw_band" => rwBand(bands)(r)
+    case "c07_md" => r.b("materially_dependent_on_property")
+    case "c07_has_property" => Some(r.s("property_type").isDefined)
+    case "c07_qualifying_re" => Some(r.b("is_qualifying_re").getOrElse(true))
+    case "c07_ccr" => Some(isCcr(r))
+    case "c07_ccr_non_ccp" => Some(isCcr(r) && !r.s("cp_entity_type").contains("ccp"))
+    case "c07_sl_own_rw" => Some(!r.is("is_guarantee_beneficial"))
+    case "c07_ccf_bucket" => ccfBucket(fw)(r)
+    case "risk_type" => r.s("risk_type")
+    case "sl_type" => r.s("sl_type")
+    case "property_type" => r.s("property_type")
+    case "is_adc" => r.b("is_adc")
+    case "is_sme" => r.b("is_sme")
+    case "is_infrastructure" => Some(false) // sealed literal false (RefBook)
+    case "sme_supporting_factor_applied" => r.b("sme_supporting_factor_applied")
+    case "infrastructure_factor_applied" => r.b("infrastructure_factor_applied")
+    case "currency_mismatch_multiplier_applied" =>
+      r.b("currency_mismatch_multiplier_applied")
+    // never sealed → absent column → match nothing
+    case "c07_ppu" | "ppu_reason" | "sl_project_phase" | "ciu_approach" |
+         "equity_transitional_approach" => None
+    case _ => None
+  }
+
+  private def conj(resolve: (CRow, String) => Option[Any], terms: Terms)(
+      r: CRow): Boolean =
+    terms.forall { case (k, v) => resolve(r, k).contains(v) }
+
+  /** Generate C 07.00 / OF 07.00: one frame per obligor-class sheet. */
+  def c07(cfg: RefRunConfig, cube: Vector[CRow]): Map[String, RefFrame] = {
+    val grid = RefLayouts.grid(cfg.framework, "c07_00")
+    val bands = bandLadder(grid)
+    val resolve = c07Key(cfg.framework, bands) _
+    val isB31 = cfg.isB31
+    val inf = inflows(cube)
+    val pop = cube.filter(r => popOrigin(r) || popPost(r))
+    val axis = (pop.flatMap(r =>
+      (if (popOrigin(r)) classOrigin(r) else None) ++
+        (if (popPost(r)) classPost(r) else None)).toSet ++ inf.total.keySet).toSeq.sorted
+    if (pop.isEmpty && inf.total.isEmpty) return Map.empty
+
+    val rowTerms: Map[String, Option[Terms]] =
+      grid.rows.map { case (ref, name) => ref -> c07Terms(ref, name, bands) }.toMap
+    val negCols = Set("0030", "0035", "0050", "0060", "0070", "0080", "0090",
+      "0130", "0140", "0216", "0217")
+
+    axis.map { ec =>
+      val origin = (r: CRow) => popOrigin(r) && classOrigin(r).contains(ec)
+      val post = (r: CRow) => popPost(r) && classPost(r).contains(ec)
+      val sheet = pop.filter(r => origin(r) || post(r))
+      val infTotal = inf.total.getOrElse(ec, 0.0)
+      val infOn = inf.onBs.getOrElse(ec, 0.0)
+      val infOff = inf.offBs.getOrElse(ec, 0.0)
+
+      val cells = scala.collection.mutable.Map[(String, String), Cell]()
+      for ((ref, _) <- grid.rows; terms <- rowTerms(ref)) {
+        val t = conj(resolve, terms) _
+        val o = (r: CRow) => origin(r) && t(r)
+        val p = (r: CRow) => post(r) && t(r) &&
+          (if (terms.exists(_._1 == "sl_type")) !r.is("is_guarantee_beneficial") else true)
+        def put(c: String, cell: Cell): Unit = cells((ref, c)) = cell
+        put("0010", Cell(MSum(grossAll), o))
+        put("0020", Cell(FConst(None))) // own_funds_deduction_amount: never sealed
+        put("0030", Cell(MSum(_.m("provision_deducted")), o))
+        put("0050", Cell(MSum(_.m("prot_guarantee")), o))
+        put("0060", Cell(MSum(_.m("prot_credit_derivative")), o))
+        put("0070", Cell(MSum(_.m("prot_fcsm")), o))
+        put("0080", Cell(MSum(_.m("prot_other_funded")), o))
+        put("0090", Cell(FFormula(Seq("0050", "0060", "0070", "0080"), c =>
+          Some(Seq("0050", "0060", "0070", "0080").map(c(_).getOrElse(0.0)).sum))))
+        // inflow (col 0100): the Total row takes the whole inflow; a
+        // balance-sheet row its side's share; band rows would take the
+        // guarantor-band share (not sealed — see object doc).
+        val inflowKey: Option[Double] =
+          if (ref == "0010") Some(infTotal)
+          else terms match {
+            case Seq(("c07_bs", "on")) => Some(infOn)
+            case Seq(("c07_bs", "off")) => Some(infOff)
+            case Seq(("c07_rw_band", _)) => Some(0.0)
+            case _ => None
+          }
+        inflowKey.foreach(v => put("0100", Cell(FSide(v))))
+        put("0110", Cell(FFormula(Seq("0040", "0090", "0100"), c =>
+          Some(c("0040").getOrElse(0.0) - c("0090").getOrElse(0.0) +
+            c("0100").getOrElse(0.0)))))
+        put("0120", Cell(FFormula(Nil, _ => Some(0.0))))
+        put("0130", Cell(MSum(_.m("collateral_adjusted_value")), o))
+        put("0140", Cell(MSum(_.m("vol_mat_adj")), o))
+        put("0150", Cell(FFormula(Seq("0110", "0130"), c =>
+          Some(math.max(0.0, c("0110").getOrElse(0.0) - c("0130").getOrElse(0.0))))))
+        put("0200", Cell(MSum(_.m("ead_final")), p))
+        put("0210", Cell(MSum(_.m("ead_final")), r => p(r) && isCcr(r)))
+        put("0211", Cell(MSum(_.m("ead_final")),
+          r => p(r) && isCcr(r) && !r.s("cp_entity_type").contains("ccp")))
+        put("0220", Cell(MSum(_.m("rwa_final")), p))
+        put("0240", Cell(FConst(None)))
+        if (isB31) {
+          // on_bs_netting_amount is sealed (zero — no Art. 428 netting is
+          // modelled), so the cell is a real Sum: 0.0 on populated rows.
+          put("0035", Cell(MSum(_ => 0.0), o))
+          put("0040", Cell(FFormula(Seq("0010", "0030", "0035"), c =>
+            Some(c("0010").getOrElse(0.0) - c("0030").getOrElse(0.0) -
+              c("0035").getOrElse(0.0)))))
+          put("0230", Cell(FConst(None))) // sa_cqs never sealed
+          put("0235", Cell(FConst(None)))
+        } else {
+          put("0040", Cell(FFormula(Seq("0010", "0030"), c =>
+            Some(c("0010").getOrElse(0.0) - c("0030").getOrElse(0.0)))))
+          put("0215", Cell(MSum(_.m("rwa_pre_factor")), p))
+          put("0216", Cell(MSum(sfDelta),
+            r => p(r) && r.is("sme_supporting_factor_applied")))
+          put("0217", Cell(MSum(sfDelta),
+            r => p(r) && r.is("infrastructure_factor_applied")))
+          put("0230", Cell(FConst(None)))
+        }
+        // CCF buckets: pre-conversion off-BS gross per bucket, post basis,
+        // off side, empty-subset → null (the recorded per-cell override).
+        for (b <- Seq("0160", "0170", "0171", "0180", "0190") if grid.cols.contains(b))
+          put(b, Cell(MSum(gOff),
+            r => p(r) && ccfBucket(cfg.framework)(r).contains(b) &&
+              bsSide(r).contains("off"),
+            emptyNull = true))
+      }
+
+      val computed = execute(grid, sheet, cells.toMap)
+      val rowPreds: Map[String, Option[CRow => Boolean]] = rowTerms.map {
+        case (ref, None) => ref -> None
+        case (ref, Some(terms)) => ref -> Some(conj(resolve, terms) _)
+      }
+      val constrainedRefs = rowTerms.collect {
+        case (ref, Some(ts)) if ts.nonEmpty => ref
+      }.toSet
+      val keep: Set[String] =
+        (if (infTotal != 0.0) Set("0010") else Set.empty[String]) ++
+          (if (infOn != 0.0) Set("0070") else Set.empty[String]) ++
+          (if (infOff != 0.0) Set("0080") else Set.empty[String])
+      val frame = nullEmptyRows(frameOf(grid, computed), sheet, rowPreds,
+        constrainedRefs, keep)
+      ec -> frame.negate(negCols)
+    }.toMap
+  }
+
+  // =========================================================================
+  // C 08.07 / OF 08.07 — IRB scope of use (reference `c08_07.py`)
+  // =========================================================================
+
+  private val c0807IrbApproaches = Set("foundation_irb", "advanced_irb", "slotting")
+  private val crrC0807Rows: Map[String, String] = Map(
+    "0010" -> "central_govt_central_bank", "0020" -> "rgla", "0030" -> "pse",
+    "0040" -> "institution", "0050" -> "corporate",
+    "0070" -> "specialised_lending", "0080" -> "corporate_sme",
+    "0110" -> "retail_mortgage", "0120" -> "retail_qrre", "0140" -> "retail_other",
+    "0150" -> "equity", "0160" -> "other")
+  private val crrRetailClasses = Set("retail_mortgage", "retail_qrre", "retail_other")
+  private val b31C0807Rows: Map[String, String] = Map(
+    "0180" -> "institution", "0190" -> "specialised_lending",
+    "0220" -> "retail_qrre", "0230" -> "retail_mortgage", "0250" -> "retail_other")
+  private val b31CorporateClasses = Set("corporate", "corporate_sme")
+  private val b31RolloutClasses =
+    Set("institution", "specialised_lending") ++ b31CorporateClasses ++ crrRetailClasses
+
+  /** Generate C 08.07 / OF 08.07 over the FULL population: the raw
+    * `exposure_class` axis, `reporting_approach_origin` IRB membership,
+    * coverage fractions as intra-row formulas, fixed structural-null rows. */
+  def c0807(cfg: RefRunConfig, cube: Vector[CRow]): RefFrame = {
+    val grid = RefLayouts.grid(cfg.framework, "c08_07")
+    val isB31 = cfg.isB31
+    val singles = if (isB31) b31C0807Rows else crrC0807Rows
+    val unions: Map[String, Set[String]] =
+      if (isB31) Map("0210" -> b31CorporateClasses, "0260" -> b31RolloutClasses)
+      else Map("0090" -> crrRetailClasses)
+    def irb(r: CRow): Boolean =
+      r.s("reporting_approach_origin").exists(c0807IrbApproaches)
+    def rollout(r: CRow): Boolean = !irb(r) && r.is("is_under_irb_rollout")
+
+    val cells = scala.collection.mutable.Map[(String, String), Cell]()
+    val nullRows = scala.collection.mutable.Set[String]()
+    for ((ref, name) <- grid.rows) {
+      val member: Option[CRow => Boolean] =
+        singles.get(ref).map(ec => (r: CRow) => r.s("exposure_class").contains(ec))
+          .orElse(unions.get(ref).map(cs => (r: CRow) => r.s("exposure_class").exists(cs)))
+          .orElse(if (name == "Total") Some((_: CRow) => true) else None)
+      member match {
+        case None => nullRows += ref
+        case Some(m) =>
+          cells((ref, "0010")) = Cell(MSum(_.m("ead_final")), r => m(r) && irb(r))
+          cells((ref, "0020")) = Cell(MSum(_.m("ead_final")), m)
+          cells((ref, "0040")) = Cell(MSum(_.m("ead_final")), r => m(r) && rollout(r))
+          cells((ref, "0030")) = Cell(FFormula(Seq("0010", "0020", "0040"), c => {
+            val total = c("0020").getOrElse(0.0)
+            if (total <= 0) Some(0.0)
+            else Some((total - c("0010").getOrElse(0.0) - c("0040").getOrElse(0.0)) / total)
+          }))
+          cells((ref, "0050")) = Cell(FFormula(Seq("0010", "0020"), c => {
+            val total = c("0020").getOrElse(0.0)
+            if (total <= 0) Some(0.0) else Some(c("0010").getOrElse(0.0) / total)
+          }))
+          if (isB31) {
+            cells((ref, "0060")) = Cell(MSum(_.m("rwa_final")), m)
+            cells((ref, "0150")) = Cell(MSum(_.m("rwa_final")), r => m(r) && irb(r))
+            cells((ref, "0140")) = Cell(FFormula(Seq("0060", "0150"), c =>
+              Some(c("0060").getOrElse(0.0) - c("0150").getOrElse(0.0))))
+            for (x <- Seq("0160", "0170", "0180") if grid.cols.contains(x))
+              cells((ref, x)) = Cell(FConst(None))
+          }
+      }
+    }
+    // col 0040 rescale: roll-out EAD → its fraction of the row total.
+    val computed0 = execute(grid, cube, cells.toMap)
+    val computed = computed0.map {
+      case ((ref, "0040"), v) if !nullRows(ref) =>
+        val total = computed0.getOrElse((ref, "0020"), None).getOrElse(0.0)
+        ((ref, "0040"), Some(if (total > 0) v.getOrElse(0.0) / total else 0.0))
+      case other => other
+    }
+    frameOf(grid, computed).nullRows(nullRows.toSet)
+  }
+
+  // =========================================================================
+  // C 09.01 / OF 09.01 — geographical breakdown, SA (reference `c09.py`)
+  // =========================================================================
+
+  private val c09SaClassMap: Map[String, String] = Map(
+    "central_govt_central_bank" -> "central_govt_central_bank",
+    "rgla" -> "rgla", "pse" -> "pse", "mdb" -> "mdb",
+    "international_organisation" -> "international_organisation",
+    "institution" -> "institution",
+    "corporate" -> "corporate", "corporate_sme" -> "corporate",
+    "retail_other" -> "retail", "retail_qrre" -> "retail",
+    "retail_mortgage" -> "retail_mortgage",
+    "residential_mortgage" -> "retail_mortgage",
+    "commercial_mortgage" -> "retail_mortgage",
+    "defaulted" -> "defaulted", "high_risk" -> "high_risk",
+    "covered_bond" -> "covered_bond", "equity" -> "equity", "other" -> "other",
+    "specialised_lending" -> "corporate")
+  private val c09SmeParents: Map[String, String] = Map(
+    "corporate_sme" -> "corporate", "retail_sme" -> "retail",
+    "mortgage_sme" -> "retail_mortgage")
+  private val c09SlTypeMap: Map[String, String] = Map(
+    "sl_object_finance" -> "object_finance",
+    "sl_commodities_finance" -> "commodities_finance",
+    "sl_project_finance" -> "project_finance")
+  private val c09ReClasses =
+    Set("retail_mortgage", "residential_mortgage", "commercial_mortgage")
+  /** Row ref → row key (`COREPRow.exposure_class_value`), per framework. */
+  private def c09RowKeys(isB31: Boolean): Map[String, String] = {
+    val shared = Map("0010" -> "central_govt_central_bank", "0020" -> "rgla",
+      "0030" -> "pse", "0040" -> "mdb", "0050" -> "international_organisation",
+      "0060" -> "institution", "0070" -> "corporate", "0075" -> "corporate_sme",
+      "0080" -> "retail", "0085" -> "retail_sme", "0100" -> "defaulted",
+      "0110" -> "high_risk", "0120" -> "covered_bond", "0140" -> "ciu",
+      "0141" -> "ciu_look_through", "0142" -> "ciu_mandate",
+      "0143" -> "ciu_fallback", "0150" -> "equity", "0160" -> "other")
+    if (isB31) shared ++ Map(
+      "0071" -> "sl_object_finance", "0072" -> "sl_commodities_finance",
+      "0073" -> "sl_project_finance", "0090" -> "real_estate",
+      "0095" -> "re_sme", "0091" -> "re_residential", "0092" -> "re_commercial",
+      "0093" -> "re_other", "0094" -> "re_adc")
+    else shared ++ Map("0090" -> "retail_mortgage", "0095" -> "mortgage_sme",
+      "0130" -> "short_term")
+  }
+
+  /** The reverse-map row predicate over one class basis column
+    * (`_c09_01_row_pred`): None = permanently-null row. */
+  private def c09RowPred(k: String,
+      classOf: CRow => Option[String]): Option[CRow => Boolean] = k match {
+    case _ if c09SlTypeMap.contains(k) =>
+      Some(r => r.s("sl_type").contains(c09SlTypeMap(k)))
+    case "real_estate" =>
+      Some(r => classOf(r).exists(c09ReClasses))
+    case "re_residential" => Some(r => classOf(r).exists(c09ReClasses) &&
+      r.s("property_type").contains("residential") &&
+      r.b("is_qualifying_re").getOrElse(true))
+    case "re_commercial" => Some(r => classOf(r).exists(c09ReClasses) &&
+      r.s("property_type").contains("commercial") &&
+      r.b("is_qualifying_re").getOrElse(true))
+    case "re_other" => Some(r => classOf(r).exists(c09ReClasses) &&
+      !r.b("is_qualifying_re").getOrElse(true))
+    case "re_adc" =>
+      Some(r => classOf(r).exists(c09ReClasses) && r.is("is_adc"))
+    case "re_sme" =>
+      Some(r => classOf(r).exists(c09ReClasses) && r.is("is_sme"))
+    case _ =>
+      val parent = c09SmeParents.get(k)
+      val rowKey = parent.getOrElse(k)
+      val classes = c09SaClassMap.collect { case (ec, m) if m == rowKey => ec }.toSet
+      if (classes.isEmpty) None
+      else if (parent.isDefined)
+        Some(r => classOf(r).exists(classes) && smeClass(r))
+      else Some(r => classOf(r).exists(classes))
+  }
+
+  /** Generate C 09.01 / OF 09.01: TOTAL first, then one frame per country
+    * contributed by either basis. The row keying is documented in the
+    * reference's `_c09_01_spec`: origin-basis columns key the APPLIED
+    * class on the obligor's country, the 0020 memo keys the raw ORIGINAL
+    * class + defaulted, and the ¶87 ultimate-obligor columns (0075/0080/
+    * 0081/0082/0090) key the post class on the guarantor's country. */
+  def c0901(cfg: RefRunConfig, cube: Vector[CRow]): Map[String, RefFrame] = {
+    val grid = RefLayouts.grid(cfg.framework, "c09_01")
+    val isB31 = cfg.isB31
+    val keys = c09RowKeys(isB31)
+    val pop = cube.filter(r => popOrigin(r) || popPost(r))
+    if (pop.isEmpty) return Map.empty
+    def geoOrigin(r: CRow): Option[String] = r.s("reporting_country_origin")
+      .orElse(r.s("cp_country_code"))
+    def geoPost(r: CRow): Option[String] = r.s("reporting_country")
+      .orElse(geoOrigin(r))
+    val axis = pop.flatMap(r =>
+      (if (popOrigin(r)) geoOrigin(r) else None) ++
+        (if (popPost(r)) geoPost(r) else None)).toSet.toSeq.sorted
+    val negCols = Set("0081", "0082", "0121", "0122")
+
+    val sheets = Seq(("TOTAL", (_: CRow) => true, (_: CRow) => true)) ++
+      axis.map(c => (c,
+        (r: CRow) => geoOrigin(r).contains(c),
+        (r: CRow) => geoPost(r).contains(c)))
+    sheets.map { case (name, geoO, geoP) =>
+      val frameRows = pop.filter(r =>
+        (popOrigin(r) && geoO(r)) || (popPost(r) && geoP(r)))
+      val cells = scala.collection.mutable.Map[(String, String), Cell]()
+      val rowPreds = scala.collection.mutable.Map[String, Option[CRow => Boolean]]()
+      for ((ref, _) <- grid.rows) {
+        val key = keys.get(ref)
+        val isTotal = ref == "0170"
+        val predO = if (isTotal) Some((_: CRow) => true)
+          else key.flatMap(k => c09RowPred(k, r => r.s("reporting_class_origin")))
+        val predMemo = if (isTotal) Some((_: CRow) => true)
+          else key.flatMap(k => c09RowPred(k, r => r.s("exposure_class")))
+        val predP = if (isTotal) Some((_: CRow) => true)
+          else key.flatMap { k =>
+            c09RowPred(k, r => r.s("reporting_class")).map { p =>
+              if (c09SlTypeMap.contains(k))
+                (r: CRow) => p(r) && !r.is("is_guarantee_beneficial")
+              else p
+            }
+          }
+        val o = predO.map(p => (r: CRow) => popOrigin(r) && geoO(r) && p(r))
+        val memo = predMemo.map(p =>
+          (r: CRow) => popOrigin(r) && geoO(r) && p(r) && r.is("is_defaulted"))
+        val post = predP.map(p => (r: CRow) => popPost(r) && geoP(r) && p(r))
+        rowPreds(ref) = (o, memo, post) match {
+          case (None, None, None) => None
+          case _ => Some((r: CRow) => o.exists(_(r)) || memo.exists(_(r)) ||
+            post.exists(_(r)))
+        }
+        (o, post) match {
+          case (Some(po), Some(pp)) =>
+            cells((ref, "0010")) = Cell(MSum(grossAll), po)
+            memo.foreach(pm => cells((ref, "0020")) = Cell(MSum(grossAll), pm))
+            cells((ref, "0050")) = Cell(FConst(None)) // gcra: never sealed
+            cells((ref, "0055")) = Cell(FConst(None)) // scra: never sealed
+            for (nullRef <- Seq("0040", "0060", "0061", "0070"))
+              cells((ref, nullRef)) = Cell(FConst(None))
+            cells((ref, "0075")) = Cell(MSum(_.m("ead_final")), pp)
+            if (grid.cols.contains("0080")) {
+              cells((ref, "0080")) = Cell(MSum(_.m("rwa_pre_factor")), pp)
+              cells((ref, "0081")) = Cell(MSum(sfDelta),
+                r => pp(r) && r.is("sme_supporting_factor_applied"))
+              cells((ref, "0082")) = Cell(MSum(sfDelta),
+                r => pp(r) && r.is("infrastructure_factor_applied"))
+            }
+            cells((ref, "0090")) = Cell(MSum(_.m("rwa_final")), pp)
+          case _ => () // no cells — the all-null pass owns the row
+        }
+      }
+      val computed = execute(grid, frameRows, cells.toMap)
+      // Every row here is constrained except the Total (ref 0170).
+      val constrainedRefs = grid.rows.map(_._1).filterNot(_ == "0170").toSet
+      val frame = nullEmptyRows(frameOf(grid, computed), frameRows,
+        rowPreds.toMap, constrainedRefs, Set.empty)
+      name -> frame.negate(negCols)
+    }.toMap
+  }
+
+  // =========================================================================
+  // C 02.00 / OF 02.00 — own funds requirements (reference `c02.py`)
+  // =========================================================================
+
+  private val c02SaClassMap: Map[String, String] = Map(
+    "central_govt_central_bank" -> "0070", "rgla" -> "0080", "pse" -> "0090",
+    "mdb" -> "0100", "international_organisation" -> "0110",
+    "institution" -> "0120", "corporate" -> "0130", "corporate_sme" -> "0130",
+    "specialised_lending" -> "0130", "retail_other" -> "0140",
+    "retail_qrre" -> "0140", "retail_mortgage" -> "0150",
+    "residential_mortgage" -> "0150", "commercial_mortgage" -> "0150",
+    "defaulted" -> "0160", "high_risk" -> "0170", "covered_bond" -> "0180",
+    "equity" -> "0210", "other" -> "0211")
+  private val c02CreditRiskRows: Set[String] = Set(
+    "0010", "0040", "0050", "0060", "0070", "0080", "0090", "0100", "0110",
+    "0120", "0130", "0131", "0140", "0150", "0160", "0170", "0180", "0190",
+    "0200", "0210", "0211", "0220", "0240", "0250", "0260", "0271", "0290",
+    "0295", "0296", "0297", "0300", "0310", "0330", "0340", "0350", "0355",
+    "0356", "0370", "0380", "0382", "0383", "0384", "0385", "0390", "0400",
+    "0410", "0411", "0412", "0413", "0414", "0415", "0416", "0420",
+    "0034", "0035", "0036", "0500")
+  private val c02SaApproaches = Set("standardised", "standardised_ccr")
+
+  /** Generate C 02.00 (CRR) / OF 02.00 (Basel 3.1). */
+  def c0200(cfg: RefRunConfig, cube: Vector[CRow]): RefFrame = {
+    val grid = RefLayouts.grid(cfg.framework, "c_02_00")
+    val isB31 = cfg.isB31
+    def approach(r: CRow): Option[String] = r.s("reporting_approach")
+    def postClass(r: CRow): Option[String] = r.s("reporting_class")
+    val totalRwa = cube.map(_.m("rwa_final")).sum
+    val approachRwa = cube.groupBy(approach).collect {
+      case (Some(a), rs) => a -> rs.map(_.m("rwa_final")).sum
+    }
+    // Equity method partition: no equity_method carrier is sealed, so every
+    // equity-approach leg stays SA-method (`_equity_method_expr` null arm).
+    val equitySaRwa = approachRwa.getOrElse("equity", 0.0)
+    val saMask = (r: CRow) => approach(r).exists(c02SaApproaches) ||
+      approach(r).contains("equity")
+    val saClassRwa = cube.filter(saMask).groupBy(postClass).collect {
+      case (Some(ec), rs) => ec -> rs.map(_.m("rwa_final")).sum
+    }
+    val irbRows = cube.filterNot(r => approach(r).exists(c02SaApproaches) ||
+      approach(r).contains("equity"))
+    val irbClassRwa = irbRows.groupBy(r => (approach(r), postClass(r))).collect {
+      case ((Some(a), Some(ec)), rs) => (a, ec) -> rs.map(_.m("rwa_final")).sum
+    }
+    val slottingTypeRwa = cube.filter(r => approach(r).contains("slotting"))
+      .groupBy(_.s("sl_type")).collect {
+        case (Some(t), rs) => t -> rs.map(_.m("rwa_final")).sum
+      }
+    // B31 corporate/retail sub splits (`_irb_sub_agg`): keyed on the cube's
+    // is_sme / property_type keys (no exposure_subclass or FSE carrier is
+    // sealed, so the is_sme heuristic arm applies and FSE is empty).
+    def subSplit(a: String, ec: String, total: Double): (Double, Double, Double) = {
+      val subset = irbRows.filter(r => approach(r).contains(a) && postClass(r).contains(ec))
+      if (subset.isEmpty) (0.0, 0.0, total)
+      else {
+        val sme = subset.filter(_.is("is_sme")).map(_.m("rwa_final")).sum
+        val nonsme = subset.filterNot(_.is("is_sme")).map(_.m("rwa_final")).sum
+        (0.0, sme, nonsme)
+      }
+    }
+    def reSplit(a: String, ec: String): (Double, Double, Double, Double) = {
+      val subset = irbRows.filter(r => approach(r).contains(a) && postClass(r).contains(ec))
+      def s(pt: String, sme: Boolean) = subset.filter(r =>
+        r.s("property_type").contains(pt) && r.is("is_sme") == sme)
+        .map(_.m("rwa_final")).sum
+      (s("residential", sme = true), s("residential", sme = false),
+        s("commercial", sme = true), s("commercial", sme = false))
+    }
+
+    val saRwaTotal = c02SaApproaches.toSeq.map(approachRwa.getOrElse(_, 0.0)).sum
+    val firbRwa = approachRwa.getOrElse("foundation_irb", 0.0)
+    val airbRwa = approachRwa.getOrElse("advanced_irb", 0.0)
+    val slottingRwa = approachRwa.getOrElse("slotting", 0.0)
+    val irbTotalRwa = firbRwa + airbRwa + slottingRwa // IRB-method equity: none sealed
+    val preFloorTotal = cube.map(_.m("rwa_pre_floor")).sum
+    val saEquivRwa = cube.map(_.m("sa_rwa")).sum
+    val floorActivated = isB31 && totalRwa > preFloorTotal + 0.01
+
+    val v = scala.collection.mutable.Map[String, Double]()
+    v("0010") = totalRwa
+    v("0040") = totalRwa * 0.08
+    v("0050") = totalRwa
+    v("0060") = saRwaTotal + equitySaRwa
+    for ((ec, ref) <- c02SaClassMap; rwa <- saClassRwa.get(ec))
+      v(ref) = v.getOrElse(ref, 0.0) + rwa
+    if (isB31) saClassRwa.get("specialised_lending").foreach(v("0131") = _)
+    v("0220") = irbTotalRwa
+    v("0240") = firbRwa
+    val firbInst = irbClassRwa.getOrElse(("foundation_irb", "institution"), 0.0)
+    v("0250") = firbInst
+    val firbCorp = irbClassRwa.getOrElse(("foundation_irb", "corporate"), 0.0)
+    val firbSl = irbClassRwa.getOrElse(("foundation_irb", "specialised_lending"), 0.0)
+    v("0260") = firbCorp + firbSl
+    if (isB31) {
+      v("0271") = firbInst
+      v("0290") = firbSl
+      val (fFse, fSme, fNon) = subSplit("foundation_irb", "corporate", firbCorp)
+      v("0295") = fFse; v("0296") = fSme; v("0297") = fNon
+    }
+    v("0300") = airbRwa
+    v("0310") = irbClassRwa.getOrElse(("advanced_irb", "central_government"), 0.0)
+    v("0330") = irbClassRwa.getOrElse(("advanced_irb", "institution"), 0.0)
+    val airbCorp = irbClassRwa.getOrElse(("advanced_irb", "corporate"), 0.0)
+    val airbSl = irbClassRwa.getOrElse(("advanced_irb", "specialised_lending"), 0.0)
+    v("0340") = airbCorp + airbSl
+    if (isB31) {
+      v("0350") = airbSl
+      val (aFse, aSme, aNon) = subSplit("advanced_irb", "corporate", airbCorp)
+      v("0355") = aSme; v("0356") = aNon + aFse
+    }
+    val airbMort = irbClassRwa.getOrElse(("advanced_irb", "retail_mortgage"), 0.0)
+    val airbQrre = irbClassRwa.getOrElse(("advanced_irb", "retail_qrre"), 0.0)
+    val airbROther = irbClassRwa.getOrElse(("advanced_irb", "retail_other"), 0.0)
+    v("0370") = airbMort + airbQrre + airbROther
+    v("0380") = airbMort
+    if (isB31) {
+      val (rs, rn, cs, cn) = reSplit("advanced_irb", "retail_mortgage")
+      v("0382") = rs; v("0383") = rn; v("0384") = cs; v("0385") = cn
+    }
+    v("0390") = airbQrre
+    if (isB31) {
+      val (_, oSme, oNon) = subSplit("advanced_irb", "retail_other", airbROther)
+      v("0400") = oSme; v("0410") = oNon
+    } else v("0400") = airbROther
+    if (isB31) {
+      v("0411") = slottingRwa
+      v("0412") = slottingTypeRwa.getOrElse("project_finance", 0.0)
+      v("0413") = slottingTypeRwa.getOrElse("object_finance", 0.0)
+      v("0414") = slottingTypeRwa.getOrElse("commodities_finance", 0.0)
+      v("0415") = slottingTypeRwa.getOrElse("ipre", 0.0)
+      v("0416") = slottingTypeRwa.getOrElse("hvcre", 0.0)
+    } else v("0410") = slottingRwa
+    v("0420") = 0.0 // IRB-method equity — no equity_method carrier sealed
+    if (isB31) {
+      // Output-floor indicator rows (no OutputFloorSummary on this path —
+      // the reference generator call the goldens froze passes none).
+      v("0034") = if (floorActivated) 1.0 else 0.0
+      v("0035") = 0.0
+      v("0036") = 0.0
+      v("0500") = cube.filter(_.is("currency_mismatch_multiplier_applied"))
+        .map(_.m("rwa_final")).sum
+    }
+
+    val cells = grid.rows.flatMap { case (ref, _) =>
+      val base: Option[Map[String, Option[Double]]] =
+        if (v.contains(ref)) {
+          val c10 = v(ref)
+          // Row 0500 (currency-mismatch memo) is populated AFTER the B31
+          // column fill in the reference, so only col 0010 carries a value.
+          if (isB31 && ref == "0500") Some(Map("0010" -> Some(c10)))
+          else {
+            val (c20, c30): (Double, Double) =
+              if (!isB31) (0.0, 0.0)
+              else ref match {
+                case "0010" | "0050" => (saEquivRwa, totalRwa)
+                case "0040" => (saEquivRwa * 0.08, totalRwa * 0.08)
+                case "0034" | "0035" | "0036" | "0060" => (c10, c10)
+                case "0220" | "0240" | "0300" => (0.0, 0.0)
+                case _ => (c10, c10)
+              }
+            Some(if (isB31) Map("0010" -> Some(c10), "0020" -> Some(c20), "0030" -> Some(c30))
+            else Map("0010" -> Some(c10)))
+          }
+        } else if (c02CreditRiskRows(ref))
+          Some(grid.cols.map(_ -> Some(0.0)).toMap)
+        else None
+      // a populated row's missing columns render NULL (`_row_dict`'s
+      // `vals.get(ref)`), never 0.0 — the 0500 memo relies on this.
+      base.map(m => grid.cols.map(c => ((ref, c), m.getOrElse(c, None))))
+        .getOrElse(grid.cols.map(c => ((ref, c), Option.empty[Double])))
+    }.toMap
+    frameOf(grid, cells)
+  }
+
+  // =========================================================================
+  // OF 02.01 — U-TREA / S-TREA split (Basel 3.1 only; reference `of02.py`)
+  // =========================================================================
+
+  private val of02Modelled = Set("foundation_irb", "advanced_irb", "slotting")
+
+  def of0201(cfg: RefRunConfig, cube: Vector[CRow]): RefFrame = {
+    val grid = RefLayouts.grid(cfg.framework, "of_02_01")
+    def modelled(r: CRow): Boolean =
+      r.s("reporting_approach_origin").exists(of02Modelled)
+    val rowCcr: Map[String, Option[Boolean]] =
+      Map("0010" -> Some(false), "0020" -> Some(true), "0080" -> None)
+    val nullRows = Set("0030", "0040", "0050", "0060", "0070")
+    val cells = rowCcr.flatMap { case (ref, ccrFlag) =>
+      def side(r: CRow) = ccrFlag.forall(_ == isCcr(r))
+      Seq(
+        ((ref, "0010"), Cell(MSum(_.m("rwa_pre_floor")), r => side(r) && modelled(r))),
+        ((ref, "0020"), Cell(MSum(_.m("rwa_pre_floor")), r => side(r) && !modelled(r))),
+        ((ref, "0030"), Cell(FFormula(Seq("0010", "0020"), c =>
+          Some(c("0010").getOrElse(0.0) + c("0020").getOrElse(0.0))))),
+        ((ref, "0040"), Cell(MSum(_.m("sa_rwa")), side)))
+    }
+    frameOf(grid, execute(grid, cube, cells)).nullRows(nullRows)
+  }
+}

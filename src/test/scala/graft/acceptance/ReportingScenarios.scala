@@ -1,0 +1,86 @@
+package graft.acceptance
+
+import java.sql.Date
+
+import org.apache.spark.sql.SparkSession
+
+import graft.refbook.{RefBundle, RefRunConfig}
+
+/** Scenario input portfolios for the reporting-golden replay — programmatic
+  * translations of the reference's fixture builders (INPUT data, not golden
+  * data). Each scenario pairs one [[RefBundle]] with the two regime configs
+  * the reference freezes goldens for.
+  *
+  * `sa_classes`: the SA quasi-sovereign portfolio (reference
+  * `tests/fixtures/reporting_sa_classes_portfolio.py:96-307`) — one drawn,
+  * unmitigated GBP term loan per C 07.00 obligor-class sheet (RGLA ×2 for
+  * the Art. 115(1)/(2) fork, PSE, MDB ×2 for the Art. 117(1)/(2) fork,
+  * international organisation, covered bond, and a corporate anchor above
+  * the SME ceiling), with external-only ECAI ratings so every row routes
+  * SA. Reporting dates / permission mode per the golden test's `_config`
+  * (`test_reporting_sa_classes_golden.py:76-86`): CRR at 2025-12-31,
+  * Basel 3.1 at 2027-06-01, both STANDARDISED.
+  */
+// Top-level row shapes (Spark bean/product encoders need public top-level
+// case classes — a private nested class breaks codegen).
+final case class ScnCp(counterparty_reference: String, entity_type: String,
+    country_code: String, annual_revenue: Option[Double] = None)
+final case class ScnLoan(loan_reference: String,
+    counterparty_reference: String, product_type: String, drawn_amount: Double,
+    currency: String, value_date: Date, maturity_date: Date, seniority: String)
+final case class ScnRating(rating_reference: String,
+    counterparty_reference: String, rating_type: String, rating_agency: String,
+    cqs: Int, rating_date: Date)
+
+object ReportingScenarios {
+
+  final case class Scenario(goldenDir: String, cfg: RefRunConfig,
+      bundle: SparkSession => RefBundle)
+
+  private val valueDate = Date.valueOf("2020-01-01")
+  private val maturity = Date.valueOf("2031-12-31")
+
+  /** The SA quasi-sovereign book
+    * (`reporting_sa_classes_portfolio.py:188-307`). */
+  def saClassesBundle(spark: SparkSession): RefBundle = {
+    import spark.implicits._
+    val cps = Seq(
+      ScnCp("SAC-CP-RGLA-UK", "rgla_sovereign", "GB"),
+      ScnCp("SAC-CP-RGLA-FGN", "rgla_institution", "US"),
+      ScnCp("SAC-CP-PSE", "pse_institution", "GB"),
+      ScnCp("SAC-CP-MDB-RATED", "mdb", "GB"),
+      ScnCp("SAC-CP-MDB-NAMED", "mdb_named", "GB"),
+      ScnCp("SAC-CP-INTL-ORG", "international_org", "GB"),
+      ScnCp("SAC-CP-COVBOND", "covered_bond", "GB"),
+      ScnCp("SAC-CP-CORP", "corporate", "GB", Some(400000000.0)))
+    def loan(ref: String, cp: String, drawn: Double) =
+      ScnLoan(ref, cp, "term_loan", drawn, "GBP", valueDate, maturity, "senior")
+    val loans = Seq(
+      loan("SAC-LN-RGLA-UK", "SAC-CP-RGLA-UK", 3000000.0),
+      loan("SAC-LN-RGLA-FGN", "SAC-CP-RGLA-FGN", 3500000.0),
+      loan("SAC-LN-PSE", "SAC-CP-PSE", 2500000.0),
+      loan("SAC-LN-MDB-RATED", "SAC-CP-MDB-RATED", 4000000.0),
+      loan("SAC-LN-MDB-NAMED", "SAC-CP-MDB-NAMED", 4500000.0),
+      loan("SAC-LN-INTL-ORG", "SAC-CP-INTL-ORG", 1500000.0),
+      loan("SAC-LN-COVBOND", "SAC-CP-COVBOND", 6000000.0),
+      loan("SAC-LN-CORP", "SAC-CP-CORP", 9000000.0))
+    def ext(cp: String, cqs: Int) =
+      ScnRating(s"SAC-RTG-$cp", cp, "external", "TEST_AGENCY", cqs, valueDate)
+    val ratings = Seq(
+      ext("SAC-CP-RGLA-FGN", 2), ext("SAC-CP-PSE", 2), ext("SAC-CP-MDB-RATED", 2),
+      ext("SAC-CP-COVBOND", 1), ext("SAC-CP-CORP", 3))
+    RefBundle(
+      counterparties = cps.toDF(),
+      loans = loans.toDF(),
+      ratings = ratings.toDF())
+  }
+
+  /** Every scenario with vendored goldens, in replay order. */
+  def all: Seq[Scenario] = Seq(
+    Scenario("sa_classes_crr",
+      RefRunConfig("CRR", java.time.LocalDate.of(2025, 12, 31)),
+      saClassesBundle),
+    Scenario("sa_classes_b31",
+      RefRunConfig("BASEL_3_1", java.time.LocalDate.of(2027, 6, 1)),
+      saClassesBundle))
+}
