@@ -162,20 +162,56 @@ object RefBook {
       optCol(b.loans, "maturity_date", "date").as("maturity_date"),
       optCol(b.loans, "product_type", "string").as("product_type"),
       optCol(b.loans, "seniority", "string").as("seniority"),
-      optCol(b.loans, "is_defaulted", "boolean").as("leg_defaulted"))
-    val fac = b.facilities.map(f => f.select(
-      col("facility_reference").as("exposure_reference"),
-      lit("facility_undrawn").as("exposure_type"),
-      col("counterparty_reference"),
-      lit(0.0).as("drawn_amount"),
-      col("undrawn_amount").cast("double").as("undrawn_amount"),
-      lit(null).cast("double").as("nominal_amount"),
-      col("currency"),
-      optCol(f, "value_date", "date").as("value_date"),
-      optCol(f, "maturity_date", "date").as("maturity_date"),
-      optCol(f, "product_type", "string").as("product_type"),
-      optCol(f, "seniority", "string").as("seniority"),
-      optCol(f, "is_defaulted", "boolean").as("leg_defaulted")))
+      optCol(b.loans, "is_defaulted", "boolean").as("leg_defaulted"),
+      optCol(b.loans, "risk_type", "string").as("leg_risk_type"),
+      optCol(b.loans, "obs_product", "string").as("obs_product"),
+      optCol(b.loans, "original_maturity_years", "double")
+        .as("original_maturity_years"))
+    // Synthetic facility-undrawn rows (reference
+    // `stages/hierarchy/facility_undrawn.py`): undrawn headroom = limit −
+    // Σ(drawn of mapped child loans), one `<facility>_UNDRAWN` exposure per
+    // COMMITTED facility with positive headroom — an uncommitted
+    // (unconditionally cancellable) facility generates no undrawn exposure
+    // at all. Legacy direct `undrawn_amount` input is honoured when no
+    // `limit` is supplied.
+    val fac = b.facilities.map { f =>
+      val withDrawn = b.facilityMappings match {
+        case Some(fm) =>
+          val childDrawn = fm.filter(col("child_type") === "loan")
+            .join(b.loans.select(col("loan_reference").as("child_reference"),
+              col("drawn_amount").cast("double").as("child_drawn")),
+              Seq("child_reference"))
+            .groupBy(col("parent_facility_reference").as("facility_reference"))
+            .agg(sum(col("child_drawn")).as("children_drawn"))
+          f.join(broadcast(childDrawn), Seq("facility_reference"), "left")
+            .withColumn("children_drawn", coalesce(col("children_drawn"), lit(0.0)))
+        case None => f.withColumn("children_drawn", lit(0.0))
+      }
+      val headroom = coalesce(
+        optCol(f, "limit", "double") - col("children_drawn"),
+        optCol(f, "undrawn_amount", "double"))
+      withDrawn
+        .withColumn("undrawn_calc", headroom)
+        .filter(col("undrawn_calc") > 0 &&
+          coalesce(optCol(f, "committed", "boolean"), lit(true)))
+        .select(
+          concat(col("facility_reference"), lit("_UNDRAWN")).as("exposure_reference"),
+          lit("facility_undrawn").as("exposure_type"),
+          col("counterparty_reference"),
+          lit(0.0).as("drawn_amount"),
+          col("undrawn_calc").as("undrawn_amount"),
+          lit(null).cast("double").as("nominal_amount"),
+          col("currency"),
+          optCol(f, "value_date", "date").as("value_date"),
+          optCol(f, "maturity_date", "date").as("maturity_date"),
+          optCol(f, "product_type", "string").as("product_type"),
+          optCol(f, "seniority", "string").as("seniority"),
+          optCol(f, "is_defaulted", "boolean").as("leg_defaulted"),
+          optCol(f, "risk_type", "string").as("leg_risk_type"),
+          optCol(f, "obs_product", "string").as("obs_product"),
+          optCol(f, "original_maturity_years", "double")
+            .as("original_maturity_years"))
+    }
     val cont = b.contingents.map(c => c.select(
       col("contingent_reference").as("exposure_reference"),
       lit("contingent").as("exposure_type"),
@@ -188,7 +224,11 @@ object RefBook {
       optCol(c, "maturity_date", "date").as("maturity_date"),
       optCol(c, "product_type", "string").as("product_type"),
       optCol(c, "seniority", "string").as("seniority"),
-      optCol(c, "is_defaulted", "boolean").as("leg_defaulted")))
+      optCol(c, "is_defaulted", "boolean").as("leg_defaulted"),
+      optCol(c, "risk_type", "string").as("leg_risk_type"),
+      optCol(c, "obs_product", "string").as("obs_product"),
+      optCol(c, "original_maturity_years", "double")
+        .as("original_maturity_years")))
     (Seq(loans) ++ fac ++ cont).reduce(_.unionByName(_))
   }
 
@@ -226,17 +266,57 @@ object RefBook {
       "approach_applied" ->
         when(irbEligible, lit("foundation_irb")).otherwise(lit("standardised"))))
 
-    // ---- EAD (Art. 111): drawn + CCF-converted off-balance nominal ----
-    // Annex I CCF buckets by product type; extended per scenario family.
+    // ---- EAD (Art. 111): drawn + CCF-converted off-balance gross ------
+    // The Annex I / Table A1 CCF engine (reference `engine/ccf.py`):
+    //  1. resolve risk_type from the concrete OBS product only when no
+    //     explicit risk_type was supplied (`obs_product_to_risk_type`,
+    //     rulepack `packs/common.py:870`);
+    //  2. canonicalise via RISK_TYPE_SYNONYMS (`data/schemas.py:2237`);
+    //  3. look up the regime's `sa_ccf` table (`packs/crr.py:381` /
+    //     `packs/b31.py:354`), MR-equivalent 50% default;
+    //  4. CRR-only OC original-maturity split (Annex I items 2(b)/3(b)):
+    //     ≤ 365 days original maturity drops OC to the 20% MLR rate,
+    //     keyed on original_maturity_years else (maturity − value) days.
+    // A drawn loan carries ccf = 0.0 (the real CRR 0% bucket; the C 07.00
+    // off-side narrowing keeps it out of the CCF columns).
+    val productToRiskType = Seq(
+      "ACCEPTANCE" -> "FR", "PERFORMANCE_BOND" -> "MLR", "WARRANTY" -> "MLR",
+      "TENDER_BOND" -> "MLR", "BID_BOND" -> "MLR",
+      "DOCUMENTARY_CREDIT" -> "MLR", "TRADE_LC" -> "MLR")
+    val riskTypeSynonyms = Seq(
+      "fr" -> "FR", "full_risk" -> "FR", "frc" -> "FRC",
+      "full_risk_commitment" -> "FRC", "mr" -> "MR", "medium_risk" -> "MR",
+      "mr_issued" -> "MR_ISSUED", "medium_risk_issued" -> "MR_ISSUED",
+      "oc" -> "OC", "other_commit" -> "OC", "mlr" -> "MLR",
+      "medium_low_risk" -> "MLR", "lr" -> "LR", "low_risk" -> "LR")
+    val saCcfTable: Seq[(String, Double)] = // regime-resolved Decimal→Double
+      if (cfg.isB31) Seq("FR" -> 1.0, "FRC" -> 1.0, "MR" -> 0.5,
+        "MR_ISSUED" -> 0.5, "OC" -> 0.4, "MLR" -> 0.2, "LR" -> 0.1)
+      else Seq("FR" -> 1.0, "FRC" -> 1.0, "MR" -> 0.5,
+        "MR_ISSUED" -> 0.5, "OC" -> 0.5, "MLR" -> 0.2, "LR" -> 0.0)
+    val productRt = productToRiskType.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, v)) => when(upper(col("obs_product")) === k, v).otherwise(acc)
+    }
+    val rtBlank = coalesce(col("leg_risk_type"), lit("")) === ""
+    val rtFilled = when(rtBlank && productRt.isNotNull, productRt)
+      .otherwise(col("leg_risk_type"))
+    val rtLowered = lower(coalesce(rtFilled, lit("")))
+    val canonicalRt = riskTypeSynonyms.foldLeft(upper(coalesce(rtFilled, lit("")))) {
+      case (acc, (k, v)) => when(rtLowered === k, lit(v)).otherwise(acc)
+    }
+    val ccfLookup = saCcfTable.foldLeft(lit(0.5): org.apache.spark.sql.Column) {
+      case (acc, (k, v)) => when(canonicalRt === k, v).otherwise(acc)
+    }
+    val originalDays = when(col("original_maturity_years").isNotNull,
+      col("original_maturity_years") * 365.0)
+      .otherwise(when(col("maturity_date").isNotNull && col("value_date").isNotNull,
+        datediff(col("maturity_date"), col("value_date")).cast("double")))
+    val ccfWithOcSplit =
+      if (cfg.isB31) ccfLookup
+      else when(canonicalRt === "OC" && originalDays.isNotNull &&
+        originalDays <= 365.0, 0.2).otherwise(ccfLookup)
     val ccfChain =
-      when(col("exposure_type") === "loan", 0.0)
-        .when(col("product_type") === "guarantee_issued", 1.0)
-        .when(col("product_type") === "documentary_credit", 0.2)
-        .when(col("product_type") === "performance_bond", 0.5)
-        .when(col("product_type") === "note_issuance", 0.5)
-        .when(col("product_type") === "undrawn_committed", if (cfg.isB31) 0.4 else 0.5)
-        .when(col("product_type") === "undrawn_uncommitted", if (cfg.isB31) 0.1 else 0.0)
-        .otherwise(if (cfg.isB31) 0.4 else 0.5)
+      when(col("exposure_type") === "loan", 0.0).otherwise(ccfWithOcSplit)
     val offGross = coalesce(col("undrawn_amount"), col("nominal_amount"))
     val withEad = classified.withColumns(Map(
       "ccf" -> ccfChain,

@@ -31,6 +31,7 @@ final case class RefBundle(
     ratings: DataFrame,
     facilities: Option[DataFrame] = None,
     contingents: Option[DataFrame] = None,
+    facilityMappings: Option[DataFrame] = None,
     collateral: Option[DataFrame] = None,
     guarantees: Option[DataFrame] = None,
     provisions: Option[DataFrame] = None,

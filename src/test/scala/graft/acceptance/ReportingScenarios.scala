@@ -31,6 +31,17 @@ final case class ScnLoan(loan_reference: String,
 final case class ScnRating(rating_reference: String,
     counterparty_reference: String, rating_type: String, rating_agency: String,
     cqs: Int, rating_date: Date)
+final case class ScnContingent(contingent_reference: String,
+    counterparty_reference: String, product_type: String,
+    nominal_amount: Double, risk_type: Option[String],
+    obs_product: Option[String], currency: String, value_date: Date,
+    maturity_date: Date)
+final case class ScnFacility(facility_reference: String,
+    counterparty_reference: String, product_type: String, limit: Double,
+    risk_type: String, currency: String, value_date: Date,
+    maturity_date: Date, committed: Boolean)
+final case class ScnFacMapping(parent_facility_reference: String,
+    child_reference: String, child_type: String)
 
 object ReportingScenarios {
 
@@ -75,6 +86,52 @@ object ReportingScenarios {
       ratings = ratings.toDF())
   }
 
+  /** The off-balance-sheet CCF-axis book (reference
+    * `tests/fixtures/reporting_offbs_portfolio.py:193-420`): one drawn
+    * corporate anchor loan under `FAC_OC`, four ISSUED contingents (one per
+    * issued-item CCF bucket — the documentary credit deliberately carries
+    * NO explicit risk_type, proving the Art. 111(1) obs_product → risk_type
+    * fill end-to-end), and three COMMITMENTS whose synthetic undrawn rows
+    * land in the remaining buckets (`FAC_OC` is the regime-divergent row:
+    * CRR item 2(b) 50% vs Table A1 Row 5 40%; `FAC_UCC` is the headline
+    * 0% → 10% UCC move). */
+  def offbsBundle(spark: SparkSession): RefBundle = {
+    import spark.implicits._
+    val cps = Seq(
+      ScnCp("OBS-CP-CORP", "corporate", "GB", Some(250000000.0)),
+      ScnCp("OBS-CP-INST", "institution", "GB"))
+    val loans = Seq(ScnLoan("OBS-LN-CORP", "OBS-CP-CORP", "term_loan",
+      4000000.0, "GBP", valueDate, maturity, "senior"))
+    def ext(ref: String, cp: String, cqs: Int) =
+      ScnRating(ref, cp, "external", "TEST_AGENCY", cqs, valueDate)
+    val ratings = Seq(
+      ext("OBS-RTG-CORP", "OBS-CP-CORP", 3), ext("OBS-RTG-INST", "OBS-CP-INST", 2))
+    val contingents = Seq(
+      ScnContingent("OBS-CT-GUARANTEE", "OBS-CP-CORP", "financial_guarantee",
+        2000000.0, Some("FR"), None, "GBP", valueDate, maturity),
+      ScnContingent("OBS-CT-DOCCREDIT", "OBS-CP-CORP", "documentary_credit",
+        1500000.0, None, Some("DOCUMENTARY_CREDIT"), "GBP", valueDate, maturity),
+      ScnContingent("OBS-CT-STANDBY", "OBS-CP-CORP", "standby_lc",
+        1000000.0, Some("MR_ISSUED"), None, "GBP", valueDate, maturity),
+      ScnContingent("OBS-CT-FRC-FWD", "OBS-CP-INST", "forward_asset_purchase",
+        2500000.0, Some("FRC"), None, "GBP", valueDate, maturity))
+    val facilities = Seq(
+      ScnFacility("OBS-FAC-NIF", "OBS-CP-CORP", "note_issuance_facility",
+        5000000.0, "MR", "GBP", valueDate, maturity, committed = true),
+      ScnFacility("OBS-FAC-OC", "OBS-CP-CORP", "revolving_credit_facility",
+        10000000.0, "OC", "GBP", valueDate, maturity, committed = true),
+      ScnFacility("OBS-FAC-UCC", "OBS-CP-CORP", "overdraft",
+        3000000.0, "LR", "GBP", valueDate, maturity, committed = true))
+    val mappings = Seq(ScnFacMapping("OBS-FAC-OC", "OBS-LN-CORP", "loan"))
+    RefBundle(
+      counterparties = cps.toDF(),
+      loans = loans.toDF(),
+      ratings = ratings.toDF(),
+      facilities = Some(facilities.toDF()),
+      contingents = Some(contingents.toDF()),
+      facilityMappings = Some(mappings.toDF()))
+  }
+
   /** Every scenario with vendored goldens, in replay order. */
   def all: Seq[Scenario] = Seq(
     Scenario("sa_classes_crr",
@@ -82,5 +139,11 @@ object ReportingScenarios {
       saClassesBundle),
     Scenario("sa_classes_b31",
       RefRunConfig("BASEL_3_1", java.time.LocalDate.of(2027, 6, 1)),
-      saClassesBundle))
+      saClassesBundle),
+    Scenario("offbs_crr",
+      RefRunConfig("CRR", java.time.LocalDate.of(2025, 12, 31)),
+      offbsBundle),
+    Scenario("offbs_b31",
+      RefRunConfig("BASEL_3_1", java.time.LocalDate.of(2027, 6, 1)),
+      offbsBundle))
 }
