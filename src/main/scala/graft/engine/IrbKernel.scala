@@ -28,6 +28,39 @@ object IrbKernel {
 
   private val g999 = NormalMath.normPpf(0.999) // Φ⁻¹(0.999), both regimes
 
+  // ---- precise normal inverse (the reporting-golden ppf) ---------------
+
+  /** One Halley refinement of Acklam's Φ⁻¹ in static double math:
+    * x₁ = x₀ − u/(1 + x₀u/2), u = (Φ(x₀) − p)·√(2π)·e^{x₀²/2}. Acklam
+    * alone carries |rel err| < 1.15e-9; the reference's native stats
+    * plugin is full-precision, and the reporting goldens compare at
+    * rtol 1e-9, so the refined form is what the golden replay runs
+    * (plain Acklam stays the battery/oracle form — the DuckDB oracles
+    * replicate its polynomials verbatim). */
+  def normPpfPrecise(p: Double): Double = {
+    val x0 = NormalMath.normPpf(p)
+    val e = NormalMath.normCdf(x0) - p
+    val u = e * math.sqrt(2.0 * math.Pi) * math.exp(x0 * x0 / 2.0)
+    x0 - u / (1.0 + x0 * u / 2.0)
+  }
+
+  /** The Column twin of [[normPpfPrecise]] — composed from the codegen
+    * norm_ppf / norm_cdf expressions, so it stays UDF-free. */
+  def normPpfPreciseCol(p: Column): Column = {
+    val x0 = normal.norm_ppf(p)
+    val e = normal.norm_cdf(x0) - p
+    val u = e * lit(math.sqrt(2.0 * math.Pi)) * exp(x0 * x0 / lit(2.0))
+    x0 - u / (lit(1.0) + x0 * u / lit(2.0))
+  }
+
+  private val g999Precise = normPpfPrecise(0.999)
+
+  /** [[conditionalPd]] through the Halley-refined Φ⁻¹ (golden-replay
+    * precision; see [[normPpfPrecise]]). */
+  def conditionalPdPrecise(pd: Column, r: Column): Column =
+    normal.norm_cdf(
+      (normPpfPreciseCol(pd) + sqrt(r) * lit(g999Precise)) / sqrt(lit(1.0) - r))
+
   // ---- regulatory scalar formulae -------------------------------------
 
   /** (1 − e^{−k·PD}) / (1 − e^{−k}); k = 50 corporate, 35 retail. */

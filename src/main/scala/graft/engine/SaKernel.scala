@@ -173,7 +173,11 @@ object SaKernel {
             .when(col("scra_grade") === "A", 0.4)
             .when(col("scra_grade") === "B", 0.75)
             .when(col("scra_grade") === "C", 1.5)
-            .otherwise(1.0))
+            // SCRA residual: an unrated institution with NO grade takes the
+            // conservative Grade-C weight (reference
+            // `engine/sa/risk_weights.py:695` `.otherwise(scra_c)`,
+            // CRE20.16-21) — caught by the B31 IRB shadow-SA golden replay.
+            .otherwise(1.5))
 
     val retailRw =
       when(flag("is_payroll_loan"), 0.35)

@@ -1487,7 +1487,7 @@ object Domain {
                    WHEN scra_grade = 'A' THEN 0.4
                    WHEN scra_grade = 'B' THEN 0.75
                    WHEN scra_grade = 'C' THEN 1.5
-                   ELSE 1.0 END
+                   ELSE 1.5 END
             WHEN exposure_class IN ('retail_other', 'retail_qrre') THEN
               CASE WHEN coalesce(is_payroll_loan, false) THEN 0.35
                    WHEN NOT crr AND coalesce(is_qrre_transactor, false) THEN 0.45

@@ -1,5 +1,7 @@
 package graft.refbook
 
+import java.time.LocalDate
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -166,7 +168,12 @@ object RefBook {
       optCol(b.loans, "risk_type", "string").as("leg_risk_type"),
       optCol(b.loans, "obs_product", "string").as("obs_product"),
       optCol(b.loans, "original_maturity_years", "double")
-        .as("original_maturity_years"))
+        .as("original_maturity_years"),
+      optCol(b.loans, "lgd", "double").as("lgd_own"),
+      optCol(b.loans, "has_sufficient_collateral_data", "boolean")
+        .as("has_sufficient_collateral_data"),
+      optCol(b.loans, "property_type", "string").as("leg_property_type"),
+      optCol(b.loans, "ltv", "double").as("leg_ltv"))
     // Synthetic facility-undrawn rows (reference
     // `stages/hierarchy/facility_undrawn.py`): undrawn headroom = limit −
     // Σ(drawn of mapped child loans), one `<facility>_UNDRAWN` exposure per
@@ -210,7 +217,12 @@ object RefBook {
           optCol(f, "risk_type", "string").as("leg_risk_type"),
           optCol(f, "obs_product", "string").as("obs_product"),
           optCol(f, "original_maturity_years", "double")
-            .as("original_maturity_years"))
+            .as("original_maturity_years"),
+          optCol(f, "lgd", "double").as("lgd_own"),
+          optCol(f, "has_sufficient_collateral_data", "boolean")
+            .as("has_sufficient_collateral_data"),
+          lit(null).cast("string").as("leg_property_type"),
+          lit(null).cast("double").as("leg_ltv"))
     }
     val cont = b.contingents.map(c => c.select(
       col("contingent_reference").as("exposure_reference"),
@@ -228,12 +240,74 @@ object RefBook {
       optCol(c, "risk_type", "string").as("leg_risk_type"),
       optCol(c, "obs_product", "string").as("obs_product"),
       optCol(c, "original_maturity_years", "double")
-        .as("original_maturity_years")))
+        .as("original_maturity_years"),
+      lit(null).cast("double").as("lgd_own"),
+      lit(null).cast("boolean").as("has_sufficient_collateral_data"),
+      lit(null).cast("string").as("leg_property_type"),
+      lit(null).cast("double").as("leg_ltv")))
     (Seq(loans) ++ fac ++ cont).reduce(_.unionByName(_))
   }
 
   /** Build the sealed results ledger for one bundle under one config. */
+  /** The C 08.03 / OF 08.03 hierarchical PD scale, (lower, upper, ref)
+    * (reference `reporting/corep/templates.py` CRR_C08_03_PD_RANGES /
+    * B31_C08_03_PD_RANGES; parents 0010/0070/0100/0130). */
+  private def c0803Ranges(isB31: Boolean): Seq[(Double, Double, String)] = {
+    val crr = Seq(
+      (0.0000, 0.0015, "0010"), (0.0000, 0.0010, "0020"), (0.0010, 0.0015, "0030"),
+      (0.0015, 0.0025, "0040"), (0.0025, 0.0050, "0050"), (0.0050, 0.0075, "0060"),
+      (0.0075, 0.0250, "0070"), (0.0075, 0.0175, "0080"), (0.0175, 0.0250, "0090"),
+      (0.0250, 0.1000, "0100"), (0.0250, 0.0500, "0110"), (0.0500, 0.1000, "0120"),
+      (0.1000, 1.0000, "0130"), (0.1000, 0.2000, "0140"), (0.2000, 0.3000, "0150"),
+      (0.3000, 1.0000, "0160"), (1.0000, Double.PositiveInfinity, "0170"))
+    if (!isB31) crr
+    else Seq((0.0000, 0.0015, "0010"), (0.0000, 0.0005, "0015"),
+      (0.0005, 0.0010, "0025"), (0.0010, 0.0015, "0030")) ++ crr.drop(3)
+  }
+  private val c0803ParentRefs = Set("0010", "0070", "0100", "0130")
+
+  /** The Pillar 3 CR6/CR9 17-range scale, framework-invariant (reference
+    * `reporting/pillar3/templates.py` CR6_PD_RANGES; parents 1/7/10/13). */
+  private val cr6Ranges: Seq[(Double, Double, String)] = Seq(
+    (0.0000, 0.0015, "1"), (0.0000, 0.0010, "2"), (0.0010, 0.0015, "3"),
+    (0.0015, 0.0025, "4"), (0.0025, 0.0050, "5"), (0.0050, 0.0075, "6"),
+    (0.0075, 0.0250, "7"), (0.0075, 0.0175, "8"), (0.0175, 0.0250, "9"),
+    (0.0250, 0.1000, "10"), (0.0250, 0.0500, "11"), (0.0500, 0.1000, "12"),
+    (0.1000, 1.0000, "13"), (0.1000, 0.2000, "14"), (0.2000, 0.3000, "15"),
+    (0.3000, 1.0000, "16"), (1.0000, Double.PositiveInfinity, "17"))
+  private val cr6ParentRefs = Set("1", "7", "10", "13")
+
+  /** The C 08.02 coarse PD bands (reference `templates.py` PD_BANDS). */
+  private val coarseBands: Seq[(Double, Double, String)] = Seq(
+    (0.0, 0.0015, "0.00% - 0.15%"), (0.0015, 0.0025, "0.15% - 0.25%"),
+    (0.0025, 0.005, "0.25% - 0.50%"), (0.005, 0.0075, "0.50% - 0.75%"),
+    (0.0075, 0.025, "0.75% - 2.50%"), (0.025, 0.10, "2.50% - 10.00%"),
+    (0.10, 0.9999, "10.00% - 99.99%"),
+    (0.9999, Double.PositiveInfinity, "Default (100%)"))
+
+  private def bandLabel(ranges: Seq[(Double, Double, String)],
+      c: org.apache.spark.sql.Column, fallback: String): org.apache.spark.sql.Column = {
+    val base: org.apache.spark.sql.Column =
+      if (fallback == null) lit(null).cast("string") else lit(fallback)
+    ranges.foldLeft(base) {
+      case (acc, (lo, hi, ref)) =>
+        val in = if (hi.isPosInfinity) c >= lo else c >= lo && c < hi
+        when(in, ref).otherwise(acc)
+    }
+  }
+
+  /** CRR Art. 162 exact fractional years from the reporting date to a date
+    * column (reference `engine/utils.py::exact_fractional_years_expr`:
+    * (end_year − start_year) + (end_ordinal − start_ordinal)/365). */
+  private def fractionalYears(start: LocalDate,
+      end: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (year(end) - lit(start.getYear)).cast("double") +
+      (dayofyear(end).cast("double") / 365.0 - lit(start.getDayOfYear / 365.0))
+
+  /** Build the sealed results ledger for one bundle under one config. */
   def ledger(b: RefBundle, cfg: RefRunConfig, s: SparkSession): DataFrame = {
+    import graft.engine.IrbKernel
+    val isB31 = cfg.isB31
     val cpty = b.counterparties.select(
       col("counterparty_reference"),
       col("entity_type").as("cp_entity_type"),
@@ -241,30 +315,86 @@ object RefBook {
       optCol(b.counterparties, "annual_revenue", "double").as("annual_revenue"),
       optCol(b.counterparties, "is_sme", "boolean").as("cp_is_sme"),
       optCol(b.counterparties, "default_status", "boolean").as("cp_default_status"),
-      optCol(b.counterparties, "is_natural_person", "boolean").as("cp_is_natural_person"))
-    val exposures = unifyExposures(b, s)
+      optCol(b.counterparties, "is_natural_person", "boolean").as("cp_is_natural_person"),
+      optCol(b.counterparties, "is_managed_as_retail", "boolean")
+        .as("cp_is_managed_as_retail"))
+    // Art. 154(4)(b) facility attributes coalesced onto the drawn child
+    // (reference `stages/hierarchy` — the p1_244 pattern): is_revolving /
+    // is_secured / limit live on the facility, the classifier reads them
+    // off the drawn leg.
+    val facAttrs = for (f <- b.facilities; fm <- b.facilityMappings) yield
+      fm.filter(col("child_type") === "loan")
+        .join(f.select(col("facility_reference").as("parent_facility_reference"),
+          optCol(f, "is_revolving", "boolean").as("fac_is_revolving"),
+          optCol(f, "is_secured", "boolean").as("fac_is_secured"),
+          optCol(f, "limit", "double").as("fac_limit")),
+          Seq("parent_facility_reference"))
+        .select(col("child_reference").as("exposure_reference"),
+          col("fac_is_revolving"), col("fac_is_secured"), col("fac_limit"))
+    // Residential-property collateral linked to a loan is what moves a
+    // retail exposure into RETAIL_MORTGAGE (reference fixture note: the
+    // loan-level property columns alone do not).
+    val reColl = b.collateral.map(c =>
+      c.filter(col("collateral_type") === "real_estate" &&
+          col("beneficiary_type") === "loan")
+        .groupBy(col("beneficiary_reference").as("exposure_reference"))
+        .agg(max(optCol(c, "property_ltv", "double")).as("coll_ltv"),
+          max(optCol(c, "property_type", "string")).as("coll_property_type")))
+    val withAttrs = Seq(facAttrs, reColl).flatten
+      .foldLeft(unifyExposures(b, s))((df, extra) =>
+        df.join(broadcast(extra), Seq("exposure_reference"), "left"))
+    def attr(df: DataFrame, name: String, sqlType: String) = optCol(df, name, sqlType)
+    val exposures = withAttrs
+      .withColumn("fac_is_revolving", attr(withAttrs, "fac_is_revolving", "boolean"))
+      .withColumn("fac_is_secured", attr(withAttrs, "fac_is_secured", "boolean"))
+      .withColumn("fac_limit", attr(withAttrs, "fac_limit", "double"))
+      .withColumn("coll_ltv", attr(withAttrs, "coll_ltv", "double"))
+      .withColumn("coll_property_type", attr(withAttrs, "coll_property_type", "string"))
       .join(broadcast(cpty), Seq("counterparty_reference"), "left")
       .join(broadcast(bestExternalCqs(b.ratings)), Seq("counterparty_reference"), "left")
       .join(broadcast(internalPd(b.ratings)), Seq("counterparty_reference"), "left")
 
     // ---- classification (reference `engine/stages/classify`) ----------
-    val saClass = chainOf(entityToSaClass, col("cp_entity_type"), "other")
-    val irbClass = chainOf(entityToIrbClass, col("cp_entity_type"), "other")
+    val retailEligible = coalesce(col("cp_is_natural_person"), lit(false)) &&
+      coalesce(col("cp_is_managed_as_retail"), lit(false))
+    val isMortgage = col("coll_ltv").isNotNull || col("coll_property_type").isNotNull
+    // Art. 154(4) QRRE gate: revolving + unsecured + limit under the cap
+    // (CRR EUR 100k; PS1/26 GBP 90k).
+    val qrreCap = if (isB31) 90000.0 else 100000.0
+    val isQrre = coalesce(col("fac_is_revolving"), lit(false)) &&
+      !coalesce(col("fac_is_secured"), lit(false)) &&
+      coalesce(col("fac_limit"), lit(0.0)) <= qrreCap &&
+      col("fac_limit").isNotNull
+    def refineRetail(base: org.apache.spark.sql.Column) =
+      when(base === "retail_other" && retailEligible && isQrre, "retail_qrre")
+        .when(base === "retail_other" && retailEligible && isMortgage, "retail_mortgage")
+        .otherwise(base)
+    val saClass = refineRetail(chainOf(entityToSaClass, col("cp_entity_type"), "other"))
+    val irbClass = refineRetail(chainOf(entityToIrbClass, col("cp_entity_type"), "other"))
     val isDefaulted =
       coalesce(col("leg_defaulted"), lit(false)) ||
       coalesce(col("cp_default_status"), lit(false))
-    // IRB routes only with an internal PD, under IRB permission mode
-    // (`api/service.py:47-53`; grants are per model/class — the bundle's
-    // model_permissions book gates when supplied).
-    val irbEligible = lit(cfg.permissionMode == "irb") &&
-      col("internal_pd").isNotNull && !isDefaulted
+    // IRB routes only with an internal PD, under IRB permission mode and a
+    // granted model (`api/service.py:47-53`; the bundle's model_permissions
+    // book), and — under Basel 3.1 — never for the sovereign class
+    // (PS1/26 Art. 147A(1)(a): Standardised-only).
+    val irbPermitted = cfg.permissionMode == "irb" && b.modelPermissions.nonEmpty
+    val irbEligible = lit(irbPermitted) &&
+      col("internal_pd").isNotNull && !isDefaulted &&
+      !(lit(isB31) && irbClass === "central_govt_central_bank")
+    // A-IRB needs own LGD estimates with sufficient data (Art. 143/151);
+    // retail is A-IRB-only and carries them, F-IRB covers the rest.
+    val aIrb = irbEligible && col("lgd_own").isNotNull &&
+      coalesce(col("has_sufficient_collateral_data"), lit(false))
 
     val classified = exposures.withColumns(Map(
       "is_defaulted" -> isDefaulted,
       "exposure_class" ->
         when(irbEligible, irbClass).otherwise(saClass),
       "approach_applied" ->
-        when(irbEligible, lit("foundation_irb")).otherwise(lit("standardised"))))
+        when(aIrb, lit("advanced_irb"))
+          .when(irbEligible, lit("foundation_irb"))
+          .otherwise(lit("standardised"))))
 
     // ---- EAD (Art. 111): drawn + CCF-converted off-balance gross ------
     // The Annex I / Table A1 CCF engine (reference `engine/ccf.py`):
@@ -275,8 +405,8 @@ object RefBook {
     //  3. look up the regime's `sa_ccf` table (`packs/crr.py:381` /
     //     `packs/b31.py:354`), MR-equivalent 50% default;
     //  4. CRR-only OC original-maturity split (Annex I items 2(b)/3(b)):
-    //     ≤ 365 days original maturity drops OC to the 20% MLR rate,
-    //     keyed on original_maturity_years else (maturity − value) days.
+    //     <= 365 days original maturity drops OC to the 20% MLR rate,
+    //     keyed on original_maturity_years else (maturity - value) days.
     // A drawn loan carries ccf = 0.0 (the real CRR 0% bucket; the C 07.00
     // off-side narrowing keeps it out of the CCF columns).
     val productToRiskType = Seq(
@@ -289,8 +419,8 @@ object RefBook {
       "mr_issued" -> "MR_ISSUED", "medium_risk_issued" -> "MR_ISSUED",
       "oc" -> "OC", "other_commit" -> "OC", "mlr" -> "MLR",
       "medium_low_risk" -> "MLR", "lr" -> "LR", "low_risk" -> "LR")
-    val saCcfTable: Seq[(String, Double)] = // regime-resolved Decimal→Double
-      if (cfg.isB31) Seq("FR" -> 1.0, "FRC" -> 1.0, "MR" -> 0.5,
+    val saCcfTable: Seq[(String, Double)] = // regime-resolved Decimal -> Double
+      if (isB31) Seq("FR" -> 1.0, "FRC" -> 1.0, "MR" -> 0.5,
         "MR_ISSUED" -> 0.5, "OC" -> 0.4, "MLR" -> 0.2, "LR" -> 0.1)
       else Seq("FR" -> 1.0, "FRC" -> 1.0, "MR" -> 0.5,
         "MR_ISSUED" -> 0.5, "OC" -> 0.5, "MLR" -> 0.2, "LR" -> 0.0)
@@ -312,7 +442,7 @@ object RefBook {
       .otherwise(when(col("maturity_date").isNotNull && col("value_date").isNotNull,
         datediff(col("maturity_date"), col("value_date")).cast("double")))
     val ccfWithOcSplit =
-      if (cfg.isB31) ccfLookup
+      if (isB31) ccfLookup
       else when(canonicalRt === "OC" && originalDays.isNotNull &&
         originalDays <= 365.0, 0.2).otherwise(ccfLookup)
     val ccfChain =
@@ -324,13 +454,20 @@ object RefBook {
         (greatest(col("drawn_amount"), lit(0.0)) +
           coalesce(greatest(offGross, lit(0.0)) * ccfChain, lit(0.0)))))
 
-    // ---- SA risk weighting (SaKernel — Art. 114-134 both regimes) -----
+    // ---- SA risk weighting (SaKernel — Art. 114-134 both regimes).
+    // Run over EVERY leg: SA-routed legs take it as their own weight and
+    // the IRB book keeps it as the S-TREA shadow (`sa_rwa`) the Basel 3.1
+    // output-floor comparison reads (OF 02.01 col 0040; `aggregator.py`'s
+    // shadow standardised run).
     val originalMaturityYears =
       when(col("maturity_date").isNotNull && col("value_date").isNotNull,
         datediff(col("maturity_date"), col("value_date")) / lit(365.0))
+    val sealedPropertyType =
+      when(isMortgage, coalesce(col("coll_property_type"), col("leg_property_type")))
+        .otherwise(col("leg_property_type"))
     val attrs = withEad.withColumns(Map(
       "framework" -> lit(cfg.framework),
-      "approach" -> upper(col("approach_applied")),
+      "approach" -> lit("STANDARDISED"),
       "entity_type" -> col("cp_entity_type"),
       "ead" -> col("ead_final"),
       "cqs" -> col("external_cqs"),
@@ -338,11 +475,11 @@ object RefBook {
       "local_currency" -> lit(cfg.baseCurrency),
       "country_code" -> col("cp_country_code"),
       "original_maturity_years" -> originalMaturityYears,
-      "qualifies_as_retail" -> lit(false),
+      "qualifies_as_retail" -> retailEligible,
       "is_payroll_loan" -> lit(false),
       "is_qrre_transactor" -> lit(false),
-      "ltv" -> lit(null).cast("double"),
-      "property_type" -> lit(null).cast("string"),
+      "ltv" -> coalesce(col("leg_ltv"), col("coll_ltv")),
+      "property_type" -> sealedPropertyType,
       "has_income_cover" -> lit(false),
       "is_adc" -> lit(false),
       "is_presold" -> lit(false),
@@ -360,15 +497,109 @@ object RefBook {
       "slotting_category" -> lit(null).cast("string"),
       "is_short_maturity" -> lit(false),
       "is_hvcre" -> lit(false)))
-    val weighted = SaKernel.calculate(attrs)
+    val saWeighted = SaKernel.calculate(attrs)
+      .withColumnRenamed("risk_weight", "sa_risk_weight")
+      .withColumnRenamed("rwa", "sa_rwa_leg")
+
+    // ---- IRB risk weighting (IrbKernel parts, golden-precision Φ⁻¹).
+    // Composed from the kernel's published formulae rather than
+    // `IrbKernel.calculate` so the refbook can (a) exempt the sovereign
+    // class from the CRR Art. 160(1) PD floor (it reaches corporates,
+    // institutions and retail only) and (b) route the conditional PD
+    // through the Halley-refined Φ⁻¹ the reporting goldens need at
+    // rtol 1e-9 (`IrbKernel.normPpfPrecise`).
+    val isIrb = col("approach_applied").isin("foundation_irb", "advanced_irb")
+    val pdFloorVal =
+      if (!isB31)
+        when(col("exposure_class") === "central_govt_central_bank", 0.0)
+          .otherwise(0.0003)
+      else
+        when(col("exposure_class") === "retail_qrre", 0.001) // non-transactor
+          .when(col("exposure_class") === "retail_mortgage", 0.001)
+          .otherwise(0.0005)
+    val pdFloored = when(isIrb, greatest(col("internal_pd"), pdFloorVal))
+    // F-IRB supervisory LGD: senior 45% (CRR) / 40% for non-FSE (PS1/26
+    // Art. 161(1)(aa)); subordinated 75%. A-IRB: own estimate with the
+    // B3.1 input floors (mortgage 5%, QRRE 50%, other retail 30%).
+    val firbLgd = when(col("seniority") === "subordinated", 0.75)
+      .otherwise(if (isB31) lit(0.40) else lit(0.45))
+    val b31LgdFloor = when(col("exposure_class") === "retail_mortgage", 0.05)
+      .when(col("exposure_class") === "retail_qrre", 0.50)
+      .when(col("exposure_class") === "retail_other", 0.30)
+      .otherwise(0.25)
+    val airbLgd =
+      if (isB31) greatest(col("lgd_own"), b31LgdFloor) else col("lgd_own")
+    val lgdApplied = when(col("approach_applied") === "advanced_irb", airbLgd)
+      .when(col("approach_applied") === "foundation_irb", firbLgd)
+    // Art. 162: effective maturity = exact fractional years from the
+    // reporting date, clipped [1, 5]; 2.5 with no maturity date.
+    val mYears = when(col("maturity_date").isNotNull,
+      least(greatest(fractionalYears(cfg.reportingDate, col("maturity_date")),
+        lit(1.0)), lit(5.0))).otherwise(lit(2.5))
+    val corporateLike = col("exposure_class").isin(
+      "corporate", "corporate_sme", "institution", "central_govt_central_bank")
+    val smeEligible = col("exposure_class").isin("corporate", "corporate_sme")
+    val sizeMetricM = col("annual_revenue") / 1e6
+    val corr =
+      when(smeEligible && col("annual_revenue").isNotNull,
+        if (isB31) IrbKernel.correlationSme(pdFloored, sizeMetricM, 4.4, 44.0)
+        else IrbKernel.correlationSme(pdFloored, sizeMetricM, 5.0, 50.0))
+        .when(corporateLike, IrbKernel.correlationCorporate(pdFloored))
+        .when(col("exposure_class") === "retail_mortgage",
+          lit(IrbKernel.CorrelationMortgage))
+        .when(col("exposure_class") === "retail_qrre", lit(IrbKernel.CorrelationQrre))
+        .otherwise(IrbKernel.correlationRetailOther(pdFloored))
+    val scaling = if (isB31) 1.0 else 1.06
+    val irbRwBase = lgdApplied *
+      (IrbKernel.conditionalPdPrecise(pdFloored, corr) - pdFloored) *
+      lit(12.5) * lit(scaling)
+    val irbRw = when(corporateLike,
+      irbRwBase * IrbKernel.maturityAdjustment(pdFloored, mYears))
+      .otherwise(irbRwBase)
+    val irbRwaRaw = irbRw * col("ead_final")
+    val irbRwa =
+      if (isB31) irbRwaRaw
+      else when(col("exposure_class") === "corporate_sme",
+        irbRwaRaw * IrbKernel.smeSupportingFactor(col("ead_final")))
+        .otherwise(irbRwaRaw)
+    val expectedLoss = when(isIrb, pdFloored * lgdApplied * col("ead_final"))
+
+    val weighted = saWeighted.withColumns(Map(
+      "pd_floored" -> pdFloored,
+      "lgd_floored" -> lgdApplied,
+      "irb_maturity_m" -> when(isIrb, mYears),
+      "expected_loss" -> expectedLoss,
+      "risk_weight" -> when(isIrb, irbRw).otherwise(col("sa_risk_weight")),
+      "rwa" -> when(isIrb, irbRwa).otherwise(col("sa_rwa_leg"))))
+
+    // ---- PD band labels (cfg-aware; cube keys for the C 08.03/05, CR6/
+    // CR9 and C 08.02 row axes). Allocation source per the recorded rule:
+    // B3.1 the PRE-floor pd, CRR the post-floor pd (`c08.py::_pd_alloc_col`
+    // / `cr6.py::_alloc_pd_source`); CR6/CR9 force defaulted legs to the
+    // 100% band; the C 08.02 coarse bands key pd_floored under both.
+    val allocPd = if (isB31) col("internal_pd") else pdFloored
+    val cr6Alloc = when(isDefaulted, 1.0).otherwise(allocPd)
+    val ranges = c0803Ranges(isB31)
+    val leafR = ranges.filterNot(r => c0803ParentRefs(r._3))
+    val parentR = ranges.filter(r => c0803ParentRefs(r._3))
+    val cr6LeafR = cr6Ranges.filterNot(r => cr6ParentRefs(r._3))
+    val cr6ParentR = cr6Ranges.filter(r => cr6ParentRefs(r._3))
+    val banded = weighted.withColumns(Map(
+      "pd_band_leaf" -> when(isIrb, bandLabel(leafR, allocPd, "UNASSIGNED")),
+      "pd_band_parent" ->
+        when(isIrb, bandLabel(parentR, allocPd, null)).cast("string"),
+      "cr6_band_leaf" -> when(isIrb, bandLabel(cr6LeafR, cr6Alloc, "UNASSIGNED")),
+      "cr6_band_parent" ->
+        when(isIrb, bandLabel(cr6ParentR, cr6Alloc, null)).cast("string"),
+      "pd_band_coarse" -> when(isIrb, bandLabel(coarseBands, pdFloored, "Unassigned"))))
 
     // ---- seal: the reporting projection (`aggregator.py:1016-1056`) ---
-    val crr = !cfg.isB31
+    val crr = !isB31
     val rwaPre = col("risk_weight") * col("ead_final")
     val smeApplied = lit(crr) && col("exposure_class") === "corporate_sme" &&
       coalesce(col("is_sme"), lit(false))
     val infraApplied = lit(crr) && coalesce(col("is_infrastructure"), lit(false))
-    weighted.select(
+    banded.select(
       col("exposure_reference"),
       col("counterparty_reference"),
       col("exposure_type"),
@@ -391,7 +622,7 @@ object RefBook {
       infraApplied.as("infrastructure_factor_applied"),
       lit(false).as("currency_mismatch_multiplier_applied"),
       lit(null).cast("string").as("sl_type"),
-      lit(null).cast("string").as("property_type"),
+      col("property_type"),
       lit(null).cast("boolean").as("materially_dependent_on_property"),
       lit(null).cast("boolean").as("is_qualifying_re"),
       lit(false).as("is_adc"),
@@ -420,12 +651,24 @@ object RefBook {
       rwaPre.as("rwa_pre_factor"),
       col("rwa").as("rwa_final"),
       col("rwa").as("rwa_pre_floor"),
-      // S-TREA leg: an SA leg's standardised-equivalent RWA is its own
-      // (pre-floor) RWA; IRB legs substitute the shadow SA run when the
-      // book carries one (the output-floor comparison basis).
-      col("rwa").as("sa_rwa"),
+      // S-TREA leg: the shadow standardised run of every leg (equal to the
+      // leg's own RWA wherever it already routes SA) — the Basel 3.1
+      // output-floor comparison basis.
+      col("sa_rwa_leg").as("sa_rwa"),
       lit(if (cfg.isB31) cfg.outputFloorPct else null)
         .cast("double").as("output_floor_pct"),
+      // IRB parameter seals (null on the standardised book)
+      when(isIrb, col("internal_pd")).as("pd"),
+      col("pd_floored"),
+      col("lgd_floored"),
+      col("lgd_floored").as("lgd_post_crm"),
+      col("irb_maturity_m"),
+      col("expected_loss"),
+      lit(null).cast("string").as("cp_internal_rating_grade"),
+      col("pd_band_leaf"), col("pd_band_parent"),
+      col("cr6_band_leaf"), col("cr6_band_parent"), col("pd_band_coarse"),
+      col("seniority"),
+      lit(0.0).as("provision_allocated"),
       lit(0.0).as("provision_deducted"),
       lit(0.0).as("guaranteed_portion"),
       lit(null).cast("string").as("protection_type"),

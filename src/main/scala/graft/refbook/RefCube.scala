@@ -31,19 +31,35 @@ object RefCube {
     "cp_entity_type", "cp_is_qccp", "cp_country_code",
     "reporting_country_origin", "reporting_country",
     "is_guarantee_beneficial", "post_crm_exposure_class_guaranteed",
-    "protection_type", "external_unrated")
+    "protection_type", "external_unrated",
+    // IRB row axes (bounded: band-label vocabularies, the grade ladder)
+    "pd_band_leaf", "pd_band_parent", "cr6_band_leaf", "cr6_band_parent",
+    "pd_band_coarse", "cp_internal_rating_grade")
 
   /** Summed measures (nulls count 0.0 — the reference `col_sum` rule). */
   val measureCols: Seq[String] = Seq(
     "reporting_gross_on_bs", "reporting_gross_off_bs",
     "reporting_gross_drawn", "reporting_gross_undrawn",
     "ead_final", "rwa_final", "rwa_pre_factor", "rwa_pre_floor", "sa_rwa",
-    "provision_deducted", "collateral_adjusted_value", "vol_mat_adj",
+    "provision_deducted", "provision_allocated",
+    "collateral_adjusted_value", "vol_mat_adj",
     "prot_guarantee", "prot_credit_derivative", "prot_fcsm",
-    "prot_other_funded", "prot_unfunded")
+    "prot_other_funded", "prot_unfunded",
+    // IRB weighted-average carriers (per-row products summed, so a cell's
+    // WeightedAvg is Σ(value·weight)/Σ(weight)), plus unweighted sums for
+    // the arithmetic-mean cells and the EL total
+    "expected_loss", "pd_floored_sum", "pd_w", "lgd_w", "lgd_postcrm_w",
+    "m_w", "ccf_offw")
 
-  /** One collected cube row: typed key accessors + measure sums. */
-  final case class CRow(k: Map[String, Any], m: Map[String, Double], n: Long) {
+  /** One collected cube row: typed key accessors + measure sums + the
+    * row's distinct obligor set (the COREP obligor-count cells —
+    * `Count(counterparty_reference, distinct=True)` — need exact distinct
+    * counts per cell subset, which plain sums cannot give; the set stays
+    * bounded by the obligors behind one discriminator profile. At a
+    * 100 TB book the production answer is a dedicated distributed
+    * countDistinct pass per template population — recorded here). */
+  final case class CRow(k: Map[String, Any], m: Map[String, Double], n: Long,
+      os: Set[String] = Set.empty) {
     def s(name: String): Option[String] = k.get(name).collect { case v: String => v }
     def b(name: String): Option[Boolean] = k.get(name).collect { case v: Boolean => v }
     def d(name: String): Option[Double] = k.get(name).collect {
@@ -86,9 +102,17 @@ object RefCube {
       "prot_credit_derivative" -> creditDeriv * scale,
       "prot_fcsm" -> fcsm * scale,
       "prot_other_funded" -> otherFunded * scale,
-      "prot_unfunded" -> (guarantee + creditDeriv) * scale))
-    val aggs = measureCols.map(c => sum(coalesce(col(c), lit(0.0))).as(c)) :+
-      count(lit(1)).as("__n")
+      "prot_unfunded" -> (guarantee + creditDeriv) * scale,
+      // IRB weighted-average carriers (see measureCols)
+      "pd_floored_sum" -> col("pd_floored"),
+      "pd_w" -> col("pd_floored") * col("ead_final"),
+      "lgd_w" -> col("lgd_floored") * col("ead_final"),
+      "lgd_postcrm_w" -> col("lgd_post_crm") * col("ead_final"),
+      "m_w" -> col("irb_maturity_m") * col("ead_final"),
+      "ccf_offw" -> col("ccf") * col("reporting_gross_off_bs")))
+    val aggs = measureCols.map(c => sum(coalesce(col(c), lit(0.0))).as(c)) ++
+      Seq(count(lit(1)).as("__n"),
+        collect_set(col("counterparty_reference")).as("__obligors"))
     val rows = prepared
       .groupBy(keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -99,7 +123,8 @@ object RefCube {
         val v = r.get(r.fieldIndex(c))
         c -> (if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue())
       }.toMap
-      CRow(k, m, r.getLong(r.fieldIndex("__n")))
+      CRow(k, m, r.getLong(r.fieldIndex("__n")),
+        r.getSeq[String](r.fieldIndex("__obligors")).toSet)
     }.toVector
   }
 
