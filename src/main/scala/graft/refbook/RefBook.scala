@@ -296,6 +296,17 @@ object RefBook {
     }
   }
 
+  /** The obligor country's domestic currency (CRR Art. 114(4)/115(2)
+    * local-currency limbs). Unknown countries resolve null — a currency
+    * we cannot prove domestic never grants the preferential weight. */
+  private def domesticCurrency(country: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Seq("GB" -> "GBP", "US" -> "USD", "CA" -> "CAD", "JP" -> "JPY",
+      "CH" -> "CHF", "AU" -> "AUD", "FR" -> "EUR", "DE" -> "EUR",
+      "IT" -> "EUR", "ES" -> "EUR", "NL" -> "EUR", "IE" -> "EUR")
+      .foldLeft(lit(null).cast("string"): org.apache.spark.sql.Column) {
+        case (acc, (cc, ccy)) => when(country === cc, ccy).otherwise(acc)
+      }
+
   /** CRR Art. 162 exact fractional years from the reporting date to a date
     * column (reference `engine/utils.py::exact_fractional_years_expr`:
     * (end_year − start_year) + (end_ordinal − start_ordinal)/365). */
@@ -339,7 +350,8 @@ object RefBook {
           col("beneficiary_type") === "loan")
         .groupBy(col("beneficiary_reference").as("exposure_reference"))
         .agg(max(optCol(c, "property_ltv", "double")).as("coll_ltv"),
-          max(optCol(c, "property_type", "string")).as("coll_property_type")))
+          max(optCol(c, "property_type", "string")).as("coll_property_type"),
+          sum(optCol(c, "market_value", "double")).as("coll_market_value")))
     val withAttrs = Seq(facAttrs, reColl).flatten
       .foldLeft(unifyExposures(b, s))((df, extra) =>
         df.join(broadcast(extra), Seq("exposure_reference"), "left"))
@@ -350,6 +362,7 @@ object RefBook {
       .withColumn("fac_limit", attr(withAttrs, "fac_limit", "double"))
       .withColumn("coll_ltv", attr(withAttrs, "coll_ltv", "double"))
       .withColumn("coll_property_type", attr(withAttrs, "coll_property_type", "string"))
+      .withColumn("coll_market_value", attr(withAttrs, "coll_market_value", "double"))
       .join(broadcast(cpty), Seq("counterparty_reference"), "left")
       .join(broadcast(bestExternalCqs(b.ratings)), Seq("counterparty_reference"), "left")
       .join(broadcast(internalPd(b.ratings)), Seq("counterparty_reference"), "left")
@@ -472,7 +485,10 @@ object RefBook {
       "ead" -> col("ead_final"),
       "cqs" -> col("external_cqs"),
       "sovereign_cqs" -> lit(null).cast("int"),
-      "local_currency" -> lit(cfg.baseCurrency),
+      // Art. 114(4): "local currency" is the SOVEREIGN's domestic currency
+      // — an exposure is local only when denominated in the obligor
+      // country's own currency, never merely in the book base.
+      "local_currency" -> domesticCurrency(col("cp_country_code")),
       "country_code" -> col("cp_country_code"),
       "original_maturity_years" -> originalMaturityYears,
       "qualifies_as_retail" -> retailEligible,
@@ -665,6 +681,15 @@ object RefBook {
       col("irb_maturity_m"),
       col("expected_loss"),
       lit(null).cast("string").as("cp_internal_rating_grade"),
+      // Art. 199 IRB collateral carriers: the linked RE collateral's market
+      // value rides the real-estate column (C 08.01 col 0190 reads it
+      // UNCAPPED; CR7-A col d caps it per leg); the other CRM-in-LGD
+      // carriers have no source on this book and seal zero.
+      when(isMortgage, coalesce(col("coll_market_value"), lit(0.0)))
+        .otherwise(lit(0.0)).as("collateral_re_value"),
+      lit(0.0).as("collateral_financial_value"),
+      lit(0.0).as("collateral_receivables_value"),
+      lit(0.0).as("collateral_other_physical_value"),
       col("pd_band_leaf"), col("pd_band_parent"),
       col("cr6_band_leaf"), col("cr6_band_parent"), col("pd_band_coarse"),
       col("seniority"),

@@ -844,4 +844,464 @@ object RefCorep {
     }
     frameOf(grid, execute(grid, cube, cells)).nullRows(nullRows)
   }
+
+  // =========================================================================
+  // C 08.01 / C 08.02 — IRB by exposure class (reference `c08.py`)
+  // =========================================================================
+
+  private val irbApproaches = Set("foundation_irb", "advanced_irb", "slotting")
+  private val irbNonSlotting = Set("foundation_irb", "advanced_irb")
+  private def popIrbOrigin(r: CRow): Boolean =
+    r.s("reporting_approach_origin").exists(irbApproaches)
+  private def popIrbPost(r: CRow): Boolean =
+    r.s("reporting_approach").exists(irbApproaches)
+  private def gradesRow(r: CRow): Boolean =
+    r.s("reporting_approach_origin").exists(irbNonSlotting)
+
+  private def distinctObligors(rows: Vector[CRow], pred: CRow => Boolean): Double =
+    rows.iterator.filter(pred).flatMap(_.os).toSet.size.toDouble
+
+  private def wavg(rows: Vector[CRow], pred: CRow => Boolean,
+      num: String, den: String, scale: Double = 1.0,
+      emptyNull: Boolean = true): Option[Double] = {
+    val subset = rows.filter(pred)
+    val w = subset.iterator.map(_.m(den)).sum
+    if (subset.isEmpty || w == 0.0) { if (emptyNull) None else Some(0.0) }
+    else Some(subset.iterator.map(_.m(num)).sum / w * scale)
+  }
+
+  /** The shared C 08.01/02 value surface for one row of one sheet
+    * (reference `c08.py::_value_cells`, specialised to the sealed
+    * vocabulary: the OFCP-LGD / CRM-LGD / post-model-adjustment carriers
+    * are sealed zeros; `double_default_unfunded_protection` and the B31
+    * FCCM block (0101-0103) are never sealed → structural nulls;
+    * `rwa_pre_adjustments` coalesces to the leg's own RWA). Evaluated
+    * directly (not via `Cell`) because half the surface is weighted
+    * averages and distinct counts the `MSum` verb cannot express. */
+  private def c08ValueCells(grid: RefLayouts.Grid, rows: Vector[CRow],
+      o: CRow => Boolean, p: CRow => Boolean): Map[String, Option[Double]] = {
+    def sum(m: String, pred: CRow => Boolean): Double =
+      rows.iterator.filter(pred).map(_.m(m)).sum
+    val grossO = sum("reporting_gross_on_bs", o) + sum("reporting_gross_off_bs", o)
+    val w0090 = grossO - 0.0 - sum("prot_unfunded", o) // 0020 − 0035 − 0070 (+0080)
+    val offSlice = rows.iterator.filter(r => o(r) && bsSide(r).contains("off"))
+      .map(r => r.m("reporting_gross_off_bs")).sum // − block (zero)
+    val all: Map[String, Option[Double]] = Map(
+      "0010" -> wavg(rows, o, "pd_w", "ead_final"),
+      "0020" -> Some(grossO),
+      "0030" -> Some(0.0), // LFSE: cp_apply_fi_scalar sealed false → empty → 0.0
+      "0035" -> Some(0.0), // on_bs_netting_amount sealed zero
+      "0040" -> Some(sum("prot_guarantee", o)),
+      "0050" -> Some(sum("prot_credit_derivative", o)),
+      "0060" -> Some(0.0), // reporting_ofcp_substitution: SafeSum none present
+      "0070" -> Some(sum("prot_unfunded", o)), // the c08_prot_block subtotal
+      "0080" -> Some(0.0), // substitution inflow: none on this book
+      "0090" -> Some(w0090),
+      "0100" -> Some(offSlice), // post-pass: off-BS slice of the 0090 waterfall
+      "0101" -> None, "0102" -> None, "0103" -> None, // slotting FCCM: unsealed
+      "0104" -> Some(w0090), // 0090 + 0101 − 0102 on the sealed zeros
+      "0110" -> Some(sum("ead_final", p)),
+      "0120" -> Some(sum("ead_final", r => p(r) && bsSide(r).contains("off"))),
+      "0125" -> Some(sum("ead_final", r => p(r) && r.is("is_defaulted"))),
+      "0130" -> None,
+      "0140" -> Some(0.0), // LFSE
+      "0150" -> Some(0.0), "0160" -> Some(0.0), // CRM-in-LGD twins
+      "0170" -> Some(0.0), "0171" -> Some(0.0), "0172" -> Some(0.0),
+      "0173" -> Some(0.0), // OFCP-LGD carriers: sealed zeros
+      "0180" -> Some(0.0), // financial CRM-in-LGD: sealed zero
+      "0190" -> Some(sum("crm_lgd_re", o)), // Art. 199 RE carrier, UNCAPPED
+      "0200" -> Some(0.0), "0210" -> Some(0.0), // other carriers: sealed zeros
+      "0220" -> None, // double_default_unfunded_protection: never sealed
+      "0230" -> wavg(rows, o, "lgd_w", "ead_final"),
+      "0240" -> Some(0.0), // LFSE wavg
+      "0250" -> wavg(rows, o, "m_w", "ead_final", scale = 365.0),
+      "0251" -> Some(sum("rwa_final", p)), // rwa_pre_adjustments → own RWA
+      "0252" -> Some(0.0), "0253" -> Some(0.0), "0254" -> Some(0.0),
+      "0255" -> Some(sum("rwa_pre_factor", p)),
+      "0256" -> Some(sum("rwa_pre_factor", r =>
+        p(r) && r.is("sme_supporting_factor_applied")) -
+        sum("rwa_final", r => p(r) && r.is("sme_supporting_factor_applied"))),
+      "0257" -> Some(sum("rwa_pre_factor", r =>
+        p(r) && r.is("infrastructure_factor_applied")) -
+        sum("rwa_final", r => p(r) && r.is("infrastructure_factor_applied"))),
+      "0260" -> Some(sum("rwa_final", p)),
+      "0265" -> Some(sum("rwa_final", r => p(r) && r.is("is_defaulted"))),
+      "0270" -> Some(0.0), // LFSE
+      "0275" -> Some(sum("ead_final", p)),
+      "0276" -> Some(sum("sa_rwa", p)),
+      "0280" -> Some(sum("expected_loss", o)),
+      "0281" -> Some(0.0), // post_model_adjustment_el: sealed zero
+      "0282" -> Some(sum("expected_loss", o)), // el_after_adjustment seal
+      "0290" -> Some(0.0), // scra/gcra 0.0; provisions ladder swaps to
+                           // provision_allocated (sealed zero) — same cell
+      "0300" -> Some(distinctObligors(rows, o)),
+      "0310" -> Some(sum("rwa_final", o)))
+    all.filter { case (ref, _) => grid.cols.contains(ref) }
+  }
+
+  /** C 08.01 row membership (reference `_c08_01_row_terms` +
+    * `_c08_01_grades_pred`): Total (0010), on/off-BS (0020/0030), grades
+    * union (0070), slotting (0080), the B31 unrated-corporate memos
+    * (0190/0200); every other row is inert (all-null). */
+  private def c0801RowPred(ref: String): Option[CRow => Boolean] = ref match {
+    case "0010" => Some(_ => true)
+    case "0020" => Some(r => bsSide(r).contains("on"))
+    case "0030" => Some(r => bsSide(r).contains("off"))
+    case "0070" => Some(gradesRow)
+    case "0080" => Some(r => r.s("reporting_approach_origin").contains("slotting"))
+    // 0190/0200 (the B31 unrated-corporate memos) are bound at the call
+    // site — their predicates need the sheet context.
+    case _ => None
+  }
+
+  /** Generate C 08.01 / OF 08.01: one frame per IRB obligor-class sheet
+    * (the two-basis Art. 147 sheet axis over the IRB book). */
+  def c0801(cfg: RefRunConfig, cube: Vector[CRow]): Map[String, RefFrame] = {
+    val grid = RefLayouts.grid(cfg.framework, "c08_01")
+    val pop = cube.filter(r => popIrbOrigin(r) || popIrbPost(r))
+    if (pop.isEmpty) return Map.empty
+    val axis = pop.flatMap(r =>
+      (if (popIrbOrigin(r)) r.s("reporting_class_origin") else None) ++
+        (if (popIrbPost(r)) r.s("reporting_class") else None)).toSet.toSeq.sorted
+    val negCols = Set("0035", "0040", "0050", "0060", "0070", "0102",
+      "0103", "0256", "0257", "0290") // c08.py::_NEGATIVE_COLS
+    axis.map { ec =>
+      val origin = (r: CRow) => popIrbOrigin(r) &&
+        r.s("reporting_class_origin").contains(ec)
+      val post = (r: CRow) => popIrbPost(r) && r.s("reporting_class").contains(ec)
+      val sheet = pop.filter(r => origin(r) || post(r))
+      // B31 memo rows 0190/0200 (unrated-corporate): sa_cqs is never
+      // sealed, so every corporate is "unrated"; the IG proxy is
+      // pd_floored <= 0.5% (`c08.py::_prepare` fallback) — evaluated per
+      // cube row via the leaf band (pd bands at or below 0.50).
+      def unratedCorp(r: CRow) = r.s("exposure_class").exists(_.startsWith("corporate"))
+      // cp_is_investment_grade is SEALED (null), so the derived flag is
+      // fill_null(False) == True → match-nothing; the pd_floored proxy is
+      // the absent-column fallback only (`c08.py::_prepare`).
+      def unratedIgRow(r: CRow) = false
+      def rowPred(ref: String): Option[CRow => Boolean] = ref match {
+        case "0190" => Some(unratedCorp _)
+        case "0200" => Some(unratedIgRow _)
+        case other => c0801RowPred(other)
+      }
+      val computed = grid.rows.flatMap { case (ref, _) =>
+        rowPred(ref) match {
+          case None => grid.cols.map(c => ((ref, c), Option.empty[Double]))
+          case Some(t) =>
+            val oP = (r: CRow) => origin(r) && t(r)
+            val pP = (r: CRow) => post(r) && t(r)
+            // empty membership (union of both bases) → all-null row,
+            // except the constraint-free Total
+            if (ref != "0010" && !sheet.exists(t))
+              grid.cols.map(c => ((ref, c), Option.empty[Double]))
+            else c08ValueCells(grid, sheet, oP, pP).toSeq
+              .map { case (c, v) => ((ref, c), v) }
+        }
+      }.toMap
+      ec -> frameOf(grid, computed).negate(negCols)
+    }.toMap
+  }
+
+  /** The B31 investment-grade proxy: post-floor PD ≤ 0.5% — decided per
+    * cube row from the coarse/leaf PD bands (every band at or below the
+    * 0.50% boundary qualifies; the 0.25-0.50 leaf is inside it). */
+  private def igByBand(r: CRow): Boolean =
+    r.s("pd_band_leaf").exists(Set("0015", "0020", "0025", "0030", "0040", "0050"))
+
+  /** Generate C 08.02 / OF 08.02: data-driven PD-band rows per class sheet
+    * (the firm-grade ladder is never sealed, so the fixed coarse bands
+    * key the rows; `row_name` doubles as the String col 0005). */
+  def c0802(cfg: RefRunConfig, cube: Vector[CRow]): Map[String, RefFrame] = {
+    val grid = RefLayouts.grid(cfg.framework, "c08_02")
+    val coarseOrder = Seq("0.00% - 0.15%", "0.15% - 0.25%", "0.25% - 0.50%",
+      "0.50% - 0.75%", "0.75% - 2.50%", "2.50% - 10.00%", "10.00% - 99.99%",
+      "Default (100%)")
+    val pop = cube.filter(r => r.s("reporting_approach_origin").exists(irbNonSlotting) ||
+      (popIrbPost(r) && !r.s("reporting_approach_origin").contains("slotting")))
+    if (pop.isEmpty) return Map.empty
+    val negCols = Set("0035", "0040", "0050", "0060", "0070", "0102",
+      "0103", "0256", "0257", "0290") // c08.py::_NEGATIVE_COLS
+    val axis = pop.flatMap(_.s("reporting_class_origin")).toSet.toSeq.sorted
+    axis.map { ec =>
+      val sheet = pop.filter(r => r.s("reporting_class_origin").contains(ec))
+      val present = sheet.filter(r => r.s("reporting_approach_origin")
+        .exists(irbNonSlotting)).flatMap(_.s("pd_band_coarse")).toSet
+      val labels = coarseOrder.filter(present) ++
+        (if (present("Unassigned")) Seq("Unassigned") else Nil)
+      val rows = labels.toVector.map(l => (l, l))
+      val sheetGrid = RefLayouts.Grid(rows, grid.cols)
+      val computed = rows.flatMap { case (label, _) =>
+        val t = (r: CRow) => r.s("pd_band_coarse").contains(label)
+        c08ValueCells(sheetGrid, sheet,
+          r => t(r) && r.s("reporting_approach_origin").exists(irbNonSlotting),
+          r => t(r) && popIrbPost(r)).toSeq
+          .map { case (c, v) => ((label, c), v) }
+      }.toMap
+      val strCells: Map[(String, String), Option[String]] =
+        rows.flatMap { case (label, _) =>
+          if (grid.cols.contains("0005")) Seq(((label, "0005"), Option(label)))
+          else Nil
+        }.toMap
+      ec -> frameOf(sheetGrid, computed).negate(negCols).copy(strCells = strCells)
+    }.toMap
+  }
+
+  // =========================================================================
+  // C 08.03 / C 08.05 — the sparse PD-range pair (reference `c08.py`)
+  // =========================================================================
+
+  /** The hierarchical PD scale row axis of one class sheet: the populated
+    * leaves in published order, their parents, and a trailing 9999
+    * Unassigned row (`pd_scale.banded_rows`). Returns (ref, label,
+    * leaf?) rows. */
+  private def bandedRows(cfg: RefRunConfig,
+      sheet: Vector[CRow]): Vector[(String, String, Boolean)] = {
+    val order: Seq[(String, String)] =
+      (if (cfg.isB31) Seq("0010" -> "0.00 to <0.15", "0015" -> "0.00 to <0.05",
+        "0025" -> "0.05 to <0.10", "0030" -> "0.10 to <0.15")
+      else Seq("0010" -> "0.00 to <0.15", "0020" -> "0.00 to <0.10",
+        "0030" -> "0.10 to <0.15")) ++ Seq(
+        "0040" -> "0.15 to <0.25", "0050" -> "0.25 to <0.50",
+        "0060" -> "0.50 to <0.75", "0070" -> "0.75 to <2.5",
+        "0080" -> "0.75 to <1.75", "0090" -> "1.75 to <2.5",
+        "0100" -> "2.5 to <10", "0110" -> "2.5 to <5", "0120" -> "5 to <10",
+        "0130" -> "10 to <100", "0140" -> "10 to <20", "0150" -> "20 to <30",
+        "0160" -> "30 to <100", "0170" -> "100 (Default)")
+    val parents = Set("0010", "0070", "0100", "0130")
+    val leaves = sheet.flatMap(_.s("pd_band_leaf")).toSet
+    val parentsPresent = sheet.flatMap(_.s("pd_band_parent")).toSet
+    val rows = order.collect {
+      case (ref, label) if parents(ref) && parentsPresent(ref) => (ref, label, false)
+      case (ref, label) if !parents(ref) && leaves(ref) => (ref, label, true)
+    }.toVector
+    if (leaves("UNASSIGNED")) rows :+ (("9999", "Unassigned", true)) else rows
+  }
+
+  private def bandPred(ref: String, leaf: Boolean)(r: CRow): Boolean =
+    if (leaf) r.s("pd_band_leaf").contains(if (ref == "9999") "UNASSIGNED" else ref)
+    else r.s("pd_band_parent").contains(ref)
+
+  /** Generate C 08.03 / OF 08.03 per class sheet over the sparse rows. */
+  def c0803(cfg: RefRunConfig, cube: Vector[CRow]): Map[String, RefFrame] = {
+    val grid = RefLayouts.grid(cfg.framework, "c08_03")
+    val pop = cube.filter(r => r.s("reporting_approach_origin").exists(irbNonSlotting))
+    if (pop.isEmpty) return Map.empty
+    val axis = pop.flatMap(_.s("reporting_class_origin")).toSet.toSeq.sorted
+    axis.map { ec =>
+      val sheet = pop.filter(r => r.s("reporting_class_origin").contains(ec))
+      val rows = bandedRows(cfg, sheet)
+      val sheetGrid = RefLayouts.Grid(rows.map(r => (r._1, r._2)), grid.cols)
+      def sum(m: String, pred: CRow => Boolean): Double =
+        sheet.iterator.filter(pred).map(_.m(m)).sum
+      val computed = rows.flatMap { case (ref, _, leaf) =>
+        val t = bandPred(ref, leaf) _
+        Seq(
+          ((ref, "0010"), Some(sum("reporting_gross_on_bs", t))),
+          ((ref, "0020"), Some(sum("reporting_gross_off_bs", t))),
+          ((ref, "0030"), wavg(sheet, t, "ccf_offw", "reporting_gross_off_bs")),
+          ((ref, "0040"), Some(sum("ead_final", t))),
+          ((ref, "0050"), wavg(sheet, t, "pd_w", "ead_final")),
+          ((ref, "0060"), Some(distinctObligors(sheet, t))),
+          ((ref, "0070"), wavg(sheet, t, "lgd_w", "ead_final")),
+          ((ref, "0080"), wavg(sheet, t, "m_w", "ead_final")),
+          ((ref, "0090"), Some(sum("rwa_final", t))),
+          ((ref, "0100"), Some(sum("expected_loss", t))),
+          // scra/gcra SafeSum 0.0; the provisions ladder swaps the ~0 cell
+          // to Σ provision_allocated (sealed zero) — same value
+          ((ref, "0110"), Some(sum("provision_allocated", t))))
+      }.toMap
+      ec -> frameOf(sheetGrid, computed)
+    }.toMap
+  }
+
+  /** Generate C 08.05 / OF 08.05 per class sheet (PD back-testing). */
+  def c0805(cfg: RefRunConfig, cube: Vector[CRow]): Map[String, RefFrame] = {
+    val grid = RefLayouts.grid(cfg.framework, "c08_05")
+    val pop = cube.filter(r => r.s("reporting_approach_origin").exists(irbNonSlotting))
+    if (pop.isEmpty) return Map.empty
+    val axis = pop.flatMap(_.s("reporting_class_origin")).toSet.toSeq.sorted
+    axis.map { ec =>
+      val sheet = pop.filter(r => r.s("reporting_class_origin").contains(ec))
+      val rows = bandedRows(cfg, sheet)
+      val sheetGrid = RefLayouts.Grid(rows.map(r => (r._1, r._2)), grid.cols)
+      val computed = rows.flatMap { case (ref, _, leaf) =>
+        val t = bandPred(ref, leaf) _
+        val subset = sheet.filter(t)
+        // 0010: the UNWEIGHTED mean of post-floor PD (Mean verb; every IRB
+        // row carries a non-null pd_floored, so n is the non-null count)
+        val n = subset.map(_.n).sum
+        val meanPd = if (n == 0) None
+          else Some(subset.iterator.map(_.m("pd_floored_sum")).sum / n)
+        val obligors = distinctObligors(sheet, t)
+        val defaulted = distinctObligors(sheet, r => t(r) && r.is("is_defaulted"))
+        val rate = if (obligors <= 0) 0.0 else defaulted / obligors
+        Seq(
+          ((ref, "0010"), meanPd),
+          ((ref, "0020"), Some(obligors)),
+          ((ref, "0030"), Some(defaulted)),
+          ((ref, "0040"), Some(rate)),
+          ((ref, "0050"), Some(rate))) // no historical series → copy of 0040
+      }.toMap
+      ec -> frameOf(sheetGrid, computed)
+    }.toMap
+  }
+
+  /** Generate C 08.04 / OF 08.04 per class sheet (the flow clone): no
+    * prior-period frame on this path, so opening/residual stay null and
+    * only the closing RWEA row reports. */
+  def c0804(cfg: RefRunConfig, cube: Vector[CRow]): Map[String, RefFrame] = {
+    val grid = RefLayouts.grid(cfg.framework, "c08_04")
+    val pop = cube.filter(r => r.s("reporting_approach_origin").exists(irbNonSlotting))
+    if (pop.isEmpty) return Map.empty
+    val axis = pop.flatMap(_.s("reporting_class_origin")).toSet.toSeq.sorted
+    axis.map { ec =>
+      val closing = pop.filter(r => r.s("reporting_class_origin").contains(ec))
+        .map(_.m("rwa_final")).sum
+      val computed = grid.rows.flatMap { case (ref, _) =>
+        grid.cols.map(c => ((ref, c),
+          if (ref == "0090" && c == "0010") Some(closing) else Option.empty[Double]))
+      }.toMap
+      ec -> frameOf(grid, computed)
+    }.toMap
+  }
+
+  // =========================================================================
+  // C 09.02 / OF 09.02 — geographical breakdown, IRB (reference `c09.py`)
+  // =========================================================================
+
+  /** Row ref → row key per framework (`CRR_C09_02_ROWS` / `B31_C09_02_ROWS`). */
+  private def c0902RowKeys(isB31: Boolean): Map[String, String] = {
+    val shared = Map("0010" -> "central_govt_central_bank", "0020" -> "institution",
+      "0030" -> "corporate", "0042" -> "sl_excl_slotting", "0045" -> "sl_slotting",
+      "0050" -> "corporate_sme", "0060" -> "retail",
+      "0070" -> "retail_mortgage", "0100" -> "retail_qrre", "0110" -> "retail_other",
+      "0120" -> "retail_other_sme", "0130" -> "retail_other_non_sme")
+    if (isB31) (shared -- Set("0070", "0110")) ++ Map(
+      "0048" -> "corporate_fse_large",
+      "0049" -> "corporate_purchased_receivables", "0055" -> "corporate_non_sme",
+      "0071" -> "retail_resi_re_sme", "0072" -> "retail_resi_re_non_sme",
+      "0073" -> "retail_comm_re_sme", "0074" -> "retail_comm_re_non_sme",
+      "0105" -> "retail_purchased_receivables")
+    else shared ++ Map("0080" -> "retail_mortgage_sme",
+      "0090" -> "retail_mortgage_non_sme", "0140" -> "equity")
+  }
+
+  /** `_c09_02_row_pred` over one class basis column. */
+  private def c0902RowPred(key: String,
+      classOf: CRow => Option[String]): Option[CRow => Boolean] = {
+    val corpFamily = Set("corporate", "corporate_sme")
+    key match {
+      case "corporate" =>
+        Some(r => classOf(r).exists(corpFamily + "specialised_lending"))
+      case "sl_excl_slotting" => Some(r =>
+        classOf(r).contains("specialised_lending") &&
+          !r.s("reporting_approach_origin").contains("slotting"))
+      case "sl_slotting" => Some(r =>
+        classOf(r).contains("specialised_lending") &&
+          r.s("reporting_approach_origin").contains("slotting"))
+      case "corporate_sme" =>
+        Some(r => classOf(r).exists(corpFamily) && smeClass(r))
+      case "corporate_fse_large" => None // cp_apply_fi_scalar: never sealed
+      case "corporate_purchased_receivables" => None // recorded empty key
+      case "corporate_non_sme" =>
+        Some(r => classOf(r).exists(corpFamily) && !smeClass(r))
+      case "retail" => Some(r =>
+        classOf(r).exists(Set("retail_mortgage", "retail_qrre", "retail_other")))
+      case "retail_mortgage_sme" =>
+        Some(r => classOf(r).contains("retail_mortgage") && smeClass(r))
+      case "retail_mortgage_non_sme" =>
+        Some(r => classOf(r).contains("retail_mortgage") && !smeClass(r))
+      case "retail_other_sme" =>
+        Some(r => classOf(r).contains("retail_other") && smeClass(r))
+      case "retail_other_non_sme" =>
+        Some(r => classOf(r).contains("retail_other") && !smeClass(r))
+      case "retail_purchased_receivables" => None // recorded empty key
+      case re if re.startsWith("retail_resi_re") || re.startsWith("retail_comm_re") =>
+        val ptypes: Set[String] =
+          if (re.contains("resi")) Set("residential", "rre") else Set("commercial", "cre")
+        val wantSme = re.endsWith("_sme") && !re.endsWith("non_sme")
+        Some(r => classOf(r).contains("retail_mortgage") &&
+          (smeClass(r) == wantSme) &&
+          r.s("property_type").exists(ptypes))
+      case direct if Set("central_govt_central_bank", "institution",
+        "retail_mortgage", "retail_qrre", "retail_other", "equity")(direct) =>
+        Some(r => classOf(r).contains(direct))
+      case _ => None
+    }
+  }
+
+  /** Generate C 09.02 / OF 09.02: TOTAL first, then one frame per country
+    * contributed by either basis of the IRB book (slotting included). */
+  def c0902(cfg: RefRunConfig, cube: Vector[CRow]): Map[String, RefFrame] = {
+    val grid = RefLayouts.grid(cfg.framework, "c09_02")
+    val keys = c0902RowKeys(cfg.isB31)
+    val pop = cube.filter(r => popIrbOrigin(r) || popIrbPost(r))
+    if (pop.isEmpty) return Map.empty
+    def geoO(r: CRow) = r.s("reporting_country_origin").orElse(r.s("cp_country_code"))
+    def geoP(r: CRow) = r.s("reporting_country").orElse(geoO(r))
+    val axis = pop.flatMap(r =>
+      (if (popIrbOrigin(r)) geoO(r) else None) ++
+        (if (popIrbPost(r)) geoP(r) else None)).toSet.toSeq.sorted
+    val negCols = Set("0121", "0122")
+    val sheets = Seq(("TOTAL", (_: CRow) => true, (_: CRow) => true)) ++
+      axis.map(c => (c, (r: CRow) => geoO(r).contains(c),
+        (r: CRow) => geoP(r).contains(c)))
+    sheets.map { case (name, gO, gP) =>
+      val frameRows = pop.filter(r =>
+        (popIrbOrigin(r) && gO(r)) || (popIrbPost(r) && gP(r)))
+      def sum(m: String, pred: CRow => Boolean): Double =
+        frameRows.iterator.filter(pred).map(_.m(m)).sum
+      val computed = scala.collection.mutable.Map[(String, String), Option[Double]]()
+      val rowPreds = scala.collection.mutable.Map[String, Option[CRow => Boolean]]()
+      for ((ref, _) <- grid.rows) {
+        val isTotal = ref == "0150"
+        val predO0 = if (isTotal) Some((_: CRow) => true)
+          else keys.get(ref).flatMap(k =>
+            c0902RowPred(k, r => r.s("reporting_class_origin")))
+        val predP0 = if (isTotal) Some((_: CRow) => true)
+          else keys.get(ref).flatMap(k =>
+            c0902RowPred(k, r => r.s("reporting_class")))
+        val o = predO0.map(t => (r: CRow) => popIrbOrigin(r) && gO(r) && t(r))
+        val p = predP0.map(t => (r: CRow) => popIrbPost(r) && gP(r) && t(r))
+        rowPreds(ref) = (o, p) match {
+          case (None, None) => None
+          case _ => Some((r: CRow) => o.exists(_(r)) || p.exists(_(r)))
+        }
+        (o, p) match {
+          case (Some(oP), Some(pP)) =>
+            def put(c: String, v: Option[Double]): Unit =
+              if (grid.cols.contains(c)) computed((ref, c)) = v
+            val grossO = sum("reporting_gross_on_bs", oP) +
+              sum("reporting_gross_off_bs", oP) // no CCR term (with_ccr=False)
+            val defO = (r: CRow) => oP(r) && r.is("is_defaulted")
+            val defP = (r: CRow) => pP(r) && r.is("is_defaulted")
+            put("0010", Some(grossO))
+            put("0030", Some(sum("reporting_gross_on_bs", defO) +
+              sum("reporting_gross_off_bs", defO)))
+            put("0040", None); put("0060", None); put("0070", None)
+            put("0050", None); put("0055", None) // gcra/scra: never sealed
+            put("0080", wavg(frameRows, oP, "pd_w", "ead_final"))
+            put("0090", wavg(frameRows, oP, "lgd_postcrm_w", "ead_final"))
+            put("0100", wavg(frameRows, defO, "lgd_postcrm_w", "ead_final"))
+            put("0105", Some(sum("ead_final", pP)))
+            put("0107", Some(sum("ead_final", defP)))
+            put("0110", Some(sum("rwa_pre_factor", pP)))
+            put("0120", Some(sum("rwa_final", defP)))
+            put("0121", Some(sum("rwa_pre_factor", r =>
+              pP(r) && r.is("sme_supporting_factor_applied")) -
+              sum("rwa_final", r => pP(r) && r.is("sme_supporting_factor_applied"))))
+            put("0122", Some(sum("rwa_pre_factor", r =>
+              pP(r) && r.is("infrastructure_factor_applied")) -
+              sum("rwa_final", r => pP(r) && r.is("infrastructure_factor_applied"))))
+            put("0125", Some(sum("rwa_final", pP)))
+            put("0130", Some(sum("expected_loss", oP)))
+          case _ => ()
+        }
+      }
+      val constrained = grid.rows.map(_._1).filterNot(_ == "0150").toSet
+      val frame = nullEmptyRows(frameOf(grid, computed.toMap), frameRows,
+        rowPreds.toMap, constrained, Set.empty)
+      name -> frame.negate(negCols)
+    }.toMap
+  }
 }

@@ -49,7 +49,10 @@ object RefCube {
     // WeightedAvg is Σ(value·weight)/Σ(weight)), plus unweighted sums for
     // the arithmetic-mean cells and the EL total
     "expected_loss", "pd_floored_sum", "pd_w", "lgd_w", "lgd_postcrm_w",
-    "m_w", "ccf_offw")
+    "m_w", "ccf_offw", "ccf_eadw",
+    // IRB collateral-in-LGD carriers (C 08.01 cols 0180-0210 read them
+    // uncapped; CR7-A caps each at the leg's own exposure value)
+    "crm_lgd_re", "coll_re_capped")
 
   /** One collected cube row: typed key accessors + measure sums + the
     * row's distinct obligor set (the COREP obligor-count cells —
@@ -109,7 +112,10 @@ object RefCube {
       "lgd_w" -> col("lgd_floored") * col("ead_final"),
       "lgd_postcrm_w" -> col("lgd_post_crm") * col("ead_final"),
       "m_w" -> col("irb_maturity_m") * col("ead_final"),
-      "ccf_offw" -> col("ccf") * col("reporting_gross_off_bs")))
+      "ccf_offw" -> col("ccf") * col("reporting_gross_off_bs"),
+      "ccf_eadw" -> col("ccf") * col("ead_final"),
+      "crm_lgd_re" -> col("collateral_re_value"),
+      "coll_re_capped" -> least(col("collateral_re_value"), col("ead_final"))))
     val aggs = measureCols.map(c => sum(coalesce(col(c), lit(0.0))).as(c)) ++
       Seq(count(lit(1)).as("__n"),
         collect_set(col("counterparty_reference")).as("__obligors"))
@@ -146,11 +152,18 @@ object RefCube {
     else Some(total(cube, pred, measure))
 }
 
-/** One rendered template frame in the published grid. */
+/** One rendered template frame in the published grid. `strCells` carries
+  * the String label columns (C 08.02 col 0005, CR6 col a, CR9 cols a/b) —
+  * injected post-execute in the reference, so they survive the all-null
+  * row passes, which touch the Float64 cells only. */
 final case class RefFrame(
     rows: Vector[(String, String)],
     cols: Vector[String],
-    cells: Map[(String, String), Option[Double]]) {
+    cells: Map[(String, String), Option[Double]],
+    strCells: Map[(String, String), Option[String]] = Map.empty) {
+
+  def strValue(rowRef: String, colRef: String): Option[String] =
+    strCells.getOrElse((rowRef, colRef), None)
 
   def value(rowRef: String, colRef: String): Option[Double] =
     cells.getOrElse((rowRef, colRef), None)

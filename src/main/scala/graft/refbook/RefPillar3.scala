@@ -370,4 +370,246 @@ object RefPillar3 {
       }
     }
   }
+
+  // ---- CR6 — IRB by class and PD range (reference `pillar3/cr6.py`) -----
+
+  private val irbNonSlotting = Set("foundation_irb", "advanced_irb")
+  private val irbExposureClasses = Set("central_govt_central_bank",
+    "institution", "corporate", "corporate_sme", "specialised_lending",
+    "retail_mortgage", "retail_qrre", "retail_other", "equity")
+
+  private def wavgOf(rows: Vector[CRow], pred: CRow => Boolean,
+      num: String, den: String, scale: Double = 1.0): Option[Double] = {
+    val subset = rows.filter(pred)
+    val w = subset.iterator.map(_.m(den)).sum
+    if (subset.isEmpty || w == 0.0) None
+    else Some(subset.iterator.map(_.m(num)).sum / w * scale)
+  }
+
+  /** Generate CR6: one frame per obligor exposure class over the origin
+    * F-IRB/A-IRB book. Rows 1-17 are the fixed hierarchical PD scale (the
+    * sealed `cr6_band_leaf`/`cr6_band_parent` labels, defaulted legs
+    * forced to the 100% band); empty bands render all-null; row 18 pools
+    * the class. Col `a` is the String PD-range label (= the row name),
+    * injected after the nulling pass. */
+  def cr6(cfg: RefRunConfig, cube: Vector[CRow]): Map[String, RefFrame] = {
+    val grid = RefLayouts.grid(cfg.framework, "cr6")
+    val pop = cube.filter(r => !isCcr(r) &&
+      r.s("reporting_approach_origin").exists(irbNonSlotting))
+    if (pop.isEmpty) return Map.empty
+    val parents = Set("1", "7", "10", "13")
+    val axis = pop.flatMap(_.s("reporting_class_origin"))
+      .filter(irbExposureClasses).toSet.toSeq.sorted
+    axis.map { ec =>
+      val sheet = pop.filter(r => r.s("reporting_class_origin").contains(ec))
+      def band(ref: String)(r: CRow): Boolean =
+        if (parents(ref)) r.s("cr6_band_parent").contains(ref)
+        else r.s("cr6_band_leaf").contains(ref)
+      def sum(m: String, pred: CRow => Boolean): Option[Double] = {
+        val subset = sheet.filter(pred)
+        if (subset.isEmpty) None else Some(subset.iterator.map(_.m(m)).sum)
+      }
+      val computed = grid.rows.flatMap { case (ref, _) =>
+        val t: CRow => Boolean = if (ref == "18") _ => true else band(ref) _
+        val off = (r: CRow) => t(r) &&
+          r.b("reporting_on_balance_sheet").contains(false)
+        val obligors = sheet.iterator.filter(t).flatMap(_.os).toSet.size
+        val ead = sheet.iterator.filter(t).map(_.m("ead_final")).sum
+        val rwa = sheet.iterator.filter(t).map(_.m("rwa_final")).sum
+        val cells: Seq[(String, Option[Double])] = Seq(
+          "b" -> sum("reporting_gross_on_bs", t),
+          "c" -> sum("reporting_gross_off_bs", t),
+          "d" -> wavgOf(sheet, off, "ccf_eadw", "ead_final"),
+          "e" -> (if (sheet.exists(t)) Some(ead) else Some(0.0)), // empty_cell zero
+          "f" -> wavgOf(sheet, t, "pd_w", "ead_final", 100.0),
+          "g" -> (if (sheet.exists(t)) Some(obligors.toDouble) else None),
+          "h" -> wavgOf(sheet, t, "lgd_w", "ead_final", 100.0),
+          "i" -> wavgOf(sheet, t, "m_w", "ead_final"),
+          "j" -> (if (sheet.exists(t)) Some(rwa) else Some(0.0)),
+          "k" -> (if (sheet.exists(t) && ead != 0.0) Some(rwa / ead) else None),
+          "l" -> sum("expected_loss", t),
+          "m" -> None) // scra_provision_amount: never sealed
+        cells.filter { case (c, _) => grid.cols.contains(c) }
+          .map { case (c, v) => ((ref, c), v) }
+      }.toMap
+      // empty PD bands render all-null (`_null_empty_bands`); the Total
+      // row and the String label survive
+      val emptyRefs = grid.rows.map(_._1)
+        .filter(ref => ref != "18" && !sheet.exists(band(ref))).toSet
+      val strCells: Map[(String, String), Option[String]] =
+        grid.rows.map { case (ref, name) => ((ref, "a"), Option(name)) }.toMap
+      ec -> frameOf(grid, computed).nullRows(emptyRefs).copy(strCells = strCells)
+    }.toMap
+  }
+
+  // ---- CR7-A — extent of CRM use, IRB (reference `pillar3/cr7a.py`) -----
+
+  private val cr7aFirbRows: Vector[(String, String, Option[Set[String]])] = Vector(
+    ("1", "Central governments or central banks", Some(Set("central_govt_central_bank"))),
+    ("2", "Institutions", Some(Set("institution"))),
+    ("3", "Corporates — Specialised lending", Some(Set("specialised_lending"))),
+    ("4", "Corporates — Other", Some(Set("corporate", "corporate_sme"))),
+    ("5", "Total", None))
+  private val cr7aAirbRows: Vector[(String, String, Option[Set[String]])] = Vector(
+    ("1", "Corporates — Specialised lending", Some(Set("specialised_lending"))),
+    ("2", "Corporates — Other", Some(Set("corporate", "corporate_sme"))),
+    ("3", "Retail — Secured by immovable property", Some(Set("retail_mortgage"))),
+    ("4", "Retail — Qualifying revolving", Some(Set("retail_qrre"))),
+    ("5", "Retail — Other", Some(Set("retail_other"))),
+    ("6", "Total", None))
+
+  /** Generate CR7-A: one frame per ORIGIN approach. Col a = total EAD
+    * (zero on an empty class row); the funded/unfunded percentage columns
+    * divide the (sealed-zero) collateral carriers by the row EAD; c is
+    * the d+e+f formula (null when all zero); m and n both sum rwa_final
+    * (the recorded m == n approximation); g-j, l and the B31 slotting
+    * pair stay permanently null. Template empty policy: null. */
+  def cr7a(cfg: RefRunConfig, cube: Vector[CRow]): Map[String, RefFrame] = {
+    val grid = RefLayouts.grid(cfg.framework, "cr7a")
+    val results = for ((approach, rows) <- Seq(
+      ("foundation_irb", cr7aFirbRows), ("advanced_irb", cr7aAirbRows))) yield {
+      val sheet = cube.filter(r =>
+        r.s("reporting_approach_origin").contains(approach))
+      if (sheet.isEmpty) None
+      else {
+        val sheetGrid = RefLayouts.Grid(rows.map(r => (r._1, r._2)), grid.cols)
+        val computed = rows.flatMap { case (ref, _, classes) =>
+          val t = (r: CRow) =>
+            classes.forall(cs => r.s("reporting_class_origin").exists(cs))
+          val subset = sheet.filter(t)
+          val ead = subset.iterator.map(_.m("ead_final")).sum
+          val rwa = subset.iterator.map(_.m("rwa_final")).sum
+          val pct: Option[Double] = // Ratio over the sealed-zero carriers
+            if (subset.isEmpty || ead == 0.0) None else Some(0.0)
+          // col d: the per-leg-capped RE collateral share (the one carrier
+          // this book seals); c = d + e + f, null when every component is 0
+          val dVal: Option[Double] =
+            if (subset.isEmpty || ead == 0.0) None
+            else Some(subset.iterator.map(_.m("coll_re_capped")).sum / ead * 100.0)
+          val cVal: Option[Double] = dVal.filter(_ != 0.0)
+          val cells: Seq[(String, Option[Double])] = Seq(
+            "a" -> Some(ead), // explicit empty_cell="zero"
+            "b" -> pct, "d" -> dVal, "e" -> pct, "f" -> pct, "k" -> pct,
+            "c" -> cVal,
+            "m" -> (if (subset.isEmpty) None else Some(rwa)),
+            "n" -> (if (subset.isEmpty) None else Some(rwa)))
+          cells.filter { case (c, _) => grid.cols.contains(c) }
+            .map { case (c, v) => ((ref, c), v) }
+        }.toMap
+        Some(approach -> frameOf(sheetGrid, computed))
+      }
+    }
+    results.flatten.toMap
+  }
+
+  // ---- CR9 — IRB PD back-testing (Basel 3.1 only; `pillar3/cr9.py`) -----
+
+  /** The Annex XXII leaf-class taxonomy per origin approach: (sheet key,
+    * display label, membership). `corporate_financial_large` needs the
+    * never-sealed `cp_is_financial_sector_entity` flag, so it matches
+    * nothing and residual corporates collapse onto the non-SME leaf
+    * (the recorded absent-column degradation). */
+  private def cr9Classes(approach: String): Vector[(String, String, CRow => Boolean)] = {
+    def cls(ec: String)(r: CRow) = r.s("reporting_class_origin").contains(ec)
+    val corpOther = (r: CRow) => cls("corporate")(r) // financial_large clause dropped
+    val shared = Vector(
+      ("specialised_lending", "Corporates — Specialised lending",
+        cls("specialised_lending") _),
+      ("corporate_sme", "Corporates — Other general corporates (SME)",
+        cls("corporate_sme") _),
+      ("corporate_other_non_sme", "Corporates — Other general corporates (non-SME)",
+        corpOther))
+    if (approach == "foundation_irb")
+      Vector(("institution", "Institutions", cls("institution") _),
+        shared(0),
+        ("corporate_financial_large", "Corporates — Financial and large corporates",
+          (_: CRow) => false),
+        shared(1), shared(2))
+    else shared ++ Vector(
+      ("retail_rre_sme", "Retail — Secured by residential immovable property (SME)",
+        (r: CRow) => cls("retail_mortgage")(r) && r.is("is_sme") &&
+          r.s("property_type").contains("residential")),
+      ("retail_rre_non_sme", "Retail — Secured by residential immovable property (non-SME)",
+        (r: CRow) => cls("retail_mortgage")(r) && !r.is("is_sme") &&
+          r.s("property_type").contains("residential")),
+      ("retail_cre_sme", "Retail — Secured by commercial immovable property (SME)",
+        (r: CRow) => cls("retail_mortgage")(r) && r.is("is_sme") &&
+          r.s("property_type").contains("commercial")),
+      ("retail_cre_non_sme", "Retail — Secured by commercial immovable property (non-SME)",
+        (r: CRow) => cls("retail_mortgage")(r) && !r.is("is_sme") &&
+          r.s("property_type").contains("commercial")),
+      ("retail_qrre", "Retail — Qualifying revolving", cls("retail_qrre") _),
+      ("retail_other_sme", "Retail — Other (SME)",
+        (r: CRow) => cls("retail_other")(r) && r.is("is_sme")),
+      ("retail_other_non_sme", "Retail — Other (non-SME)",
+        (r: CRow) => cls("retail_other")(r) && !r.is("is_sme")))
+  }
+
+  private val cr9BandOrder: Vector[(String, String)] = Vector(
+    "1" -> "0.00 to <0.15", "2" -> "0.00 to <0.10", "3" -> "0.10 to <0.15",
+    "4" -> "0.15 to <0.25", "5" -> "0.25 to <0.50", "6" -> "0.50 to <0.75",
+    "7" -> "0.75 to <2.50", "8" -> "0.75 to <1.75", "9" -> "1.75 to <2.5",
+    "10" -> "2.50 to <10.00", "11" -> "2.5 to <5", "12" -> "5 to <10",
+    "13" -> "10.00 to <100.00", "14" -> "10 to <20", "15" -> "20 to <30",
+    "16" -> "30.00 to <100.00", "17" -> "100.00 (Default)")
+
+  /** Generate CR9 (Basel 3.1 only): one frame per (origin approach ×
+    * Annex XXII leaf class), compound-keyed `"approach - class"`, with
+    * ONLY the populated PD bands (plus the Total, ref 18) emitted. Cols
+    * a/b are the String class / PD-range labels. */
+  def cr9(cfg: RefRunConfig, cube: Vector[CRow]): Map[String, RefFrame] = {
+    if (!cfg.isB31) return Map.empty
+    val grid = RefLayouts.grid(cfg.framework, "cr9")
+    val parents = Set("1", "7", "10", "13")
+    val pop = cube.filter(r =>
+      r.s("reporting_approach_origin").exists(irbNonSlotting))
+    if (pop.isEmpty) return Map.empty
+    val out = for {
+      approach <- Seq("foundation_irb", "advanced_irb")
+      approachRows = pop.filter(r =>
+        r.s("reporting_approach_origin").contains(approach))
+      if approachRows.nonEmpty
+      (classKey, display, leaf) <- cr9Classes(approach)
+      sheet = approachRows.filter(leaf)
+      if sheet.nonEmpty
+    } yield {
+      def band(ref: String)(r: CRow): Boolean =
+        if (parents(ref)) r.s("cr6_band_parent").contains(ref)
+        else r.s("cr6_band_leaf").contains(ref)
+      val rows = cr9BandOrder.filter { case (ref, _) => sheet.exists(band(ref)) } :+
+        ("18" -> "Total")
+      val sheetGrid = RefLayouts.Grid(rows.map(r => (r._1, r._2)), grid.cols)
+      val computed = rows.flatMap { case (ref, _) =>
+        val t: CRow => Boolean = if (ref == "18") _ => true else band(ref) _
+        val subset = sheet.filter(t)
+        val obligors = subset.iterator.flatMap(_.os).toSet.size.toDouble
+        val defaulted = sheet.iterator
+          .filter(r => t(r) && r.is("is_defaulted")).flatMap(_.os).toSet.size.toDouble
+        val rate = if (obligors <= 0) 0.0 else defaulted / obligors * 100.0
+        val n = subset.map(_.n).sum
+        val meanPd = if (n == 0) None
+          else Some(subset.iterator.map(_.m("pd_floored_sum")).sum / n * 100.0)
+        Seq(
+          ((ref, "c"), Some(obligors)),
+          ((ref, "d"), Some(defaulted)),
+          ((ref, "e"), Some(rate)),
+          ((ref, "f"), wavgOf(sheet, t, "pd_w", "ead_final", 100.0)),
+          ((ref, "g"), meanPd),
+          ((ref, "h"), Some(rate))) // no historical series → copy of e
+      }.toMap
+      val strCells: Map[(String, String), Option[String]] =
+        rows.flatMap { case (ref, name) =>
+          Seq(((ref, "a"), Option(display)), ((ref, "b"), Option(name)))
+        }.toMap
+      s"$approach - $classKey" ->
+        frameOf(sheetGrid, computed).copy(strCells = strCells)
+    }
+    out.toMap
+  }
+
+  private def frameOf(grid: RefLayouts.Grid,
+      computed: Map[(String, String), Option[Double]]): RefFrame =
+    RefFrame(grid.rows, grid.cols,
+      (for { (r, _) <- grid.rows; c <- grid.cols }
+        yield ((r, c), computed.getOrElse((r, c), None))).toMap)
 }

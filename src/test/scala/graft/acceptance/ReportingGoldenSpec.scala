@@ -24,8 +24,14 @@ class ReportingGoldenSpec extends SparkSpec {
       : Map[String, RefFrame] = {
     val corep =
       RefCorep.c07(cfg, cube).map { case (k, f) => s"corep__c07_00__$k" -> f } ++
+        RefCorep.c0801(cfg, cube).map { case (k, f) => s"corep__c08_01__$k" -> f } ++
+        RefCorep.c0802(cfg, cube).map { case (k, f) => s"corep__c08_02__$k" -> f } ++
+        RefCorep.c0803(cfg, cube).map { case (k, f) => s"corep__c08_03__$k" -> f } ++
+        RefCorep.c0804(cfg, cube).map { case (k, f) => s"corep__c08_04__$k" -> f } ++
+        RefCorep.c0805(cfg, cube).map { case (k, f) => s"corep__c08_05__$k" -> f } ++
         Map("corep__c08_07" -> RefCorep.c0807(cfg, cube)) ++
         RefCorep.c0901(cfg, cube).map { case (k, f) => s"corep__c09_01__$k" -> f } ++
+        RefCorep.c0902(cfg, cube).map { case (k, f) => s"corep__c09_02__$k" -> f } ++
         Map("corep__c_02_00" -> RefCorep.c0200(cfg, cube)) ++
         (if (cfg.isB31) Map("corep__of_02_01" -> RefCorep.of0201(cfg, cube))
          else Map.empty)
@@ -36,6 +42,9 @@ class ReportingGoldenSpec extends SparkSpec {
       "pillar3__cr6a" -> RefPillar3.cr6a(cfg, cube),
       "pillar3__cr7" -> RefPillar3.cr7(cfg, cube),
       "pillar3__cr8" -> RefPillar3.cr8(cfg, cube)) ++
+      RefPillar3.cr6(cfg, cube).map { case (k, f) => s"pillar3__cr6__$k" -> f } ++
+      RefPillar3.cr7a(cfg, cube).map { case (k, f) => s"pillar3__cr7a__$k" -> f } ++
+      RefPillar3.cr9(cfg, cube).map { case (k, f) => s"pillar3__cr9__$k" -> f } ++
       (if (cfg.isB31) Map(
         "pillar3__cms1" -> RefPillar3.cms1(cfg, cube),
         "pillar3__cms2" -> RefPillar3.cms2(cfg, cube))

@@ -112,10 +112,11 @@ object ReportingGoldens {
 
   // ---- golden scenario model ---------------------------------------------
 
-  /** One golden frame: ordered column names (from the manifest schema) and
-    * ordered rows of (row_ref, row_name, value per column or null). */
-  final case class GoldenFrame(cols: Vector[String],
-      rows: Vector[(String, String, Map[String, Option[Double]])])
+  /** One golden frame: ordered column names (from the manifest schema),
+    * the String-typed label columns, and ordered rows of (row_ref,
+    * row_name, numeric values, string values). */
+  final case class GoldenFrame(cols: Vector[String], strCols: Set[String],
+      rows: Vector[(String, String, Map[String, Option[Double]], Map[String, Option[String]])])
 
   final case class GoldenScenario(name: String,
       frames: Map[String, GoldenFrame],
@@ -135,20 +136,27 @@ object ReportingGoldens {
     val frames = frameSchemas.fields.map { case (frameName, schemaJ) =>
       val schema = schemaJ.asInstanceOf[JObj]
       val cols = schema.keys.filterNot(c => c == "row_ref" || c == "row_name")
+      val strCols = cols.filter(c => schema(c) == JStr("String")).toSet
       val rows = resource(s"$base/$frameName.ndjson").linesIterator
         .filter(_.nonEmpty).map { line =>
           val o = parseJson(line).asInstanceOf[JObj]
           val ref = o("row_ref").asInstanceOf[JStr].s
           val name = o("row_name").asInstanceOf[JStr].s
-          val vals = cols.map { c =>
+          val vals = cols.filterNot(strCols).map { c =>
             c -> (o.get(c) match {
               case Some(JNum(d)) => Some(d)
               case _ => None
             })
           }.toMap
-          (ref, name, vals)
+          val strs = cols.filter(strCols).map { c =>
+            c -> (o.get(c) match {
+              case Some(JStr(v)) => Some(v)
+              case _ => None
+            })
+          }.toMap
+          (ref, name, vals, strs)
         }.toVector
-      frameName -> GoldenFrame(cols, rows)
+      frameName -> GoldenFrame(cols, strCols, rows)
     }.toMap
     GoldenScenario(scenario, frames, frameSchemas.keys,
       manifest("meta").asInstanceOf[JObj])
@@ -176,14 +184,21 @@ object ReportingGoldens {
     if (builtRows.map(_._1) != golden.rows.map(_._1))
       issues += s"$frameName: row refs ${builtRows.map(_._1).mkString(",")} != golden ${golden.rows.map(_._1).mkString(",")}"
     else {
-      for (((ref, name, vals), (bRef, bName)) <- golden.rows.zip(builtRows)) {
+      for (((ref, name, vals, strs), (bRef, bName)) <- golden.rows.zip(builtRows)) {
         if (bName != name)
           issues += s"$frameName r$ref: row_name '$bName' != '$name'"
         for (c <- golden.cols if built.cols.contains(c)) {
-          val exp = vals(c)
-          val act = built.value(bRef, c)
-          if (!cellsMatch(exp, act))
-            issues += s"$frameName r$ref c$c: built ${act.getOrElse("null")} != golden ${exp.getOrElse("null")}"
+          if (golden.strCols(c)) {
+            val exp = strs(c)
+            val act = built.strValue(bRef, c)
+            if (exp != act)
+              issues += s"$frameName r$ref c$c: built '${act.getOrElse("null")}' != golden '${exp.getOrElse("null")}'"
+          } else {
+            val exp = vals(c)
+            val act = built.value(bRef, c)
+            if (!cellsMatch(exp, act))
+              issues += s"$frameName r$ref c$c: built ${act.getOrElse("null")} != golden ${exp.getOrElse("null")}"
+          }
         }
       }
     }

@@ -42,6 +42,27 @@ final case class ScnFacility(facility_reference: String,
     maturity_date: Date, committed: Boolean)
 final case class ScnFacMapping(parent_facility_reference: String,
     child_reference: String, child_type: String)
+final case class ScnRatingFull(rating_reference: String,
+    counterparty_reference: String, rating_type: String,
+    rating_agency: Option[String], cqs: Option[Int], pd: Option[Double],
+    rating_date: Date)
+final case class ScnIrbLoan(loan_reference: String,
+    counterparty_reference: String, product_type: String, drawn_amount: Double,
+    currency: String, value_date: Date, maturity_date: Date, seniority: String,
+    lgd: Option[Double], has_sufficient_collateral_data: Option[Boolean],
+    property_type: Option[String], ltv: Option[Double])
+final case class ScnIrbFacility(facility_reference: String,
+    counterparty_reference: String, product_type: String, limit: Double,
+    risk_type: String, currency: String, value_date: Date, maturity_date: Date,
+    committed: Boolean, is_revolving: Boolean, is_secured: Boolean,
+    is_qrre_transactor: Boolean, seniority: String)
+final case class ScnCollateral(collateral_reference: String,
+    collateral_type: String, property_type: String, market_value: Double,
+    property_ltv: Double, beneficiary_type: String, beneficiary_reference: String)
+final case class ScnModelPermission(model_id: String, approach: String)
+final case class ScnCpRetail(counterparty_reference: String, entity_type: String,
+    country_code: String, annual_revenue: Option[Double],
+    is_natural_person: Option[Boolean], is_managed_as_retail: Option[Boolean])
 
 object ReportingScenarios {
 
@@ -132,6 +153,73 @@ object ReportingScenarios {
       facilityMappings = Some(mappings.toDF()))
   }
 
+  /** The IRB class-and-PD-band book (reference
+    * `tests/fixtures/reporting_irb_classes_portfolio.py`): three sovereigns
+    * (US/CA/JP — the CRR-only IRB sovereign sheet, unfloored PDs), one
+    * institution, an A-IRB residential mortgage (property collateral, LTV
+    * 60%), an A-IRB QRRE drawn to its revolving facility's limit, and the
+    * fourteen-grade corporate masterscale (one obligor per C 08.03 leaf
+    * band). Internal-PD ratings only + a full model-permission grant, run
+    * under PermissionMode.IRB at the same reporting dates. */
+  def irbClassesBundle(spark: SparkSession): RefBundle = {
+    import spark.implicits._
+    val masterscale = Seq(
+      "G01" -> 0.0002, "G02" -> 0.0007, "G03" -> 0.0012, "G04" -> 0.0020,
+      "G05" -> 0.0035, "G06" -> 0.0060, "G07" -> 0.0120, "G08" -> 0.0200,
+      "G09" -> 0.0350, "G10" -> 0.0700, "G11" -> 0.1200, "G12" -> 0.2500,
+      "G13" -> 0.4000, "G14" -> 0.7000)
+    def corpCp(g: String) = s"IRC-CP-CORP-$g"
+    def corpLn(g: String) = s"IRC-LN-CORP-$g"
+    val cps = Seq(
+      ScnCpRetail("IRC-CP-SOV-A", "sovereign", "US", None, None, None),
+      ScnCpRetail("IRC-CP-SOV-B", "sovereign", "CA", None, None, None),
+      ScnCpRetail("IRC-CP-SOV-C", "sovereign", "JP", None, None, None),
+      ScnCpRetail("IRC-CP-INST", "institution", "GB", None, None, None),
+      ScnCpRetail("IRC-CP-RRE", "individual", "GB", None, Some(true), Some(true)),
+      ScnCpRetail("IRC-CP-QRRE", "individual", "GB", None, Some(true), Some(true))) ++
+      masterscale.map { case (g, _) =>
+        ScnCpRetail(corpCp(g), "corporate", "GB", Some(400000000.0), None, None) }
+    def ln(ref: String, cp: String, drawn: Double, lgd: Option[Double] = None,
+        hscd: Option[Boolean] = None, pt: Option[String] = None,
+        ltv: Option[Double] = None, product: String = "term_loan") =
+      ScnIrbLoan(ref, cp, product, drawn, "GBP", valueDate, maturity, "senior",
+        lgd, hscd, pt, ltv)
+    val loans = Seq(
+      ln("IRC-LN-SOV-A", "IRC-CP-SOV-A", 8000000.0),
+      ln("IRC-LN-SOV-B", "IRC-CP-SOV-B", 7000000.0),
+      ln("IRC-LN-SOV-C", "IRC-CP-SOV-C", 6000000.0),
+      ln("IRC-LN-INST", "IRC-CP-INST", 5500000.0),
+      ln("IRC-LN-RRE", "IRC-CP-RRE", 300000.0, Some(0.15), Some(true),
+        Some("residential"), Some(0.60)),
+      ln("IRC-LN-QRRE", "IRC-CP-QRRE", 45000.0, Some(0.55), Some(true),
+        product = "revolving_credit_facility")) ++
+      masterscale.zipWithIndex.map { case ((g, _), i) =>
+        ln(corpLn(g), corpCp(g), 3000000.0 + 100000.0 * i) }
+    def internal(cp: String, pd: Double) = ScnRatingFull(
+      s"IRC-RTG-$cp", cp, "internal", None, None, Some(pd), valueDate)
+    val ratings = Seq(
+      internal("IRC-CP-SOV-A", 0.0002), internal("IRC-CP-SOV-B", 0.0004),
+      internal("IRC-CP-SOV-C", 0.0007), internal("IRC-CP-INST", 0.0040),
+      internal("IRC-CP-RRE", 0.0060), internal("IRC-CP-QRRE", 0.0200)) ++
+      masterscale.map { case (g, pd) => internal(corpCp(g), pd) }
+    val facilities = Seq(ScnIrbFacility("IRC-FAC-QRRE", "IRC-CP-QRRE",
+      "revolving_credit_facility", 45000.0, "LR", "GBP", valueDate, maturity,
+      committed = true, is_revolving = true, is_secured = false,
+      is_qrre_transactor = false, seniority = "senior"))
+    val mappings = Seq(ScnFacMapping("IRC-FAC-QRRE", "IRC-LN-QRRE", "loan"))
+    val collateral = Seq(ScnCollateral("IRC-COLL-RRE", "real_estate",
+      "residential", 500000.0, 0.60, "loan", "IRC-LN-RRE"))
+    val permissions = Seq(ScnModelPermission("TEST_FULL_IRB", "all"))
+    RefBundle(
+      counterparties = cps.toDF(),
+      loans = loans.toDF(),
+      ratings = ratings.toDF(),
+      facilities = Some(facilities.toDF()),
+      facilityMappings = Some(mappings.toDF()),
+      collateral = Some(collateral.toDF()),
+      modelPermissions = Some(permissions.toDF()))
+  }
+
   /** Every scenario with vendored goldens, in replay order. */
   def all: Seq[Scenario] = Seq(
     Scenario("sa_classes_crr",
@@ -145,5 +233,11 @@ object ReportingScenarios {
       offbsBundle),
     Scenario("offbs_b31",
       RefRunConfig("BASEL_3_1", java.time.LocalDate.of(2027, 6, 1)),
-      offbsBundle))
+      offbsBundle),
+    Scenario("irb_classes_crr",
+      RefRunConfig("CRR", java.time.LocalDate.of(2025, 12, 31), "irb"),
+      irbClassesBundle),
+    Scenario("irb_classes_b31",
+      RefRunConfig("BASEL_3_1", java.time.LocalDate.of(2027, 6, 1), "irb"),
+      irbClassesBundle))
 }
