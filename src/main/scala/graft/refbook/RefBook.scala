@@ -315,6 +315,99 @@ object RefBook {
     (year(end) - lit(start.getYear)).cast("double") +
       (dayofyear(end).cast("double") / 365.0 - lit(start.getDayOfYear / 365.0))
 
+  /** Synthetic SA-CCR netting-set exposures (reference
+    * `engine/ccr/pipeline_adapter.py` → the aggregator's `ccr__<ns>` rows):
+    * trades roll up through [[graft.engine.SaCcrKernel]] (adjusted
+    * notionals on the Art. 279b 365.25-day year with the 10-BD start
+    * floor, supervisory deltas, maturity factors, the five-class add-on,
+    * RC / multiplier / alpha) into one exposure row per netting set whose
+    * `drawn_amount` carries the EAD — the shape C 07.00's rows 0090-0130
+    * and the C 34 / CCR templates read. */
+  private def ccrSynthetic(b: RefBundle, cfg: RefRunConfig): Option[DataFrame] =
+    for (trades0 <- b.trades; ns0 <- b.nettingSets) yield {
+      import graft.engine.SaCcrKernel
+      val rep = cfg.reportingDate
+      val repLit = lit(java.sql.Date.valueOf(rep))
+      val daysMat = datediff(col("maturity_date"), repLit).cast("double")
+      val daysStart = coalesce(
+        datediff(optCol(trades0, "start_date", "date"), repLit).cast("double"),
+        lit(0.0))
+      val bd = floor(daysMat * 5.0 / 7.0)
+      val years = daysMat / 365.25
+      val sigma = SaCcrKernel.optionVolatility(col("asset_class"),
+        coalesce(optCol(trades0, "is_index", "boolean"), lit(false)))
+      val t = trades0
+        .withColumn("netting_set", col("netting_set_id"))
+        .withColumn("mf", SaCcrKernel.maturityFactorUnmargined(bd))
+        .withColumn("sd_dur", SaCcrKernel.supervisoryDuration(daysStart, daysMat))
+        .withColumn("adj",
+          when(col("asset_class").isin("interest_rate", "credit"),
+            col("notional") * col("sd_dur"))
+            .when(col("asset_class") === "fx",
+              greatest(abs(col("notional")),
+                abs(coalesce(optCol(trades0, "notional_leg2", "double"),
+                  col("notional")))))
+            .otherwise(abs(coalesce(optCol(trades0, "market_price", "double"),
+              lit(0.0)) * coalesce(optCol(trades0, "number_of_units", "double"),
+              lit(1.0)))))
+        .withColumn("delta0", coalesce(optCol(trades0, "delta", "double"),
+          when(coalesce(optCol(trades0, "is_long", "boolean"), lit(true)),
+            1.0).otherwise(-1.0)))
+        .withColumn("eff", col("delta0") * col("adj") * col("mf"))
+      val tradeFrame = t.select(
+        col("netting_set"), col("trade_id"), col("asset_class"),
+        col("eff"), years.as("years_to_maturity"),
+        col("currency").as("hedging_set"),
+        when(col("asset_class") === "commodity",
+          optCol(t, "commodity_reference", "string"))
+          .otherwise(optCol(t, "reference_entity", "string"))
+          .as("reference_entity"),
+        optCol(t, "is_index", "boolean").as("is_index"),
+        optCol(t, "credit_quality", "string").as("credit_quality"),
+        optCol(t, "commodity_type", "string").as("commodity_type"),
+        coalesce(optCol(t, "mtm_value", "double"), lit(0.0)).as("mtm"))
+      val addons = SaCcrKernel.addonAggregate(tradeFrame)
+      val vNet = tradeFrame.groupBy(col("netting_set"))
+        .agg(sum(col("mtm")).as("v_net"))
+      val collNet = b.ccrCollateral.map(c =>
+        c.groupBy(col("netting_set_id").as("netting_set"))
+          .agg(sum(optCol(c, "collateral_value", "double")).as("c_net")))
+      val nsFrame0 = ns0.select(
+        col("netting_set_id").as("netting_set"),
+        col("counterparty_reference"),
+        coalesce(optCol(ns0, "is_margined", "boolean"), lit(false)).as("margined"),
+        coalesce(optCol(ns0, "margin_threshold", "double"), lit(0.0)).as("th"),
+        coalesce(optCol(ns0, "minimum_transfer_amount", "double"), lit(0.0)).as("mta"),
+        coalesce(optCol(ns0, "nica", "double"), lit(0.0)).as("nica"))
+        .join(vNet, Seq("netting_set"), "left")
+        .withColumn("v_net", coalesce(col("v_net"), lit(0.0)))
+      val withColl = collNet.fold(nsFrame0.withColumn("c_net", lit(0.0)))(cn =>
+        nsFrame0.join(cn, Seq("netting_set"), "left")
+          .withColumn("c_net", coalesce(col("c_net"), lit(0.0))))
+      SaCcrKernel.ead(withColl.join(addons, Seq("netting_set")))
+        .select(
+          concat(lit("ccr__"), col("netting_set")).as("exposure_reference"),
+          lit("ccr_netting_set").as("exposure_type"),
+          col("counterparty_reference"),
+          col("ead_ccr").as("drawn_amount"),
+          lit(null).cast("double").as("undrawn_amount"),
+          lit(null).cast("double").as("nominal_amount"),
+          lit(null).cast("string").as("currency"),
+          lit(null).cast("date").as("value_date"),
+          lit(null).cast("date").as("maturity_date"),
+          lit("derivative").as("product_type"),
+          lit(null).cast("string").as("seniority"),
+          lit(null).cast("boolean").as("leg_defaulted"),
+          lit(null).cast("string").as("leg_risk_type"),
+          lit(null).cast("string").as("obs_product"),
+          lit(null).cast("double").as("original_maturity_years"),
+          lit(null).cast("double").as("lgd_own"),
+          lit(null).cast("boolean").as("has_sufficient_collateral_data"),
+          lit(null).cast("string").as("leg_property_type"),
+          lit(null).cast("double").as("leg_ltv"),
+          col("netting_set").as("ccr_netting_set_id"))
+    }
+
   /** Build the sealed results ledger for one bundle under one config. */
   def ledger(b: RefBundle, cfg: RefRunConfig, s: SparkSession): DataFrame = {
     import graft.engine.IrbKernel
@@ -328,7 +421,8 @@ object RefBook {
       optCol(b.counterparties, "default_status", "boolean").as("cp_default_status"),
       optCol(b.counterparties, "is_natural_person", "boolean").as("cp_is_natural_person"),
       optCol(b.counterparties, "is_managed_as_retail", "boolean")
-        .as("cp_is_managed_as_retail"))
+        .as("cp_is_managed_as_retail"),
+      optCol(b.counterparties, "is_qccp", "boolean").as("cp_is_qccp_in"))
     // Art. 154(4)(b) facility attributes coalesced onto the drawn child
     // (reference `stages/hierarchy` — the p1_244 pattern): is_revolving /
     // is_secured / limit live on the facility, the classifier reads them
@@ -352,8 +446,12 @@ object RefBook {
         .agg(max(optCol(c, "property_ltv", "double")).as("coll_ltv"),
           max(optCol(c, "property_type", "string")).as("coll_property_type"),
           sum(optCol(c, "market_value", "double")).as("coll_market_value")))
+    val unifiedCredit = unifyExposures(b, s)
+      .withColumn("ccr_netting_set_id", lit(null).cast("string"))
+    val unified = ccrSynthetic(b, cfg)
+      .fold(unifiedCredit)(ccr => unifiedCredit.unionByName(ccr))
     val withAttrs = Seq(facAttrs, reColl).flatten
-      .foldLeft(unifyExposures(b, s))((df, extra) =>
+      .foldLeft(unified)((df, extra) =>
         df.join(broadcast(extra), Seq("exposure_reference"), "left"))
     def attr(df: DataFrame, name: String, sqlType: String) = optCol(df, name, sqlType)
     val exposures = withAttrs
@@ -400,12 +498,19 @@ object RefBook {
     val aIrb = irbEligible && col("lgd_own").isNotNull &&
       coalesce(col("has_sufficient_collateral_data"), lit(false))
 
+    val isCcrRow = col("exposure_type") === "ccr_netting_set"
+    // Under the Basel 3.1 output floor the calc stage relabels CCR rows to
+    // `standardised_ccr` so they route into the floor-eligible approaches
+    // (reference `engine/stages/calc.py`, noted in `corep/c07.py`).
+    val saLabel = when(isCcrRow && lit(isB31), lit("standardised_ccr"))
+      .otherwise(lit("standardised"))
     val classified = exposures.withColumns(Map(
       "is_defaulted" -> isDefaulted,
       "exposure_class" ->
-        when(irbEligible, irbClass).otherwise(saClass),
+        when(irbEligible && !isCcrRow, irbClass).otherwise(saClass),
       "approach_applied" ->
-        when(aIrb, lit("advanced_irb"))
+        when(isCcrRow, saLabel)
+          .when(aIrb, lit("advanced_irb"))
           .when(irbEligible, lit("foundation_irb"))
           .otherwise(lit("standardised"))))
 
@@ -459,7 +564,9 @@ object RefBook {
       else when(canonicalRt === "OC" && originalDays.isNotNull &&
         originalDays <= 365.0, 0.2).otherwise(ccfLookup)
     val ccfChain =
-      when(col("exposure_type") === "loan", 0.0).otherwise(ccfWithOcSplit)
+      when(col("exposure_type") === "ccr_netting_set", lit(null).cast("double"))
+        .when(col("exposure_type") === "loan", 0.0)
+        .otherwise(ccfWithOcSplit)
     val offGross = coalesce(col("undrawn_amount"), col("nominal_amount"))
     val withEad = classified.withColumns(Map(
       "ccf" -> ccfChain,
@@ -513,9 +620,17 @@ object RefBook {
       "slotting_category" -> lit(null).cast("string"),
       "is_short_maturity" -> lit(false),
       "is_hvcre" -> lit(false)))
-    val saWeighted = SaKernel.calculate(attrs)
-      .withColumnRenamed("risk_weight", "sa_risk_weight")
-      .withColumnRenamed("rwa", "sa_rwa_leg")
+    // Art. 306(1): a QCCP trade exposure takes the 2% weight; a null
+    // is_qccp flag on a `ccp` counterparty is treated as qualifying.
+    val qccpTrade = isCcrRow && col("cp_entity_type") === "ccp" &&
+      coalesce(col("cp_is_qccp_in"), lit(true))
+    val saWeighted0 = SaKernel.calculate(attrs)
+    val saWeighted = saWeighted0
+      .withColumn("sa_risk_weight",
+        when(qccpTrade, 0.02).otherwise(col("risk_weight")))
+      .withColumn("sa_rwa_leg",
+        when(qccpTrade, lit(0.02) * col("ead_final")).otherwise(col("rwa")))
+      .drop("risk_weight", "rwa")
 
     // ---- IRB risk weighting (IrbKernel parts, golden-precision Φ⁻¹).
     // Composed from the kernel's published formulae rather than
@@ -619,7 +734,8 @@ object RefBook {
       col("exposure_reference"),
       col("counterparty_reference"),
       col("exposure_type"),
-      lit("CREDIT").as("risk_type"),
+      when(col("exposure_type") === "ccr_netting_set", "CCR_DERIVATIVE")
+        .otherwise("CREDIT").as("risk_type"),
       col("exposure_class"),
       col("exposure_class").as("reporting_class_origin"),
       col("exposure_class").as("reporting_class"),
@@ -642,7 +758,7 @@ object RefBook {
       lit(null).cast("boolean").as("materially_dependent_on_property"),
       lit(null).cast("boolean").as("is_qualifying_re"),
       lit(false).as("is_adc"),
-      lit(null).cast("boolean").as("cp_is_qccp"),
+      col("cp_is_qccp_in").as("cp_is_qccp"),
       lit(false).as("is_under_irb_rollout"),
       // per-side floored gross carriers (null outside the leg's side)
       greatest(col("drawn_amount"), lit(0.0)).as("reporting_gross_drawn"),
@@ -699,6 +815,7 @@ object RefBook {
       lit(null).cast("string").as("protection_type"),
       lit(null).cast("boolean").as("is_guarantee_beneficial"),
       lit(null).cast("string").as("post_crm_exposure_class_guaranteed"),
+      col("ccr_netting_set_id"),
       lit(0.0).as("collateral_adjusted_value"),
       lit(0.0).as("collateral_market_value"),
       lit(0.0).as("fcsm_collateral_value"),

@@ -36,7 +36,11 @@ final case class RefBundle(
     guarantees: Option[DataFrame] = None,
     provisions: Option[DataFrame] = None,
     modelPermissions: Option[DataFrame] = None,
-    specialisedLending: Option[DataFrame] = None)
+    specialisedLending: Option[DataFrame] = None,
+    trades: Option[DataFrame] = None,
+    nettingSets: Option[DataFrame] = None,
+    marginAgreements: Option[DataFrame] = None,
+    ccrCollateral: Option[DataFrame] = None)
 
 /** Run configuration (reference `contracts/config.py`
   * `CalculationConfig.crr` / `.basel_3_1`). */

@@ -1304,4 +1304,56 @@ object RefCorep {
       name -> frame.negate(negCols)
     }.toMap
   }
+
+  // =========================================================================
+  // C 34.01 / C 34.02 / C 34.08 — CCR (reference `c34.py`)
+  // =========================================================================
+
+  /** The SA-CCR population (`collect_ccr_rows`): the synthetic `ccr__`
+    * netting-set rows, FCCM SFTs excluded. */
+  private def ccrPop(cube: Vector[CRow]): Vector[CRow] =
+    cube.filter(r => r.s("ccr_netting_set_id").isDefined &&
+      !r.s("risk_type").contains("CCR_SFT"))
+  private def qccpTrade(r: CRow): Boolean =
+    r.s("cp_entity_type").contains("ccp") && r.b("cp_is_qccp").forall(identity)
+
+  /** C 34.01: portfolio SA-CCR EAD + RWEA (None when no SA-CCR rows). */
+  def c3401(cfg: RefRunConfig, cube: Vector[CRow]): Option[RefFrame] = {
+    val ccr = ccrPop(cube)
+    if (ccr.isEmpty) return None
+    val grid = RefLayouts.grid(cfg.framework, "c34_01")
+    Some(frameOf(grid, Map(
+      ("0010", "0010") -> Some(ccr.map(_.m("ead_final")).sum),
+      ("0010", "0020") -> Some(ccr.map(_.m("rwa_final")).sum))))
+  }
+
+  /** C 34.02: one 1-row frame per netting set (EAD). */
+  def c3402(cfg: RefRunConfig, cube: Vector[CRow]): Map[String, RefFrame] = {
+    val ccr = ccrPop(cube)
+    val grid = RefLayouts.grid(cfg.framework, "c34_02")
+    ccr.flatMap(_.s("ccr_netting_set_id")).distinct.sorted.map { ns =>
+      val subset = ccr.filter(_.s("ccr_netting_set_id").contains(ns))
+      ns -> frameOf(grid, Map(
+        ("0010", "0010") -> Some(subset.map(_.m("ead_final")).sum)))
+    }.toMap
+  }
+
+  /** C 34.08: the CCP subset split by the QCCP flag + default funds.
+    * Emitted only when CCP trade legs or default-fund rows exist. */
+  def c3408(cfg: RefRunConfig, cube: Vector[CRow]): Option[RefFrame] = {
+    val ccr = ccrPop(cube)
+    val df = cube.filter(_.s("risk_type").contains("CCR_DEFAULT_FUND"))
+    val ccp = ccr.filter(_.s("cp_entity_type").contains("ccp"))
+    if (ccp.isEmpty && df.isEmpty) return None
+    val grid = RefLayouts.grid(cfg.framework, "c34_08")
+    def sums(rows: Vector[CRow]) =
+      (rows.map(_.m("ead_final")).sum, rows.map(_.m("rwa_final")).sum)
+    val (qE, qR) = sums(ccp.filter(r => r.b("cp_is_qccp").forall(identity)))
+    val (nE, nR) = sums(ccp.filterNot(r => r.b("cp_is_qccp").forall(identity)))
+    val (dE, dR) = sums(df)
+    Some(frameOf(grid, Map(
+      ("0010", "0010") -> Some(qE), ("0010", "0020") -> Some(qR),
+      ("0020", "0010") -> Some(nE), ("0020", "0020") -> Some(nR),
+      ("0030", "0010") -> Some(dE), ("0030", "0020") -> Some(dR))))
+  }
 }

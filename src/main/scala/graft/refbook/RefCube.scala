@@ -34,7 +34,10 @@ object RefCube {
     "protection_type", "external_unrated",
     // IRB row axes (bounded: band-label vocabularies, the grade ladder)
     "pd_band_leaf", "pd_band_parent", "cr6_band_leaf", "cr6_band_parent",
-    "pd_band_coarse", "cp_internal_rating_grade")
+    "pd_band_coarse", "cp_internal_rating_grade",
+    // CCR: the netting-set id IS the C 34.02 sheet axis (bounded by the
+    // book's netting sets, the grain that template publishes at)
+    "ccr_netting_set_id")
 
   /** Summed measures (nulls count 0.0 — the reference `col_sum` rule). */
   val measureCols: Seq[String] = Seq(

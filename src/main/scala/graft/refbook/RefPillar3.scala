@@ -612,4 +612,76 @@ object RefPillar3 {
     RefFrame(grid.rows, grid.cols,
       (for { (r, _) <- grid.rows; c <- grid.cols }
         yield ((r, c), computed.getOrElse((r, c), None))).toMap)
+
+  // ---- CCR1 / CCR3 / CCR8 (reference `pillar3/ccr.py`) ------------------
+
+  private def p3CcrPop(cube: Vector[CRow]): Vector[CRow] =
+    cube.filter(r => r.s("ccr_netting_set_id").isDefined &&
+      !r.s("risk_type").contains("CCR_SFT"))
+  private def p3QccpTrade(r: CRow): Boolean =
+    r.s("cp_entity_type").contains("ccp") && r.b("cp_is_qccp").forall(identity)
+
+  /** CCR1: SA-CCR row + Total — col a = portfolio SA-CCR EAD, col b = the
+    * default-risk RWEA (QCCP trade legs excluded; they disclose on CCR8).
+    * IMM / original-exposure rows stay null. None when no `ccr__` rows. */
+  def ccr1(cfg: RefRunConfig, cube: Vector[CRow]): Option[RefFrame] = {
+    val ccr = p3CcrPop(cube)
+    if (ccr.isEmpty) return None
+    val grid = RefLayouts.grid(cfg.framework, "ccr1")
+    val ead = ccr.map(_.m("ead_final")).sum
+    val rwa = ccr.filterNot(p3QccpTrade).map(_.m("rwa_final")).sum
+    Some(frameOf(grid, Map(
+      ("1", "a") -> Some(ead), ("1", "b") -> Some(rwa),
+      ("11", "a") -> Some(ead), ("11", "b") -> Some(rwa))))
+  }
+
+  /** CCR3: SA-CCR EAD per risk-weight band (the grid's own "Risk weight
+    * X%" ladder; unmatched weights fall to the Other row); empty bands
+    * stay null; the Total re-derives the whole population. */
+  def ccr3(cfg: RefRunConfig, cube: Vector[CRow]): Option[RefFrame] = {
+    val ccr = p3CcrPop(cube)
+    if (ccr.isEmpty) return None
+    val grid = RefLayouts.grid(cfg.framework, "ccr3")
+    val bandRows = grid.rows.flatMap { case (ref, name) =>
+      if (name == "Total") None
+      else if (name == "Risk weight Other") Some((ref, None))
+      else Some((ref,
+        Some(name.stripPrefix("Risk weight ").stripSuffix("%").toDouble / 100.0)))
+    }
+    val bands = bandRows.collect { case (_, Some(v)) => v }
+    def round4(x: Double) = math.rint(x * 1e4) / 1e4
+    val computed = grid.rows.flatMap { case (ref, name) =>
+      val subset =
+        if (name == "Total") ccr
+        else bandRows.find(_._1 == ref).get._2 match {
+          case Some(w) => ccr.filter(r =>
+            r.d("reporting_rw").exists(x => round4(x) == round4(w)))
+          case None => ccr.filter(r => // Other: no band matches
+            !r.d("reporting_rw").exists(x => bands.exists(b => round4(x) == round4(b))))
+        }
+      Seq(((ref, "a"),
+        if (subset.isEmpty) Option.empty[Double]
+        else Some(subset.map(_.m("ead_final")).sum)))
+    }.toMap
+    Some(frameOf(grid, computed))
+  }
+
+  /** CCR8: the CCP trade legs by QCCP flag — col a = RWEA, col b = EAD;
+    * Total = the two rows' sum. None when no `ccr__` rows face a CCP. */
+  def ccr8(cfg: RefRunConfig, cube: Vector[CRow]): Option[RefFrame] = {
+    val ccp = p3CcrPop(cube).filter(_.s("cp_entity_type").contains("ccp"))
+    if (ccp.isEmpty) return None
+    val grid = RefLayouts.grid(cfg.framework, "ccr8")
+    def sums(rows: Vector[CRow]): (Option[Double], Option[Double]) =
+      if (rows.isEmpty) (None, None)
+      else (Some(rows.map(_.m("rwa_final")).sum), Some(rows.map(_.m("ead_final")).sum))
+    val (qR, qE) = sums(ccp.filter(r => r.b("cp_is_qccp").forall(identity)))
+    val (nR, nE) = sums(ccp.filterNot(r => r.b("cp_is_qccp").forall(identity)))
+    val (tR, tE) = (Some(qR.getOrElse(0.0) + nR.getOrElse(0.0)),
+      Some(qE.getOrElse(0.0) + nE.getOrElse(0.0)))
+    Some(frameOf(grid, Map(
+      ("1", "a") -> qR, ("1", "b") -> qE,
+      ("2", "a") -> nR, ("2", "b") -> nE,
+      ("21", "a") -> tR, ("21", "b") -> tE)))
+  }
 }

@@ -33,6 +33,9 @@ class ReportingGoldenSpec extends SparkSpec {
         RefCorep.c0901(cfg, cube).map { case (k, f) => s"corep__c09_01__$k" -> f } ++
         RefCorep.c0902(cfg, cube).map { case (k, f) => s"corep__c09_02__$k" -> f } ++
         Map("corep__c_02_00" -> RefCorep.c0200(cfg, cube)) ++
+        RefCorep.c3401(cfg, cube).map("corep__c34_01" -> _).toMap ++
+        RefCorep.c3402(cfg, cube).map { case (k, f) => s"corep__c34_02__$k" -> f } ++
+        RefCorep.c3408(cfg, cube).map("corep__c34_08" -> _).toMap ++
         (if (cfg.isB31) Map("corep__of_02_01" -> RefCorep.of0201(cfg, cube))
          else Map.empty)
     val pillar3 = Map(
@@ -45,6 +48,9 @@ class ReportingGoldenSpec extends SparkSpec {
       RefPillar3.cr6(cfg, cube).map { case (k, f) => s"pillar3__cr6__$k" -> f } ++
       RefPillar3.cr7a(cfg, cube).map { case (k, f) => s"pillar3__cr7a__$k" -> f } ++
       RefPillar3.cr9(cfg, cube).map { case (k, f) => s"pillar3__cr9__$k" -> f } ++
+      RefPillar3.ccr1(cfg, cube).map("pillar3__ccr1" -> _).toMap ++
+      RefPillar3.ccr3(cfg, cube).map("pillar3__ccr3" -> _).toMap ++
+      RefPillar3.ccr8(cfg, cube).map("pillar3__ccr8" -> _).toMap ++
       (if (cfg.isB31) Map(
         "pillar3__cms1" -> RefPillar3.cms1(cfg, cube),
         "pillar3__cms2" -> RefPillar3.cms2(cfg, cube))

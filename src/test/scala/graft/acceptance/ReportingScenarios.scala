@@ -63,6 +63,15 @@ final case class ScnModelPermission(model_id: String, approach: String)
 final case class ScnCpRetail(counterparty_reference: String, entity_type: String,
     country_code: String, annual_revenue: Option[Double],
     is_natural_person: Option[Boolean], is_managed_as_retail: Option[Boolean])
+final case class ScnCpCcr(counterparty_reference: String, entity_type: String,
+    country_code: String, annual_revenue: Option[Double], is_qccp: Option[Boolean])
+final case class ScnTrade(trade_id: String, netting_set_id: String,
+    asset_class: String, notional: Double, currency: String,
+    maturity_date: Date, start_date: Date, delta: Double, is_long: Boolean,
+    mtm_value: Double)
+final case class ScnNettingSet(netting_set_id: String,
+    counterparty_reference: String, is_legally_enforceable: Boolean,
+    is_margined: Boolean)
 
 object ReportingScenarios {
 
@@ -220,6 +229,42 @@ object ReportingScenarios {
       modelPermissions = Some(permissions.toDF()))
   }
 
+  /** The CCR book (reference `tests/fixtures/reporting_ccr_portfolio.py` +
+    * `tests/fixtures/ccr/trade_builder.py` CCR-A1 defaults): one plain
+    * corporate loan, and two identical unmargined 10y GBP at-par IR swaps
+    * (notional 100m, start 2026-01-15, maturity 2036-01-15) — one faced to
+    * a CQS-2 institution, one to a QCCP — so the only template difference
+    * is the Art. 306 QCCP treatment. */
+  def ccrBundle(spark: SparkSession): RefBundle = {
+    import spark.implicits._
+    val cps = Seq(
+      ScnCpCcr("CP_CCR_INST", "institution", "GB", None, None),
+      ScnCpCcr("CP_CCR_QCCP", "ccp", "GB", None, Some(true)),
+      ScnCpCcr("CP_CCR_CORP", "corporate", "GB", Some(100000000.0), None))
+    val loans = Seq(ScnLoan("LN_CCR_CORP", "CP_CCR_CORP", "term_loan",
+      5000000.0, "GBP", valueDate, Date.valueOf("2030-12-31"), "senior"))
+    def ext(ref: String, cp: String) =
+      ScnRating(ref, cp, "external", "S&P", 2, Date.valueOf("2025-12-31"))
+    val ratings = Seq(ext("RTG_CCR_INST", "CP_CCR_INST"),
+      ext("RTG_CCR_CORP", "CP_CCR_CORP"))
+    def swap(id: String, ns: String) = ScnTrade(id, ns, "interest_rate",
+      100000000.0, "GBP", Date.valueOf("2036-01-15"), Date.valueOf("2026-01-15"),
+      1.0, is_long = true, mtm_value = 0.0)
+    val trades = Seq(swap("T_CCR_BILAT", "NS_CCR_BILAT"),
+      swap("T_CCR_QCCP", "NS_CCR_QCCP"))
+    val nss = Seq(
+      ScnNettingSet("NS_CCR_BILAT", "CP_CCR_INST",
+        is_legally_enforceable = false, is_margined = false),
+      ScnNettingSet("NS_CCR_QCCP", "CP_CCR_QCCP",
+        is_legally_enforceable = false, is_margined = false))
+    RefBundle(
+      counterparties = cps.toDF(),
+      loans = loans.toDF(),
+      ratings = ratings.toDF(),
+      trades = Some(trades.toDF()),
+      nettingSets = Some(nss.toDF()))
+  }
+
   /** Every scenario with vendored goldens, in replay order. */
   def all: Seq[Scenario] = Seq(
     Scenario("sa_classes_crr",
@@ -239,5 +284,11 @@ object ReportingScenarios {
       irbClassesBundle),
     Scenario("irb_classes_b31",
       RefRunConfig("BASEL_3_1", java.time.LocalDate.of(2027, 6, 1), "irb"),
-      irbClassesBundle))
+      irbClassesBundle),
+    Scenario("ccr_crr",
+      RefRunConfig("CRR", java.time.LocalDate.of(2025, 12, 31)),
+      ccrBundle),
+    Scenario("ccr_b31",
+      RefRunConfig("BASEL_3_1", java.time.LocalDate.of(2027, 6, 1)),
+      ccrBundle))
 }
