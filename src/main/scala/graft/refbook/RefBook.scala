@@ -147,6 +147,15 @@ object RefBook {
       .select(pdCols: _*)
   }
 
+  /** Counterparties carrying ANY internal rating (model grant) — with or
+    * without a PD. A granted model with NO PD is the slotting route
+    * (CRR Art. 153(5): the F-IRB/A-IRB branches are unavailable). */
+  def internalModel(ratings: DataFrame): DataFrame =
+    ratings.filter(col("rating_type") === "internal")
+      .groupBy(col("counterparty_reference"))
+      .agg(count(lit(1)).as("internal_model_count"))
+      .select(col("counterparty_reference"), lit(true).as("has_internal_model"))
+
   /** Unify loans / facilities / contingents into one exposures frame
     * (reference `stages/hierarchy/unify.py`): per leg, the on-side gross
     * (drawn), the off-side gross (undrawn headroom or contingent
@@ -170,6 +179,7 @@ object RefBook {
       optCol(b.loans, "original_maturity_years", "double")
         .as("original_maturity_years"),
       optCol(b.loans, "lgd", "double").as("lgd_own"),
+      optCol(b.loans, "has_income_cover", "boolean").as("has_income_cover_in"),
       optCol(b.loans, "has_sufficient_collateral_data", "boolean")
         .as("has_sufficient_collateral_data"),
       optCol(b.loans, "property_type", "string").as("leg_property_type"),
@@ -219,6 +229,7 @@ object RefBook {
           optCol(f, "original_maturity_years", "double")
             .as("original_maturity_years"),
           optCol(f, "lgd", "double").as("lgd_own"),
+          lit(null).cast("boolean").as("has_income_cover_in"),
           optCol(f, "has_sufficient_collateral_data", "boolean")
             .as("has_sufficient_collateral_data"),
           lit(null).cast("string").as("leg_property_type"),
@@ -242,6 +253,7 @@ object RefBook {
       optCol(c, "original_maturity_years", "double")
         .as("original_maturity_years"),
       lit(null).cast("double").as("lgd_own"),
+      lit(null).cast("boolean").as("has_income_cover_in"),
       lit(null).cast("boolean").as("has_sufficient_collateral_data"),
       lit(null).cast("string").as("leg_property_type"),
       lit(null).cast("double").as("leg_ltv")))
@@ -402,6 +414,7 @@ object RefBook {
           lit(null).cast("string").as("obs_product"),
           lit(null).cast("double").as("original_maturity_years"),
           lit(null).cast("double").as("lgd_own"),
+          lit(null).cast("boolean").as("has_income_cover_in"),
           lit(null).cast("boolean").as("has_sufficient_collateral_data"),
           lit(null).cast("string").as("leg_property_type"),
           lit(null).cast("double").as("leg_ltv"),
@@ -446,10 +459,40 @@ object RefBook {
         .agg(max(optCol(c, "property_ltv", "double")).as("coll_ltv"),
           max(optCol(c, "property_type", "string")).as("coll_property_type"),
           sum(optCol(c, "market_value", "double")).as("coll_market_value")))
-    val unifiedCredit = unifyExposures(b, s)
+    // Equity holdings ride their own input table (reference
+    // `get_equity_result_bundle`); one `equity` exposure row per holding,
+    // EAD = the carrying value.
+    val equityRows = b.equityExposures.map(eq => eq.select(
+      col("exposure_reference"),
+      lit("equity").as("exposure_type"),
+      col("counterparty_reference"),
+      col("carrying_value").cast("double").as("drawn_amount"),
+      lit(null).cast("double").as("undrawn_amount"),
+      lit(null).cast("double").as("nominal_amount"),
+      optCol(eq, "currency", "string").as("currency"),
+      lit(null).cast("date").as("value_date"),
+      lit(null).cast("date").as("maturity_date"),
+      lit("equity").as("product_type"),
+      lit(null).cast("string").as("seniority"),
+      lit(null).cast("boolean").as("leg_defaulted"),
+      lit(null).cast("string").as("leg_risk_type"),
+      lit(null).cast("string").as("obs_product"),
+      lit(null).cast("double").as("original_maturity_years"),
+      lit(null).cast("double").as("lgd_own"),
+      lit(null).cast("boolean").as("has_income_cover_in"),
+      lit(null).cast("boolean").as("has_sufficient_collateral_data"),
+      lit(null).cast("string").as("leg_property_type"),
+      lit(null).cast("double").as("leg_ltv"),
+      optCol(eq, "equity_type", "string").as("equity_type_in")))
+    val unifiedCredit0 = unifyExposures(b, s)
+      .withColumn("equity_type_in", lit(null).cast("string"))
+    val unifiedCredit = equityRows.fold(unifiedCredit0)(eq =>
+      unifiedCredit0.unionByName(eq))
       .withColumn("ccr_netting_set_id", lit(null).cast("string"))
     val unified = ccrSynthetic(b, cfg)
-      .fold(unifiedCredit)(ccr => unifiedCredit.unionByName(ccr))
+      .fold(unifiedCredit)(ccr =>
+        unifiedCredit.unionByName(
+          ccr.withColumn("equity_type_in", lit(null).cast("string"))))
     val withAttrs = Seq(facAttrs, reColl).flatten
       .foldLeft(unified)((df, extra) =>
         df.join(broadcast(extra), Seq("exposure_reference"), "left"))
@@ -464,6 +507,16 @@ object RefBook {
       .join(broadcast(cpty), Seq("counterparty_reference"), "left")
       .join(broadcast(bestExternalCqs(b.ratings)), Seq("counterparty_reference"), "left")
       .join(broadcast(internalPd(b.ratings)), Seq("counterparty_reference"), "left")
+      .join(broadcast(internalModel(b.ratings)), Seq("counterparty_reference"), "left")
+      .join(b.specialisedLending.map(sl => broadcast(sl.select(
+        col("counterparty_reference"),
+        col("sl_type").as("sl_type_in"),
+        col("slotting_category").as("slotting_category_in"))))
+        .getOrElse(s.emptyDataFrame
+          .withColumn("counterparty_reference", lit(null).cast("string"))
+          .withColumn("sl_type_in", lit(null).cast("string"))
+          .withColumn("slotting_category_in", lit(null).cast("string"))),
+        Seq("counterparty_reference"), "left")
 
     // ---- classification (reference `engine/stages/classify`) ----------
     val retailEligible = coalesce(col("cp_is_natural_person"), lit(false)) &&
@@ -476,10 +529,30 @@ object RefBook {
       !coalesce(col("fac_is_secured"), lit(false)) &&
       coalesce(col("fac_limit"), lit(0.0)) <= qrreCap &&
       col("fac_limit").isNotNull
-    def refineRetail(base: org.apache.spark.sql.Column) =
+    // SME: the input flag when supplied, else the turnover test (CRR
+    // Art. 501 EUR 50m converted into the GBP book at 0.8732 = 43.66m;
+    // PS1/26 GBP 44m directly).
+    val smeThreshold = if (isB31) 44e6 else 43.66e6
+    val isSme = coalesce(col("cp_is_sme"),
+      col("annual_revenue") <= smeThreshold, lit(false))
+    // The RAW origination class (sealed `exposure_class`): the Art. 112/147
+    // taxonomy with the SME / retail sub-class refinements, but WITHOUT the
+    // applied-ladder reassignments (defaulted, the RE-secured corporate
+    // reclass) — C 08.07 and the C 09.01 defaulted memo key this.
+    def rawRefine(base: org.apache.spark.sql.Column) =
       when(base === "retail_other" && retailEligible && isQrre, "retail_qrre")
         .when(base === "retail_other" && retailEligible && isMortgage, "retail_mortgage")
+        .when(base === "corporate" && isSme, "corporate_sme")
         .otherwise(base)
+    // The APPLIED class adds the RE-secured reclass (the SA loan-split
+    // landing class) on top of the raw taxonomy.
+    def refineRetail(base: org.apache.spark.sql.Column) = {
+      val raw = rawRefine(base)
+      when(base === "corporate" && !isSme && isMortgage &&
+        col("coll_property_type") === "commercial", "commercial_mortgage")
+        .otherwise(raw)
+    }
+    val saClassRaw = rawRefine(chainOf(entityToSaClass, col("cp_entity_type"), "other"))
     val saClass = refineRetail(chainOf(entityToSaClass, col("cp_entity_type"), "other"))
     val irbClass = refineRetail(chainOf(entityToIrbClass, col("cp_entity_type"), "other"))
     val isDefaulted =
@@ -493,6 +566,11 @@ object RefBook {
     val irbEligible = lit(irbPermitted) &&
       col("internal_pd").isNotNull && !isDefaulted &&
       !(lit(isB31) && irbClass === "central_govt_central_bank")
+    // CRR Art. 153(5): an SL exposure with a granted model but NO internal
+    // PD falls to supervisory slotting.
+    val slottingEligible = lit(irbPermitted) &&
+      coalesce(col("has_internal_model"), lit(false)) &&
+      col("internal_pd").isNull && col("sl_type_in").isNotNull && !isDefaulted
     // A-IRB needs own LGD estimates with sufficient data (Art. 143/151);
     // retail is A-IRB-only and carries them, F-IRB covers the rest.
     val aIrb = irbEligible && col("lgd_own").isNotNull &&
@@ -506,10 +584,26 @@ object RefBook {
       .otherwise(lit("standardised"))
     val classified = exposures.withColumns(Map(
       "is_defaulted" -> isDefaulted,
+      "is_sme_flag" -> isSme,
       "exposure_class" ->
-        when(irbEligible && !isCcrRow, irbClass).otherwise(saClass),
+        when(col("exposure_type") === "equity", "equity")
+          .when(isCcrRow, saClass)
+          .when(slottingEligible, "specialised_lending")
+          .when(irbEligible, irbClass)
+          // a defaulted SA exposure reassigns to the defaulted class
+          // (C 07.00 defaulted sheet / C 02.00 row 0160; Art. 127)
+          .when(isDefaulted, "defaulted")
+          .otherwise(saClass),
+      "exposure_class_raw" ->
+        when(col("exposure_type") === "equity", "equity")
+          .when(isCcrRow, saClassRaw)
+          .when(slottingEligible, "specialised_lending")
+          .when(irbEligible, irbClass)
+          .otherwise(saClassRaw),
       "approach_applied" ->
-        when(isCcrRow, saLabel)
+        when(col("exposure_type") === "equity", lit("equity"))
+          .when(isCcrRow, saLabel)
+          .when(slottingEligible, lit("slotting"))
           .when(aIrb, lit("advanced_irb"))
           .when(irbEligible, lit("foundation_irb"))
           .otherwise(lit("standardised"))))
@@ -603,13 +697,13 @@ object RefBook {
       "is_qrre_transactor" -> lit(false),
       "ltv" -> coalesce(col("leg_ltv"), col("coll_ltv")),
       "property_type" -> sealedPropertyType,
-      "has_income_cover" -> lit(false),
+      "has_income_cover" -> coalesce(col("has_income_cover_in"), lit(false)),
       "is_adc" -> lit(false),
       "is_presold" -> lit(false),
       "provision_allocated" -> lit(0.0),
       "scra_grade" -> lit(null).cast("string"),
       "is_equivalent_jurisdiction" -> lit(null).cast("boolean"),
-      "is_sme" -> coalesce(col("cp_is_sme"), lit(false)),
+      "is_sme" -> col("is_sme_flag"),
       "is_investment_grade" -> lit(false),
       "use_investment_grade_assessment" -> lit(false),
       "is_infrastructure" -> lit(false),
@@ -617,7 +711,7 @@ object RefBook {
       "is_diversified" -> lit(false),
       "is_exchange_traded" -> lit(false),
       "permission" -> lit(cfg.permissionMode.toUpperCase),
-      "slotting_category" -> lit(null).cast("string"),
+      "slotting_category" -> col("slotting_category_in"),
       "is_short_maturity" -> lit(false),
       "is_hvcre" -> lit(false)))
     // Art. 306(1): a QCCP trade exposure takes the 2% weight; a null
@@ -671,10 +765,13 @@ object RefBook {
       "corporate", "corporate_sme", "institution", "central_govt_central_bank")
     val smeEligible = col("exposure_class").isin("corporate", "corporate_sme")
     val sizeMetricM = col("annual_revenue") / 1e6
+    // CRR's Art. 153(4) size bounds are EUR 5m/50m; the reference converts
+    // them into the GBP book at eur_gbp_rate = 0.8732 (4.366/43.66 —
+    // `engine/irb/formulas.py:685`); PS1/26 states GBP 4.4m/44m directly.
     val corr =
       when(smeEligible && col("annual_revenue").isNotNull,
         if (isB31) IrbKernel.correlationSme(pdFloored, sizeMetricM, 4.4, 44.0)
-        else IrbKernel.correlationSme(pdFloored, sizeMetricM, 5.0, 50.0))
+        else IrbKernel.correlationSme(pdFloored, sizeMetricM, 4.366, 43.66))
         .when(corporateLike, IrbKernel.correlationCorporate(pdFloored))
         .when(col("exposure_class") === "retail_mortgage",
           lit(IrbKernel.CorrelationMortgage))
@@ -691,17 +788,82 @@ object RefBook {
     val irbRwa =
       if (isB31) irbRwaRaw
       else when(col("exposure_class") === "corporate_sme",
-        irbRwaRaw * IrbKernel.smeSupportingFactor(col("ead_final")))
+        // the Art. 501 EUR 2.5m threshold in the GBP book (x 0.8732)
+        irbRwaRaw * IrbKernel.smeSupportingFactor(col("ead_final"), 2183000.0))
         .otherwise(irbRwaRaw)
     val expectedLoss = when(isIrb, pdFloored * lgdApplied * col("ead_final"))
 
+    // Supervisory slotting (CRR Art. 153(5) Table 1 + the Art. 158(6) EL
+    // rates), keyed on category x the 2.5-year residual-maturity split.
+    val isSlotting = col("approach_applied") === "slotting"
+    val slShort = mYears < 2.5
+    def slTable(short: Seq[(String, Double)], long: Seq[(String, Double)]) =
+      when(slShort, short.foldLeft(lit(0.0): org.apache.spark.sql.Column) {
+        case (acc, (k, v)) => when(col("slotting_category_in") === k, v).otherwise(acc)
+      }).otherwise(long.foldLeft(lit(0.0): org.apache.spark.sql.Column) {
+        case (acc, (k, v)) => when(col("slotting_category_in") === k, v).otherwise(acc)
+      })
+    val slotRw = slTable(
+      Seq("strong" -> 0.5, "good" -> 0.7, "satisfactory" -> 1.15,
+        "weak" -> 2.5, "default" -> 0.0),
+      Seq("strong" -> 0.7, "good" -> 0.9, "satisfactory" -> 1.15,
+        "weak" -> 2.5, "default" -> 0.0))
+    val slElRate = slTable(
+      Seq("strong" -> 0.0, "good" -> 0.004, "satisfactory" -> 0.028,
+        "weak" -> 0.08, "default" -> 0.5),
+      Seq("strong" -> 0.004, "good" -> 0.008, "satisfactory" -> 0.028,
+        "weak" -> 0.08, "default" -> 0.5))
+    // Equity (Art. 133 / Art. 155(2) simple; PS1/26 Art. 133A 250% SA-only):
+    // with IRB permission CRR routes the simple risk-weight method, with the
+    // Art. 158(7)-(9) EL rates; Basel 3.1 routes SA.
+    val isEquity = col("approach_applied") === "equity"
+    val equityIrbMethod = !isB31 && irbPermitted
+    val eqType = coalesce(col("equity_type_in"), lit("other"))
+    val eqRw =
+      if (isB31) lit(2.5)
+      else if (equityIrbMethod)
+        when(eqType === "private", 1.9).when(eqType === "listed", 2.9)
+          .otherwise(3.7)
+      else lit(1.0)
+    val eqElRate =
+      if (equityIrbMethod)
+        when(eqType.isin("private", "listed"), 0.008).otherwise(0.024)
+      else lit(null).cast("double")
+    // Art. 134 other-items ladder SaKernel's generic `other` arm does not
+    // split: items in the course of collection 20%, cash/gold 0%.
+    val otherItemsRw =
+      when(col("cp_entity_type") === "other_items_in_collection", 0.2)
+        .when(col("cp_entity_type").isin("other_cash", "other_gold"), 0.0)
+    val saRwAdj = coalesce(otherItemsRw, col("sa_risk_weight"))
+    // SaKernel.rwa already applies the CRR SA SME supporting factor.
+    val saRwaAdj = when(otherItemsRw.isNotNull, otherItemsRw * col("ead_final"))
+      .otherwise(col("sa_rwa_leg"))
     val weighted = saWeighted.withColumns(Map(
       "pd_floored" -> pdFloored,
       "lgd_floored" -> lgdApplied,
       "irb_maturity_m" -> when(isIrb, mYears),
-      "expected_loss" -> expectedLoss,
-      "risk_weight" -> when(isIrb, irbRw).otherwise(col("sa_risk_weight")),
-      "rwa" -> when(isIrb, irbRwa).otherwise(col("sa_rwa_leg"))))
+      "sl_short" -> when(isSlotting, slShort),
+      "expected_loss" ->
+        when(isSlotting, slElRate * col("ead_final"))
+          .when(isEquity, eqElRate * col("ead_final"))
+          .otherwise(expectedLoss),
+      "risk_weight" ->
+        when(isSlotting, slotRw)
+          .when(isEquity, eqRw)
+          .when(isIrb, irbRw)
+          .otherwise(saRwAdj),
+      "rwa" ->
+        when(isSlotting, slotRw * col("ead_final"))
+          .when(isEquity, eqRw * col("ead_final"))
+          .when(isIrb, irbRwa)
+          .otherwise(saRwaAdj),
+      // the S-TREA shadow follows the same equity / other-items overrides
+      // as the live SA weight (the shadow pass fell through to the
+      // counterparty ladder for both)
+      "sa_rwa_leg" ->
+        when(isEquity, lit(if (isB31) 2.5 else 1.0) * col("ead_final"))
+          .when(otherItemsRw.isNotNull, otherItemsRw * col("ead_final"))
+          .otherwise(col("sa_rwa_leg"))))
 
     // ---- PD band labels (cfg-aware; cube keys for the C 08.03/05, CR6/
     // CR9 and C 08.02 row axes). Allocation source per the recorded rule:
@@ -728,7 +890,8 @@ object RefBook {
     val crr = !isB31
     val rwaPre = col("risk_weight") * col("ead_final")
     val smeApplied = lit(crr) && col("exposure_class") === "corporate_sme" &&
-      coalesce(col("is_sme"), lit(false))
+      col("is_sme_flag") &&
+      col("approach_applied").isin("standardised", "foundation_irb", "advanced_irb")
     val infraApplied = lit(crr) && coalesce(col("is_infrastructure"), lit(false))
     banded.select(
       col("exposure_reference"),
@@ -736,7 +899,7 @@ object RefBook {
       col("exposure_type"),
       when(col("exposure_type") === "ccr_netting_set", "CCR_DERIVATIVE")
         .otherwise("CREDIT").as("risk_type"),
-      col("exposure_class"),
+      col("exposure_class_raw").as("exposure_class"),
       col("exposure_class").as("reporting_class_origin"),
       col("exposure_class").as("reporting_class"),
       col("approach_applied"),
@@ -748,14 +911,19 @@ object RefBook {
       col("cp_country_code").as("reporting_country"),
       col("external_cqs"),
       col("is_defaulted"),
-      coalesce(col("cp_is_sme"), lit(false)).as("is_sme"),
+      col("is_sme_flag").as("is_sme"),
       lit(false).as("is_infrastructure"),
       smeApplied.as("sme_supporting_factor_applied"),
       infraApplied.as("infrastructure_factor_applied"),
       lit(false).as("currency_mismatch_multiplier_applied"),
-      lit(null).cast("string").as("sl_type"),
+      col("sl_type_in").as("sl_type"),
+      col("slotting_category_in").as("slotting_category"),
+      col("sl_short"),
       col("property_type"),
-      lit(null).cast("boolean").as("materially_dependent_on_property"),
+      when(isMortgage || col("exposure_class").isin("retail_mortgage",
+        "commercial_mortgage", "residential_mortgage"),
+        coalesce(col("has_income_cover_in"), lit(false)))
+        .as("materially_dependent_on_property"),
       lit(null).cast("boolean").as("is_qualifying_re"),
       lit(false).as("is_adc"),
       col("cp_is_qccp_in").as("cp_is_qccp"),
@@ -793,7 +961,13 @@ object RefBook {
       when(isIrb, col("internal_pd")).as("pd"),
       col("pd_floored"),
       col("lgd_floored"),
-      col("lgd_floored").as("lgd_post_crm"),
+      // the post-CRM LGD seal carries the UNFLOORED own estimate on the
+      // A-IRB book (the floors live in lgd_floored) and the supervisory
+      // 45% on slotting legs (C 09.02 col 0090 pins both)
+      when(col("approach_applied") === "advanced_irb", col("lgd_own"))
+        .when(col("approach_applied") === "slotting", lit(0.45))
+        .when(col("approach_applied") === "foundation_irb", col("lgd_floored"))
+        .as("lgd_post_crm"),
       col("irb_maturity_m"),
       col("expected_loss"),
       lit(null).cast("string").as("cp_internal_rating_grade"),
@@ -806,6 +980,9 @@ object RefBook {
       lit(0.0).as("collateral_financial_value"),
       lit(0.0).as("collateral_receivables_value"),
       lit(0.0).as("collateral_other_physical_value"),
+      when(isEquity,
+        lit(if (equityIrbMethod) "irb_simple" else "sa")).as("equity_method"),
+      when(isEquity, eqType).as("equity_type"),
       col("pd_band_leaf"), col("pd_band_parent"),
       col("cr6_band_leaf"), col("cr6_band_parent"), col("pd_band_coarse"),
       col("seniority"),

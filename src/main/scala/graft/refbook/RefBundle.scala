@@ -37,6 +37,7 @@ final case class RefBundle(
     provisions: Option[DataFrame] = None,
     modelPermissions: Option[DataFrame] = None,
     specialisedLending: Option[DataFrame] = None,
+    equityExposures: Option[DataFrame] = None,
     trades: Option[DataFrame] = None,
     nettingSets: Option[DataFrame] = None,
     marginAgreements: Option[DataFrame] = None,

@@ -677,11 +677,16 @@ object RefCorep {
     val approachRwa = cube.groupBy(approach).collect {
       case (Some(a), rs) => a -> rs.map(_.m("rwa_final")).sum
     }
-    // Equity method partition: no equity_method carrier is sealed, so every
-    // equity-approach leg stays SA-method (`_equity_method_expr` null arm).
-    val equitySaRwa = approachRwa.getOrElse("equity", 0.0)
+    // Equity method partition (Art. 155 / PS1/26 Art. 147A): the sealed
+    // equity_method splits the equity approach into the SA breakdown
+    // (rows 0060/0210) vs "Equity IRB" (rows 0220/0420).
+    val equityIrbMethods = Set("irb_simple", "pd_lgd")
+    def equityIrb(r: CRow) = approach(r).contains("equity") &&
+      r.s("equity_method").exists(equityIrbMethods)
+    val equityIrbRwa = cube.filter(equityIrb).map(_.m("rwa_final")).sum
+    val equitySaRwa = approachRwa.getOrElse("equity", 0.0) - equityIrbRwa
     val saMask = (r: CRow) => approach(r).exists(c02SaApproaches) ||
-      approach(r).contains("equity")
+      (approach(r).contains("equity") && !equityIrb(r))
     val saClassRwa = cube.filter(saMask).groupBy(postClass).collect {
       case (Some(ec), rs) => ec -> rs.map(_.m("rwa_final")).sum
     }
@@ -719,7 +724,7 @@ object RefCorep {
     val firbRwa = approachRwa.getOrElse("foundation_irb", 0.0)
     val airbRwa = approachRwa.getOrElse("advanced_irb", 0.0)
     val slottingRwa = approachRwa.getOrElse("slotting", 0.0)
-    val irbTotalRwa = firbRwa + airbRwa + slottingRwa // IRB-method equity: none sealed
+    val irbTotalRwa = firbRwa + airbRwa + slottingRwa + equityIrbRwa
     val preFloorTotal = cube.map(_.m("rwa_pre_floor")).sum
     val saEquivRwa = cube.map(_.m("sa_rwa")).sum
     val floorActivated = isB31 && totalRwa > preFloorTotal + 0.01
@@ -778,7 +783,7 @@ object RefCorep {
       v("0415") = slottingTypeRwa.getOrElse("ipre", 0.0)
       v("0416") = slottingTypeRwa.getOrElse("hvcre", 0.0)
     } else v("0410") = slottingRwa
-    v("0420") = 0.0 // IRB-method equity — no equity_method carrier sealed
+    v("0420") = equityIrbRwa
     if (isB31) {
       // Output-floor indicator rows (no OutputFloorSummary on this path —
       // the reference generator call the goldens froze passes none).
@@ -1355,5 +1360,79 @@ object RefCorep {
       ("0010", "0010") -> Some(qE), ("0010", "0020") -> Some(qR),
       ("0020", "0010") -> Some(nE), ("0020", "0020") -> Some(nR),
       ("0030", "0010") -> Some(dE), ("0030", "0020") -> Some(dR))))
+  }
+
+  // =========================================================================
+  // C 08.06 / OF 08.06 — slotting (reference `c08.py::_c08_06_spec`)
+  // =========================================================================
+
+  /** The category × maturity-band row axis: ref → (short?, category or
+    * None for Total, display RW). The B31 grid adds the PS1/26
+    * substantially-stronger refinement rows 0015/0025 (no carrier is
+    * sealed for them, so they always zero-fill with the display weight);
+    * the published order comes from the grid itself. */
+  private val c0806RowDefs: Map[String, (Option[Boolean], Option[String], Double)] = Map(
+    "0010" -> ((Some(true), Some("strong"), 0.5)),
+    "0015" -> ((Some(true), Some("strong_substantially_stronger"), 0.5)),
+    "0020" -> ((Some(false), Some("strong"), 0.7)),
+    "0030" -> ((Some(true), Some("good"), 0.7)),
+    "0025" -> ((Some(true), Some("good_substantially_stronger"), 0.7)),
+    "0040" -> ((Some(false), Some("good"), 0.9)),
+    "0050" -> ((Some(true), Some("satisfactory"), 1.15)),
+    "0060" -> ((Some(false), Some("satisfactory"), 1.15)),
+    "0070" -> ((Some(true), Some("weak"), 2.5)),
+    "0080" -> ((Some(false), Some("weak"), 2.5)),
+    "0090" -> ((Some(true), Some("default"), 0.0)),
+    "0100" -> ((Some(false), Some("default"), 0.0)),
+    "0110" -> ((Some(true), None, Double.NaN)),
+    "0120" -> ((Some(false), None, Double.NaN)))
+
+  /** Generate C 08.06 / OF 08.06: one frame per SL type over the slotting
+    * book. Empty non-Total rows zero-fill with the fixed display risk
+    * weight in col 0070; populated rows and the Total pair compute. */
+  def c0806(cfg: RefRunConfig, cube: Vector[CRow]): Map[String, RefFrame] = {
+    val grid = RefLayouts.grid(cfg.framework, "c08_06")
+    val pop = cube.filter(r => r.s("reporting_approach_origin").contains("slotting"))
+    if (pop.isEmpty) return Map.empty
+    pop.flatMap(_.s("sl_type")).toSet.toSeq.sorted.map { slType =>
+      val sheet = pop.filter(r => r.s("sl_type").contains(slType))
+      def sum(m: String, pred: CRow => Boolean): Double =
+        sheet.iterator.filter(pred).map(_.m(m)).sum
+      val computed = grid.rows.flatMap { case (ref, _) =>
+        val (short, cat, disp) = c0806RowDefs(ref)
+        val t = (r: CRow) =>
+          short.forall(sv => r.b("sl_short").contains(sv)) &&
+            cat.forall(c => r.s("slotting_category").contains(c))
+        val empty = cat.isDefined && !sheet.exists(t)
+        val cells: Seq[(String, Option[Double])] =
+          if (empty) // zero-fill with the display RW (`c08_06_zero_row`)
+            grid.cols.map(c => c -> (if (c == "0070") Some(disp)
+              else if (c == "0031" || c == "0060") Some(0.0) else Some(0.0)))
+          else {
+            val ead = sum("ead_final", t)
+            Seq(
+              "0010" -> Some(sum("reporting_gross_on_bs", t) +
+                sum("reporting_gross_off_bs", t)),
+              "0020" -> Some(sum("reporting_gross_on_bs", t) +
+                sum("reporting_gross_off_bs", t)), // post == origin: no CRM
+              "0030" -> Some(sum("reporting_gross_off_bs", t)),
+              "0031" -> None, // B31 FCCM delta: structural null
+              "0040" -> Some(ead),
+              "0050" -> { // off-BS exposure value, null on an empty side
+                val off = sheet.filter(r => t(r) && bsSide(r).contains("off"))
+                if (off.isEmpty) None else Some(off.map(_.m("ead_final")).sum)
+              },
+              "0060" -> None, // CCR of-which: structural null
+              "0070" -> (if (ead == 0.0) None
+                else Some(sum("rwa_pre_factor", t) / ead)),
+              "0080" -> Some(sum("rwa_final", t)),
+              "0090" -> Some(sum("expected_loss", t)),
+              "0100" -> Some(sum("provision_allocated", t)))
+          }
+        cells.filter { case (c, _) => grid.cols.contains(c) }
+          .map { case (c, v) => ((ref, c), v) }
+      }.toMap
+      slType -> frameOf(grid, computed)
+    }.toMap
   }
 }

@@ -37,7 +37,9 @@ object RefCube {
     "pd_band_coarse", "cp_internal_rating_grade",
     // CCR: the netting-set id IS the C 34.02 sheet axis (bounded by the
     // book's netting sets, the grain that template publishes at)
-    "ccr_netting_set_id")
+    "ccr_netting_set_id",
+    // slotting / equity axes (C 08.06, CR10, C 02.00 equity method split)
+    "slotting_category", "sl_short", "equity_method", "equity_type")
 
   /** Summed measures (nulls count 0.0 — the reference `col_sum` rule). */
   val measureCols: Seq[String] = Seq(

@@ -684,4 +684,84 @@ object RefPillar3 {
       ("2", "a") -> nR, ("2", "b") -> nE,
       ("21", "a") -> tR, ("21", "b") -> tE)))
   }
+
+  // ---- CR10 — slotting + IRB equity (reference `pillar3/cr10.py`) -------
+
+  private val cr10SlotRows: Vector[(String, String, Boolean, String, Double)] = Vector(
+    ("1", "Category 1 (Strong)", true, "strong", 50.0),
+    ("2", "Category 1 (Strong)", false, "strong", 70.0),
+    ("3", "Category 2 (Good)", true, "good", 70.0),
+    ("4", "Category 2 (Good)", false, "good", 90.0),
+    ("5", "Category 3 (Satisfactory)", true, "satisfactory", 114.99999999999999),
+    ("6", "Category 3 (Satisfactory)", false, "satisfactory", 114.99999999999999),
+    ("7", "Category 4 (Weak)", true, "weak", 250.0),
+    ("8", "Category 4 (Weak)", false, "weak", 250.0),
+    ("9", "Category 5 (Default)", true, "default", 0.0),
+    ("10", "Category 5 (Default)", false, "default", 0.0))
+
+  /** Generate CR10: one sheet per slotting SL type (category × maturity
+    * rows with the Art. 153(5) display weights) and — when the equity
+    * book runs the IRB simple method — the equity sheet (private /
+    * exchange-traded / other at 190/290/370%). Pillar 3 null policy:
+    * empty subsets report null in the value columns, the display weight
+    * stays. */
+  def cr10(cfg: RefRunConfig, cube: Vector[CRow]): Map[String, RefFrame] = {
+    val grid = RefLayouts.grid(cfg.framework, "cr10")
+    val slotting = cube.filter(r =>
+      r.s("reporting_approach_origin").contains("slotting"))
+    val slotSheets = slotting.flatMap(_.s("sl_type")).toSet.toSeq.sorted.map { slType =>
+      val sheet = slotting.filter(r => r.s("sl_type").contains(slType))
+      val rows = cr10SlotRows.map { case (ref, label, short, _, _) =>
+        (ref, s"$label — remaining maturity ${if (short) "<" else ">="} 2.5 years")
+      } ++ Vector(
+        ("11", "Total — remaining maturity < 2.5 years"),
+        ("12", "Total — remaining maturity >= 2.5 years"))
+      val sheetGrid = RefLayouts.Grid(rows, grid.cols)
+      def cellsFor(t: CRow => Boolean, disp: Option[Double]): Seq[(String, Option[Double])] = {
+        val subset = sheet.filter(t)
+        def sum(m: String): Option[Double] =
+          if (subset.isEmpty) None else Some(subset.map(_.m(m)).sum)
+        Seq(
+          "a" -> Some(subset.map(_.m("reporting_gross_on_bs")).sum),
+          "b" -> Some(subset.map(_.m("reporting_gross_off_bs")).sum),
+          "c" -> disp,
+          "d" -> sum("ead_final"), "e" -> sum("rwa_final"),
+          "f" -> sum("expected_loss"))
+      }
+      val computed = (cr10SlotRows.map { case (ref, _, short, cat, disp) =>
+        ref -> cellsFor(r => r.b("sl_short").contains(short) &&
+          r.s("slotting_category").contains(cat), Some(disp))
+      } ++ Seq(
+        "11" -> cellsFor(r => r.b("sl_short").contains(true), None),
+        "12" -> cellsFor(r => r.b("sl_short").contains(false), None)))
+        .flatMap { case (ref, cells) => cells.map { case (c, v) => ((ref, c), v) } }
+        .toMap
+      slType -> frameOf(sheetGrid, computed)
+    }
+    val equityIrbRows = cube.filter(r =>
+      r.s("reporting_approach_origin").contains("equity") &&
+        r.s("equity_method").exists(Set("irb_simple", "pd_lgd")))
+    val equitySheet =
+      if (equityIrbRows.isEmpty) Nil
+      else {
+        val rows = Vector(("1", "Private equity exposures"),
+          ("2", "Exchange-traded equity exposures"), ("3", "Other equity exposures"),
+          ("4", "Total"))
+        val types = Map("1" -> "private", "2" -> "listed", "3" -> "other")
+        val disp = Map("1" -> 190.0, "2" -> 290.0, "3" -> 370.0)
+        val sheetGrid = RefLayouts.Grid(rows, grid.cols)
+        val computed = rows.flatMap { case (ref, _) =>
+          val subset =
+            if (ref == "4") equityIrbRows
+            else equityIrbRows.filter(r => r.s("equity_type").contains(types(ref)))
+          def sum(m: String): Option[Double] =
+            if (subset.isEmpty) None else Some(subset.map(_.m(m)).sum)
+          Seq(((ref, "a"), sum("ead_final")), ((ref, "b"), None),
+            ((ref, "c"), disp.get(ref)), ((ref, "d"), sum("ead_final")),
+            ((ref, "e"), sum("rwa_final")), ((ref, "f"), sum("expected_loss")))
+        }.toMap
+        Seq("equity" -> frameOf(sheetGrid, computed))
+      }
+    (slotSheets ++ equitySheet).toMap
+  }
 }

@@ -29,6 +29,7 @@ class ReportingGoldenSpec extends SparkSpec {
         RefCorep.c0803(cfg, cube).map { case (k, f) => s"corep__c08_03__$k" -> f } ++
         RefCorep.c0804(cfg, cube).map { case (k, f) => s"corep__c08_04__$k" -> f } ++
         RefCorep.c0805(cfg, cube).map { case (k, f) => s"corep__c08_05__$k" -> f } ++
+        RefCorep.c0806(cfg, cube).map { case (k, f) => s"corep__c08_06__$k" -> f } ++
         Map("corep__c08_07" -> RefCorep.c0807(cfg, cube)) ++
         RefCorep.c0901(cfg, cube).map { case (k, f) => s"corep__c09_01__$k" -> f } ++
         RefCorep.c0902(cfg, cube).map { case (k, f) => s"corep__c09_02__$k" -> f } ++
@@ -51,6 +52,7 @@ class ReportingGoldenSpec extends SparkSpec {
       RefPillar3.ccr1(cfg, cube).map("pillar3__ccr1" -> _).toMap ++
       RefPillar3.ccr3(cfg, cube).map("pillar3__ccr3" -> _).toMap ++
       RefPillar3.ccr8(cfg, cube).map("pillar3__ccr8" -> _).toMap ++
+      RefPillar3.cr10(cfg, cube).map { case (k, f) => s"pillar3__cr10__$k" -> f } ++
       (if (cfg.isB31) Map(
         "pillar3__cms1" -> RefPillar3.cms1(cfg, cube),
         "pillar3__cms2" -> RefPillar3.cms2(cfg, cube))

@@ -72,6 +72,17 @@ final case class ScnTrade(trade_id: String, netting_set_id: String,
 final case class ScnNettingSet(netting_set_id: String,
     counterparty_reference: String, is_legally_enforceable: Boolean,
     is_margined: Boolean)
+final case class ScnRichLoan(loan_reference: String,
+    counterparty_reference: String, drawn_amount: Double, currency: String,
+    maturity_date: Date, seniority: String, lgd: Option[Double],
+    has_sufficient_collateral_data: Boolean, is_defaulted: Boolean,
+    has_income_cover: Boolean, property_type: Option[String],
+    ltv: Option[Double])
+final case class ScnSpecialisedLending(counterparty_reference: String,
+    sl_type: String, slotting_category: String, is_hvcre: Boolean)
+final case class ScnEquity(exposure_reference: String,
+    counterparty_reference: String, equity_type: String, currency: String,
+    carrying_value: Double, fair_value: Double)
 
 object ReportingScenarios {
 
@@ -265,6 +276,86 @@ object ReportingScenarios {
       nettingSets = Some(nss.toDF()))
   }
 
+  /** The rich multi-class book (reference
+    * `tests/fixtures/reporting_portfolio.py`): one exposure per loan-based
+    * reporting bucket — SA sovereign/institution/corporates (rated,
+    * unrated, SME)/retail/RRE/CRE/defaulted/other-items, F-IRB and A-IRB
+    * corporates, A-IRB retail, a strong project-finance slotting exposure
+    * (granted model, no PD) and one listed equity holding — run under IRB
+    * permission in both regimes. */
+  def richBundle(spark: SparkSession): RefBundle = {
+    import spark.implicits._
+    val cps = Seq(
+      ScnCpRetail("RP-CP-SOV", "sovereign", "GB", None, None, None),
+      ScnCpRetail("RP-CP-INST", "institution", "GB", None, None, None),
+      ScnCpRetail("RP-CP-CORP-RATED", "corporate", "GB", Some(100000000.0), None, None),
+      ScnCpRetail("RP-CP-CORP-UNRATED", "corporate", "GB", Some(60000000.0), None, None),
+      ScnCpRetail("RP-CP-SME", "corporate", "GB", Some(30000000.0), None, None),
+      ScnCpRetail("RP-CP-RETAIL", "individual", "GB", None, Some(true), Some(true)),
+      ScnCpRetail("RP-CP-RRE", "individual", "GB", None, Some(true), Some(true)),
+      ScnCpRetail("RP-CP-CRE", "corporate", "GB", Some(200000000.0), None, None),
+      ScnCpRetail("RP-CP-DEFAULT", "corporate", "GB", Some(50000000.0), None, None),
+      ScnCpRetail("RP-CP-OTHER", "other_items_in_collection", "GB", None, None, None),
+      ScnCpRetail("RP-CP-FIRB", "corporate", "GB", Some(100000000.0), None, None),
+      ScnCpRetail("RP-CP-AIRB", "corporate", "GB", Some(30000000.0), None, None),
+      ScnCpRetail("RP-CP-AIRB-RET", "individual", "GB", None, Some(true), Some(true)),
+      ScnCpRetail("RP-CP-SL", "corporate", "GB", Some(200000000.0), None, None),
+      ScnCpRetail("RP-CP-EQUITY", "corporate", "GB", Some(200000000.0), None, None))
+    // the defaulted obligor carries default_status on the counterparty
+    val cpDf = cps.toDF().withColumn("default_status",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("counterparty_reference") === "RP-CP-DEFAULT",
+        true))
+    def ln(ref: String, cp: String, drawn: Double, lgd: Option[Double] = None,
+        hscd: Boolean = false, dflt: Boolean = false, cover: Boolean = false,
+        pt: Option[String] = None, ltv: Option[Double] = None) =
+      ScnRichLoan(ref, cp, drawn, "GBP", maturity, "senior", lgd, hscd, dflt,
+        cover, pt, ltv)
+    val loans = Seq(
+      ln("RP-LN-SOV", "RP-CP-SOV", 1000000.0),
+      ln("RP-LN-INST", "RP-CP-INST", 2000000.0),
+      ln("RP-LN-CORP-RATED", "RP-CP-CORP-RATED", 5000000.0),
+      ln("RP-LN-CORP-UNRATED", "RP-CP-CORP-UNRATED", 3000000.0),
+      ln("RP-LN-SME", "RP-CP-SME", 500000.0),
+      ln("RP-LN-RETAIL", "RP-CP-RETAIL", 250000.0),
+      ln("RP-LN-RRE", "RP-CP-RRE", 400000.0, pt = Some("residential"), ltv = Some(0.60)),
+      ln("RP-LN-CRE", "RP-CP-CRE", 10000000.0, cover = true,
+        pt = Some("commercial"), ltv = Some(0.50)),
+      ln("RP-LN-DEFAULT", "RP-CP-DEFAULT", 1000000.0, dflt = true),
+      ln("RP-LN-OTHER", "RP-CP-OTHER", 100000.0),
+      ln("RP-LN-FIRB", "RP-CP-FIRB", 50000000.0),
+      ln("RP-LN-AIRB", "RP-CP-AIRB", 20000000.0, lgd = Some(0.30), hscd = true),
+      ln("RP-LN-AIRB-RET", "RP-CP-AIRB-RET", 100000.0, lgd = Some(0.20), hscd = true),
+      ln("RP-LN-SL", "RP-CP-SL", 75000000.0))
+    def ext(cp: String, cqs: Int) = ScnRatingFull(s"RT-EXT-$cp", cp,
+      "external", Some("TEST_AGENCY"), Some(cqs), None, valueDate)
+    def internal(cp: String, pd: Option[Double]) = ScnRatingFull(s"RT-INT-$cp",
+      cp, "internal", None, None, pd, valueDate)
+    val ratings = Seq(
+      ext("RP-CP-SOV", 1), ext("RP-CP-INST", 2), ext("RP-CP-CORP-RATED", 3),
+      ext("RP-CP-CRE", 3),
+      internal("RP-CP-FIRB", Some(0.0075)), internal("RP-CP-AIRB", Some(0.0100)),
+      internal("RP-CP-AIRB-RET", Some(0.0050)), internal("RP-CP-SL", None))
+    val sl = Seq(ScnSpecialisedLending("RP-CP-SL", "project_finance",
+      "strong", is_hvcre = false))
+    val collateral = Seq(
+      ScnCollateral("RP-COLL-RRE", "real_estate", "residential", 666667.0,
+        0.60, "loan", "RP-LN-RRE"),
+      ScnCollateral("RP-COLL-CRE", "real_estate", "commercial", 20000000.0,
+        0.50, "loan", "RP-LN-CRE"))
+    val equity = Seq(ScnEquity("RP-EQ-LISTED", "RP-CP-EQUITY", "listed",
+      "GBP", 1000000.0, 1000000.0))
+    val permissions = Seq(ScnModelPermission("TEST_FULL_IRB", "all"))
+    RefBundle(
+      counterparties = cpDf,
+      loans = loans.toDF(),
+      ratings = ratings.toDF(),
+      collateral = Some(collateral.toDF()),
+      modelPermissions = Some(permissions.toDF()),
+      specialisedLending = Some(sl.toDF()),
+      equityExposures = Some(equity.toDF()))
+  }
+
   /** Every scenario with vendored goldens, in replay order. */
   def all: Seq[Scenario] = Seq(
     Scenario("sa_classes_crr",
@@ -290,5 +381,11 @@ object ReportingScenarios {
       ccrBundle),
     Scenario("ccr_b31",
       RefRunConfig("BASEL_3_1", java.time.LocalDate.of(2027, 6, 1)),
-      ccrBundle))
+      ccrBundle),
+    Scenario("crr",
+      RefRunConfig("CRR", java.time.LocalDate.of(2025, 12, 31), "irb"),
+      richBundle),
+    Scenario("b31",
+      RefRunConfig("BASEL_3_1", java.time.LocalDate.of(2027, 6, 1), "irb"),
+      richBundle))
 }
