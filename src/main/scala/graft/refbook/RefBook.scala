@@ -346,8 +346,6 @@ object RefBook {
         lit(0.0))
       val bd = floor(daysMat * 5.0 / 7.0)
       val years = daysMat / 365.25
-      val sigma = SaCcrKernel.optionVolatility(col("asset_class"),
-        coalesce(optCol(trades0, "is_index", "boolean"), lit(false)))
       val t = trades0
         .withColumn("netting_set", col("netting_set_id"))
         .withColumn("mf", SaCcrKernel.maturityFactorUnmargined(bd))
