@@ -864,7 +864,7 @@ object RefCorep {
     r.s("reporting_approach_origin").exists(irbNonSlotting)
 
   private def distinctObligors(rows: Vector[CRow], pred: CRow => Boolean): Double =
-    rows.iterator.filter(pred).flatMap(_.os).toSet.size.toDouble
+    RefCube.distinctObligors(rows, pred)
 
   private def wavg(rows: Vector[CRow], pred: CRow => Boolean,
       num: String, den: String, scale: Double = 1.0,

@@ -413,7 +413,7 @@ object RefPillar3 {
         val t: CRow => Boolean = if (ref == "18") _ => true else band(ref) _
         val off = (r: CRow) => t(r) &&
           r.b("reporting_on_balance_sheet").contains(false)
-        val obligors = sheet.iterator.filter(t).flatMap(_.os).toSet.size
+        val obligors = RefCube.distinctObligors(sheet, t).toLong
         val ead = sheet.iterator.filter(t).map(_.m("ead_final")).sum
         val rwa = sheet.iterator.filter(t).map(_.m("rwa_final")).sum
         val cells: Seq[(String, Option[Double])] = Seq(
@@ -582,9 +582,9 @@ object RefPillar3 {
       val computed = rows.flatMap { case (ref, _) =>
         val t: CRow => Boolean = if (ref == "18") _ => true else band(ref) _
         val subset = sheet.filter(t)
-        val obligors = subset.iterator.flatMap(_.os).toSet.size.toDouble
-        val defaulted = sheet.iterator
-          .filter(r => t(r) && r.is("is_defaulted")).flatMap(_.os).toSet.size.toDouble
+        val obligors = RefCube.distinctObligors(sheet, t)
+        val defaulted = RefCube.distinctObligors(sheet,
+          r => t(r) && r.is("is_defaulted"))
         val rate = if (obligors <= 0) 0.0 else defaulted / obligors * 100.0
         val n = subset.map(_.n).sum
         val meanPd = if (n == 0) None
