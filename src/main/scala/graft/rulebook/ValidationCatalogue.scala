@@ -18,22 +18,37 @@ package graft.rulebook
   */
 object ValidationCatalogue {
 
-  /** One catalogue record (the translated JSON fields). */
+  /** One catalogue record (the translated JSON fields).
+    *
+    * `prereqs` is the EBA prerequisite-table conjunction ("C 07.00.a and
+    * C 07.00.b" → both must be reported for the rule to run at all —
+    * reference `validations/scope.py::expand_rule` prerequisite gate).
+    * `scopeGroups` carries the BoE per-TABLE scope(...) groups
+    * (`rules.py::_parse_boe_scope`): `(table, rowsScope, rows, colsScope,
+    * cols, sheetsScope, sheets)` — empty for EBA records, whose single
+    * scope is the rowsScope..sheets fields. */
   final case class CatRecord(
       catalogue: String, id: String, severity: String, live: Boolean,
       tables: Seq[String], rowsScope: String, rows: Seq[String],
       colsScope: String, cols: Seq[String], sheetsScope: String,
       sheets: Seq[String], arithmetic: String, missing: String,
-      formula: String)
+      formula: String, prereqs: Seq[String] = Nil,
+      scopeGroups: Seq[(String, String, Seq[String], String, Seq[String], String, Seq[String])] = Nil)
 
   private def split(s: String): Seq[String] =
     if (s.isEmpty) Nil else s.split(";").toSeq
 
   lazy val records: Seq[CatRecord] = ValidationCatalogueData.lines.map { ln =>
     val f = ln.split("\t", -1)
-    require(f.length == 14, s"bad catalogue line: $ln")
+    require(f.length == 16, s"bad catalogue line: $ln")
+    val groups = if (f(15).isEmpty) Nil else f(15).split("\\^").toSeq.map { g =>
+      val p = g.split("~", -1)
+      require(p.length == 7, s"bad scope group: $g")
+      (p(0), p(1), split(p(2)), p(3), split(p(4)), p(5), split(p(6)))
+    }
     CatRecord(f(0), f(1), f(2), f(3) == "1", split(f(4)), f(5), split(f(6)),
-      f(7), split(f(8)), f(9), split(f(10)), f(11), f(12), f(13))
+      f(7), split(f(8)), f(9), split(f(10)), f(11), f(12), f(13),
+      split(f(14)), groups)
   }.toVector
 
   lazy val liveRecords: Seq[CatRecord] = records.filter(_.live)
