@@ -257,8 +257,68 @@ object RefBook {
       lit(null).cast("boolean").as("has_sufficient_collateral_data"),
       lit(null).cast("string").as("leg_property_type"),
       lit(null).cast("double").as("leg_ltv")))
-    (Seq(loans) ++ fac ++ cont).reduce(_.unionByName(_))
+    val base = (Seq(loans) ++ fac ++ cont).reduce(_.unionByName(_))
+      .withColumns(Map(
+        "g_guarantor_reference" -> lit(null).cast("string"),
+        "guaranteed_portion_in" -> lit(0.0),
+        "g_protection_type" -> lit(null).cast("string"),
+        "g_currency" -> lit(null).cast("string"),
+        "g_seniority" -> lit(null).cast("string")))
+    splitGuaranteedLegs(base, b)
   }
+
+  /** CRM guarantee leg split (reference `engine/crm/guarantees.py`
+    * `_build_guarantor_sub_rows` / `_retained_tranche_rows`): a loan with
+    * an attached guarantee splits physically into a `__G_<guarantor>`
+    * covered leg (drawn = the covered amount, carrying the guarantor
+    * reference and protection type) and a `__REM` retained leg (the
+    * uncovered remainder). The split happens UPSTREAM of the benefit
+    * decision — a declined guarantee still splits, it just must not
+    * migrate class/approach or book any outflow/inflow (reference
+    * `engine/sa/rw_adjustments.py::apply_guarantee_substitution`, the
+    * Art. 193 decline). One guarantee per loan is supported (the
+    * reference resolves multi-guarantor stacks by greedy fill —
+    * `redistribute_non_beneficial` — which no committed book exercises). */
+  private def splitGuaranteedLegs(base: DataFrame, b: RefBundle): DataFrame =
+    b.guarantees match {
+      case None => base
+      case Some(g0) =>
+        val g = g0
+          .filter(coalesce(optCol(g0, "beneficiary_type", "string"),
+            lit("loan")) === "loan")
+          .select(
+            col("beneficiary_reference").as("gj_beneficiary"),
+            col("guarantor").as("gj_guarantor"),
+            col("amount_covered").cast("double").as("gj_covered"),
+            optCol(g0, "protection_type", "string").as("gj_ptype"),
+            optCol(g0, "currency", "string").as("gj_currency"),
+            optCol(g0, "guarantor_seniority", "string").as("gj_seniority"))
+        val joined = base.join(broadcast(g),
+          col("exposure_reference") === col("gj_beneficiary") &&
+            col("exposure_type") === "loan", "left")
+        val covered = least(coalesce(col("gj_covered"), lit(0.0)),
+          col("drawn_amount"))
+        // never null: isNotNull collapses the null branch and a null
+        // covered coalesces to 0.0, so the complement filter keeps rows
+        val split = col("gj_guarantor").isNotNull && covered > 0
+        val gjCols = Seq("gj_beneficiary", "gj_guarantor", "gj_covered",
+          "gj_ptype", "gj_currency", "gj_seniority")
+        val gLeg = joined.filter(split).withColumns(Map(
+          "exposure_reference" -> concat(col("exposure_reference"),
+            lit("__G_"), col("gj_guarantor")),
+          "drawn_amount" -> covered,
+          "g_guarantor_reference" -> col("gj_guarantor"),
+          "guaranteed_portion_in" -> covered,
+          "g_protection_type" -> col("gj_ptype"),
+          "g_currency" -> col("gj_currency"),
+          "g_seniority" -> col("gj_seniority")))
+        val rem = joined.filter(split && col("drawn_amount") - covered > 0)
+          .withColumns(Map(
+            "exposure_reference" -> concat(col("exposure_reference"), lit("__REM")),
+            "drawn_amount" -> (col("drawn_amount") - covered)))
+        val plain = joined.filter(!split)
+        Seq(plain, gLeg, rem).map(_.drop(gjCols: _*)).reduce(_.unionByName(_))
+    }
 
   /** Build the sealed results ledger for one bundle under one config. */
   /** The C 08.03 / OF 08.03 hierarchical PD scale, (lower, upper, ref)
@@ -420,6 +480,91 @@ object RefBook {
     }
 
   /** Build the sealed results ledger for one bundle under one config. */
+  /** Join each guaranteed leg's GUARANTOR attributes — entity/country/
+    * revenue (the counterparty dim), best external CQS, internal PD — and
+    * the guarantor's SA risk weight as a DIRECT senior exposure.
+    *
+    * The SA weight comes from the SAME [[graft.engine.SaKernel]] the book's
+    * own legs run through, applied to a tiny pseudo-exposure frame at
+    * distinct-guarantor grain (reference `data/tables/guarantor_rw.py`
+    * `build_guarantor_rw_expr` — "the guaranteed portion is a direct
+    * exposure to the guarantor", CRR Art. 235): one row per guarantor with
+    * the guarantee's own currency (the Art. 114(4)/(7) + Art. 235(3)
+    * domestic-CGCB 0% reads the currency the substituted exposure to the
+    * sovereign is denominated in). Distinct-guarantor grain is bounded by
+    * the counterparty dim, so the frame broadcasts at any book size. */
+  private def joinGuarantorAttributes(b: RefBundle, cfg: RefRunConfig,
+      exposures: DataFrame): DataFrame = {
+    if (b.guarantees.isEmpty)
+      return exposures.withColumns(Map(
+        "g_entity_type" -> lit(null).cast("string"),
+        "g_country_code" -> lit(null).cast("string"),
+        "g_annual_revenue" -> lit(null).cast("double"),
+        "g_external_cqs" -> lit(null).cast("int"),
+        "g_internal_pd" -> lit(null).cast("double"),
+        "g_rw_sa" -> lit(null).cast("double")))
+    val gCpty = b.counterparties.select(
+      col("counterparty_reference").as("g_guarantor_reference"),
+      col("entity_type").as("g_entity_type"),
+      col("country_code").as("g_country_code"),
+      optCol(b.counterparties, "annual_revenue", "double").as("g_annual_revenue"))
+    val gCqs = bestExternalCqs(b.ratings).select(
+      col("counterparty_reference").as("g_guarantor_reference"),
+      col("external_cqs").as("g_external_cqs"))
+    val gPd = internalPd(b.ratings).select(
+      col("counterparty_reference").as("g_guarantor_reference"),
+      col("internal_pd").as("g_internal_pd"))
+    val withG = exposures
+      .join(broadcast(gCpty), Seq("g_guarantor_reference"), "left")
+      .join(broadcast(gCqs), Seq("g_guarantor_reference"), "left")
+      .join(broadcast(gPd), Seq("g_guarantor_reference"), "left")
+    // distinct guarantors as direct senior SA exposures through SaKernel
+    val gDim = withG.filter(col("g_guarantor_reference").isNotNull)
+      .select(col("g_guarantor_reference"), col("g_entity_type"),
+        col("g_country_code"), col("g_external_cqs"), col("g_currency"))
+      .distinct()
+    val gPseudo = gDim.select(
+      col("g_guarantor_reference"),
+      lit(cfg.framework).as("framework"),
+      lit("STANDARDISED").as("approach"),
+      chainOf(entityToSaClass, col("g_entity_type"), "other").as("exposure_class"),
+      col("g_entity_type").as("entity_type"),
+      lit(1.0).as("ead"),
+      col("g_external_cqs").as("cqs"),
+      lit(null).cast("int").as("sovereign_cqs"),
+      col("g_currency").as("currency"),
+      domesticCurrency(col("g_country_code")).as("local_currency"),
+      col("g_country_code").as("country_code"),
+      lit(null).cast("double").as("original_maturity_years"),
+      lit(false).as("cp_is_natural_person"),
+      lit(false).as("qualifies_as_retail"),
+      lit(false).as("is_payroll_loan"),
+      lit(false).as("is_qrre_transactor"),
+      lit(null).cast("double").as("ltv"),
+      lit(null).cast("string").as("property_type"),
+      lit(false).as("has_income_cover"),
+      lit(false).as("is_adc"),
+      lit(false).as("is_presold"),
+      lit(false).as("is_defaulted"),
+      lit(0.0).as("provision_allocated"),
+      lit(null).cast("string").as("scra_grade"),
+      lit(null).cast("boolean").as("is_equivalent_jurisdiction"),
+      lit(false).as("is_sme"),
+      lit(false).as("is_investment_grade"),
+      lit(false).as("use_investment_grade_assessment"),
+      lit(false).as("is_infrastructure"),
+      lit(null).cast("string").as("equity_type"),
+      lit(false).as("is_diversified"),
+      lit(false).as("is_exchange_traded"),
+      lit("STANDARDISED").as("permission"),
+      lit(null).cast("string").as("slotting_category"),
+      lit(false).as("is_short_maturity"),
+      lit(false).as("is_hvcre"))
+    val gRwSa = graft.engine.SaKernel.calculate(gPseudo)
+      .select(col("g_guarantor_reference"), col("risk_weight").as("g_rw_sa"))
+    withG.join(broadcast(gRwSa), Seq("g_guarantor_reference"), "left")
+  }
+
   def ledger(b: RefBundle, cfg: RefRunConfig, s: SparkSession): DataFrame = {
     import graft.engine.IrbKernel
     val isB31 = cfg.isB31
@@ -484,13 +629,17 @@ object RefBook {
       optCol(eq, "equity_type", "string").as("equity_type_in")))
     val unifiedCredit0 = unifyExposures(b, s)
       .withColumn("equity_type_in", lit(null).cast("string"))
+    // equity / CCR synthetic legs carry no guarantee columns — the
+    // name-union fills them null (an absent guarantee, exactly the loan
+    // default)
     val unifiedCredit = equityRows.fold(unifiedCredit0)(eq =>
-      unifiedCredit0.unionByName(eq))
+      unifiedCredit0.unionByName(eq, allowMissingColumns = true))
       .withColumn("ccr_netting_set_id", lit(null).cast("string"))
     val unified = ccrSynthetic(b, cfg)
       .fold(unifiedCredit)(ccr =>
         unifiedCredit.unionByName(
-          ccr.withColumn("equity_type_in", lit(null).cast("string"))))
+          ccr.withColumn("equity_type_in", lit(null).cast("string")),
+          allowMissingColumns = true))
     val withAttrs = Seq(facAttrs, reColl).flatten
       .foldLeft(unified)((df, extra) =>
         df.join(broadcast(extra), Seq("exposure_reference"), "left"))
@@ -515,6 +664,7 @@ object RefBook {
           .withColumn("sl_type_in", lit(null).cast("string"))
           .withColumn("slotting_category_in", lit(null).cast("string"))),
         Seq("counterparty_reference"), "left")
+      .transform(joinGuarantorAttributes(b, cfg, _))
 
     // ---- classification (reference `engine/stages/classify`) ----------
     val retailEligible = coalesce(col("cp_is_natural_person"), lit(false)) &&
@@ -863,26 +1013,116 @@ object RefBook {
           .when(otherItemsRw.isNotNull, otherItemsRw * col("ead_final"))
           .otherwise(col("sa_rwa_leg"))))
 
+    // ---- CRM guarantee substitution (reference `engine/irb/guarantee.py`
+    // `apply_guarantee_substitution` + `engine/sa/rw_adjustments.py` +
+    // `engine/crm/guarantees.py::_assign_guarantor_approach`). The `__G_`
+    // covered leg is fully covered by construction (the split put the
+    // covered amount on it), so the Art. 235(1) blend collapses to
+    // `covered × guarantor_rw`. The benefit test is Art. 193(1): the
+    // substituted weight must BEAT the leg's own, else the engine
+    // DECLINES and the leg keeps the borrower basis end to end.
+    val gp = coalesce(col("guaranteed_portion_in"), lit(0.0))
+    val gSaClass = chainOf(entityToSaClass, col("g_entity_type"), "other")
+    val gIrbClass = chainOf(entityToIrbClass, col("g_entity_type"), "other")
+    // Art. 114(4)/(7) + Art. 235(3): a domestic-currency CGCB guarantor is
+    // SA-treated unconditionally (its 0% carve-out has no IRB analogue).
+    val gDomestic = gSaClass === "central_govt_central_bank" &&
+      col("g_currency").isNotNull &&
+      col("g_currency") === domesticCurrency(col("g_country_code"))
+    // Art. 201(1)(g)/(2): a corporate guarantor is eligible only with an
+    // ECAI rating or (IRB beneficiary) an internal rating.
+    val gCorpIneligible = gSaClass === "corporate" &&
+      !(col("g_external_cqs").isNotNull || (isIrb && col("g_internal_pd").isNotNull))
+    // IRB parameter substitution (Art. 161 / CRE22.70-85) reaches F-IRB/
+    // A-IRB beneficiaries only — never slotting (Art. 201(2)'s internal-
+    // rating limb does not reach it) and never SA beneficiaries.
+    val gApproach = when(col("g_guarantor_reference").isNull, lit(null).cast("string"))
+      .when(gDomestic, "sa")
+      .when(isIrb && lit(irbPermitted) && col("g_internal_pd").isNotNull, "irb")
+      .when(!gCorpIneligible, "sa")
+      .otherwise(lit(null).cast("string"))
+    // Guarantor IRB RW — the full formula with the GUARANTOR's floored PD,
+    // class-context correlation and the F-IRB supervisory LGD for a direct
+    // obligation of the guarantor's seniority (Art. 161(1)(a)/(aa)/(b));
+    // the maturity adjustment stays the LEG's (the exposure's M governs).
+    val gPdFloorVal =
+      if (!isB31) when(gIrbClass === "central_govt_central_bank", 0.0).otherwise(0.0003)
+      else when(gIrbClass === "retail_qrre", 0.001)
+        .when(gIrbClass === "retail_mortgage", 0.001).otherwise(0.0005)
+    val gPdFloored = greatest(col("g_internal_pd"), gPdFloorVal)
+    val gLgd = when(col("g_seniority") === "subordinated", 0.75)
+      .otherwise(if (isB31) lit(0.40) else lit(0.45))
+    val gCorporateLike = gIrbClass.isin(
+      "corporate", "corporate_sme", "institution", "central_govt_central_bank")
+    val gCorr =
+      when(gIrbClass.isin("corporate", "corporate_sme") && col("g_annual_revenue").isNotNull,
+        if (isB31) IrbKernel.correlationSme(gPdFloored, col("g_annual_revenue") / 1e6, 4.4, 44.0)
+        else IrbKernel.correlationSme(gPdFloored, col("g_annual_revenue") / 1e6, 4.366, 43.66))
+        .when(gCorporateLike, IrbKernel.correlationCorporate(gPdFloored))
+        .when(gIrbClass === "retail_mortgage", lit(IrbKernel.CorrelationMortgage))
+        .when(gIrbClass === "retail_qrre", lit(IrbKernel.CorrelationQrre))
+        .otherwise(IrbKernel.correlationRetailOther(gPdFloored))
+    val gRwIrbBase = gLgd *
+      (IrbKernel.conditionalPdPrecise(gPdFloored, gCorr) - gPdFloored) *
+      lit(12.5) * lit(scaling)
+    val gRwIrb = when(gCorporateLike,
+      gRwIrbBase * IrbKernel.maturityAdjustment(gPdFloored, mYears))
+      .otherwise(gRwIrbBase)
+    val guarantorRw = when(gApproach === "irb", gRwIrb)
+      .when(gApproach === "sa", col("g_rw_sa"))
+    val beneficial = gp > 0 && guarantorRw.isNotNull &&
+      guarantorRw < col("risk_weight")
+    val gParamSub = beneficial && gApproach === "irb"
+    val substituted = weighted.withColumns(Map(
+      "risk_weight" -> when(beneficial, guarantorRw).otherwise(col("risk_weight")),
+      "rwa" -> when(beneficial, guarantorRw * col("ead_final")).otherwise(col("rwa")),
+      // EL follows the benefit (reference `_adjust_expected_loss`): an
+      // SA-substituted leg is a direct SA exposure and carries no EL; a
+      // parameter-substituted one takes the guarantor's floored PD × the
+      // same supervisory LGD the RW used. The sealed PD/LGD/grade columns
+      // stay the OBLIGOR's — the reference never reseals them (C 08.02
+      // routes an arrived leg to its "Unassigned" residual row precisely
+      // because the ledger carries the obligor's grade, never the
+      // guarantor's — `c08.py::_C08_02_INFLOW_ROW`, decision R12).
+      "expected_loss" -> when(gParamSub, gPdFloored * gLgd * col("ead_final"))
+        .when(beneficial, lit(0.0)).otherwise(col("expected_loss")),
+      "class_post" -> when(gParamSub, gIrbClass)
+        .when(beneficial, gSaClass).otherwise(col("exposure_class")),
+      "approach_post" -> when(beneficial && gApproach === "sa", lit("standardised"))
+        .otherwise(col("approach_applied")),
+      "post_crm_class_g" -> when(col("g_guarantor_reference").isNotNull,
+        when(gApproach === "irb", gIrbClass).otherwise(gSaClass)),
+      "is_beneficial_g" -> when(gp > 0, beneficial),
+      // the S-TREA shadow applies the SAME guarantee under SA rules: the
+      // covered leg takes the guarantor's SA weight when it beats the
+      // leg's own shadow weight
+      "sa_rwa_leg" -> when(gp > 0 && col("g_rw_sa").isNotNull &&
+        col("g_rw_sa") * col("ead_final") < col("sa_rwa_leg"),
+        col("g_rw_sa") * col("ead_final")).otherwise(col("sa_rwa_leg"))))
+
     // ---- PD band labels (cfg-aware; cube keys for the C 08.03/05, CR6/
     // CR9 and C 08.02 row axes). Allocation source per the recorded rule:
     // B3.1 the PRE-floor pd, CRR the post-floor pd (`c08.py::_pd_alloc_col`
     // / `cr6.py::_alloc_pd_source`); CR6/CR9 force defaulted legs to the
     // 100% band; the C 08.02 coarse bands key pd_floored under both.
-    val allocPd = if (isB31) col("internal_pd") else pdFloored
+    // Bands stay on the OBLIGOR's pd on every leg, substituted or not
+    // (the ledger never carries the guarantor's grade — see the
+    // substitution block above).
+    val allocPd = if (isB31) col("internal_pd") else col("pd_floored")
     val cr6Alloc = when(isDefaulted, 1.0).otherwise(allocPd)
     val ranges = c0803Ranges(isB31)
     val leafR = ranges.filterNot(r => c0803ParentRefs(r._3))
     val parentR = ranges.filter(r => c0803ParentRefs(r._3))
     val cr6LeafR = cr6Ranges.filterNot(r => cr6ParentRefs(r._3))
     val cr6ParentR = cr6Ranges.filter(r => cr6ParentRefs(r._3))
-    val banded = weighted.withColumns(Map(
+    val banded = substituted.withColumns(Map(
       "pd_band_leaf" -> when(isIrb, bandLabel(leafR, allocPd, "UNASSIGNED")),
       "pd_band_parent" ->
         when(isIrb, bandLabel(parentR, allocPd, null)).cast("string"),
       "cr6_band_leaf" -> when(isIrb, bandLabel(cr6LeafR, cr6Alloc, "UNASSIGNED")),
       "cr6_band_parent" ->
         when(isIrb, bandLabel(cr6ParentR, cr6Alloc, null)).cast("string"),
-      "pd_band_coarse" -> when(isIrb, bandLabel(coarseBands, pdFloored, "Unassigned"))))
+      "pd_band_coarse" -> when(isIrb, bandLabel(coarseBands, col("pd_floored"), "Unassigned"))))
 
     // ---- seal: the reporting projection (`aggregator.py:1016-1056`) ---
     val crr = !isB31
@@ -899,10 +1139,14 @@ object RefBook {
         .otherwise("CREDIT").as("risk_type"),
       col("exposure_class_raw").as("exposure_class"),
       col("exposure_class").as("reporting_class_origin"),
-      col("exposure_class").as("reporting_class"),
+      // post-substitution twins (reference `aggregator.py`
+      // `exposure_class_post_crm` / `approach_post_crm`): the guarantor's
+      // class on a beneficially-substituted `__G_` leg, the obligor's
+      // everywhere else — the cross-template inflow routing keys
+      col("class_post").as("reporting_class"),
       col("approach_applied"),
       col("approach_applied").as("reporting_approach_origin"),
-      col("approach_applied").as("reporting_approach"),
+      col("approach_post").as("reporting_approach"),
       col("cp_entity_type"),
       col("cp_country_code"),
       col("cp_country_code").as("reporting_country_origin"),
@@ -986,10 +1230,10 @@ object RefBook {
       col("seniority"),
       lit(0.0).as("provision_allocated"),
       lit(0.0).as("provision_deducted"),
-      lit(0.0).as("guaranteed_portion"),
-      lit(null).cast("string").as("protection_type"),
-      lit(null).cast("boolean").as("is_guarantee_beneficial"),
-      lit(null).cast("string").as("post_crm_exposure_class_guaranteed"),
+      coalesce(col("guaranteed_portion_in"), lit(0.0)).as("guaranteed_portion"),
+      col("g_protection_type").as("protection_type"),
+      col("is_beneficial_g").as("is_guarantee_beneficial"),
+      col("post_crm_class_g").as("post_crm_exposure_class_guaranteed"),
       col("ccr_netting_set_id"),
       lit(0.0).as("collateral_adjusted_value"),
       lit(0.0).as("collateral_market_value"),

@@ -31,13 +31,15 @@ import RefCube._
   * discriminator keys carry every ledger column these templates read, so
   * the assembly is exact, not approximate.
   *
-  * Substitution inflows (C 07.00 col 0100): computed from the cube's
-  * protection keys (`post_crm_exposure_class_guaranteed`, `protection_type`,
-  * `is_guarantee_beneficial`) and the capped `prot_unfunded` measure. The
-  * per-risk-weight-band inflow split needs the GUARANTOR's weight, which
-  * [[RefBook]] does not yet seal — by-band inflows are therefore empty; on a
-  * book with no beneficial substitution (every scenario the golden spec
-  * currently replays) the whole inflow surface is exactly zero.
+  * Substitution inflows (C 07.00 col 0100 / C 08.01 col 0080 / C 08.02's
+  * Unassigned row): computed from the cube's protection keys
+  * (`post_crm_exposure_class_guaranteed`, `protection_type`,
+  * `is_guarantee_beneficial`) and the capped unfunded carriers — each half
+  * on the cap of the template that reported the matching outflow — routed
+  * across the SA/IRB template boundary by the sealed post-substitution
+  * approach, and banded on the sealed `reporting_rw`, which on a
+  * beneficially-substituted leg IS the guarantor's Art. 235 weight
+  * ([[RefBook]]'s substitution block). See [[inflows]].
   */
 object RefCorep {
 
@@ -176,21 +178,71 @@ object RefCorep {
   private def classPost(r: CRow): Option[String] =
     r.s("reporting_class").map(mergeSl)
 
-  // ---- substitution inflows (C 07.00 col 0100, `_sa_inflows`) ------------
+  // ---- substitution inflows (C 07.00 col 0100 / C 08.01 col 0080;
+  // reference `corep/crm_substitution.py::irb_origin_inflows` +
+  // `c07.py::_sa_inflows` / `_add_sa_origin_inflows`) --------------------
 
-  final case class Inflows(total: Map[String, Double], onBs: Map[String, Double],
-      offBs: Map[String, Double])
+  /** One destination class's inflow on every axis the templates publish:
+    * `total` → C 07.00 r0010 / C 08.01 r0010; `onBs`/`offBs` → C 08.01
+    * r0020/r0030 and C 07.00 r0070/r0080; `graded`/`slotting` → C 08.01
+    * r0070/r0080 (C 08.02 takes `graded` on its Unassigned row); `byBand`
+    * → the C 07.00 risk-weight band rows, measured on the substituted
+    * leg's `reporting_rw` — the GUARANTOR's weight, because only
+    * beneficially-substituted legs are counted (`_band_split`'s
+    * load-bearing precondition). */
+  final case class Inflow(total: Double = 0.0, onBs: Double = 0.0,
+      offBs: Double = 0.0, graded: Double = 0.0, slotting: Double = 0.0,
+      byBand: Map[String, Double] = Map.empty)
 
-  def inflows(cube: Vector[CRow]): Inflows = {
-    val rows = cube.filter(r => r.is("is_guarantee_beneficial") &&
-      r.s("protection_type").exists(Set("guarantee", "credit_derivative")) &&
-      r.s("post_crm_exposure_class_guaranteed").isDefined &&
-      r.m("prot_unfunded") != 0.0)
-    def byClass(sel: CRow => Boolean) = rows.filter(sel)
-      .groupBy(r => mergeSl(r.s("post_crm_exposure_class_guaranteed").get))
-      .map { case (k, rs) => k -> rs.map(_.m("prot_unfunded")).sum }
-    Inflows(byClass(_ => true), byClass(r => bsSide(r).contains("on")),
-      byClass(r => bsSide(r).contains("off")))
+  private val irbOriginApproaches = Set("foundation_irb", "advanced_irb", "slotting")
+
+  /** Per-destination-class inflows, computed over the WHOLE cube (routing
+    * across the SA/IRB template boundary is the point) and routed by the
+    * sealed POST approach: IRB destinations land on C 08.01
+    * (`destinationIrb = true`), the SA complement on C 07.00. Each half is
+    * measured with the cap of the template that reported the matching
+    * OUTFLOW: IRB-origin legs on the IRB-capped carrier, SA-origin legs
+    * (C 07.00 only — an SA origin can never reach an IRB destination) on
+    * C 07.00's own provision-netted cap. Only beneficially-substituted
+    * legs count — a declined guarantee's carrier is already zero. */
+  def inflows(cube: Vector[CRow], destinationIrb: Boolean,
+      bands: Seq[(Double, String)] = Nil,
+      mergeClasses: Boolean = false): Map[String, Inflow] = {
+    def migrated(r: CRow, m: String): Boolean =
+      r.is("is_guarantee_beneficial") &&
+        r.s("post_crm_exposure_class_guaranteed").isDefined && r.m(m) > 0.0
+    def irbOrigin(r: CRow) =
+      r.s("reporting_approach_origin").exists(irbOriginApproaches)
+    def destIrb(r: CRow) = r.s("reporting_approach").exists(irbOriginApproaches)
+    val irbHalf = cube.iterator.filter(r => migrated(r, "prot_unfunded_irb") &&
+      irbOrigin(r) && destIrb(r) == destinationIrb)
+      .map(r => r -> r.m("prot_unfunded_irb")).toSeq
+    val saHalf =
+      if (destinationIrb) Nil
+      else cube.iterator.filter(r => migrated(r, "prot_unfunded") &&
+        popOrigin(r) && !irbOrigin(r))
+        .map(r => r -> r.m("prot_unfunded")).toSeq
+    (irbHalf ++ saHalf).groupBy { case (r, _) =>
+      val k = r.s("post_crm_exposure_class_guaranteed").get
+      if (mergeClasses) mergeSl(k) else k
+    }.map { case (k, rs) =>
+      def share(p: CRow => Boolean) =
+        rs.iterator.collect { case (r, v) if p(r) => v }.sum
+      // a leg the frame cannot place on a side joins the ON side — what
+      // keeps on + off == total (`crm_substitution._off_bs`)
+      val off = (r: CRow) => bsSide(r).contains("off")
+      k -> Inflow(
+        total = rs.iterator.map(_._2).sum,
+        onBs = share(r => !off(r)),
+        offBs = share(off),
+        slotting = share(r => r.s("reporting_approach").contains("slotting")),
+        graded = share(r => !r.s("reporting_approach").contains("slotting")),
+        byBand =
+          if (bands.isEmpty) Map.empty
+          else rs.groupBy { case (r, _) => rwBand(bands)(r) }.collect {
+            case (Some(b), vs) => b -> vs.iterator.map(_._2).sum
+          }.filter(_._2 != 0.0))
+    }
   }
 
   // =========================================================================
@@ -303,12 +355,12 @@ object RefCorep {
     val bands = bandLadder(grid)
     val resolve = c07Key(cfg.framework, bands) _
     val isB31 = cfg.isB31
-    val inf = inflows(cube)
+    val inf = inflows(cube, destinationIrb = false, bands, mergeClasses = true)
     val pop = cube.filter(r => popOrigin(r) || popPost(r))
     val axis = (pop.flatMap(r =>
       (if (popOrigin(r)) classOrigin(r) else None) ++
-        (if (popPost(r)) classPost(r) else None)).toSet ++ inf.total.keySet).toSeq.sorted
-    if (pop.isEmpty && inf.total.isEmpty) return Map.empty
+        (if (popPost(r)) classPost(r) else None)).toSet ++ inf.keySet).toSeq.sorted
+    if (pop.isEmpty && inf.isEmpty) return Map.empty
 
     val rowTerms: Map[String, Option[Terms]] =
       grid.rows.map { case (ref, name) => ref -> c07Terms(ref, name, bands) }.toMap
@@ -319,9 +371,10 @@ object RefCorep {
       val origin = (r: CRow) => popOrigin(r) && classOrigin(r).contains(ec)
       val post = (r: CRow) => popPost(r) && classPost(r).contains(ec)
       val sheet = pop.filter(r => origin(r) || post(r))
-      val infTotal = inf.total.getOrElse(ec, 0.0)
-      val infOn = inf.onBs.getOrElse(ec, 0.0)
-      val infOff = inf.offBs.getOrElse(ec, 0.0)
+      val sheetInf = inf.getOrElse(ec, Inflow())
+      val infTotal = sheetInf.total
+      val infOn = sheetInf.onBs
+      val infOff = sheetInf.offBs
 
       val cells = scala.collection.mutable.Map[(String, String), Cell]()
       for ((ref, _) <- grid.rows; terms <- rowTerms(ref)) {
@@ -339,15 +392,19 @@ object RefCorep {
         put("0080", Cell(MSum(_.m("prot_other_funded")), o))
         put("0090", Cell(FFormula(Seq("0050", "0060", "0070", "0080"), c =>
           Some(Seq("0050", "0060", "0070", "0080").map(c(_).getOrElse(0.0)).sum))))
-        // inflow (col 0100): the Total row takes the whole inflow; a
-        // balance-sheet row its side's share; band rows would take the
-        // guarantor-band share (not sealed — see object doc).
+        // inflow (col 0100, `_inflow_key_for`): the Total row takes the
+        // whole inflow; a balance-sheet row its side's share; a
+        // risk-weight band row the share banded at the GUARANTOR's
+        // substituted weight (the leg's sealed reporting_rw — only
+        // beneficially-substituted legs are counted, so the band is
+        // Art. 235's, never the declined borrower's).
         val inflowKey: Option[Double] =
           if (ref == "0010") Some(infTotal)
           else terms match {
             case Seq(("c07_bs", "on")) => Some(infOn)
             case Seq(("c07_bs", "off")) => Some(infOff)
-            case Seq(("c07_rw_band", _)) => Some(0.0)
+            case Seq(("c07_rw_band", b: String)) =>
+              Some(sheetInf.byBand.getOrElse(b, 0.0))
             case _ => None
           }
         inflowKey.foreach(v => put("0100", Cell(FSide(v))))
@@ -401,7 +458,15 @@ object RefCorep {
       val constrainedRefs = rowTerms.collect {
         case (ref, Some(ts)) if ts.nonEmpty => ref
       }.toSet
-      val keep: Set[String] =
+      // rows carrying a NON-ZERO inflow survive the empty-row nulling
+      // (`_inflow_rows`): an inflow-only destination sheet has no native
+      // rows at all, and deleting the split is what broke the row-0010
+      // decompositions there
+      val bandKeep: Set[String] = rowTerms.collect {
+        case (ref, Some(Seq(("c07_rw_band", b: String))))
+          if sheetInf.byBand.getOrElse(b, 0.0) != 0.0 => ref
+      }.toSet
+      val keep: Set[String] = bandKeep ++
         (if (infTotal != 0.0) Set("0010") else Set.empty[String]) ++
           (if (infOn != 0.0) Set("0070") else Set.empty[String]) ++
           (if (infOff != 0.0) Set("0080") else Set.empty[String])
@@ -884,23 +949,37 @@ object RefCorep {
     * directly (not via `Cell`) because half the surface is weighted
     * averages and distinct counts the `MSum` verb cannot express. */
   private def c08ValueCells(grid: RefLayouts.Grid, rows: Vector[CRow],
-      o: CRow => Boolean, p: CRow => Boolean): Map[String, Option[Double]] = {
+      o: CRow => Boolean, p: CRow => Boolean,
+      inflow: Option[Double] = None): Map[String, Option[Double]] = {
     def sum(m: String, pred: CRow => Boolean): Double =
       rows.iterator.filter(pred).map(_.m(m)).sum
     val grossO = sum("reporting_gross_on_bs", o) + sum("reporting_gross_off_bs", o)
-    val w0090 = grossO - 0.0 - sum("prot_unfunded", o) // 0020 − 0035 − 0070 (+0080)
-    val offSlice = rows.iterator.filter(r => o(r) && bsSide(r).contains("off"))
-      .map(r => r.m("reporting_gross_off_bs")).sum // − block (zero)
+    // the substitution block on the IRB cap (`irb_protection_exprs` — no
+    // provision netting off the basis, unlike C 07.00's); cols 0040/0050
+    // split the ONE capped carrier by protection type, col 0070 is its
+    // subtotal, so {c0070} = {c0040}+{c0050}+{c0060} holds by construction
+    // (v1663_m / v1665_m)
+    def block(pred: CRow => Boolean): Double = sum("prot_unfunded_irb", pred)
+    val inflowV = inflow.getOrElse(0.0)
+    // 0090 = 0020 − 0035 − 0070 + 0080 (`crm_waterfall`; 0035 sealed zero)
+    val w0090 = grossO - 0.0 - block(o) + inflowV
+    // off-BS slice of the 0090 waterfall (`postpass.c08_off_bs_pre_ccf`):
+    // off gross − off-side outflow; the 0080 inflow is EXCLUDED (a
+    // total-row cross-sheet scalar with no leg-level BS attribution) and
+    // so is the B31 0035 netting term (on-balance-sheet by nature)
+    val offO = (r: CRow) => o(r) && bsSide(r).contains("off")
+    val offSlice = sum("reporting_gross_off_bs", offO) - block(offO)
     val all: Map[String, Option[Double]] = Map(
       "0010" -> wavg(rows, o, "pd_w", "ead_final"),
       "0020" -> Some(grossO),
       "0030" -> Some(0.0), // LFSE: cp_apply_fi_scalar sealed false → empty → 0.0
       "0035" -> Some(0.0), // on_bs_netting_amount sealed zero
-      "0040" -> Some(sum("prot_guarantee", o)),
-      "0050" -> Some(sum("prot_credit_derivative", o)),
+      "0040" -> Some(block(r => o(r) && r.s("protection_type").contains("guarantee"))),
+      "0050" -> Some(block(r => o(r) &&
+        r.s("protection_type").contains("credit_derivative"))),
       "0060" -> Some(0.0), // reporting_ofcp_substitution: SafeSum none present
-      "0070" -> Some(sum("prot_unfunded", o)), // the c08_prot_block subtotal
-      "0080" -> Some(0.0), // substitution inflow: none on this book
+      "0070" -> Some(block(o)), // the c08_prot_block subtotal
+      "0080" -> Some(inflowV), // substitution inflow (SideContext; 0.0 off-axis)
       "0090" -> Some(w0090),
       "0100" -> Some(offSlice), // post-pass: off-BS slice of the 0090 waterfall
       "0101" -> None, "0102" -> None, "0103" -> None, // slotting FCCM: unsealed
@@ -963,11 +1042,13 @@ object RefCorep {
     * (the two-basis Art. 147 sheet axis over the IRB book). */
   def c0801(cfg: RefRunConfig, cube: Vector[CRow]): Map[String, RefFrame] = {
     val grid = RefLayouts.grid(cfg.framework, "c08_01")
+    val inf = inflows(cube, destinationIrb = true)
     val pop = cube.filter(r => popIrbOrigin(r) || popIrbPost(r))
-    if (pop.isEmpty) return Map.empty
-    val axis = pop.flatMap(r =>
+    if (pop.isEmpty && inf.isEmpty) return Map.empty
+    val axis = (pop.flatMap(r =>
       (if (popIrbOrigin(r)) r.s("reporting_class_origin") else None) ++
-        (if (popIrbPost(r)) r.s("reporting_class") else None)).toSet.toSeq.sorted
+        (if (popIrbPost(r)) r.s("reporting_class") else None)).toSet ++
+      inf.keySet).toSeq.sorted
     val negCols = Set("0035", "0040", "0050", "0060", "0070", "0102",
       "0103", "0256", "0257", "0290") // c08.py::_NEGATIVE_COLS
     axis.map { ec =>
@@ -989,6 +1070,20 @@ object RefCorep {
         case "0200" => Some(unratedIgRow _)
         case other => c0801RowPred(other)
       }
+      // per-row inflow component (`_C08_01_INFLOW_KEYS`): the Total row
+      // takes the whole inflow; 0020/0030 its balance-sheet split
+      // (boe_b0744); 0070/0080 its IRB-treatment split (boe_b0745 /
+      // v0338_m) — a Total-row-only inflow breaches each by exactly the
+      // inflow
+      val sheetInf = inf.getOrElse(ec, Inflow())
+      def inflowFor(ref: String): Option[Double] = ref match {
+        case "0010" => Some(sheetInf.total)
+        case "0020" => Some(sheetInf.onBs)
+        case "0030" => Some(sheetInf.offBs)
+        case "0070" => Some(sheetInf.graded)
+        case "0080" => Some(sheetInf.slotting)
+        case _ => None
+      }
       val computed = grid.rows.flatMap { case (ref, _) =>
         rowPred(ref) match {
           case None => grid.cols.map(c => ((ref, c), Option.empty[Double]))
@@ -996,10 +1091,12 @@ object RefCorep {
             val oP = (r: CRow) => origin(r) && t(r)
             val pP = (r: CRow) => post(r) && t(r)
             // empty membership (union of both bases) → all-null row,
-            // except the constraint-free Total
-            if (ref != "0010" && !sheet.exists(t))
+            // except the constraint-free Total and a row carrying a
+            // non-zero inflow component (the C 07.00 `_inflow_rows` rule)
+            if (ref != "0010" && !sheet.exists(t) &&
+                !inflowFor(ref).exists(_ != 0.0))
               grid.cols.map(c => ((ref, c), Option.empty[Double]))
-            else c08ValueCells(grid, sheet, oP, pP).toSeq
+            else c08ValueCells(grid, sheet, oP, pP, inflowFor(ref)).toSeq
               .map { case (c, v) => ((ref, c), v) }
         }
       }.toMap
@@ -1021,26 +1118,47 @@ object RefCorep {
     val coarseOrder = Seq("0.00% - 0.15%", "0.15% - 0.25%", "0.25% - 0.50%",
       "0.50% - 0.75%", "0.75% - 2.50%", "2.50% - 10.00%", "10.00% - 99.99%",
       "Default (100%)")
+    // the GRADED inflow component only: the tie-out this template must
+    // satisfy is against C 08.01 row 0070 (boe_b0752_8/boe_b0814_07), the
+    // F-IRB/A-IRB union; it lands on the "Unassigned" residual row — the
+    // ledger carries the OBLIGOR's grade, never the guarantor's, so a
+    // grade row would misattribute it (`_C08_02_INFLOW_ROW`, R12)
+    val gradedInf = inflows(cube, destinationIrb = true)
+      .map { case (k, v) => k -> v.graded }.filter(_._2 != 0.0)
     val pop = cube.filter(r => r.s("reporting_approach_origin").exists(irbNonSlotting) ||
       (popIrbPost(r) && !r.s("reporting_approach_origin").contains("slotting")))
-    if (pop.isEmpty) return Map.empty
+    if (pop.isEmpty && gradedInf.isEmpty) return Map.empty
     val negCols = Set("0035", "0040", "0050", "0060", "0070", "0102",
       "0103", "0256", "0257", "0290") // c08.py::_NEGATIVE_COLS
-    val axis = pop.flatMap(_.s("reporting_class_origin")).toSet.toSeq.sorted
+    val axis = (pop.flatMap(_.s("reporting_class_origin")).toSet ++
+      gradedInf.keySet).toSeq.sorted
     axis.map { ec =>
-      val sheet = pop.filter(r => r.s("reporting_class_origin").contains(ec))
-      val present = sheet.filter(r => r.s("reporting_approach_origin")
-        .exists(irbNonSlotting)).flatMap(_.s("pd_band_coarse")).toSet
+      def originM(r: CRow) = r.s("reporting_class_origin").contains(ec) &&
+        r.s("reporting_approach_origin").exists(irbNonSlotting)
+      def postM(r: CRow) = r.s("reporting_class").contains(ec) && popIrbPost(r) &&
+        !r.s("reporting_approach_origin").contains("slotting")
+      // a leg that ARRIVED on this sheet by substitution (post-basis here,
+      // origin-basis elsewhere) keys the Unassigned residual row — its
+      // grade is a label in a FOREIGN class's scale (`_c08_02_keyed`)
+      def arrived(r: CRow) = postM(r) && !originM(r)
+      val sheet = pop.filter(r => originM(r) || postM(r))
+      val present = sheet.filter(originM).flatMap(_.s("pd_band_coarse")).toSet
       val labels = coarseOrder.filter(present) ++
-        (if (present("Unassigned")) Seq("Unassigned") else Nil)
+        (if (present("Unassigned") || gradedInf.contains(ec) ||
+          sheet.exists(arrived)) Seq("Unassigned")
+         else Nil)
       val rows = labels.toVector.map(l => (l, l))
       val sheetGrid = RefLayouts.Grid(rows, grid.cols)
       val computed = rows.flatMap { case (label, _) =>
         val t = (r: CRow) => r.s("pd_band_coarse").contains(label)
+        val postT = (r: CRow) =>
+          if (label == "Unassigned") arrived(r) || (postM(r) && !arrived(r) && t(r))
+          else postM(r) && !arrived(r) && t(r)
         c08ValueCells(sheetGrid, sheet,
-          r => t(r) && r.s("reporting_approach_origin").exists(irbNonSlotting),
-          r => t(r) && popIrbPost(r)).toSeq
-          .map { case (c, v) => ((label, c), v) }
+          r => originM(r) && t(r),
+          postT,
+          if (label == "Unassigned") Some(gradedInf.getOrElse(ec, 0.0)) else None)
+          .toSeq.map { case (c, v) => ((label, c), v) }
       }.toMap
       val strCells: Map[(String, String), Option[String]] =
         rows.flatMap { case (label, _) =>

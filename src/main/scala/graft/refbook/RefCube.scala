@@ -49,7 +49,7 @@ object RefCube {
     "provision_deducted", "provision_allocated",
     "collateral_adjusted_value", "vol_mat_adj",
     "prot_guarantee", "prot_credit_derivative", "prot_fcsm",
-    "prot_other_funded", "prot_unfunded",
+    "prot_other_funded", "prot_unfunded", "prot_unfunded_irb",
     // IRB weighted-average carriers (per-row products summed, so a cell's
     // WeightedAvg is Σ(value·weight)/Σ(weight)), plus unweighted sums for
     // the arithmetic-mean cells and the EL total
@@ -139,6 +139,18 @@ object RefCube {
     val basis = greatest(
       grossBasis - coalesce(col("provision_deducted"), lit(0.0)), lit(0.0))
     val scale = when(blockTotal > basis, basis / blockTotal).otherwise(lit(1.0))
+    // The IRB-template twin of the unfunded carrier (reference
+    // `corep/crm_substitution.py::irb_protection_exprs` /
+    // `irb_block_cap_scale`): C 08.01/02's block cap nets NO provisions
+    // off its basis — the Art. 111(2) drawn-first deduction is SA-only —
+    // so the C 07.00-capped `prot_unfunded` cannot serve both templates.
+    // The C 08.01 cols 0040/0050 split this one carrier by the
+    // `protection_type` cube key; the col 0080 INFLOW binds it too, so
+    // outflow and inflow stay the same capped magnitude by construction.
+    val unfundedRaw = guarantee + creditDeriv
+    val basisIrb = greatest(grossBasis, lit(0.0))
+    val scaleIrb = when(unfundedRaw > basisIrb, basisIrb / unfundedRaw)
+      .otherwise(lit(1.0))
     val prepared = ledger.withColumns(Map(
       "external_unrated" -> col("external_cqs").isNull,
       "vol_mat_adj" ->
@@ -149,6 +161,7 @@ object RefCube {
       "prot_fcsm" -> fcsm * scale,
       "prot_other_funded" -> otherFunded * scale,
       "prot_unfunded" -> (guarantee + creditDeriv) * scale,
+      "prot_unfunded_irb" -> unfundedRaw * scaleIrb,
       // IRB weighted-average carriers (see measureCols)
       "pd_floored_sum" -> col("pd_floored"),
       "pd_w" -> col("pd_floored") * col("ead_final"),

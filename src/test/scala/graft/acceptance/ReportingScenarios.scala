@@ -83,6 +83,11 @@ final case class ScnSpecialisedLending(counterparty_reference: String,
 final case class ScnEquity(exposure_reference: String,
     counterparty_reference: String, equity_type: String, currency: String,
     carrying_value: Double, fair_value: Double)
+final case class ScnGuarantee(guarantee_reference: String, guarantor: String,
+    currency: String, maturity_date: Date, amount_covered: Double,
+    percentage_covered: Double, beneficiary_type: String,
+    beneficiary_reference: String, protection_type: String,
+    original_maturity_years: Double, guarantor_seniority: String)
 
 object ReportingScenarios {
 
@@ -355,6 +360,111 @@ object ReportingScenarios {
       specialisedLending = Some(sl.toDF()),
       equityExposures = Some(equity.toDF()))
   }
+
+  /** The CRM guarantee-substitution book (reference
+    * `tests/fixtures/reporting_crm_substitution_portfolio.py`) — the
+    * C 07.00 / C 08.01 / C 08.02 outflow/inflow axis the ten golden
+    * portfolios leave at exactly 0.0. Eight scenarios, each a distinct
+    * obligor/guarantor pair with a distinct round covered amount:
+    * S1 IRB corp → IRB institution (destination has a native row);
+    * S2 IRB corp → IRB retail_other (inflow-only sheet);
+    * S3 IRB corp → SA domestic sovereign (cross-template, C 07.00);
+    * S4 SA corp → SA institution (within C 07.00);
+    * S5 IRB corp → IRB corporate (same-class out+in, nets to no change);
+    * S6 slotting → unrated US sovereign (DECLINED — 1.00 ≥ 0.70);
+    * S7 IRB corp (GB) → IRB institution (DE) (cross-border beneficial);
+    * S8 slotting "good" → SA corporate CQS1 (slotting blend; inflow
+    * crosses to C 07.00 corporate). */
+  def crmSubstitutionBundle(spark: SparkSession): RefBundle = {
+    import spark.implicits._
+    val mat = Date.valueOf("2033-12-31")
+    val bigRev = Some(400000000.0)
+    def corp(ref: String) = ScnCpRetail(ref, "corporate", "GB", bigRev, None, None)
+    val cps = Seq(
+      corp("CSUB-CP-OB-S1"),
+      ScnCpRetail("CSUB-CP-GTOR-S1", "institution", "GB", None, None, None),
+      corp("CSUB-CP-OB-S2"),
+      ScnCpRetail("CSUB-CP-GTOR-S2", "individual", "GB", None, Some(true), None),
+      corp("CSUB-CP-OB-S3"),
+      ScnCpRetail("CSUB-CP-GTOR-S3", "sovereign", "GB", None, None, None),
+      corp("CSUB-CP-OB-S4"),
+      ScnCpRetail("CSUB-CP-GTOR-S4", "institution", "GB", None, None, None),
+      corp("CSUB-CP-OB-S5"),
+      corp("CSUB-CP-GTOR-S5"),
+      corp("CSUB-CP-OB-S6"),
+      ScnCpRetail("CSUB-CP-GTOR-S6", "sovereign", "US", None, None, None),
+      corp("CSUB-CP-OB-S7"),
+      ScnCpRetail("CSUB-CP-GTOR-S7", "institution", "DE", None, None, None),
+      corp("CSUB-CP-OB-S8"),
+      ScnCpRetail("CSUB-CP-GTOR-S8", "corporate", "GB", None, None, None))
+    def ln(ref: String, cp: String, drawn: Double) =
+      ScnIrbLoan(ref, cp, "term_loan", drawn, "GBP", valueDate, mat, "senior",
+        None, Some(false), None, None)
+    val loans = Seq(
+      ln("CSUB-LN-S1", "CSUB-CP-OB-S1", 5000000.0),
+      ln("CSUB-LN-S1-GTOR-OWN", "CSUB-CP-GTOR-S1", 4000000.0),
+      ln("CSUB-LN-S2", "CSUB-CP-OB-S2", 6000000.0),
+      ln("CSUB-LN-S3", "CSUB-CP-OB-S3", 7000000.0),
+      ln("CSUB-LN-S4", "CSUB-CP-OB-S4", 8000000.0),
+      ln("CSUB-LN-S4-GTOR-OWN", "CSUB-CP-GTOR-S4", 1500000.0),
+      ln("CSUB-LN-S5", "CSUB-CP-OB-S5", 9000000.0),
+      ln("CSUB-LN-S6", "CSUB-CP-OB-S6", 10000000.0),
+      ln("CSUB-LN-S7", "CSUB-CP-OB-S7", 11000000.0),
+      ln("CSUB-LN-S8-PLAIN", "CSUB-CP-OB-S8", 6500000.0),
+      ln("CSUB-LN-S8-GTD", "CSUB-CP-OB-S8", 12000000.0))
+    def internal(cp: String, pd: Double) = ScnRatingFull(
+      s"CSUB-RTG-$cp", cp, "internal", None, None, Some(pd), valueDate)
+    def internalNoPd(cp: String) = ScnRatingFull(
+      s"CSUB-RTG-$cp", cp, "internal", None, None, None, valueDate)
+    def external(cp: String, cqs: Int) = ScnRatingFull(
+      s"CSUB-RTG-$cp", cp, "external", Some("S&P"), Some(cqs), None, valueDate)
+    val ratings = Seq(
+      internal("CSUB-CP-OB-S1", 0.0050), internal("CSUB-CP-GTOR-S1", 0.0030),
+      internal("CSUB-CP-OB-S2", 0.0060), internal("CSUB-CP-GTOR-S2", 0.0200),
+      internal("CSUB-CP-OB-S3", 0.0080), external("CSUB-CP-GTOR-S3", 1),
+      external("CSUB-CP-GTOR-S4", 2),
+      internal("CSUB-CP-OB-S5", 0.0090), internal("CSUB-CP-GTOR-S5", 0.0045),
+      internalNoPd("CSUB-CP-OB-S6"),
+      internal("CSUB-CP-OB-S7", 0.0075), internal("CSUB-CP-GTOR-S7", 0.0015),
+      internalNoPd("CSUB-CP-OB-S8"), external("CSUB-CP-GTOR-S8", 1))
+    val sl = Seq(
+      ScnSpecialisedLending("CSUB-CP-OB-S6", "project_finance", "strong", false),
+      ScnSpecialisedLending("CSUB-CP-OB-S8", "project_finance", "good", false))
+    def guar(ref: String, gtor: String, loan: String, covered: Double,
+        pct: Double, ptype: String) =
+      ScnGuarantee(ref, gtor, "GBP", mat, covered, pct, "loan", loan, ptype,
+        10.0, "senior")
+    val guarantees = Seq(
+      guar("CSUB-GUAR-S1", "CSUB-CP-GTOR-S1", "CSUB-LN-S1", 2000000.0, 0.40, "guarantee"),
+      guar("CSUB-GUAR-S2", "CSUB-CP-GTOR-S2", "CSUB-LN-S2", 3300000.0, 0.55, "credit_derivative"),
+      guar("CSUB-GUAR-S3", "CSUB-CP-GTOR-S3", "CSUB-LN-S3", 4900000.0, 0.70, "guarantee"),
+      guar("CSUB-GUAR-S4", "CSUB-CP-GTOR-S4", "CSUB-LN-S4", 2800000.0, 0.35, "credit_derivative"),
+      guar("CSUB-GUAR-S5", "CSUB-CP-GTOR-S5", "CSUB-LN-S5", 5400000.0, 0.60, "guarantee"),
+      guar("CSUB-GUAR-S6", "CSUB-CP-GTOR-S6", "CSUB-LN-S6", 4500000.0, 0.45, "guarantee"),
+      guar("CSUB-GUAR-S7", "CSUB-CP-GTOR-S7", "CSUB-LN-S7", 5500000.0, 0.50, "credit_derivative"),
+      guar("CSUB-GUAR-S8", "CSUB-CP-GTOR-S8", "CSUB-LN-S8-GTD", 7800000.0, 0.65, "credit_derivative"))
+    val permissions = Seq(ScnModelPermission("TEST_FULL_IRB", "all"))
+    RefBundle(
+      counterparties = cps.toDF(),
+      loans = loans.toDF(),
+      ratings = ratings.toDF(),
+      guarantees = Some(guarantees.toDF()),
+      specialisedLending = Some(sl.toDF()),
+      modelPermissions = Some(permissions.toDF()))
+  }
+
+  /** The two crm-substitution runs — no vendored goldens exist for this
+    * portfolio (the reference exercises it through the supervisory
+    * validation gate and unit expectations), so they are NOT in [[all]];
+    * `CrmSubstitutionSpec` pins the reference's verified per-sheet cells
+    * and the validation replay runs them through the full rule estate. */
+  def crmScenarios: Seq[Scenario] = Seq(
+    Scenario("crm_substitution_crr",
+      RefRunConfig("CRR", java.time.LocalDate.of(2025, 12, 31), "irb"),
+      crmSubstitutionBundle),
+    Scenario("crm_substitution_b31",
+      RefRunConfig("BASEL_3_1", java.time.LocalDate.of(2027, 6, 1), "irb"),
+      crmSubstitutionBundle))
 
   /** Every scenario with vendored goldens, in replay order. */
   def all: Seq[Scenario] = Seq(
