@@ -1272,17 +1272,35 @@ object RefCorep {
   /** Generate C 08.04 / OF 08.04 per class sheet (the flow clone): no
     * prior-period frame on this path, so opening/residual stay null and
     * only the closing RWEA row reports. */
-  def c0804(cfg: RefRunConfig, cube: Vector[CRow]): Map[String, RefFrame] = {
+  def c0804(cfg: RefRunConfig, cube: Vector[CRow],
+      prior: Option[Vector[CRow]] = None): Map[String, RefFrame] = {
     val grid = RefLayouts.grid(cfg.framework, "c08_04")
     val pop = cube.filter(r => r.s("reporting_approach_origin").exists(irbNonSlotting))
     if (pop.isEmpty) return Map.empty
     val axis = pop.flatMap(_.s("reporting_class_origin")).toSet.toSeq.sorted
+    // With a PRIOR-period cube (the same book at the previous reference
+    // date — COREP Annex II §3.3.6.1 ¶79 defines the flows against it),
+    // row 0010 opens on the prior RWEA and row 0080 "Other" carries the
+    // signed residual closing − opening so the statement foots (reference
+    // `c08.py::generate_c08_04` / `_c08_04_other_flow`; the six
+    // attributable driver rows 0020-0070 stay null — two point-in-time
+    // snapshots cannot supply exposure-level period-over-period lineage).
+    // The sheet loop iterates the CURRENT period's classes only, exactly
+    // as the reference records.
     axis.map { ec =>
-      val closing = pop.filter(r => r.s("reporting_class_origin").contains(ec))
+      def sumRwa(rows: Vector[CRow]) = rows
+        .filter(r => r.s("reporting_approach_origin").exists(irbNonSlotting) &&
+          r.s("reporting_class_origin").contains(ec))
         .map(_.m("rwa_final")).sum
+      val closing = sumRwa(pop)
+      val opening = prior.map(sumRwa)
       val computed = grid.rows.flatMap { case (ref, _) =>
-        grid.cols.map(c => ((ref, c),
-          if (ref == "0090" && c == "0010") Some(closing) else Option.empty[Double]))
+        grid.cols.map(c => ((ref, c), (ref, c) match {
+          case ("0090", "0010") => Some(closing)
+          case ("0010", "0010") => opening
+          case ("0080", "0010") => opening.map(closing - _)
+          case _ => Option.empty[Double]
+        }))
       }.toMap
       ec -> frameOf(grid, computed)
     }.toMap
