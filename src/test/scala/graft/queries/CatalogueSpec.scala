@@ -14,8 +14,12 @@ class CatalogueSpec extends SparkSpec {
     assert(recs.size == 1831)
     assert(recs.count(_.catalogue == "crr") == 1011)
     assert(recs.count(_.catalogue == "b31") == 820)
-    // the reference's own filter block records 588 live CRR records
-    assert(ValidationCatalogue.liveRecords.count(_.catalogue == "crr") == 588)
+    // the reference's real enforcement predicate (`rules.py::
+    // is_currently_enforced`): live OR reactivated, excluding deleted —
+    // 741 EBA rules, NOT the 588 that `status == live` alone yields
+    // (153 were deactivated and later switched back on)
+    assert(ValidationCatalogue.liveRecords.count(_.catalogue == "crr") == 741)
+    assert(ValidationCatalogue.liveRecords.count(_.catalogue == "b31") == 808)
     // ids/severities survive translation
     val v0204 = recs.find(_.id == "v0204_m").get
     assert(v0204.severity == "ERROR" && v0204.tables == Seq("C 02.00"))
