@@ -35,7 +35,14 @@ object Verify {
     //       compare reads the parquet directory (pyarrow dataset) and
     //       sorts rows before hashing, so a multi-file result is
     //       equivalent; AQE keeps small results to a few files anyway.
-    SparkEntry.queryFamilies.foreach { case (family, qs) =>
+    // The ledger-consuming families (domain → pillar3 → corep08 → corep09
+    // → catalogue) run as ONE no-sweep span: each of them re-derives the
+    // memoised domain ledger (both regimes), so a sweep between them
+    // re-pays two full ledger builds per family for no hygiene gain —
+    // their per-query persists are the ledger edges themselves.
+    val noSweepInto = Set("pillar3", "corep08", "corep09", "catalogue")
+    val families = SparkEntry.queryFamilies
+    families.zipWithIndex.foreach { case ((family, qs), i) =>
       val picked = qs.filter(d => only.forall(_.contains(d.name)))
       if (picked.nonEmpty) {
         val f0 = System.nanoTime()
@@ -46,7 +53,8 @@ object Verify {
             System.err.println(s"[verify] ${d.name} failed: ${e.getMessage}")
           }
         }
-        spark.catalog.clearCache()
+        val next = families.drop(i + 1).map(_._1).headOption
+        if (!next.exists(noSweepInto)) spark.catalog.clearCache()
         System.err.println(
           f"[verify] family $family: ${picked.size} queries, ${(System.nanoTime() - f0) / 1e9}%.1f s")
       }
