@@ -771,8 +771,10 @@ object RefValidations {
         case None => Left(("sheet_index_map_unknown",
           s"$table sheets are not indexed positionally by the publisher"))
         case Some(map) =>
-          resolveSheetCodes(sheetIds.map(s => f"${s.toInt}%04d"), map,
-            index.sheetKeys(table))
+          // RAW ids against the map, exactly as the reference's
+          // `resolve_sheet_codes` reads them — an off-width id is
+          // `sheet_index_map_unknown`, never silently normalised
+          resolveSheetCodes(sheetIds, map, index.sheetKeys(table))
       }
     sheetsResolved match {
       case Left((reason, detail)) => Expansion(home, Nil, Some(reason), detail)
