@@ -104,6 +104,16 @@ object RefBook {
     "high_risk_private_equity" -> "high_risk",
     "high_risk_speculative_re" -> "high_risk")
 
+  // Seal: every classification target is an Art. 112/147 vocabulary
+  // member (reference `domain/enums.py` ExposureClass; the B2/B3
+  // phantom-key lesson — an invented class string zero-fills downstream
+  // instead of raising, so it is refused here, at the source map).
+  require((entityToSaClass ++ entityToIrbClass).forall(p =>
+    graft.rulebook.ExposureClasses.values(p._2)),
+    "classification target outside the sealed exposure-class vocabulary: " +
+      (entityToSaClass ++ entityToIrbClass).map(_._2)
+        .filterNot(graft.rulebook.ExposureClasses.values).distinct.mkString(", "))
+
   private def chainOf(pairs: Seq[(String, String)], key: org.apache.spark.sql.Column,
       default: String): org.apache.spark.sql.Column =
     pairs.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
