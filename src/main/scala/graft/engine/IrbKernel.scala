@@ -116,8 +116,14 @@ object IrbKernel {
     * nominal 2,500,000 default. */
   def smeSupportingFactor(
       totalOwed: Column, threshold: Double = 2500000.0): Column =
-    (least(totalOwed, lit(threshold)) * lit(0.7619) +
-      greatest(totalOwed - lit(threshold), lit(0.0)) * lit(0.85)) / totalOwed
+    // Zero-owed guard: a zero-EAD SME leg (e.g. an LR facility, CCF 0)
+    // would divide 0/0 — ANSI mode fails the whole job at scale. The
+    // blend's limit as owed→0 is the first-band rate (and RWEA is 0
+    // there regardless, so the factor value cannot move a number).
+    when(totalOwed > 0.0,
+      (least(totalOwed, lit(threshold)) * lit(0.7619) +
+        greatest(totalOwed - lit(threshold), lit(0.0)) * lit(0.85)) / totalOwed)
+      .otherwise(lit(0.7619))
 
   // ---- parameter resolution (floors + supervisory values) -------------
 

@@ -128,7 +128,14 @@ object SaCcrKernel {
       lit(0.5) * sigma * sigma * t) / (sigma * sqrt(t))
     val call = when(isLong, normal.norm_cdf(d1)).otherwise(-normal.norm_cdf(d1))
     val putd = when(isLong, -normal.norm_cdf(-d1)).otherwise(normal.norm_cdf(-d1))
-    when(optionStrike.isNull || optionUnderlying.isNull,
+    // Degenerate-row guard (expired option t=0, zero/negative strike or
+    // price): the Black term divides by σ√t and logs P/K — Polars yields
+    // NaN there (the reference's latent shape), Spark ANSI fails the JOB.
+    // Degenerate rows take the Art. 279a(1) linear ±1 delta instead: the
+    // conservative bound, and the job survives the billionth edge row.
+    val blackDefined = optionStrike > 0.0 && optionUnderlying > 0.0 &&
+      daysStartToMaturity > 0
+    when(optionStrike.isNull || optionUnderlying.isNull || !blackDefined,
       when(isLong, 1.0).otherwise(-1.0))
       .otherwise(when(optionType === "put", putd).otherwise(call))
   }

@@ -157,9 +157,15 @@ object SaKernel {
         .otherwise(when(crr, 1.0).otherwise(2.5)) // Art. 133 / PS1/26 250%
 
     val defaultedRw = {
-      // Art. 127(1): adjustments vs 20% of the PRE-adjustment value
+      // Art. 127(1): adjustments vs 20% of the PRE-adjustment value.
+      // Zero-value guard: a zero-EAD unprovisioned defaulted leg (e.g.
+      // an LR facility, CCF 0) would divide 0/0 — ANSI mode fails the
+      // job; the unsecured-default 150% applies (RWA is 0 regardless).
       val prov = coalesce(col("provision_allocated"), lit(0.0))
-      when(prov / (col("ead") + prov) >= 0.2, 1.0).otherwise(1.5)
+      val preAdj = col("ead") + prov
+      when(preAdj > 0.0,
+        when(prov / preAdj >= 0.2, 1.0).otherwise(1.5))
+        .otherwise(1.5)
     }
 
     val institutionRw =

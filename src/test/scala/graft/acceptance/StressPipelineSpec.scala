@@ -1,0 +1,491 @@
+package graft.acceptance
+
+import java.sql.Date
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.refbook.{RefBook, RefBundle, RefRunConfig}
+
+// Top-level row shapes (Spark product encoders need public top-level case
+// classes). The stress book carries the columns the classifier actually
+// reads; everything else takes the loader's schema defaults.
+final case class StressCp(counterparty_reference: String, entity_type: String,
+    country_code: String, annual_revenue: Double, default_status: Boolean,
+    is_natural_person: Boolean, is_managed_as_retail: Boolean)
+final case class StressLoan(loan_reference: String,
+    counterparty_reference: String, product_type: String, drawn_amount: Double,
+    currency: String, value_date: Date, maturity_date: Date, seniority: String,
+    lgd: Option[Double], has_sufficient_collateral_data: Option[Boolean])
+final case class StressFacility(facility_reference: String,
+    counterparty_reference: String, product_type: String, limit: Double,
+    risk_type: String, currency: String, value_date: Date,
+    maturity_date: Date, committed: Boolean)
+final case class StressContingent(contingent_reference: String,
+    counterparty_reference: String, product_type: String,
+    nominal_amount: Double, risk_type: String, currency: String,
+    value_date: Date, maturity_date: Date)
+
+/** Pipeline correctness at scale (reference
+  * `tests/acceptance/stress/test_stress_pipeline.py` + `conftest.py`):
+  * a 10K-counterparty / 30K-loan synthetic book with the reference's
+  * entity-type mix, run through the sealed-ledger pipeline under all four
+  * regime × permission configurations. Unlike the bench, these assert
+  * CORRECTNESS PROPERTIES that only manifest at scale:
+  *
+  *  - row-count preservation (silent data loss from failed joins or
+  *    dropped nulls is the most dangerous pipeline bug — rows vanish
+  *    without error);
+  *  - the required-output-column contract every downstream COREP /
+  *    Pillar 3 consumer depends on (`REQUIRED_OUTPUT_COLUMNS`);
+  *  - numerical stability (no NaN / inf / null / negative RWA, EAD, RW);
+  *  - regulatory risk-weight bounds (SA 0%-1250%, CRR Art. 114-134);
+  *  - approach routing distribution matches the entity mix;
+  *  - output-floor comparison basis completeness at portfolio level
+  *    (PS1/26 Art. 92 para 2A-5: every leg must carry its S-TREA shadow —
+  *    a missing shadow under-floors silently);
+  *  - determinism (identical input → identical totals — hash ordering or
+  *    FP reordering would make results unauditable);
+  *  - a bounded per-task peak-memory envelope (the 100 TB posture: no
+  *    stage may materialise the book in one task).
+  *
+  * Every per-config battery is ONE Catalyst aggregation over the ledger
+  * (the assertions read a single collected row), so the whole suite costs
+  * four ledger builds plus one determinism re-run.
+  */
+class StressPipelineSpec extends SparkSpec {
+
+  /** Required output columns every pipeline result must contain
+    * (reference `test_stress_pipeline.py::REQUIRED_OUTPUT_COLUMNS`). */
+  private val RequiredOutputColumns = Set("exposure_reference",
+    "exposure_class", "risk_weight", "ead_final", "rwa_final",
+    "approach_applied")
+
+  private val NCp = 10000
+  private val LoansPerCp = 3
+  private val reportingDate = java.time.LocalDate.of(2028, 1, 1)
+
+  // ---- deterministic synthetic book (reference `conftest.py`) --------
+
+  /** The reference's stress entity mix: corporate 35%, individual 30%,
+    * institution 15%, sovereign 10%, specialised lending 10%. */
+  private def entityOf(u: Double): String =
+    if (u < 0.35) "corporate"
+    else if (u < 0.65) "individual"
+    else if (u < 0.80) "institution"
+    else if (u < 0.90) "sovereign"
+    else "specialised_lending"
+
+  private def revenueOf(rng: scala.util.Random, entity: String): Double =
+    entity match {
+      case "corporate" => 1e6 + rng.nextDouble() * (5e8 - 1e6)
+      case "individual" => rng.nextDouble() * 2e6
+      case "institution" => 1e9 + rng.nextDouble() * (1e11 - 1e9)
+      case "sovereign" => 1e10 + rng.nextDouble() * (1e12 - 1e10)
+      case _ => 1e7 + rng.nextDouble() * (1e9 - 1e7)
+    }
+
+  private def productOf(entity: String): String = entity match {
+    case "corporate" => "term_loan"
+    case "individual" => "personal_loan"
+    case "institution" => "interbank_loan"
+    case "sovereign" => "sovereign_loan"
+    case _ => "project_finance"
+  }
+
+  private val valueDate = Date.valueOf("2026-01-01")
+
+  final case class Book(bundle: RefBundle, nLoans: Int, nContingents: Int,
+      nCommittedFacilities: Int)
+
+  /** Build the book from one seeded RNG — byte-identical across calls. */
+  private def buildBook(s: SparkSession, seed: Long): Book = {
+    import s.implicits._
+    val rng = new scala.util.Random(seed)
+    val countries = Vector("GB", "GB", "GB", "US", "DE", "FR", "JP")
+    val cps = (0 until NCp).map { i =>
+      val entity = entityOf(rng.nextDouble())
+      val individual = entity == "individual"
+      StressCp(f"CP_$i%08d", entity, countries(rng.nextInt(countries.size)),
+        revenueOf(rng, entity), default_status = rng.nextDouble() < 0.02,
+        is_natural_person = individual, is_managed_as_retail = individual)
+    }
+    val loans = cps.iterator.zipWithIndex.flatMap { case (cp, ci) =>
+      (0 until LoansPerCp).map { j =>
+        val i = ci * LoansPerCp + j
+        val drawn = math.max(cp.annual_revenue *
+          (0.001 + rng.nextDouble() * 0.049), 10000.0)
+        val maturity = Date.valueOf(
+          java.time.LocalDate.of(2026, 1, 1)
+            .plusDays(365 + rng.nextInt(365 * 6)))
+        val ccy = { val u = rng.nextDouble()
+          if (u < 0.7) "GBP" else if (u < 0.9) "USD" else "EUR" }
+        val seniority =
+          if (rng.nextDouble() < 0.92) "senior" else "subordinated"
+        // Own-LGD estimates with sufficient data drive the A-IRB route
+        // (Art. 143/151): every retail loan carries them (retail is
+        // A-IRB-only); a fifth of the corporate book does.
+        val (lgd, hscd) =
+          if (cp.entity_type == "individual") (Some(0.25), Some(true))
+          else if (cp.entity_type == "corporate" && rng.nextDouble() < 0.2)
+            (Some(0.40), Some(true))
+          else (None, None)
+        StressLoan(f"LOAN_$i%08d", cp.counterparty_reference,
+          productOf(cp.entity_type), drawn, ccy, valueDate, maturity,
+          seniority, lgd, hscd)
+      }
+    }.toVector
+    val facilities = cps.zipWithIndex.map { case (cp, i) =>
+      val limit = math.max(cp.annual_revenue *
+        (0.01 + rng.nextDouble() * 0.09), 100000.0)
+      val riskType = { val u = rng.nextDouble()
+        if (u < 0.5) "mr" else if (u < 0.8) "lr" else "mlr" }
+      StressFacility(f"FAC_$i%08d", cp.counterparty_reference, "rcf", limit,
+        riskType, "GBP", valueDate, Date.valueOf("2030-06-30"),
+        committed = rng.nextDouble() < 0.9)
+    }
+    val contingents = cps.zipWithIndex.collect {
+      case (cp, i) if i % 5 == 0 =>
+        StressContingent(f"CONT_$i%08d", cp.counterparty_reference,
+          "guarantee_issued", math.max(cp.annual_revenue * 0.005, 50000.0),
+          "mr", "GBP", valueDate, Date.valueOf("2029-03-31"))
+    }
+    // External ratings for 70%; internal PD ratings for 60% of the
+    // corporate / institution / individual book and half the sovereigns
+    // (F-IRB under CRR; PS1/26 Art. 147A keeps B31 sovereigns SA);
+    // PD-less internal grants on every SL counterparty (Art. 153(5):
+    // granted model + no PD + an SL record = supervisory slotting).
+    val cqsLadder = Vector(1, 2, 2, 3, 3, 3, 4, 4, 5, 6)
+    val pdOfCqs = Map(1 -> 0.0003, 2 -> 0.001, 3 -> 0.005, 4 -> 0.02,
+      5 -> 0.05, 6 -> 0.15)
+    val ratingDate = Date.valueOf("2025-01-01")
+    val ratings = cps.iterator.zipWithIndex.flatMap { case (cp, i) =>
+      val cqs = cqsLadder(rng.nextInt(cqsLadder.size))
+      val ext = if (rng.nextDouble() < 0.7)
+        Seq(ScnRatingFull(f"RTG_E_$i%08d", cp.counterparty_reference,
+          "external", Some("SP"), Some(cqs), None, ratingDate))
+      else Seq.empty
+      val internalPd = cp.entity_type match {
+        case "specialised_lending" => Some(None) // grant, no PD → slotting
+        case "sovereign" =>
+          if (rng.nextDouble() < 0.5) Some(Some(pdOfCqs(cqs))) else None
+        case _ =>
+          if (rng.nextDouble() < 0.6) Some(Some(pdOfCqs(cqs))) else None
+      }
+      val int = internalPd.map(pd =>
+        ScnRatingFull(f"RTG_I_$i%08d", cp.counterparty_reference, "internal",
+          None, None, pd, ratingDate)).toSeq
+      ext ++ int
+    }.toVector
+    // Residential collateral on every third retail loan — the linked
+    // real-estate record is what moves retail into RETAIL_MORTGAGE.
+    val collateral = loans.zipWithIndex.collect {
+      case (ln, i) if i % 3 == 0 &&
+          cps(i / LoansPerCp).entity_type == "individual" =>
+        ScnCollateral(s"COLL_${ln.loan_reference}", "real_estate",
+          "residential", ln.drawn_amount * 1.4, 0.7, "loan",
+          ln.loan_reference)
+    }
+    val slBook = cps.collect {
+      case cp if cp.entity_type == "specialised_lending" =>
+        val cat = { val u = rng.nextDouble()
+          if (u < 0.2) "strong" else if (u < 0.55) "good"
+          else if (u < 0.85) "satisfactory" else "weak" }
+        val slType = { val u = rng.nextDouble()
+          if (u < 0.4) "project_finance" else if (u < 0.7) "object_finance"
+          else "ipre" }
+        ScnSpecialisedLending(cp.counterparty_reference, slType, cat,
+          is_hvcre = false)
+    }
+    val perms = Seq(ScnModelPermission("MODEL_A", "advanced_irb"),
+      ScnModelPermission("MODEL_F", "foundation_irb"))
+    Book(
+      RefBundle(
+        counterparties = cps.toDF(),
+        loans = loans.toDF(),
+        ratings = ratings.toDF(),
+        facilities = Some(facilities.toDF()),
+        contingents = Some(contingents.toDF()),
+        collateral = Some(collateral.toDF()),
+        modelPermissions = Some(perms.toDF()),
+        specialisedLending = Some(slBook.toDF())),
+      nLoans = loans.size, nContingents = contingents.size,
+      nCommittedFacilities = facilities.count(_.committed))
+  }
+
+  // ---- one-pass assertion battery per config ------------------------
+
+  final case class Stats(columns: Set[String], row: Row) {
+    private val idx = row.schema.fieldNames.zipWithIndex.toMap
+    def l(name: String): Long = row.getLong(idx(name))
+    def d(name: String): Double = row.getDouble(idx(name))
+    def set(name: String): Set[String] =
+      row.getSeq[String](idx(name)).toSet
+  }
+
+  private def statsOf(ledger: DataFrame): Stats = {
+    def badCount(c: String) = sum(
+      when(col(c).isNull || isnan(col(c)) ||
+        col(c) === Double.PositiveInfinity ||
+        col(c) === Double.NegativeInfinity, 1L).otherwise(0L))
+    val row = ledger.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("exposure_type") === "loan", 1L).otherwise(0L))
+        .as("n_loan"),
+      sum(when(col("exposure_type") === "contingent", 1L).otherwise(0L))
+        .as("n_cont"),
+      sum(when(col("exposure_type") === "facility_undrawn", 1L)
+        .otherwise(0L)).as("n_undrawn"),
+      collect_set(col("exposure_type")).as("types"),
+      badCount("rwa_final").as("bad_rwa"),
+      badCount("ead_final").as("bad_ead"),
+      badCount("risk_weight").as("bad_rw"),
+      sum(when(col("rwa_final") < 0, 1L).otherwise(0L)).as("neg_rwa"),
+      sum(when(col("ead_final") < 0, 1L).otherwise(0L)).as("neg_ead"),
+      min(col("risk_weight")).as("rw_min"),
+      max(col("risk_weight")).as("rw_max"),
+      sum(col("rwa_final")).as("rwa_total"),
+      sum(col("ead_final")).as("ead_total"),
+      sum(when(col("approach_applied").isin("foundation_irb",
+        "advanced_irb"), col("rwa_final")).otherwise(0.0)).as("irb_rwa"),
+      countDistinct(col("exposure_reference")).as("n_refs"),
+      countDistinct(col("exposure_class")).as("n_classes"),
+      collect_set(col("approach_applied")).as("approaches"),
+      collect_set(col("exposure_class")).as("classes"),
+      sum(col("rwa_pre_floor")).as("u_trea"),
+      sum(col("sa_rwa")).as("s_trea"),
+      sum(when(col("sa_rwa").isNull, 1L).otherwise(0L)).as("sa_shadow_nulls"),
+      max(when(col("approach_applied") === "standardised",
+        abs(col("sa_rwa") - col("rwa_final")))).as("sa_shadow_max_diff"),
+      min(col("output_floor_pct")).as("floor_pct_min"),
+      max(col("output_floor_pct")).as("floor_pct_max"),
+      sum(when(col("output_floor_pct").isNull, 1L).otherwise(0L))
+        .as("floor_pct_nulls")
+    ).head()
+    Stats(ledger.columns.toSet, row)
+  }
+
+  private def cfg(framework: String, mode: String) =
+    RefRunConfig(framework, reportingDate, permissionMode = mode)
+
+  /** Peak per-task execution memory across every stress run — the
+    * 100 TB envelope proxy (reference `test_memory_bounded_100k`'s
+    * tracemalloc bound): no single task may hold a book-sized state. */
+  private val peakTaskMemory = new AtomicLong(0L)
+  private val memoryListener = new SparkListener {
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null)
+        peakTaskMemory.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+    }
+  }
+
+  private lazy val book: Book = buildBook(spark, seed = 42L)
+
+  private lazy val stats: Map[String, Stats] = {
+    spark.sparkContext.addSparkListener(memoryListener)
+    val out = Map(
+      "crr_sa" -> statsOf(RefBook.ledger(book.bundle,
+        cfg("CRR", "standardised"), spark)),
+      "crr_irb" -> statsOf(RefBook.ledger(book.bundle,
+        cfg("CRR", "irb"), spark)),
+      "b31_sa" -> statsOf(RefBook.ledger(book.bundle,
+        cfg("BASEL_3_1", "standardised"), spark)),
+      "b31_irb" -> statsOf(RefBook.ledger(book.bundle,
+        cfg("BASEL_3_1", "irb"), spark)))
+    out
+  }
+
+  private def allConfigs = Seq("crr_sa", "crr_irb", "b31_sa", "b31_irb")
+
+  // ---- row-count preservation ----------------------------------------
+
+  test("stress: every input exposure produces exactly one output row, all four configs") {
+    for (name <- allConfigs) {
+      val st = stats(name)
+      assert(st.l("n_loan") == book.nLoans,
+        s"$name: loan count ${st.l("n_loan")} != input ${book.nLoans}")
+      assert(st.l("n_cont") == book.nContingents,
+        s"$name: contingent count ${st.l("n_cont")} != input ${book.nContingents}")
+      assert(st.l("n_undrawn") == book.nCommittedFacilities,
+        s"$name: undrawn rows ${st.l("n_undrawn")} != committed facilities " +
+          s"${book.nCommittedFacilities}")
+      assert(st.set("types").subsetOf(
+        Set("loan", "contingent", "facility_undrawn")),
+        s"$name: unknown exposure types ${st.set("types")}")
+      assert(st.l("n") == book.nLoans + book.nContingents +
+        book.nCommittedFacilities, s"$name: total ${st.l("n")}")
+    }
+  }
+
+  test("stress: all exposure references unique") {
+    for (name <- allConfigs) {
+      val st = stats(name)
+      assert(st.l("n_refs") == st.l("n"),
+        s"$name: ${st.l("n") - st.l("n_refs")} duplicate references")
+    }
+  }
+
+  // ---- column completeness -------------------------------------------
+
+  test("stress: required output columns present in every config") {
+    for (name <- allConfigs) {
+      val missing = RequiredOutputColumns -- stats(name).columns
+      assert(missing.isEmpty, s"$name: missing output columns $missing")
+    }
+  }
+
+  // ---- numerical stability -------------------------------------------
+
+  test("stress: no NaN / inf / null / negative in rwa_final, ead_final, risk_weight") {
+    for (name <- allConfigs) {
+      val st = stats(name)
+      assert(st.l("bad_rwa") == 0, s"$name: ${st.l("bad_rwa")} bad rwa_final")
+      assert(st.l("bad_ead") == 0, s"$name: ${st.l("bad_ead")} bad ead_final")
+      assert(st.l("bad_rw") == 0, s"$name: ${st.l("bad_rw")} bad risk_weight")
+      assert(st.l("neg_rwa") == 0, s"$name: ${st.l("neg_rwa")} negative RWA")
+      assert(st.l("neg_ead") == 0, s"$name: ${st.l("neg_ead")} negative EAD")
+      assert(st.d("rwa_total") > 0 && st.d("rwa_total").isFinite,
+        s"$name: total RWA ${st.d("rwa_total")}")
+      assert(st.d("ead_total") > 0 && st.d("ead_total").isFinite,
+        s"$name: total EAD ${st.d("ead_total")}")
+    }
+  }
+
+  // ---- risk-weight bounds (CRR Art. 114-134 / Art. 153) ---------------
+
+  test("stress: SA risk weights within [0%, 1250%]; IRB non-negative") {
+    for (name <- Seq("crr_sa", "b31_sa")) {
+      val st = stats(name)
+      assert(st.d("rw_min") >= 0.0, s"$name: RW below 0%: ${st.d("rw_min")}")
+      assert(st.d("rw_max") <= 12.50, s"$name: RW above 1250%: ${st.d("rw_max")}")
+    }
+    for (name <- Seq("crr_irb", "b31_irb"))
+      assert(stats(name).d("rw_min") >= 0.0,
+        s"$name: negative IRB risk weight ${stats(name).d("rw_min")}")
+  }
+
+  // ---- approach distribution ------------------------------------------
+
+  test("stress: SA-only mode routes everything standardised") {
+    for (name <- Seq("crr_sa", "b31_sa"))
+      assert(stats(name).set("approaches") == Set("standardised"),
+        s"$name: ${stats(name).set("approaches")}")
+  }
+
+  test("stress: IRB mode routes the mixed book across approaches") {
+    for (name <- Seq("crr_irb", "b31_irb")) {
+      val approaches = stats(name).set("approaches")
+      assert((approaches & Set("foundation_irb", "advanced_irb")).nonEmpty,
+        s"$name: no IRB exposures — $approaches")
+      assert(approaches.contains("standardised"),
+        s"$name: unrated book should stay SA — $approaches")
+      assert(approaches.contains("slotting"),
+        s"$name: PD-less SL grants should slot — $approaches")
+      assert(stats(name).d("irb_rwa") > 0,
+        s"$name: IRB RWA should be positive")
+    }
+  }
+
+  test("stress: B31 keeps sovereigns out of IRB (PS1/26 Art. 147A)") {
+    // CRR F-IRB routes rated sovereigns; under B31 the sovereign class is
+    // Standardised-only, so the B31 IRB book's class mix still carries
+    // central_govt_central_bank but its IRB RWA is strictly below CRR's.
+    assert(stats("crr_irb").set("classes")
+      .contains("central_govt_central_bank"))
+    assert(stats("b31_irb").set("classes")
+      .contains("central_govt_central_bank"))
+  }
+
+  // ---- exposure-class coverage ----------------------------------------
+
+  test("stress: the entity mix produces the expected class estate") {
+    for (name <- allConfigs) {
+      val st = stats(name)
+      assert(st.l("n_classes") >= 3,
+        s"$name: only ${st.l("n_classes")} exposure classes")
+      val classes = st.set("classes")
+      assert(classes.exists(_.contains("corporate")),
+        s"$name: no corporate class in $classes")
+      assert(classes.exists(_.contains("retail")),
+        s"$name: no retail class in $classes")
+      assert(classes.subsetOf(graft.rulebook.ExposureClasses.values),
+        s"$name: classes outside the sealed vocabulary: " +
+          s"${classes -- graft.rulebook.ExposureClasses.values}")
+    }
+    assert(stats("crr_irb").set("classes").contains("specialised_lending"))
+    assert(stats("crr_irb").set("classes").contains("retail_mortgage"),
+      "RE-collateralised retail loans should classify retail_mortgage")
+  }
+
+  // ---- output floor at scale (PS1/26 Art. 92 para 2A-5) ----------------
+
+  test("stress: B31 output-floor comparison basis is complete at portfolio level") {
+    val st = stats("b31_irb")
+    val uTrea = st.d("u_trea")
+    val sTrea = st.d("s_trea")
+    assert(uTrea > 0, s"U-TREA should be positive: $uTrea")
+    assert(sTrea > 0, s"S-TREA should be positive: $sTrea")
+    // every leg carries its S-TREA shadow — a missing shadow under-floors
+    // silently at portfolio level
+    assert(st.l("sa_shadow_nulls") == 0,
+      s"${st.l("sa_shadow_nulls")} legs missing the S-TREA shadow")
+    // 2028 transitional percentage (Art. 92(5) schedule), sealed on every row
+    assert(st.l("floor_pct_nulls") == 0, "output_floor_pct missing on rows")
+    assert(st.d("floor_pct_min") == 0.65 && st.d("floor_pct_max") == 0.65,
+      s"floor pct ${st.d("floor_pct_min")}..${st.d("floor_pct_max")} != 0.65")
+    // the floored modelled total can only increase capital
+    val floored = math.max(uTrea, 0.65 * sTrea)
+    assert(floored >= uTrea - 1.0)
+    // on the SA-routed book the shadow IS the booked RWA
+    assert(st.d("sa_shadow_max_diff") < 1e-6,
+      s"SA legs' shadow differs from booked RWA by ${st.d("sa_shadow_max_diff")}")
+  }
+
+  test("stress: CRR carries no output floor") {
+    for (name <- Seq("crr_sa", "crr_irb"))
+      assert(stats(name).l("floor_pct_nulls") == stats(name).l("n"),
+        s"$name: output_floor_pct should be null under CRR")
+  }
+
+  // ---- framework comparison -------------------------------------------
+
+  test("stress: B31 SA total RWA differs from CRR SA (different weights, CCFs)") {
+    val crr = stats("crr_sa").d("rwa_total")
+    val b31 = stats("b31_sa").d("rwa_total")
+    assert(math.abs(crr - b31) / crr > 0.001,
+      f"CRR=$crr%.0f and B31=$b31%.0f should differ")
+  }
+
+  // ---- determinism ------------------------------------------------------
+
+  test("stress: identical input produces identical totals") {
+    val a = RefBook.ledger(buildBook(spark, seed = 42L).bundle,
+      cfg("CRR", "irb"), spark)
+      .agg(sum(col("rwa_final"))).head().getDouble(0)
+    val b = stats("crr_irb").d("rwa_total")
+    assert(math.abs(a - b) <= math.abs(b) * 1e-12,
+      s"non-deterministic results: $a vs $b")
+  }
+
+  // ---- memory envelope ---------------------------------------------------
+
+  test("stress: per-task peak execution memory stays bounded") {
+    stats // force all four runs first
+    // listener events are delivered asynchronously — wait until the peak
+    // has been stable for a second (bounded at 10 s)
+    var last = -1L
+    var waited = 0
+    while (peakTaskMemory.get() != last && waited < 10) {
+      last = peakTaskMemory.get(); Thread.sleep(1000); waited += 1
+    }
+    val peakMb = peakTaskMemory.get() / (1024.0 * 1024.0)
+    info(f"peak per-task execution memory: $peakMb%.1f MB")
+    assert(peakMb < 512.0,
+      f"peak task memory $peakMb%.0f MB exceeds the 512 MB envelope — " +
+        "a stage is materialising the book in one task")
+  }
+}
