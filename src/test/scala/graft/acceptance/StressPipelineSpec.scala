@@ -471,6 +471,93 @@ class StressPipelineSpec extends SparkSpec {
       s"non-deterministic results: $a vs $b")
   }
 
+  // ---- hostile rows -------------------------------------------------------
+
+  test("stress: hostile rows survive — broken FKs, unknown vocabulary, reversed maturity, zero amounts") {
+    // The at-scale reality a 100 TB book guarantees: referential breaks,
+    // out-of-vocabulary strings, and degenerate dates SOMEWHERE in the
+    // input. The pipeline's contract is graceful, defined degradation —
+    // an unknown key classifies `other` (the Art. 134 residual), a broken
+    // FK keeps its row (left joins, never inner), a reversed maturity
+    // clips into the Art. 162 [1, 5] band — never a crashed job or a
+    // silently dropped row.
+    import spark.implicits._
+    val far = Date.valueOf("2030-01-01")
+    val cps = Seq(
+      StressCp("H-CP-UNKNOWN", "martian_bank", "ZZ", 1e6,
+        default_status = false, is_natural_person = false,
+        is_managed_as_retail = false),
+      StressCp("H-CP-DEF", "corporate", "GB", 1e6, default_status = true,
+        is_natural_person = false, is_managed_as_retail = false),
+      StressCp("H-CP-OK", "corporate", "GB", 5e7, default_status = false,
+        is_natural_person = false, is_managed_as_retail = false))
+    val loans = Seq(
+      // FK to a counterparty that does not exist
+      StressLoan("H-LN-ORPHAN", "CP-MISSING", "term_loan", 1000.0, "GBP",
+        valueDate, far, "senior", None, None),
+      // unknown entity type, unknown currency, unknown product
+      StressLoan("H-LN-UNKNOWN", "H-CP-UNKNOWN", "weird_product", 1000.0,
+        "XXX", valueDate, far, "senior", None, None),
+      // maturity BEFORE value date
+      StressLoan("H-LN-REVERSED", "H-CP-OK", "term_loan", 1000.0, "GBP",
+        valueDate, Date.valueOf("2020-01-01"), "senior", None, None),
+      // zero drawn on a defaulted obligor (the ANSI divide guards' row)
+      StressLoan("H-LN-ZERO", "H-CP-DEF", "term_loan", 0.0, "GBP",
+        valueDate, far, "senior", None, None))
+    val ratings = Seq(
+      // out-of-ladder CQS (lookup default), PD on a defaulted obligor
+      ScnRatingFull("H-RT-BADCQS", "H-CP-OK", "external", Some("SP"),
+        Some(9), None, Date.valueOf("2025-01-01")),
+      ScnRatingFull("H-RT-DEFPD", "H-CP-DEF", "internal", None, None,
+        Some(0.5), Date.valueOf("2025-01-01")))
+    // unknown risk-type vocabulary on a contingent (MR-equivalent default)
+    val conts = Seq(StressContingent("H-CT-BADRT", "H-CP-OK", "guarantee",
+      10000.0, "banana", "GBP", valueDate, far))
+    val bundle = RefBundle(counterparties = cps.toDF(), loans = loans.toDF(),
+      ratings = ratings.toDF(), contingents = Some(conts.toDF()),
+      modelPermissions = Some(
+        Seq(ScnModelPermission("MODEL_A", "advanced_irb")).toDF()))
+    for (framework <- Seq("CRR", "BASEL_3_1"); mode <- Seq("standardised", "irb")) {
+      val rows = RefBook.ledger(bundle,
+          RefRunConfig(framework, reportingDate, permissionMode = mode), spark)
+        .select("exposure_reference", "exposure_class", "approach_applied",
+          "risk_weight", "ead_final", "rwa_final")
+        .collect().map(r => r.getString(0) -> r).toMap
+      val label = s"$framework/$mode"
+      assert(rows.size == 5, s"$label: hostile rows dropped — ${rows.keySet}")
+      for ((ref, r) <- rows; i <- 3 to 5) {
+        assert(!r.isNullAt(i), s"$label $ref: null at field $i")
+        val v = r.getDouble(i)
+        assert(v.isFinite && v >= 0.0, s"$label $ref: field $i = $v")
+      }
+      for (ref <- Seq("H-LN-ORPHAN", "H-LN-UNKNOWN")) {
+        assert(rows(ref).getString(1) == "other",
+          s"$label $ref: class ${rows(ref).getString(1)} != other")
+        assert(rows(ref).getDouble(3) == 1.0,
+          s"$label $ref: residual RW ${rows(ref).getDouble(3)} != 100%")
+      }
+      assert(rows("H-LN-ZERO").getDouble(5) == 0.0,
+        s"$label: zero-drawn RWA ${rows("H-LN-ZERO").getDouble(5)}")
+    }
+  }
+
+  // ---- plan shape ---------------------------------------------------------
+
+  test("stress: ledger plan broadcasts dimensions and contains no cartesian product") {
+    // The 100x question asked of the plan, not the row count: counterparty
+    // attributes, ratings, SL records and facility attrs are bounded
+    // dimensions and must broadcast; nothing in the chain may plan a
+    // cartesian product or shuffle the fact table for a dim join.
+    val plan = RefBook.ledger(book.bundle, cfg("BASEL_3_1", "irb"), spark)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian product in ledger plan")
+    val broadcasts = "BroadcastHashJoin".r.findAllMatchIn(plan).size
+    assert(broadcasts >= 4,
+      s"only $broadcasts broadcast joins — dimension joins degraded to shuffles")
+    assert(!plan.contains("SortMergeJoin"),
+      "a dimension join degraded to a sort-merge shuffle")
+  }
+
   // ---- memory envelope ---------------------------------------------------
 
   test("stress: per-task peak execution memory stays bounded") {
