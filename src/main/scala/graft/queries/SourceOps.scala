@@ -170,7 +170,40 @@ object SourceOps {
       ORDER BY section, ultimate_parent, coalesce(node, '')
     """.stripMargin.trim))
 
+  /** q180: NDJSON round-trip over the document corpus — export the
+    * documents table to one-record-per-line JSON (the web-corpus
+    * interchange format) under a LEGACY column name, re-load it through
+    * the inference-free all-string NDJSON front-end, and let alias
+    * translation + the edge contract's try_cast recover the canonical
+    * typed schema (one conform path with parquet/CSV; a declared-but-
+    * absent optional column lands as a typed null). The oracle reads the
+    * PARQUET ground truth, so any transport loss in the JSON round-trip
+    * (escaping, unicode, integer stringification) fails the hash. */
+  val q180NdjsonRoundtrip = QueryDef(
+    "q180_ndjson_roundtrip",
+    (s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q180_documents_ndjson_${java.lang.ProcessHandle.current.pid}"
+      Sinks.writeNdjson(
+        Tables.documents(s, dir).withColumnRenamed("text", "body"), tmp)
+      val contract = EdgeContract("documents_ndjson", Seq(
+        "doc_id" -> ColumnSpec(LongType, required = true),
+        "text" -> ColumnSpec(StringType, required = true),
+        "lang" -> ColumnSpec(StringType),
+        "source" -> ColumnSpec(StringType),
+        "n_chars" -> ColumnSpec(LongType),
+        // not in the corpus: conform adds it as a typed null
+        "quality_score" -> ColumnSpec(DoubleType)))
+      Loader.loadNdjson(s, tmp, contract, aliases = Map("body" -> "text"))
+        .df.orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, text, lang, source, n_chars,
+             CAST(NULL AS DOUBLE) AS quality_score
+      FROM documents ORDER BY doc_id
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q46ContractConform, q47EnumValidation, q48CsvRoundtrip,
-    q49HierarchyResolve)
+    q49HierarchyResolve, q180NdjsonRoundtrip)
 }

@@ -51,6 +51,46 @@ object Loader {
     val (df, errs) = contract.seal(translateAliases(normalise(raw), aliases))
     LoadedTable(df, errs)
   }
+
+  /** NDJSON (one JSON record per line — the web-corpus interchange
+    * format) through the SAME conform path. The read schema is built
+    * from the contract's declared names plus the legacy alias names,
+    * every field as STRING: Spark's JSON reader stringifies any atomic
+    * token into a StringType field, so this is the CSV all-string
+    * discipline (try_cast recovers the types, invalid→null) AND it
+    * skips schema inference — at 100 TB an inference pass would read
+    * the corpus twice. Undeclared fields never leave the scan
+    * (column pruning at the source), malformed lines null-fill
+    * (PERMISSIVE), and the seal reports DQ001 on missing required
+    * columns exactly as parquet/CSV do. */
+  def loadNdjson(
+      spark: SparkSession, path: String, contract: EdgeContract,
+      aliases: Map[String, String] = Map.empty): LoadedTable = {
+    val fieldNames =
+      (contract.columns.map(_._1) ++ aliases.keys).distinct
+    val schema = org.apache.spark.sql.types.StructType(fieldNames.map(
+      org.apache.spark.sql.types.StructField(
+        _, org.apache.spark.sql.types.StringType)))
+    val raw = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+    // Unlike CSV (whose header tells us which names the file really
+    // carries), the fixed JSON schema materialises BOTH the canonical
+    // and the legacy name — the one the file lacks reads all-null. So
+    // an alias here is a per-record coalesce (canonical wins when a
+    // record carries both), then the legacy column is dropped.
+    val aliased = aliases.foldLeft(normalise(raw)) {
+      case (d, (legacy, canonical)) =>
+        if (d.columns.contains(legacy) && d.columns.contains(canonical))
+          d.withColumn(canonical,
+            org.apache.spark.sql.functions.coalesce(
+              d(canonical), d(legacy))).drop(legacy)
+        else d
+    }
+    val (df, errs) = contract.seal(translateAliases(aliased, aliases))
+    LoadedTable(df, errs)
+  }
 }
 
 /** Export sinks (reference `api/export.py` parquet/csv exporters +
@@ -63,6 +103,11 @@ object Sinks {
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** NDJSON export — one JSON record per line, the shard format every
+    * downstream training-data consumer reads. */
+  def writeNdjson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 
   /** Audit-cache style export: each frame to parquet + a manifest.json of
     * row counts (the driver-side provenance record). */

@@ -43,6 +43,35 @@ class LoaderSpec extends SparkSpec {
     assert(loaded.df.first().isNullAt(0)) // typed-null backfill
   }
 
+  test("NDJSON load: alias translation, typed conform, malformed line, no inference pass") {
+    val dir = Files.createTempDirectory("graft_ndjson").toString
+    val f = s"$dir/loans.json"
+    Files.writeString(java.nio.file.Paths.get(f),
+      // numeric token into the all-string schema, legacy name, undeclared field
+      """{"loan_id":"L1","drawn_amount":100.25,"value_date":"2024-03-01","junk":"zzz"}""" + "\n" +
+      // invalid typed values -> try_cast nulls
+      """{"loan_id":"L2","drawn_amount":"not_a_number","value_date":"2024-13-99"}""" + "\n" +
+      // malformed JSON line -> PERMISSIVE null-fill, row survives
+      """{"loan_id":"L3","drawn_amount":""" + "\n")
+    val loaded = Loader.loadNdjson(spark, f, contract,
+      aliases = Map("loan_id" -> "loan_reference"))
+    assert(loaded.errors.isEmpty)
+    val rows = loaded.df
+      .orderBy(org.apache.spark.sql.functions.col("loan_reference")
+        .asc_nulls_last)
+      .collect()
+    assert(loaded.df.columns.toSeq ==
+      Seq("loan_reference", "drawn_amount", "is_defaulted", "value_date"))
+    assert(rows.length == 3)
+    assert(rows(0).getString(0) == "L1")
+    assert(rows(0).getDouble(1) == 100.25)          // number token -> string -> cast
+    assert(rows(0).getBoolean(2) == false)          // boolean default
+    assert(rows(0).getDate(3).toString == "2024-03-01")
+    assert(rows(1).isNullAt(1), "invalid double -> null")
+    assert(rows(1).isNullAt(3), "invalid date -> null")
+    assert(rows(2).isNullAt(0), "malformed line null-fills (sorted last), never kills the job")
+  }
+
   test("audit-cache sink writes frames plus manifest") {
     val dir = Files.createTempDirectory("graft_audit").toString
     Sinks.writeAuditCache(Map(
