@@ -66,21 +66,47 @@ object Loader {
   def loadNdjson(
       spark: SparkSession, path: String, contract: EdgeContract,
       aliases: Map[String, String] = Map.empty): LoadedTable = {
-    val fieldNames =
-      (contract.columns.map(_._1) ++ aliases.keys).distinct
-    val schema = org.apache.spark.sql.types.StructType(fieldNames.map(
-      org.apache.spark.sql.types.StructField(
-        _, org.apache.spark.sql.types.StringType)))
     val raw = spark.read
-      .schema(schema)
+      .schema(ndjsonSchema(contract, aliases))
       .option("mode", "PERMISSIVE")
       .json(path)
-    // Unlike CSV (whose header tells us which names the file really
-    // carries), the fixed JSON schema materialises BOTH the canonical
-    // and the legacy name — the one the file lacks reads all-null. So
-    // an alias here is a per-record coalesce (canonical wins when a
-    // record carries both), then the legacy column is dropped.
-    val aliased = aliases.foldLeft(normalise(raw)) {
+    val (df, errs) = contract.seal(ndjsonAliased(raw, aliases))
+    LoadedTable(df, errs)
+  }
+
+  /** Streaming NDJSON ingest — the continuous-arrival twin of
+    * [[loadNdjson]] (corpus shards landing in a directory over time),
+    * through the IDENTICAL fixed-schema read + alias-coalesce + seal
+    * path: the file source tails the directory, each micro-batch is
+    * conformed by the same contract, and the seal's select/try_cast
+    * plan is fully streaming-compatible (no action, no inference). */
+  def streamNdjson(
+      spark: SparkSession, dir: String, contract: EdgeContract,
+      aliases: Map[String, String] = Map.empty): DataFrame = {
+    val raw = spark.readStream
+      .schema(ndjsonSchema(contract, aliases))
+      .option("mode", "PERMISSIVE")
+      .json(dir)
+    contract.seal(ndjsonAliased(raw, aliases))._1
+  }
+
+  /** Contract names plus legacy alias names, all STRING — the fixed
+    * (inference-free) NDJSON read schema. */
+  private def ndjsonSchema(contract: EdgeContract,
+      aliases: Map[String, String]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      (contract.columns.map(_._1) ++ aliases.keys).distinct.map(
+        org.apache.spark.sql.types.StructField(
+          _, org.apache.spark.sql.types.StringType)))
+
+  /** Unlike CSV (whose header tells us which names the file really
+    * carries), the fixed JSON schema materialises BOTH the canonical
+    * and the legacy name — the one the file lacks reads all-null. So
+    * an alias here is a per-record coalesce (canonical wins when a
+    * record carries both), then the legacy column is dropped. */
+  private def ndjsonAliased(raw: DataFrame,
+      aliases: Map[String, String]): DataFrame =
+    aliases.foldLeft(normalise(raw)) {
       case (d, (legacy, canonical)) =>
         if (d.columns.contains(legacy) && d.columns.contains(canonical))
           d.withColumn(canonical,
@@ -88,9 +114,6 @@ object Loader {
               d(canonical), d(legacy))).drop(legacy)
         else d
     }
-    val (df, errs) = contract.seal(translateAliases(aliased, aliases))
-    LoadedTable(df, errs)
-  }
 }
 
 /** Export sinks (reference `api/export.py` parquet/csv exporters +

@@ -72,6 +72,31 @@ class LoaderSpec extends SparkSpec {
     assert(rows(2).isNullAt(0), "malformed line null-fills (sorted last), never kills the job")
   }
 
+  test("streaming NDJSON ingest: shards arriving over time land through the same seal") {
+    val dir = Files.createTempDirectory("graft_ndjson_stream").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/shard-000.json"),
+      """{"loan_id":"S1","drawn_amount":10.5,"value_date":"2024-01-01"}""" + "\n")
+    val stream = Loader.streamNdjson(spark, dir, contract,
+      aliases = Map("loan_id" -> "loan_reference"))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("ndjson_ingest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a late-arriving shard is picked up by the file source untouched
+      Files.writeString(java.nio.file.Paths.get(s"$dir/shard-001.json"),
+        """{"loan_id":"S2","drawn_amount":"bad","value_date":"2024-02-02"}""" + "\n")
+      q.processAllAvailable()
+      val rows = spark.table("ndjson_ingest")
+        .orderBy("loan_reference").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("S1", "S2"))
+      assert(rows(0).getDouble(1) == 10.5)
+      assert(rows(1).isNullAt(1), "invalid double -> null, per micro-batch")
+      assert(rows(0).getBoolean(2) == false) // boolean default holds in-stream
+      assert(rows(1).getDate(3).toString == "2024-02-02")
+    } finally q.stop()
+  }
+
   test("audit-cache sink writes frames plus manifest") {
     val dir = Files.createTempDirectory("graft_audit").toString
     Sinks.writeAuditCache(Map(
