@@ -29,57 +29,91 @@ final case class StressContingent(contingent_reference: String,
     nominal_amount: Double, risk_type: String, currency: String,
     value_date: Date, maturity_date: Date)
 
-/** Pipeline correctness at scale (reference
-  * `tests/acceptance/stress/test_stress_pipeline.py` + `conftest.py`):
-  * a 10K-counterparty / 30K-loan synthetic book with the reference's
-  * entity-type mix, run through the sealed-ledger pipeline under all four
-  * regime × permission configurations. Unlike the bench, these assert
-  * CORRECTNESS PROPERTIES that only manifest at scale:
-  *
-  *  - row-count preservation (silent data loss from failed joins or
-  *    dropped nulls is the most dangerous pipeline bug — rows vanish
-  *    without error);
-  *  - the required-output-column contract every downstream COREP /
-  *    Pillar 3 consumer depends on (`REQUIRED_OUTPUT_COLUMNS`);
-  *  - numerical stability (no NaN / inf / null / negative RWA, EAD, RW);
-  *  - regulatory risk-weight bounds (SA 0%-1250%, CRR Art. 114-134);
-  *  - approach routing distribution matches the entity mix;
-  *  - output-floor comparison basis completeness at portfolio level
-  *    (PS1/26 Art. 92 para 2A-5: every leg must carry its S-TREA shadow —
-  *    a missing shadow under-floors silently);
-  *  - determinism (identical input → identical totals — hash ordering or
-  *    FP reordering would make results unauditable);
-  *  - a bounded per-task peak-memory envelope (the 100 TB posture: no
-  *    stage may materialise the book in one task).
-  *
-  * Every per-config battery is ONE Catalyst aggregation over the ledger
-  * (the assertions read a single collected row), so the whole suite costs
-  * four ledger builds plus one determinism re-run.
-  */
-class StressPipelineSpec extends SparkSpec {
 
-  /** Required output columns every pipeline result must contain
-    * (reference `test_stress_pipeline.py::REQUIRED_OUTPUT_COLUMNS`). */
-  private val RequiredOutputColumns = Set("exposure_reference",
-    "exposure_class", "risk_weight", "ead_final", "rwa_final",
-    "approach_applied")
+/** Bench-shaped 100K probe (`Test/runMain graft.acceptance.Stress100K`):
+  * stages the 100K-counterparty book to parquet, then times the sealed
+  * CRR-IRB ledger's full-width materialisation on local[32] — the
+  * apples-to-apples read against BASELINE.md's 4,313 ms full-pipeline
+  * figure (same scale, same generate-then-time methodology). */
+object Stress100K {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val big = StressBook.buildBook(spark, seed = 7L, nCp = 100000)
+    val dir = java.nio.file.Files.createTempDirectory("graft_100k").toString
+    def staged(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$dir/$name")
+      spark.read.parquet(s"$dir/$name")
+    }
+    val b = big.bundle
+    val bundle = RefBundle(
+      counterparties = staged(b.counterparties, "counterparties"),
+      loans = staged(b.loans, "loans"),
+      ratings = staged(b.ratings, "ratings"),
+      facilities = b.facilities.map(staged(_, "facilities")),
+      contingents = b.contingents.map(staged(_, "contingents")),
+      collateral = b.collateral.map(staged(_, "collateral")),
+      modelPermissions = b.modelPermissions.map(staged(_, "perms")),
+      specialisedLending = b.specialisedLending.map(staged(_, "sl")))
+    val cfg = RefRunConfig("CRR", java.time.LocalDate.of(2028, 1, 1),
+      permissionMode = "irb")
+    val stages = new scala.collection.mutable.ArrayBuffer[(Int, Long, String)]
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          stages.synchronized { stages += ((i.stageId,
+            i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
+            i.name.take(60))) }
+        }
+      })
+    (1 to 3).foreach { round =>
+      val t0 = System.nanoTime()
+      // full-width materialisation (not a prunable count): hash every
+      // column of every row, the same "whole result exists" bar the
+      // reference's timed pipeline meets
+      val ledger = RefBook.ledger(bundle, cfg, spark)
+      val tPlan = System.nanoTime()
+      val n = ledger
+        .select(org.apache.spark.sql.functions.xxhash64(
+          ledger.columns.map(
+            org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+        .count()
+      println(f"[stress100k] round $round: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"(construct ${(tPlan - t0) / 1e9}%.2f s; $n rows)")
+    }
+    Thread.sleep(500)
+    stages.synchronized {
+      println(s"[stress100k] stage-wall-sum=${stages.map(_._2).sum}ms over ${stages.size} stages")
+      stages.sortBy(-_._2).take(10).foreach { case (id, w, nm) =>
+        println(s"[stress100k]   stage $id: ${w}ms  $nm") }
+    }
+    spark.stop()
+  }
+}
 
-  private val NCp = 10000
-  private val LoansPerCp = 3
-  private val reportingDate = java.time.LocalDate.of(2028, 1, 1)
-
+/** Deterministic synthetic stress book (reference `conftest.py`) —
+  * shared by the stress battery and the env-gated 100K scale tier. */
+object StressBook {
+  val LoansPerCp = 3
   // ---- deterministic synthetic book (reference `conftest.py`) --------
 
   /** The reference's stress entity mix: corporate 35%, individual 30%,
     * institution 15%, sovereign 10%, specialised lending 10%. */
-  private def entityOf(u: Double): String =
+  def entityOf(u: Double): String =
     if (u < 0.35) "corporate"
     else if (u < 0.65) "individual"
     else if (u < 0.80) "institution"
     else if (u < 0.90) "sovereign"
     else "specialised_lending"
 
-  private def revenueOf(rng: scala.util.Random, entity: String): Double =
+  def revenueOf(rng: scala.util.Random, entity: String): Double =
     entity match {
       case "corporate" => 1e6 + rng.nextDouble() * (5e8 - 1e6)
       case "individual" => rng.nextDouble() * 2e6
@@ -88,7 +122,7 @@ class StressPipelineSpec extends SparkSpec {
       case _ => 1e7 + rng.nextDouble() * (1e9 - 1e7)
     }
 
-  private def productOf(entity: String): String = entity match {
+  def productOf(entity: String): String = entity match {
     case "corporate" => "term_loan"
     case "individual" => "personal_loan"
     case "institution" => "interbank_loan"
@@ -96,17 +130,17 @@ class StressPipelineSpec extends SparkSpec {
     case _ => "project_finance"
   }
 
-  private val valueDate = Date.valueOf("2026-01-01")
+  val valueDate = Date.valueOf("2026-01-01")
 
   final case class Book(bundle: RefBundle, nLoans: Int, nContingents: Int,
       nCommittedFacilities: Int)
 
   /** Build the book from one seeded RNG — byte-identical across calls. */
-  private def buildBook(s: SparkSession, seed: Long): Book = {
+  def buildBook(s: SparkSession, seed: Long, nCp: Int): Book = {
     import s.implicits._
     val rng = new scala.util.Random(seed)
     val countries = Vector("GB", "GB", "GB", "US", "DE", "FR", "JP")
-    val cps = (0 until NCp).map { i =>
+    val cps = (0 until nCp).map { i =>
       val entity = entityOf(rng.nextDouble())
       val individual = entity == "individual"
       StressCp(f"CP_$i%08d", entity, countries(rng.nextInt(countries.size)),
@@ -215,6 +249,46 @@ class StressPipelineSpec extends SparkSpec {
       nLoans = loans.size, nContingents = contingents.size,
       nCommittedFacilities = facilities.count(_.committed))
   }
+}
+
+/** Pipeline correctness at scale (reference
+  * `tests/acceptance/stress/test_stress_pipeline.py` + `conftest.py`):
+  * a 10K-counterparty / 30K-loan synthetic book with the reference's
+  * entity-type mix, run through the sealed-ledger pipeline under all four
+  * regime × permission configurations. Unlike the bench, these assert
+  * CORRECTNESS PROPERTIES that only manifest at scale:
+  *
+  *  - row-count preservation (silent data loss from failed joins or
+  *    dropped nulls is the most dangerous pipeline bug — rows vanish
+  *    without error);
+  *  - the required-output-column contract every downstream COREP /
+  *    Pillar 3 consumer depends on (`REQUIRED_OUTPUT_COLUMNS`);
+  *  - numerical stability (no NaN / inf / null / negative RWA, EAD, RW);
+  *  - regulatory risk-weight bounds (SA 0%-1250%, CRR Art. 114-134);
+  *  - approach routing distribution matches the entity mix;
+  *  - output-floor comparison basis completeness at portfolio level
+  *    (PS1/26 Art. 92 para 2A-5: every leg must carry its S-TREA shadow —
+  *    a missing shadow under-floors silently);
+  *  - determinism (identical input → identical totals — hash ordering or
+  *    FP reordering would make results unauditable);
+  *  - a bounded per-task peak-memory envelope (the 100 TB posture: no
+  *    stage may materialise the book in one task).
+  *
+  * Every per-config battery is ONE Catalyst aggregation over the ledger
+  * (the assertions read a single collected row), so the whole suite costs
+  * four ledger builds plus one determinism re-run.
+  */
+class StressPipelineSpec extends SparkSpec {
+
+  /** Required output columns every pipeline result must contain
+    * (reference `test_stress_pipeline.py::REQUIRED_OUTPUT_COLUMNS`). */
+  private val RequiredOutputColumns = Set("exposure_reference",
+    "exposure_class", "risk_weight", "ead_final", "rwa_final",
+    "approach_applied")
+
+  private val NCp = 10000
+  private def valueDate = StressBook.valueDate
+  private val reportingDate = java.time.LocalDate.of(2028, 1, 1)
 
   // ---- one-pass assertion battery per config ------------------------
 
@@ -283,7 +357,7 @@ class StressPipelineSpec extends SparkSpec {
     }
   }
 
-  private lazy val book: Book = buildBook(spark, seed = 42L)
+  private lazy val book: StressBook.Book = StressBook.buildBook(spark, seed = 42L, NCp)
 
   private lazy val stats: Map[String, Stats] = {
     spark.sparkContext.addSparkListener(memoryListener)
@@ -463,7 +537,7 @@ class StressPipelineSpec extends SparkSpec {
   // ---- determinism ------------------------------------------------------
 
   test("stress: identical input produces identical totals") {
-    val a = RefBook.ledger(buildBook(spark, seed = 42L).bundle,
+    val a = RefBook.ledger(StressBook.buildBook(spark, seed = 42L, NCp).bundle,
       cfg("CRR", "irb"), spark)
       .agg(sum(col("rwa_final"))).head().getDouble(0)
     val b = stats("crr_irb").d("rwa_total")
@@ -559,6 +633,48 @@ class StressPipelineSpec extends SparkSpec {
   }
 
   // ---- memory envelope ---------------------------------------------------
+
+  // ---- 100K scale tier (reference TestLargeScale100K, excluded from
+  // normal runs: `pytest.mark.slow`; here gated on GRAFT_STRESS_100K) ---
+
+  test("stress: 100K-counterparty tier — the reference benchmark's own scale (set GRAFT_STRESS_100K=1)") {
+    assume(sys.env.contains("GRAFT_STRESS_100K"),
+      "100K tier runs only when GRAFT_STRESS_100K is set (reference slow marker)")
+    // ~100K counterparties -> 300K loans + 100K facilities + 20K
+    // contingents: the exact scale BASELINE.md's 4,313 ms full-pipeline
+    // figure was measured at. Correctness properties, plus the wall time
+    // on the record for the apples-to-apples read. The book is staged to
+    // parquet first (the reference benchmark also generates, THEN times
+    // only the pipeline): timing over driver-local Seqs would measure
+    // task-binary shipping of the input, not the engine.
+    val big = StressBook.buildBook(spark, seed = 7L, nCp = 100000)
+    val dir = java.nio.file.Files.createTempDirectory("graft_100k").toString
+    def staged(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$dir/$name")
+      spark.read.parquet(s"$dir/$name")
+    }
+    val b = big.bundle
+    val bundle = RefBundle(
+      counterparties = staged(b.counterparties, "counterparties"),
+      loans = staged(b.loans, "loans"),
+      ratings = staged(b.ratings, "ratings"),
+      facilities = b.facilities.map(staged(_, "facilities")),
+      contingents = b.contingents.map(staged(_, "contingents")),
+      collateral = b.collateral.map(staged(_, "collateral")),
+      modelPermissions = b.modelPermissions.map(staged(_, "model_permissions")),
+      specialisedLending = b.specialisedLending.map(staged(_, "sl")))
+    val ledger = RefBook.ledger(bundle, cfg("CRR", "irb"), spark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tc0 = System.nanoTime()
+    val nRows = ledger.count()
+    info(f"100K CRR-IRB ledger wall: ${(System.nanoTime() - tc0) / 1e9}%.2f s ($nRows rows; baseline full-pipeline 4.313 s)")
+    val st = try statsOf(ledger) finally ledger.unpersist()
+    assert(st.l("n_loan") == big.nLoans)
+    assert(st.l("n") == big.nLoans + big.nContingents + big.nCommittedFacilities)
+    assert(st.l("bad_rwa") == 0 && st.l("bad_ead") == 0 && st.l("bad_rw") == 0)
+    assert(st.l("neg_rwa") == 0 && st.l("n_refs") == st.l("n"))
+    assert(st.d("rwa_total") > 0 && st.d("rwa_total").isFinite)
+  }
 
   test("stress: per-task peak execution memory stays bounded") {
     stats // force all four runs first
