@@ -24,17 +24,18 @@ def main() -> int:
     runs = re.findall(
         r"Total number of tests run: (\d+)\s*\n"
         r".*?Suites: completed (\d+), aborted (\d+)\s*\n"
-        r".*?Tests: succeeded (\d+), failed (\d+)",
+        r".*?Tests: succeeded (\d+), failed (\d+), canceled (\d+)",
         log,
     )
     if not runs:
         print("no ScalaTest run summary found in log", file=sys.stderr)
         return 1
-    total, suites, aborted, ok, failed = (int(x) for x in runs[-1])
+    total, suites, aborted, ok, failed, canceled = (int(x) for x in runs[-1])
     census = (
         f"full suite {ok}/{total} green across {suites} suites"
         + (f" ({aborted} aborted)" if aborted else "")
         + (f", {failed} FAILED" if failed else "")
+        + (f" ({canceled} env-gated tier canceled by design)" if canceled else "")
     )
     survey = REPO / "SURVEY.md"
     text = survey.read_text()
