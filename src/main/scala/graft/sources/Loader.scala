@@ -61,17 +61,56 @@ object Loader {
     * skips schema inference — at 100 TB an inference pass would read
     * the corpus twice. Undeclared fields never leave the scan
     * (column pruning at the source), malformed lines null-fill
-    * (PERMISSIVE), and the seal reports DQ001 on missing required
-    * columns exactly as parquet/CSV do. */
+    * (PERMISSIVE).
+    *
+    * DQ001 parity with parquet/CSV: the fixed read schema makes every
+    * declared column "present" to `seal`, so presence is instead judged
+    * from the shard estate's OWN keys — a bounded head probe
+    * (`probeRecords` lines, the NDJSON analogue of CSV's header peek; no
+    * full scan, no inference pass) parses each record's field names, and
+    * a required column whose canonical name AND legacy aliases all fail
+    * to appear in any probed record is reported as DQ001. A corrupt drop
+    * that lost a required field carries the loss on every record, so the
+    * bounded probe catches it deterministically. */
   def loadNdjson(
       spark: SparkSession, path: String, contract: EdgeContract,
-      aliases: Map[String, String] = Map.empty): LoadedTable = {
+      aliases: Map[String, String] = Map.empty,
+      probeRecords: Int = 1024): LoadedTable = {
     val raw = spark.read
       .schema(ndjsonSchema(contract, aliases))
       .option("mode", "PERMISSIVE")
       .json(path)
+    val present = ndjsonPresentKeys(spark, path, probeRecords)
+    val missing = contract.columns.collect {
+      case (name, spec) if spec.required && !present.contains(name) &&
+          !aliases.exists { case (legacy, canonical) =>
+            canonical == name && present.contains(legacy) } =>
+        CalcError("DQ001",
+          s"required column missing at edge '${contract.name}' " +
+            s"(absent from the first $probeRecords NDJSON records)",
+          table = contract.name, column = name)
+    }
     val (df, errs) = contract.seal(ndjsonAliased(raw, aliases))
-    LoadedTable(df, errs)
+    LoadedTable(df, missing ++ errs)
+  }
+
+  /** Field names carried by the first `probeN` records of an NDJSON
+    * shard estate (normalised like column names). Bounded work: a
+    * `limit` over the text source reads one split's head, never the
+    * corpus; unparseable probe lines contribute no keys (they are the
+    * PERMISSIVE reader's null-fill rows, not evidence of schema). */
+  private def ndjsonPresentKeys(
+      spark: SparkSession, path: String, probeN: Int): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    spark.read.textFile(path).limit(probeN).collect().iterator.flatMap { l =>
+      try {
+        val node = mapper.readTree(l)
+        if (node != null && node.isObject)
+          node.fieldNames.asScala.map(_.trim.toLowerCase).toSeq
+        else Seq.empty[String]
+      } catch { case _: Exception => Seq.empty[String] }
+    }.toSet
   }
 
   /** Streaming NDJSON ingest — the continuous-arrival twin of
@@ -79,7 +118,10 @@ object Loader {
     * through the IDENTICAL fixed-schema read + alias-coalesce + seal
     * path: the file source tails the directory, each micro-batch is
     * conformed by the same contract, and the seal's select/try_cast
-    * plan is fully streaming-compatible (no action, no inference). */
+    * plan is fully streaming-compatible (no action, no inference).
+    * The batch loader's required-key head probe does NOT run here — the
+    * directory may legitimately be empty at stream start; run
+    * [[loadNdjson]] over landed shards when a DQ001 verdict is needed. */
   def streamNdjson(
       spark: SparkSession, dir: String, contract: EdgeContract,
       aliases: Map[String, String] = Map.empty): DataFrame = {

@@ -59,5 +59,14 @@ class KernelGuardSpec extends SparkSpec {
     // null strike / underlying keep the linear delta (pre-existing arm)
     assert(delta(null, 100.0, 365, long = true, "call") == 1.0)
     assert(delta(100.0, null, 365, long = false, "call") == -1.0)
+    // null maturity days ALSO takes the linear delta: pre-fix the guard
+    // condition itself evaluated NULL (three-valued logic), the row fell
+    // into the Black branch, and the NULL delta was silently dropped by
+    // the add-on sum — understating the add-on
+    def deltaNullDays(long: Boolean, opt: String): Double =
+      eval("d" -> SaCcrKernel.supervisoryDelta(lit(long), lit(opt),
+        lit(100.0), lit(100.0), lit(null).cast("int"), lit(0.5)))("d")
+    assert(deltaNullDays(long = true, "call") == 1.0)
+    assert(deltaNullDays(long = false, "put") == -1.0)
   }
 }

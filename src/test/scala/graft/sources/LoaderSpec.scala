@@ -72,6 +72,30 @@ class LoaderSpec extends SparkSpec {
     assert(rows(2).isNullAt(0), "malformed line null-fills (sorted last), never kills the job")
   }
 
+  test("NDJSON load missing a required field reports DQ001 (parity with parquet/CSV)") {
+    val dir = Files.createTempDirectory("graft_ndjson_dq").toString
+    val f = s"$dir/loans.json"
+    // a corrupt drop that lost loan_reference entirely: the fixed read
+    // schema would silently conform it to all-null rows — the head-probe
+    // must surface the loss as DQ001, exactly as the parquet path does
+    Files.writeString(java.nio.file.Paths.get(f),
+      """{"drawn_amount":100.25,"value_date":"2024-03-01"}""" + "\n" +
+      """{"drawn_amount":7.5,"value_date":"2024-04-01"}""" + "\n")
+    val loaded = Loader.loadNdjson(spark, f, contract)
+    assert(loaded.errors.map(_.code) == Seq("DQ001"))
+    assert(loaded.errors.head.column == "loan_reference")
+    assert(loaded.df.columns.contains("loan_reference"))
+    assert(loaded.df.first().isNullAt(0)) // typed-null backfill still lands
+    // the legacy alias satisfies the canonical requirement — no DQ001
+    val f2 = s"$dir/loans_alias.json"
+    Files.writeString(java.nio.file.Paths.get(f2),
+      """{"loan_id":"L1","drawn_amount":1.0}""" + "\n")
+    val viaAlias = Loader.loadNdjson(spark, f2, contract,
+      aliases = Map("loan_id" -> "loan_reference"))
+    assert(viaAlias.errors.isEmpty)
+    assert(viaAlias.df.first().getString(0) == "L1")
+  }
+
   test("streaming NDJSON ingest: shards arriving over time land through the same seal") {
     val dir = Files.createTempDirectory("graft_ndjson_stream").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/shard-000.json"),

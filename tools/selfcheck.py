@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's t2 correctness gate.
 
-Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [q1,q2,...]
+
+The optional third argument is the same comma-separated query-name filter
+graft.Verify takes: only those oracle entries are compared (the
+adversarial-fixture flow dumps 4 queries, so an unfiltered run would print
+4 pass / 148 spurious exec-error fails).
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from oracle_sql.json in DuckDB over views of the sfDir
@@ -101,6 +106,12 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if len(sys.argv) > 3 and sys.argv[3].strip():
+        only = {q.strip() for q in sys.argv[3].split(",") if q.strip()}
+        unknown = only - set(oracle)
+        if unknown:
+            print(f"WARN: filter names not in oracle_sql.json: {sorted(unknown)}")
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
