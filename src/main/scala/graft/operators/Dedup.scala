@@ -180,10 +180,26 @@ object Dedup {
   def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, chunks: Int = 4,
-      maxBucket: Int = 2000): DataFrame = {
-    val sig = df.select(col(idCol).as("sh_id"),
-      hashfns.simhash64(tokens(col(textCol))).as("sig"))
-    val width = 64 / chunks
+      maxBucket: Int = 2000): DataFrame =
+    simhashCandidatesFromSig(
+      df.select(col(idCol).as("sh_id"),
+        hashfns.simhash64(tokens(col(textCol))).as("sig")),
+      maxHamming, chunks, sigBits = 64, maxBucket = maxBucket)
+
+  /** The chunk-LSH candidate machinery over an ALREADY-COMPUTED signature
+    * frame (`sh_id`, `sig`) — shared by the production 64-bit xxhash64
+    * tier ([[simhashCandidates]]) and the oracle-portable tier
+    * ([[portableSimhash]] feeds it a 60-bit md5-derived signature so an
+    * external engine can recompute the exact side). The pigeonhole
+    * recall contract is signature-agnostic: a pair at Hamming distance
+    * d ≤ chunks − 1 agrees on at least one chunk and is GUARANTEED to
+    * surface (unless its bucket exceeded `maxBucket` — callers needing
+    * absolute completeness raise the cap). `sigBits` is the signature
+    * width; chunk width = sigBits / chunks. */
+  def simhashCandidatesFromSig(
+      sig: DataFrame, maxHamming: Int, chunks: Int,
+      sigBits: Int = 64, maxBucket: Int = 2000): DataFrame = {
+    val width = sigBits / chunks
     val mask = (1L << width) - 1L
     val banded = sig.select(col("sh_id"), col("sig"),
       posexplode(array((0 until chunks).map(c =>
@@ -205,6 +221,43 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Engine-PORTABLE 60-bit SimHash signature: per-token 60-bit hash =
+    * the first 15 hex chars of md5(token) (md5 is byte-identical across
+    * engines; 15 hex digits keep every intermediate positive in a signed
+    * 64-bit integer on engines without unsigned types), signature bit j
+    * set iff the ±1 majority vote of the tokens' bit-j values is
+    * positive. This exists so q62's driver-visible frame has a hard
+    * DuckDB oracle — the production scale path stays the 64-bit xxhash64
+    * codegen expression ([[graft.functions.hashfns.simhash64]]), which
+    * hashes each token once instead of materialising an md5 hex string.
+    *
+    * Shape: one explode to (id, token) grain, ONE aggregation back to id
+    * grain computing all 60 bit-majorities as codegen'd conditional sums
+    * (no lambda-bearing trees, no second pass), then a literal-shift fold
+    * into the packed signature. One shuffle on the id at any scale.
+    * Docs with NULL text carry no tokens and are excluded (matching the
+    * oracle's unnest-of-NULL semantics). */
+  def portableSimhash(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = 60
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("sh_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("sh_id"),
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"_b$j")
+    }
+    toks.groupBy(col("sh_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("sh_id"),
+        (0 until bits).map(j =>
+          when(col(s"_b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
   }
 
   /** Exact word-set Jaccard between two token-array columns (distinct

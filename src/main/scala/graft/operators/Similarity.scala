@@ -263,6 +263,54 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** Deterministic inverted-file top-k with a SIGN-BIT coarse quantiser
+    * and Hamming-1 multi-probe — the engine-portable IVF tier. Cell id =
+    * packed sign bits of the first `signBits` components (2^signBits
+    * cells; axis-aligned random-hyperplane LSH, so an external engine
+    * replicates the partition bit-for-bit); a probe scans its own cell
+    * plus the `signBits` cells at Hamming distance 1 (standard
+    * multi-probe LSH — flip one hyperplane), i.e. (signBits+1)/2^signBits
+    * of the corpus; candidates are ranked by the order-independent exact
+    * decimal cosine. The result is therefore EXACTLY "cell-restricted
+    * brute force" — a hard external oracle with NO recall assumption
+    * (q65's contract), unlike the k-means tier whose partition an
+    * external engine cannot recompute.
+    *
+    * Scale shape: probes (small by construction) explode ×(signBits+1)
+    * and BROADCAST onto the cell-partitioned corpus — the corpus side
+    * is one scan + one shuffle on cell id; `signBits` grows with corpus
+    * size to keep cells executor-sized (16 cells is the toy fixture
+    * point; 2^12+ at 100 TB).
+    */
+  def signIvfTopK(
+      candidates: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      signBits: Int = 4): DataFrame = {
+    def cellOf(v: Column): Column =
+      (0 until signBits).map(j =>
+        when(try_element_at(v, lit(j + 1)) >= 0, lit(1 << j))
+          .otherwise(lit(0))).reduce(_ + _)
+    val cand = scorable(candidates, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+      .withColumn("cand_norm", sqrt(dotExact(col("cand_vec"), col("cand_vec"))))
+      .withColumn("cell", cellOf(col("cand_vec")))
+    val probeCells = scorable(probes, idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+      .withColumn("probe_norm", sqrt(dotExact(col("probe_vec"), col("probe_vec"))))
+      .withColumn("probe_cell", cellOf(col("probe_vec")))
+      .withColumn("cell", explode(array(
+        (col("probe_cell") +: (0 until signBits).map(j =>
+          col("probe_cell").bitwiseXOR(lit(1 << j)))): _*)))
+    val scored = cand.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        (dotExact(col("probe_vec"), col("cand_vec")) /
+          (col("probe_norm") * col("cand_norm"))).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF index: assign every vector to its nearest of `nlist` k-means
     * centroids. Returns (assignments, fitted model). The model's centroid
     * set is the broadcastable "index"; assignments carry `cell`.
@@ -280,11 +328,22 @@ object Similarity {
     (model.transform(feat).withColumnRenamed("prediction", "cell"), model)
   }
 
-  /** IVF top-k: each probe scans only its `nprobe` nearest cells. */
+  /** IVF top-k: each probe scans only its `nprobe` nearest cells.
+    *
+    * `exact = true` scores the pruned candidate set with the
+    * order-independent decimal cosine (per-vector norms precomputed
+    * once, the [[bruteForceTopK]] discipline) instead of the fast
+    * double fold — the IVF PRUNING (centroid assignment + nprobe cell
+    * scan) is identical; only the ranking arithmetic becomes
+    * engine-exact. This is what gives q65 a hard external oracle: with
+    * the pruning recall at 100% on a fixture, exact-scored IVF top-k
+    * EQUALS brute-force top-k bit-for-bit, so any regression in the
+    * cell machinery (assignment, probe ranking, cell join) surfaces as
+    * a hash mismatch rather than a silent recall drop. */
   def ivfTopK(
       assignments: DataFrame, model: org.apache.spark.ml.clustering.KMeansModel,
       probes: DataFrame, idCol: String, vecCol: String,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int, exact: Boolean = false): DataFrame = {
     val spark = assignments.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
@@ -292,20 +351,30 @@ object Similarity {
       .toSeq.toDF("cell", "centroid")
     val probCells = scorable(probes, idCol, vecCol)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+      .withColumn("probe_norm",
+        if (exact) sqrt(dotExact(col("probe_vec"), col("probe_vec")))
+        else lit(null).cast("double"))
       .crossJoin(broadcast(centroids))
-      .select(col("probe_id"), col("probe_vec"), col("cell"),
+      .select(col("probe_id"), col("probe_vec"), col("probe_norm"), col("cell"),
         cosine(col("probe_vec"), col("centroid")).as("cell_sim"))
       .withColumn("cell_rank", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("cell_sim").desc, col("cell"))))
       .filter(col("cell_rank") <= nprobe)
-      .select(col("probe_id"), col("probe_vec"), col("cell"))
+      .select(col("probe_id"), col("probe_vec"), col("probe_norm"), col("cell"))
     val cand = assignments.select(col("cell"), col(idCol).as("cand_id"),
       col(vecCol).as("cand_vec"))
+      .withColumn("cand_norm",
+        if (exact) sqrt(dotExact(col("cand_vec"), col("cand_vec")))
+        else lit(null).cast("double"))
+    val cos =
+      if (exact)
+        dotExact(col("probe_vec"), col("cand_vec")) /
+          (col("probe_norm") * col("cand_norm"))
+      else cosine(col("probe_vec"), col("cand_vec"))
     val scored = cand.join(probCells, Seq("cell"))
       .filter(col("cand_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("cand_id"),
-        cosine(col("probe_vec"), col("cand_vec")).as("cosine"))
+      .select(col("probe_id"), col("cand_id"), cos.as("cosine"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -52,43 +52,130 @@ object LlmOps {
       FROM keepers
     """.stripMargin.trim))
 
-  /** q61: MinHash+LSH near-dup candidates — shingle → 32 seeded minima →
-    * 8 bands → bucket self-join (`Dedup.minhashLshCandidates`). The LSH
-    * band join bounds the pair count at ~linear; summary output is stats
-    * so the result is non-empty even on a corpus with no near-dups.
-    * No SQL oracle (engine-internal xxhash64 seeds); DedupSpec plants
-    * near-duplicates and checks recall.
+  /** q61: MinHash+LSH near-dup candidates at the PRODUCTION throughput
+    * configuration (k=32 split as 8 bands × 4 rows — the volume-biased
+    * operating point, vs q63's recall-biased 16 × 2 verifier tier).
+    *
+    * ORACLE CONTRACT (the r16 verdict's invariant design — a hard
+    * driver-visible oracle without porting the engine-internal xxhash64
+    * seeds): the frame is the candidate pairs RE-VERIFIED at exact
+    * trigram Jaccard and kept at the j ≥ 0.95 guarantee threshold; the
+    * DuckDB oracle recomputes the exact side GLOBALLY (brute-force
+    * trigram Jaccard over all pairs at the same threshold). Equality is
+    * precisely `candidates ⊇ exact pairs at the threshold`: precision
+    * is exact by construction (every emitted pair is re-verified), so a
+    * hash match PROVES the 8×4 LSH tier's recall is complete at 0.95 on
+    * the fixture — any regression in the banding/bucketing machinery
+    * drops a row and fails the gate. At 0.95 a pair is missed with
+    * probability (1 − 0.95⁴)⁸ ≈ 1.4e-6 per pair, and the seeded hashes
+    * make the outcome DETERMINISTIC on fixed data (verified green at
+    * sf0.001/0.01/0.1). The candidate-volume stats the old frame carried
+    * stay spec-verified (DedupSpec recall plants).
     */
   val q61MinhashLsh = QueryDef(
     "q61_minhash_lsh",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val cands = Dedup.minhashLshCandidates(d, "doc_id", "text")
-      cands.agg(
-        count(lit(1)).as("n_candidate_pairs"),
-        count(when(col("est_jaccard") >= 0.5, lit(1))).as("n_strong"),
-        q6(coalesce(max(col("est_jaccard")), lit(0.0))).as("max_est_jaccard"))
+      val (cands0, sh) = Dedup.minhashLshCandidatesWithShingles(
+        d, "doc_id", "text", shingleN = 3, k = 32, bands = 8)
+      cands0.select(col("id_a"), col("id_b"))
+        .join(sh.select(col("mh_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("mh_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          q6(Dedup.jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.95)
+        .orderBy(col("id_a"), col("id_b"))
     },
-    None)
+    Some(s"""
+      WITH q61toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents),
+      q61sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(0, greatest(len(t) - 3, 0)),
+                 i -> array_to_string(t[i+1:i+3], ' '))) AS dt
+        FROM q61toks),
+      q61pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ${sql6(
+                 "CAST(len(list_intersect(a.dt, b.dt)) AS DOUBLE) / " +
+                 "(len(a.dt) + len(b.dt) - len(list_intersect(a.dt, b.dt)))")} AS jaccard
+        FROM q61sh a JOIN q61sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard
+      FROM q61pairs WHERE jaccard >= 0.95
+      ORDER BY id_a, id_b
+    """.stripMargin.trim))
 
-  /** q62: SimHash near-dup candidates — 64-bit signature via the custom
-    * codegen expression, 16-bit chunk LSH, exact Hamming verify
-    * (`Dedup.simhashCandidates`). maxHamming = 3 matches the 4-chunk
-    * recall guarantee (pigeonhole: d <= chunks - 1), so every reported
-    * pair tier is complete, not opportunistic. Stats output;
-    * spec-verified.
+  /** q62: SimHash near-dup candidates through the SAME chunk-LSH
+    * machinery the production tier uses (`Dedup.simhashCandidatesFromSig`
+    * — banded by signature chunks, bucket-capped, ids-only self-join,
+    * exact Hamming verify), driven here by the engine-PORTABLE 60-bit
+    * md5-derived signature (`Dedup.portableSimhash`) so the frame has a
+    * hard external oracle; the production scale path stays the 64-bit
+    * xxhash64 codegen signature (`Dedup.simhashCandidates`,
+    * DedupSpec-verified).
+    *
+    * ORACLE CONTRACT (r16 verdict invariant design): output = per
+    * Hamming tier 0..3 the pair count and an id checksum. The DuckDB
+    * oracle recomputes the identical portable signature (md5 hex prefix
+    * → bit majorities → packed bigint) and brute-forces ALL pairs at
+    * Hamming ≤ 3. Equality holds because the pigeonhole guarantee is
+    * ABSOLUTE here — d ≤ 3 with 4 chunks forces agreement on ≥1 chunk,
+    * and the bucket cap is raised (100k) so no bucket is dropped at
+    * fixture scale — so any pair the chunk machinery loses changes a
+    * tier count and fails the hash. The 0..3 spine keeps the frame
+    * 4-row even on a corpus with empty tiers (no vacuous pass).
     */
   val q62Simhash = QueryDef(
     "q62_simhash",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val cands = Dedup.simhashCandidates(d, "doc_id", "text", maxHamming = 3)
-      cands.agg(
-        count(lit(1)).as("n_pairs_within_3"),
-        count(when(col("hamming") === 0, lit(1))).as("n_pairs_exact"),
-        coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
+      val sig = Dedup.portableSimhash(d, "doc_id", "text")
+      val cands = Dedup.simhashCandidatesFromSig(
+        sig, maxHamming = 3, chunks = 4, sigBits = 60, maxBucket = 100000)
+      val tiers = cands.groupBy(col("hamming").cast("long").as("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a") * lit(1000003L) + col("id_b")).as("pair_checksum"))
+      s.range(4).select(col("id").as("hamming"))
+        .join(tiers, Seq("hamming"), "left")
+        .select(col("hamming"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("pair_checksum"), lit(0L)).as("pair_checksum"))
+        .orderBy(col("hamming"))
     },
-    None)
+    Some("""
+      WITH q62toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+      q62th AS (
+        SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM q62toks),
+      q62bits AS (
+        SELECT doc_id, j.j AS j,
+               sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM q62th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) j
+        GROUP BY doc_id, j.j),
+      q62sigs AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END)
+                 AS BIGINT) AS sig
+        FROM q62bits GROUP BY doc_id),
+      q62pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM q62sigs a JOIN q62sigs b ON a.doc_id < b.doc_id),
+      q62tiers AS (
+        SELECT hamming, count(*) AS n_pairs,
+               CAST(sum(id_a * 1000003 + id_b) AS BIGINT) AS pair_checksum
+        FROM q62pairs WHERE hamming <= 3 GROUP BY hamming),
+      q62spine AS (SELECT unnest(generate_series(0::BIGINT, 3::BIGINT)) AS hamming)
+      SELECT q62spine.hamming,
+             coalesce(n_pairs, 0) AS n_pairs,
+             coalesce(pair_checksum, 0) AS pair_checksum
+      FROM q62spine LEFT JOIN q62tiers USING (hamming)
+      ORDER BY hamming
+    """.stripMargin.trim))
 
   /** q63: exact n-gram Jaccard VERIFIER over MinHash-LSH candidates — the
     * tier-2 → tier-3 composition the dedup stack promises: candidates come
@@ -553,27 +640,15 @@ object LlmOps {
       ORDER BY probe_id, top_rank
     """.stripMargin.trim))
 
-  /** q64: brute-force cosine top-k over the embedding column — the ANN
-    * exactness baseline (`Similarity.bruteForceTopK`, decimal-exact dot
-    * products so ranking is engine-stable). Probes broadcast against all
-    * candidates. Oracle: positional unnest via a generate_series join.
-    */
-  val q64CosineTopk = QueryDef(
-    "q64_cosine_topk",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val probes = e.filter(col("vec_id") < 8)
-      Similarity.bruteForceTopK(e, probes, "vec_id", "embedding", k = 5)
-        .select(col("probe_id"), col("rank"), col("cand_id"),
-                q6(col("cosine")).as("cosine"))
-        .orderBy(col("probe_id"), col("rank"))
-    },
-    Some(s"""
+  /** Brute-force exact cosine top-k oracle SQL, shared by q64 (the
+    * exactness baseline itself) and q65 (the IVF invariant — see its
+    * contract note). `probeMax` bounds the probe ids, `k` the ranks. */
+  private def cosineTopkOracleSql(probeMax: Int, k: Int): String = s"""
       WITH e64 AS MATERIALIZED (
         SELECT vec_id, embedding FROM embeddings
         WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY embedding) = 1),
-      probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM e64 WHERE vec_id < 8),
+      probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM e64 WHERE vec_id < $probeMax),
       cand AS (SELECT vec_id AS cand_id, embedding AS cv FROM e64),
       terms AS (
         SELECT probe_id, cand_id, i,
@@ -592,30 +667,101 @@ object LlmOps {
                row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rank
         FROM dots)
       SELECT probe_id, rank, cand_id, ${sql6("cosine")} AS cosine
-      FROM ranked WHERE rank <= 5
+      FROM ranked WHERE rank <= $k
       ORDER BY probe_id, rank
-    """.stripMargin.trim))
+    """.stripMargin.trim
 
-  /** q65: IVF approximate nearest neighbours — k-means coarse quantiser
-    * (spark.ml), probe scans only nprobe cells (`Similarity.ivfTopK`).
-    * The 100 TB scale path: centroids broadcast, one shuffle on cell id.
-    * No SQL oracle (model-dependent); SimilaritySpec checks recall
-    * against q64's brute force.
+  /** q64: brute-force cosine top-k over the embedding column — the ANN
+    * exactness baseline (`Similarity.bruteForceTopK`, decimal-exact dot
+    * products so ranking is engine-stable). Probes broadcast against all
+    * candidates. Oracle: positional unnest via a generate_series join.
+    */
+  val q64CosineTopk = QueryDef(
+    "q64_cosine_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val probes = e.filter(col("vec_id") < 8)
+      Similarity.bruteForceTopK(e, probes, "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("rank"), col("cand_id"),
+                q6(col("cosine")).as("cosine"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some(cosineTopkOracleSql(probeMax = 8, k = 5)))
+
+  /** q65: inverted-file approximate nearest neighbours, driver-visible
+    * tier = the DETERMINISTIC sign-bit coarse quantiser with Hamming-1
+    * multi-probe (`Similarity.signIvfTopK`: 16 cells from the packed
+    * sign bits of the first 4 components, a probe scans its own cell
+    * plus the 4 one-hyperplane-flip neighbours = 5/16 of the corpus,
+    * candidates ranked by the order-independent exact decimal cosine).
+    *
+    * ORACLE CONTRACT (r16 verdict invariant design): the result is by
+    * construction EXACTLY "brute-force top-k restricted to the probed
+    * cells", and the quantiser is engine-portable, so the DuckDB oracle
+    * recomputes the whole thing — cell assignment, the Hamming ≤ 1
+    * probe set, the exact cosine, the ranking — with NO recall
+    * assumption. Any defect in the binning, the multi-probe expansion,
+    * the cell join (lost/duplicated candidates) or the pruning changes
+    * rows and fails the hash. The k-means IVF tier (`ivfIndex`/
+    * `ivfTopK`) remains the structure-exploiting production path; an
+    * external engine cannot recompute its partition, so its recall
+    * stays spec-verified (SimilaritySpec vs q64's brute force) — on
+    * THIS fixture the embeddings are isotropic noise (within-label mean
+    * cosine ≈ across-label ≈ 0), so a k-means recall invariant could
+    * only hold at nprobe = nlist, which would prune nothing.
     */
   val q65AnnIvf = QueryDef(
     "q65_ann_ivf",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val (assignments, model) = Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 16)
-      val probes = e.filter(col("vec_id") < 8)
-      Similarity.ivfTopK(assignments, model, probes, "vec_id", "embedding",
-          k = 5, nprobe = 4)
-        .groupBy(col("probe_id"))
-        .agg(count(lit(1)).as("n_results"),
-             q6(max(col("cosine"))).as("best_cosine"))
-        .orderBy(col("probe_id"))
+      val probes = e.filter(col("vec_id") < 16)
+      Similarity.signIvfTopK(e, probes, "vec_id", "embedding", k = 3)
+        .select(col("probe_id"), col("rank"), col("cand_id"),
+                q6(col("cosine")).as("cosine"))
+        .orderBy(col("probe_id"), col("rank"))
     },
-    None)
+    Some(s"""
+      WITH e65 AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY embedding) = 1),
+      q65cells AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+        FROM e65),
+      q65probes AS (
+        SELECT vec_id AS probe_id, embedding AS pv, cell AS pcell
+        FROM q65cells WHERE vec_id < 16),
+      q65cand AS (
+        SELECT vec_id AS cand_id, embedding AS cv, cell AS ccell
+        FROM q65cells),
+      q65pairs AS (
+        SELECT probe_id, pv, cand_id, cv
+        FROM q65probes JOIN q65cand
+          ON probe_id <> cand_id
+         AND bit_count(xor(CAST(pcell AS BIGINT), CAST(ccell AS BIGINT))) <= 1),
+      q65terms AS (
+        SELECT probe_id, cand_id, i,
+               CAST(CAST(pv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(38,14)) AS pq,
+               CAST(CAST(pv[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE) AS DECIMAL(38,14)) AS pp,
+               CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(38,14)) AS qq
+        FROM q65pairs,
+        LATERAL (SELECT unnest(generate_series(1, len(pv))) AS i) s),
+      q65dots AS (
+        SELECT probe_id, cand_id,
+               CAST(sum(pq) AS DOUBLE) / (sqrt(CAST(sum(pp) AS DOUBLE)) * sqrt(CAST(sum(qq) AS DOUBLE))) AS cosine
+        FROM q65terms GROUP BY probe_id, cand_id),
+      q65ranked AS (
+        SELECT probe_id, cand_id, cosine,
+               row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rank
+        FROM q65dots)
+      SELECT probe_id, rank, cand_id, ${sql6("cosine")} AS cosine
+      FROM q65ranked WHERE rank <= 3
+      ORDER BY probe_id, rank
+    """.stripMargin.trim))
 
   /** q66: language identification — marker-lexicon overlap scores with a
     * deterministic argmax when-chain (`TextAnalysis.languageId`), plus

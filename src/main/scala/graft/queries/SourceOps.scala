@@ -206,7 +206,158 @@ object SourceOps {
       FROM documents ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** q181: ADVERSARIAL NDJSON transport — the degenerate shard shapes a
+    * real web-corpus drop contains, driven through `loadNdjson` and
+    * q180's contract: a malformed (truncated) line, raw non-ASCII
+    * multibyte text, a `\\uXXXX` escape that must decode to the same
+    * codepoints, a record carrying BOTH the legacy alias and the
+    * canonical name (canonical wins the per-record coalesce), an
+    * invalid-typed id (try_cast → null, row kept), a record missing the
+    * id key entirely, and a number token landing in a string field. The
+    * shard content is a fixed literal, so the oracle is the expected
+    * parse as literal VALUES — any PERMISSIVE null-fill, alias, unicode
+    * or try_cast divergence changes a cell and fails the hash. This is
+    * the transport-robustness row the r16 verdict asked for (JSON
+    * interchange is exactly where corpora silently lose data).
+    */
+  val q181NdjsonAdversarial = QueryDef(
+    "q181_ndjson_adversarial",
+    (s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q181_adversarial"
+      val shard = new java.io.File(tmp); shard.mkdirs()
+      // a literal backslash-u JSON escape (built by concat: the Scala
+      // lexer would otherwise decode \-u sequences even in raw strings)
+      val esc = "\\" + "u00e9"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/shard-000.json"),
+        """{"doc_id": 1, "body": "plain ascii text", "lang": "en", "source": "s1", "n_chars": 16}""" + "\n" +
+        // raw UTF-8 multibyte AND a \uXXXX escape that must decode to é
+        s"""{"doc_id": 2, "body": "caf$esc naïve résumé — ünïcødé", "lang": "fr"}""" + "\n" +
+        // duplicate alias: legacy `body` AND canonical `text` — canonical wins
+        """{"doc_id": 3, "body": "legacy value loses", "text": "canonical wins"}""" + "\n" +
+        // malformed (truncated) line: PERMISSIVE null-fills, row survives
+        """{"doc_id": 4, "body": "truncated record""" + "\n" +
+        // invalid typed id: try_cast -> null id, payload kept
+        """{"doc_id": "5x", "body": "bad id"}""" + "\n" +
+        // id key absent on this record (present on others - no DQ001)
+        """{"body": "no id"}""" + "\n" +
+        // number token into the all-string schema, invalid n_chars
+        """{"doc_id": 7, "body": 12345, "n_chars": "nope"}""" + "\n")
+      val contract = EdgeContract("documents_ndjson", Seq(
+        "doc_id" -> ColumnSpec(LongType, required = true),
+        "text" -> ColumnSpec(StringType, required = true),
+        "lang" -> ColumnSpec(StringType),
+        "source" -> ColumnSpec(StringType),
+        "n_chars" -> ColumnSpec(LongType),
+        "quality_score" -> ColumnSpec(DoubleType)))
+      Loader.loadNdjson(s, tmp, contract, aliases = Map("body" -> "text"))
+        .df.orderBy(col("doc_id").asc_nulls_last, col("text").asc_nulls_last)
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (1::BIGINT, 'plain ascii text', 'en', 's1', 16::BIGINT, CAST(NULL AS DOUBLE)),
+        (2::BIGINT, 'café naïve résumé — ünïcødé', 'fr', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)),
+        (3::BIGINT, 'canonical wins', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)),
+        (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)),
+        (CAST(NULL AS BIGINT), 'bad id', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)),
+        (CAST(NULL AS BIGINT), 'no id', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)),
+        (7::BIGINT, '12345', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE))
+      ) AS t(doc_id, text, lang, source, n_chars, quality_score)
+      ORDER BY doc_id NULLS LAST, text NULLS LAST
+    """.stripMargin.trim))
+
+  /** q182: COMPRESSED shard export executing q156's shard plan — the
+    * write side of the corpus pipeline at a real interchange format.
+    * Per source the q156 sizing pass (ceil(bytes/target) shards) is
+    * EXECUTED: each record gets a bin id by even row-split within its
+    * source, the frame is `repartitionByRange` on (source, bin) so each
+    * output task holds contiguous bins, and the writer emits
+    * gzip-compressed NDJSON partitioned into `source=.../bin=...`
+    * directories. The whole tree is then re-loaded through `loadNdjson`
+    * (Spark decodes the `.json.gz` shards natively; the partition-dir
+    * columns come back through the same contract seal) and the query
+    * emits per-source conservation: doc count, char volume, a portable
+    * md5-prefix text checksum, the DISTINCT bins observed, and the
+    * planned shard count. The oracle recomputes every column from the
+    * parquet ground truth (bins-observed must equal the q156 formula),
+    * so codec loss, binning loss, or a missing shard each fail the hash.
+    */
+  val q182NdjsonShardedGz = QueryDef(
+    "q182_ndjson_sharded_gz",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val target = 4096L
+      val overhead = 16L
+      val d = Tables.documents(s, dir)
+      val plan = d
+        .select(col("source"),
+          (octet_length(coalesce(col("text"), lit(""))).cast("long") + overhead)
+            .as("rec_bytes"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_src"), sum(col("rec_bytes")).as("est_bytes"))
+        // a record cannot split across shards, so the plan never exceeds
+        // one shard per record (the oracle applies the same least())
+        .withColumn("n_shards",
+          least(expr(s"(est_bytes + ${target - 1}) DIV $target"),
+            col("n_docs_src")))
+        .select(col("source"), col("n_docs_src"), col("n_shards"))
+      val nBins = plan.agg(sum(col("n_shards"))).head().getLong(0).toInt
+      val binned = d.join(broadcast(plan), Seq("source"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("doc_id").asc_nulls_last, col("text").asc_nulls_last)))
+        .withColumn("bin", expr("CAST(((_rn - 1) * n_shards) DIV n_docs_src AS BIGINT)"))
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          col("source"), col("bin"))
+      val out = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q182_shards_${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+      binned
+        .repartitionByRange(math.max(nBins, 1), col("source"), col("bin"))
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .partitionBy("source", "bin")
+        .json(out)
+      val contract = EdgeContract("documents_shards", Seq(
+        "doc_id" -> ColumnSpec(LongType, required = true),
+        "text" -> ColumnSpec(StringType, required = true),
+        "lang" -> ColumnSpec(StringType),
+        "n_chars" -> ColumnSpec(LongType),
+        "source" -> ColumnSpec(StringType),
+        "bin" -> ColumnSpec(LongType)))
+      val reread = Loader.loadNdjson(s, out, contract).df
+      reread.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(coalesce(col("text"), lit(""))).cast("long")).as("sum_chars"),
+          countDistinct(col("bin")).as("n_bins"),
+          sum(conv(substring(md5(coalesce(col("text"), lit(""))
+            .cast("binary")), 1, 12), 16, 10).cast("long")).as("text_checksum"))
+        .join(broadcast(plan.select(col("source"), col("n_shards"))), Seq("source"))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          col("n_bins"), col("n_shards"), col("text_checksum"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH q182rec AS (
+        SELECT source, coalesce(text, '') AS t,
+               CAST(octet_length(encode(coalesce(text, ''))) + 16 AS BIGINT) AS rb
+        FROM documents),
+      q182plan AS (
+        SELECT source, count(*) AS n_docs,
+               least((CAST(sum(rb) AS BIGINT) + 4095) // 4096,
+                     count(*)) AS n_shards,
+               CAST(sum(length(t)) AS BIGINT) AS sum_chars,
+               CAST(sum(CAST('0x' || substring(md5(t), 1, 12) AS BIGINT))
+                 AS BIGINT) AS text_checksum
+        FROM q182rec GROUP BY source)
+      SELECT source, n_docs, sum_chars, n_shards AS n_bins, n_shards,
+             text_checksum
+      FROM q182plan
+      ORDER BY source
+    """.stripMargin.trim))
+
   val all: Seq[QueryDef] = Seq(
     q46ContractConform, q47EnumValidation, q48CsvRoundtrip,
-    q49HierarchyResolve, q180NdjsonRoundtrip)
+    q49HierarchyResolve, q180NdjsonRoundtrip, q181NdjsonAdversarial,
+    q182NdjsonShardedGz)
 }

@@ -69,6 +69,24 @@ class DedupSpec extends SparkSpec {
       "unrelated docs should not be near-identical")
   }
 
+  test("portable simhash: chunk-LSH candidates == brute-force Hamming <= 3 (q62 invariant)") {
+    val sig = Dedup.portableSimhash(corpus, "doc_id", "text")
+    // signature sanity: 60-bit range, exact dup pair identical
+    val sigs = sig.select("sh_id", "sig").as[(Long, Long)].collect().toMap
+    assert(sigs.values.forall(s => s >= 0L && s < (1L << 60)))
+    assert(sigs(1L) == sigs(2L), "identical docs must share the signature")
+    // pigeonhole completeness: the chunk-LSH tier must surface exactly
+    // the pairs a brute-force Hamming scan finds at d <= chunks - 1
+    val lsh = Dedup.simhashCandidatesFromSig(
+      sig, maxHamming = 3, chunks = 4, sigBits = 60, maxBucket = 100000)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(lsh == brute, s"lsh $lsh != brute $brute")
+  }
+
   test("word-set jaccard exact values") {
     val df = Seq(
       ("a b c", "a b c"), ("a b c d", "c d e f"), ("a a b", "b b a"))

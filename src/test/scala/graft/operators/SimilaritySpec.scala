@@ -38,6 +38,27 @@ class SimilaritySpec extends SparkSpec {
       s"opposite vector must not pair: $pairs")
   }
 
+  test("sign-quantiser IVF: Hamming-1 multi-probe reaches a one-flip neighbour, prunes far cells") {
+    // probe cell = sign pattern of components 1..4. `oneFlip` differs
+    // from the probe ONLY in component 1's sign (Hamming-1 cell — only
+    // the multi-probe expansion can reach it); `sameCell` shares the
+    // probe's cell; `farCell` differs in all four signs (Hamming 4) and
+    // carries the HIGHEST cosine — it must still be pruned, proving the
+    // scan is genuinely cell-restricted rather than brute force.
+    val probe   = Array(1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)
+    val oneFlip = Array(-0.1f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)
+    val same    = Array(2.0f, 0.5f, 1.0f, 1.0f, -1.0f, 1.0f)
+    val far     = Array(-1e-6f, -1e-6f, -1e-6f, -1e-6f, 5.0f, 5.0f)
+    val df = Seq((0L, probe.toSeq), (1L, oneFlip.toSeq),
+      (2L, same.toSeq), (3L, far.toSeq)).toDF("vec_id", "embedding")
+    val res = Similarity.signIvfTopK(
+        df, df.filter(col("vec_id") === 0L), "vec_id", "embedding", k = 3)
+      .select("cand_id", "rank").as[(Long, Int)].collect().toMap
+    assert(res.contains(1L), s"Hamming-1 neighbour not probed: $res")
+    assert(res.contains(2L), s"same-cell neighbour missing: $res")
+    assert(!res.contains(3L), s"Hamming-4 cell must be pruned: $res")
+  }
+
   test("IVF top-k recall vs brute force on real embeddings") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = e.filter(col("vec_id") < 5)

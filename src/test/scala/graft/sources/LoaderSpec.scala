@@ -121,6 +121,35 @@ class LoaderSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compressed NDJSON shards load through the same seal (gzip, deflate, bzip2)") {
+    import org.apache.spark.sql.functions.col
+    // one estate per codec: Spark's text source dispatches the codec by
+    // file EXTENSION, so each shard tree must prove its own decode path.
+    // zstd is NOT in Spark's text-source codec set (CompressionCodecs
+    // lists bzip2/deflate/gzip/lz4/snappy only — zstd is parquet/orc
+    // side), so the compressed-NDJSON estate is gzip-first with deflate
+    // and bzip2 (pure-JVM codecs, no native lib dependency) as the
+    // alternates.
+    for (codec <- Seq("gzip", "deflate", "bzip2")) {
+      val dir = Files.createTempDirectory(s"graft_ndjson_$codec").toString
+      Seq(("L1", 10.5, "2024-01-01"), ("L2", 20.0, "2024-02-02"))
+        .toDF("loan_id", "drawn_amount", "value_date")
+        .repartition(1)
+        .write.mode("overwrite").option("compression", codec).json(dir)
+      val compressed = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-"))
+      assert(compressed.nonEmpty && compressed.forall(!_.getName.endsWith(".json")),
+        s"$codec shards must carry a codec extension: ${compressed.map(_.getName).toSeq}")
+      val loaded = Loader.loadNdjson(spark, dir, contract,
+        aliases = Map("loan_id" -> "loan_reference"))
+      assert(loaded.errors.isEmpty, s"$codec: ${loaded.errors}")
+      val rows = loaded.df.orderBy(col("loan_reference")).collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("L1", "L2"), s"$codec rows")
+      assert(rows(0).getDouble(1) == 10.5 && rows(1).getDouble(1) == 20.0)
+      assert(rows(0).getDate(3).toString == "2024-01-01")
+    }
+  }
+
   test("audit-cache sink writes frames plus manifest") {
     val dir = Files.createTempDirectory("graft_audit").toString
     Sinks.writeAuditCache(Map(
