@@ -30,13 +30,19 @@ final case class StressContingent(contingent_reference: String,
     value_date: Date, maturity_date: Date)
 
 
-/** Bench-shaped 100K probe (`Test/runMain graft.acceptance.Stress100K`):
-  * stages the 100K-counterparty book to parquet, then times the sealed
-  * CRR-IRB ledger's full-width materialisation on local[32] — the
-  * apples-to-apples read against BASELINE.md's 4,313 ms full-pipeline
-  * figure (same scale, same generate-then-time methodology). */
-object Stress100K {
-  def main(args: Array[String]): Unit = {
+/** Bench-shaped scale probes (`Test/runMain graft.acceptance.Stress100K`
+  * / `Stress1M`): stage the N-counterparty book to parquet, then time
+  * the sealed ledger's full-width materialisation on local[32] — the
+  * apples-to-apples read against BASELINE.md (100K: 4,313 ms full
+  * pipeline; 1M: the reference's `scale_1m` slow tier with its < 120 s
+  * SA target, `tests/benchmarks/test_pipeline_benchmark.py:246-283`).
+  * Each round also prints the SPILL and AQE-SKEW telemetry (TaskMetrics
+  * disk/memory bytes spilled; skew-split joins in the final adaptive
+  * plan) — at 1M this is the first scale where the 100 TB posture is
+  * measured rather than argued: zero spill means the per-task memory
+  * envelope holds, zero skew splits means no key needed AQE rescue. */
+object StressProbe {
+  def run(tag: String, nCp: Int, rounds: Int, modes: Seq[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -44,8 +50,9 @@ object Stress100K {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val big = StressBook.buildBook(spark, seed = 7L, nCp = 100000)
-    val dir = java.nio.file.Files.createTempDirectory("graft_100k").toString
+    val tb0 = System.nanoTime()
+    val big = StressBook.buildBook(spark, seed = 7L, nCp = nCp)
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
     def staged(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$dir/$name")
       spark.read.parquet(s"$dir/$name")
@@ -60,9 +67,11 @@ object Stress100K {
       collateral = b.collateral.map(staged(_, "collateral")),
       modelPermissions = b.modelPermissions.map(staged(_, "perms")),
       specialisedLending = b.specialisedLending.map(staged(_, "sl")))
-    val cfg = RefRunConfig("CRR", java.time.LocalDate.of(2028, 1, 1),
-      permissionMode = "irb")
+    println(f"[$tag] book built + staged in ${(System.nanoTime() - tb0) / 1e9}%.1f s " +
+      s"(untimed, the reference's generate-then-time split)")
     val stages = new scala.collection.mutable.ArrayBuffer[(Int, Long, String)]
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -72,30 +81,59 @@ object Stress100K {
             i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
             i.name.take(60))) }
         }
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          Option(t.taskMetrics).foreach { m =>
+            diskSpilled.addAndGet(m.diskBytesSpilled)
+            memSpilled.addAndGet(m.memoryBytesSpilled)
+          }
       })
-    (1 to 3).foreach { round =>
+    for (mode <- modes; round <- 1 to rounds) {
       val t0 = System.nanoTime()
+      val cfg = RefRunConfig("CRR", java.time.LocalDate.of(2028, 1, 1),
+        permissionMode = mode)
       // full-width materialisation (not a prunable count): hash every
       // column of every row, the same "whole result exists" bar the
       // reference's timed pipeline meets
       val ledger = RefBook.ledger(bundle, cfg, spark)
       val tPlan = System.nanoTime()
-      val n = ledger
+      val hashed = ledger
         .select(org.apache.spark.sql.functions.xxhash64(
           ledger.columns.map(
             org.apache.spark.sql.functions.col).toIndexedSeq: _*))
-        .count()
-      println(f"[stress100k] round $round: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        f"(construct ${(tPlan - t0) / 1e9}%.2f s; $n rows)")
+        .groupBy().count()
+      // collect() (not a fresh count()) so the AQE plan inspected below
+      // is the FINAL plan of the execution that was timed
+      val n = hashed.collect()(0).getLong(0)
+      val skewSplits =
+        "skew=true".r.findAllIn(hashed.queryExecution.executedPlan.toString).size
+      println(f"[$tag] $mode round $round: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"(construct ${(tPlan - t0) / 1e9}%.2f s; $n rows; " +
+        f"spill disk=${diskSpilled.get} mem=${memSpilled.get} bytes; " +
+        s"aqe_skew_splits=$skewSplits)")
     }
     Thread.sleep(500)
     stages.synchronized {
-      println(s"[stress100k] stage-wall-sum=${stages.map(_._2).sum}ms over ${stages.size} stages")
+      println(s"[$tag] stage-wall-sum=${stages.map(_._2).sum}ms over ${stages.size} stages")
       stages.sortBy(-_._2).take(10).foreach { case (id, w, nm) =>
-        println(s"[stress100k]   stage $id: ${w}ms  $nm") }
+        println(s"[$tag]   stage $id: ${w}ms  $nm") }
     }
+    println(s"[$tag] total spill: disk=${diskSpilled.get} mem=${memSpilled.get} bytes")
     spark.stop()
   }
+}
+
+object Stress100K {
+  def main(args: Array[String]): Unit =
+    StressProbe.run("stress100k", nCp = 100000, rounds = 3, modes = Seq("irb"))
+}
+
+/** The reference's 1M slow tier: SA rounds read against its < 120 s
+  * target; IRB rounds for continuity with the 100K probe. */
+object Stress1M {
+  def main(args: Array[String]): Unit =
+    StressProbe.run("stress1m", nCp = 1000000, rounds = 2,
+      modes = Seq("sa", "irb"))
 }
 
 /** Deterministic synthetic stress book (reference `conftest.py`) —
@@ -674,6 +712,74 @@ class StressPipelineSpec extends SparkSpec {
     assert(st.l("bad_rwa") == 0 && st.l("bad_ead") == 0 && st.l("bad_rw") == 0)
     assert(st.l("neg_rwa") == 0 && st.l("n_refs") == st.l("n"))
     assert(st.d("rwa_total") > 0 && st.d("rwa_total").isFinite)
+  }
+
+  // ---- 1M scale tier (reference TestPipelineBenchmark1M, scale_1m +
+  // slow markers, < 120 s SA target; here gated on GRAFT_STRESS_1M) ----
+
+  test("stress: 1M-counterparty tier — the reference's slow scale_1m tier (set GRAFT_STRESS_1M=1)") {
+    assume(sys.env.contains("GRAFT_STRESS_1M"),
+      "1M tier runs only when GRAFT_STRESS_1M is set (reference slow marker)")
+    // ~1M counterparties -> 3M loans + 1M facilities + 200K contingents
+    // (~4.2M ledger rows): the reference's largest tier, and the first
+    // scale where the 100 TB posture is MEASURED — the run records the
+    // spill and AQE-skew telemetry alongside the correctness battery.
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          Option(t.taskMetrics).foreach { m =>
+            diskSpilled.addAndGet(m.diskBytesSpilled)
+            memSpilled.addAndGet(m.memoryBytesSpilled)
+          }
+      })
+    val big = StressBook.buildBook(spark, seed = 7L, nCp = 1000000)
+    val dir = java.nio.file.Files.createTempDirectory("graft_1m").toString
+    def staged(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$dir/$name")
+      spark.read.parquet(s"$dir/$name")
+    }
+    val b = big.bundle
+    val bundle = RefBundle(
+      counterparties = staged(b.counterparties, "counterparties"),
+      loans = staged(b.loans, "loans"),
+      ratings = staged(b.ratings, "ratings"),
+      facilities = b.facilities.map(staged(_, "facilities")),
+      contingents = b.contingents.map(staged(_, "contingents")),
+      collateral = b.collateral.map(staged(_, "collateral")),
+      modelPermissions = b.modelPermissions.map(staged(_, "model_permissions")),
+      specialisedLending = b.specialisedLending.map(staged(_, "sl")))
+    // SA leg: the reference's own 1M benchmark shape (< 120 s target)
+    val tSa0 = System.nanoTime()
+    val saLedger = RefBook.ledger(bundle, cfg("CRR", "sa"), spark)
+    val saHash = saLedger.select(xxhash64(
+      saLedger.columns.map(col).toIndexedSeq: _*)).groupBy().count()
+    val saRows = saHash.collect()(0).getLong(0)
+    val saWall = (System.nanoTime() - tSa0) / 1e9
+    val saSkew =
+      "skew=true".r.findAllIn(saHash.queryExecution.executedPlan.toString).size
+    info(f"1M CRR-SA full-width wall: $saWall%.1f s ($saRows rows; reference target < 120 s)")
+    assert(saWall < 120.0,
+      f"1M SA materialisation $saWall%.1f s misses the reference's own < 120 s bar")
+    // IRB leg: correctness battery at 1M (same assertions as the 100K tier)
+    val ledger = RefBook.ledger(bundle, cfg("CRR", "irb"), spark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tc0 = System.nanoTime()
+    val nRows = ledger.count()
+    info(f"1M CRR-IRB ledger wall: ${(System.nanoTime() - tc0) / 1e9}%.1f s ($nRows rows)")
+    val st = try statsOf(ledger) finally ledger.unpersist()
+    assert(st.l("n_loan") == big.nLoans)
+    assert(st.l("n") == big.nLoans + big.nContingents + big.nCommittedFacilities)
+    assert(st.l("bad_rwa") == 0 && st.l("bad_ead") == 0 && st.l("bad_rw") == 0)
+    assert(st.l("neg_rwa") == 0 && st.l("n_refs") == st.l("n"))
+    assert(st.d("rwa_total") > 0 && st.d("rwa_total").isFinite)
+    // 100 TB posture telemetry ON the record: listener delivery is
+    // asynchronous, settle briefly before reading
+    Thread.sleep(1500)
+    info(s"1M spill telemetry: disk=${diskSpilled.get} mem=${memSpilled.get} " +
+      s"bytes; aqe_skew_splits(SA leg)=$saSkew")
   }
 
   test("stress: per-task peak execution memory stays bounded") {
