@@ -87,6 +87,19 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute, s"lsh $lsh != brute $brute")
   }
 
+  test("portable simhash plan: one aggregation exchange to id grain, no lambda trees") {
+    val sig = Dedup.portableSimhash(corpus, "doc_id", "text")
+    sig.collect() // AQE: inspect the FINAL plan of this execution
+    val plan = sig.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the 60 bit-majorities are codegen'd conditional sums inside ONE
+    // groupBy — corpus-sized data crosses exactly one exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("transform("),
+      "bit majorities must be flat conditional sums, not lambda trees")
+  }
+
   test("word-set jaccard exact values") {
     val df = Seq(
       ("a b c", "a b c"), ("a b c d", "c d e f"), ("a a b", "b b a"))

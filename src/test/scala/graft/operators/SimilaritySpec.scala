@@ -59,6 +59,19 @@ class SimilaritySpec extends SparkSpec {
     assert(!res.contains(3L), s"Hamming-4 cell must be pruned: $res")
   }
 
+  test("sign-quantiser IVF plan: probe side broadcast, no cartesian product") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val res = Similarity.signIvfTopK(
+      e, e.filter(col("vec_id") < 16), "vec_id", "embedding", k = 3)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      "the exploded probe-cell frame must broadcast onto the corpus")
+    assert(!plan.contains("CartesianProduct"),
+      "cell pruning must never degrade to a cross join")
+  }
+
   test("IVF top-k recall vs brute force on real embeddings") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = e.filter(col("vec_id") < 5)
