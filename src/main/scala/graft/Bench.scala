@@ -136,14 +136,20 @@ object Bench {
     // left a long inflated tail on the record (q140 6.38 s batch vs
     // 2.83 s fresh-JVM, q168 3.98 vs 1.58, q133 2.89 vs 0.59 — all
     // judge-measured). Selection is now adaptive: fork every query whose
-    // batch min exceeds max(1 s, 2 × its prior-round adjudicated record),
-    // capped at 15 forks (largest batch min first). `priorRecordCs` is
+    // batch min exceeds max(0.5 s, 2 × its prior-round adjudicated
+    // record), capped at 15 forks (largest batch min first) — the floor
+    // was 1 s through r17, which let sub-second queries inflate past 2×
+    // their prior without an adjudication trail. `priorRecordCs` is
     // the RUNNING MIN of every prior round's official per-query record
     // (refreshed each round from BENCH_r{N}.json, min'd against the
     // previous map so a contended round can never loosen a threshold)
-    // plus the judge's idle re-measurements where lower. A query with
-    // no prior (new this round) gets prior = 0.5 s, i.e. the plain 1 s
-    // threshold.
+    // plus the judge's idle re-measurements where lower — EXCEPT a query
+    // whose SEMANTICS changed, whose entry is RESET to its new measured
+    // cost (r17: q61 gained the exact-verify tier, q62 the portable
+    // signature, q65 swapped k-means for the sign quantiser — min'ing
+    // against the old queries' records would fork them every round
+    // forever). A query with no prior gets prior = 0, i.e. the plain
+    // 0.5 s floor.
     val priorRecordCs: Map[String, Int] = Map(
       "1" -> 35, "2" -> 12, "3" -> 36, "4" -> 26, "5" -> 16, "6" -> 22,
       "10" -> 22, "11" -> 16, "12" -> 13, "13" -> 14, "14" -> 73, "15" -> 8,
@@ -151,8 +157,8 @@ object Bench {
       "25" -> 15, "40" -> 11, "41" -> 9, "42" -> 5, "43" -> 37, "44" -> 10,
       "45" -> 11, "46" -> 10, "47" -> 6, "48" -> 17, "49" -> 45, "50" -> 18,
       "51" -> 9, "52" -> 11, "53" -> 22, "54" -> 12, "55" -> 7, "56" -> 11,
-      "57" -> 8, "58" -> 48, "59" -> 4, "60" -> 11, "61" -> 33, "62" -> 21,
-      "63" -> 83, "64" -> 24, "65" -> 218, "66" -> 16, "67" -> 8, "68" -> 7,
+      "57" -> 8, "58" -> 48, "59" -> 4, "60" -> 11, "61" -> 57, "62" -> 28,
+      "63" -> 83, "64" -> 24, "65" -> 36, "66" -> 16, "67" -> 8, "68" -> 7,
       "69" -> 6, "70" -> 12, "71" -> 210, "72" -> 11, "73" -> 12, "74" -> 10,
       "75" -> 287, "76" -> 23, "77" -> 10, "78" -> 8, "80" -> 9, "81" -> 8,
       "82" -> 11, "83" -> 10, "85" -> 19, "86" -> 15, "90" -> 28, "91" -> 14,
@@ -173,9 +179,10 @@ object Bench {
       "162" -> 190, "163" -> 38, "164" -> 26, "165" -> 36, "166" -> 65,
       "167" -> 23, "168" -> 113, "169" -> 60, "170" -> 19, "171" -> 76,
       "172" -> 25, "173" -> 14, "174" -> 11, "175" -> 33, "176" -> 11,
-      "177" -> 46, "178" -> 6, "179" -> 43, "180" -> 17)
+      "177" -> 46, "178" -> 6, "179" -> 43, "180" -> 17, "181" -> 10,
+      "182" -> 249)
     def forkThresholdSec(name: String): Double =
-      math.max(1.0, 2.0 * priorRecordCs.getOrElse(qnum(name), 50) / 100.0)
+      math.max(0.5, 2.0 * priorRecordCs.getOrElse(qnum(name), 0) / 100.0)
     // SPARK_GRAFT_FORCE_FORK: comma-separated names to adjudicate
     // regardless of threshold (local testing of the fork path only)
     val forceFork: Set[String] =
