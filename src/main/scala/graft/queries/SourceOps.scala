@@ -281,6 +281,16 @@ object SourceOps {
     * planned shard count. The oracle recomputes every column from the
     * parquet ground truth (bins-observed must equal the q156 formula),
     * so codec loss, binning loss, or a missing shard each fail the hash.
+    *
+    * SCALE NOTE: the row_number bin assignment is a per-source window —
+    * a deliberate FIXTURE-scale choice, because the oracle needs
+    * deterministic, dense bin ids to verify the executed plan
+    * externally. At 100 TB a dominant source would funnel that window
+    * through one task; the production write path drops the explicit bin
+    * column and lets `repartitionByRange(source, doc_id)` place the
+    * same size-balanced boundaries from its internal sample, which
+    * needs no global per-source sort (the q156 plan then only sizes
+    * `numPartitions`). The conservation frame is unchanged either way.
     */
   val q182NdjsonShardedGz = QueryDef(
     "q182_ndjson_sharded_gz",

@@ -676,7 +676,11 @@ class StressPipelineSpec extends SparkSpec {
   // normal runs: `pytest.mark.slow`; here gated on GRAFT_STRESS_100K) ---
 
   test("stress: 100K-counterparty tier — the reference benchmark's own scale (set GRAFT_STRESS_100K=1)") {
-    assume(sys.env.contains("GRAFT_STRESS_100K"),
+    // gate on a Boolean, not `sys.env.contains`: ScalaTest's assume
+    // pretty-prints the receiver on cancel, and dumping the whole
+    // process environment into the test log is a hygiene leak
+    val gate100k = sys.env.get("GRAFT_STRESS_100K").isDefined
+    assume(gate100k,
       "100K tier runs only when GRAFT_STRESS_100K is set (reference slow marker)")
     // ~100K counterparties -> 300K loans + 100K facilities + 20K
     // contingents: the exact scale BASELINE.md's 4,313 ms full-pipeline
@@ -718,7 +722,9 @@ class StressPipelineSpec extends SparkSpec {
   // slow markers, < 120 s SA target; here gated on GRAFT_STRESS_1M) ----
 
   test("stress: 1M-counterparty tier — the reference's slow scale_1m tier (set GRAFT_STRESS_1M=1)") {
-    assume(sys.env.contains("GRAFT_STRESS_1M"),
+    // Boolean gate, not `sys.env.contains` — see the 100K tier note
+    val gate1m = sys.env.get("GRAFT_STRESS_1M").isDefined
+    assume(gate1m,
       "1M tier runs only when GRAFT_STRESS_1M is set (reference slow marker)")
     // ~1M counterparties -> 3M loans + 1M facilities + 200K contingents
     // (~4.2M ledger rows): the reference's largest tier, and the first

@@ -150,6 +150,36 @@ class LoaderSpec extends SparkSpec {
     }
   }
 
+  test("streaming NDJSON ingest decodes compressed shards arriving over time") {
+    import org.apache.spark.sql.functions.col
+    // the web-corpus arrival pattern: gzip shards landing in a directory;
+    // the file stream source dispatches the codec by extension, so the
+    // SAME streamNdjson seal must decode them per micro-batch
+    val dir = Files.createTempDirectory("graft_ndjson_stream_gz").toString
+    def gzShard(name: String, line: String): Unit = {
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(s"$dir/$name"))
+      out.write((line + "\n").getBytes("UTF-8")); out.close()
+    }
+    gzShard("shard-000.json.gz",
+      """{"loan_id":"G1","drawn_amount":5.5,"value_date":"2024-03-03"}""")
+    val stream = Loader.streamNdjson(spark, dir, contract,
+      aliases = Map("loan_id" -> "loan_reference"))
+    val q = stream.writeStream.format("memory").queryName("ndjson_gz_ingest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      gzShard("shard-001.json.gz",
+        """{"loan_id":"G2","drawn_amount":7.25,"value_date":"2024-04-04"}""")
+      q.processAllAvailable()
+      val rows = spark.table("ndjson_gz_ingest")
+        .orderBy(col("loan_reference")).collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("G1", "G2"))
+      assert(rows(0).getDouble(1) == 5.5 && rows(1).getDouble(1) == 7.25)
+      assert(rows(1).getDate(3).toString == "2024-04-04")
+    } finally q.stop()
+  }
+
   test("audit-cache sink writes frames plus manifest") {
     val dir = Files.createTempDirectory("graft_audit").toString
     Sinks.writeAuditCache(Map(
