@@ -98,6 +98,21 @@ class DedupSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
     assert(!plan.contains("transform("),
       "bit majorities must be flat conditional sums, not lambda trees")
+    // ...and the FULL candidate chain still reads the corpus ONCE: the
+    // chunk-bucket self-join's second side must reuse the first side's
+    // exchange (ReusedExchange), so the token-grain aggregation never
+    // re-runs per join branch — the no-CSE-across-join-branches hazard
+    // the minhash tier needed an explicit persist for is covered here
+    // by exchange reuse (both sides shuffle the identical window child)
+    val cands = Dedup.simhashCandidatesFromSig(
+      sig, maxHamming = 3, chunks = 4, sigBits = 60, maxBucket = 100000)
+    cands.collect()
+    val cplan = cands.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("ReusedExchange".r.findAllIn(cplan).nonEmpty,
+      "bucket self-join must reuse the window exchange")
+    assert("conv\\(substring\\(md5".r.findAllIn(cplan).size <= 1,
+      "the md5 token pass must appear once in the final plan, not per branch")
   }
 
   test("word-set jaccard exact values") {
