@@ -76,8 +76,15 @@ object LlmOps {
     "q61_minhash_lsh",
     (s, dir) => {
       val d = Tables.documents(s, dir)
+      // maxBucket raised like q62's: the oracle contract is candidates ⊇
+      // ALL exact pairs at the threshold, and the default 2000 cap could
+      // drop a >2000-member boilerplate bucket whose members are exact
+      // dups (jaccard 1.0 ≥ 0.95) — for exact dups every band bucket is
+      // the same hot bucket, so "the other bands rescue the pair" fails
+      // precisely there. The production throughput default stays 2000.
       val (cands0, sh) = Dedup.minhashLshCandidatesWithShingles(
-        d, "doc_id", "text", shingleN = 3, k = 32, bands = 8)
+        d, "doc_id", "text", shingleN = 3, k = 32, bands = 8,
+        maxBucket = 100000)
       cands0.select(col("id_a"), col("id_b"))
         .join(sh.select(col("mh_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
         .join(sh.select(col("mh_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -184,7 +184,12 @@ object SourceOps {
     (s, dir) => {
       // fixed path PER INPUT DIR (not per pid): writeNdjson's overwrite
       // mode then reclaims the previous run's corpus-sized export
-      // instead of accumulating one copy per driver process in tmpdir
+      // instead of accumulating one copy per driver process in tmpdir.
+      // Single-writer assumption: the harness runs one driver process
+      // per sfDir at a time (Verify and Bench are sequential); two
+      // CONCURRENT processes on the same sfDir would race on this dir
+      // (q181/q182 share the convention) — per-pid suffixes are the
+      // escape hatch if that ever changes
       val tmp = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_q180_documents_ndjson_${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
       Sinks.writeNdjson(
@@ -312,7 +317,12 @@ object SourceOps {
             col("n_docs_src")))
         .select(col("source"), col("n_docs_src"), col("n_shards"))
       val nBins = plan.agg(sum(col("n_shards"))).head().getLong(0).toInt
-      val binned = d.join(broadcast(plan), Seq("source"))
+      // null-safe (<=>) plan join: a NULL-source document forms its own
+      // plan group in BOTH engines, and an equi-join would silently DROP
+      // it here (null != null) while the oracle's GROUP BY keeps it —
+      // data loss in the export and a guaranteed hash mismatch
+      val planJ = broadcast(plan.withColumnRenamed("source", "_psrc"))
+      val binned = d.join(planJ, d("source") <=> planJ("_psrc")).drop("_psrc")
         .withColumn("_rn", row_number().over(
           Window.partitionBy(col("source"))
             .orderBy(col("doc_id").asc_nulls_last, col("text").asc_nulls_last)))
@@ -335,17 +345,23 @@ object SourceOps {
         "source" -> ColumnSpec(StringType),
         "bin" -> ColumnSpec(LongType)))
       val reread = Loader.loadNdjson(s, out, contract).df
-      reread.groupBy(col("source"))
+      // same null-safe discipline on the conservation join (a NULL
+      // source round-trips via the default partition dir and must not
+      // drop out of the frame here), and asc_nulls_last to match the
+      // oracle's DuckDB default NULLS LAST ordering
+      val shardsJ = broadcast(
+        plan.select(col("source").as("_psrc"), col("n_shards")))
+      val agged = reread.groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(length(coalesce(col("text"), lit(""))).cast("long")).as("sum_chars"),
           countDistinct(col("bin")).as("n_bins"),
           sum(conv(substring(md5(coalesce(col("text"), lit(""))
             .cast("binary")), 1, 12), 16, 10).cast("long")).as("text_checksum"))
-        .join(broadcast(plan.select(col("source"), col("n_shards"))), Seq("source"))
+      agged.join(shardsJ, agged("source") <=> shardsJ("_psrc")).drop("_psrc")
         .select(col("source"), col("n_docs"), col("sum_chars"),
           col("n_bins"), col("n_shards"), col("text_checksum"))
-        .orderBy(col("source"))
+        .orderBy(col("source").asc_nulls_last)
     },
     Some("""
       WITH q182rec AS (

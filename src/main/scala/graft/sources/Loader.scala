@@ -71,7 +71,17 @@ object Loader {
     * a required column whose canonical name AND legacy aliases all fail
     * to appear in any probed record is reported as DQ001. A corrupt drop
     * that lost a required field carries the loss on every record, so the
-    * bounded probe catches it deterministically. */
+    * bounded probe catches it deterministically.
+    *
+    * KNOWN SAMPLING CAVEAT: null-omitting NDJSON writers (Spark's own
+    * JSON sink drops null fields per record) make "key absent" and
+    * "value null" indistinguishable — an estate whose first
+    * `probeRecords` records ALL carry null in a required column reads
+    * as missing and draws a spurious DQ001 (the message names the probe
+    * bound, so the verdict is self-describing). Callers ingesting
+    * null-heavy estates should raise `probeRecords`; the alternative —
+    * an exact full count — would read the corpus twice at 100 TB,
+    * which is exactly what the fixed-schema design exists to avoid. */
   def loadNdjson(
       spark: SparkSession, path: String, contract: EdgeContract,
       aliases: Map[String, String] = Map.empty,

@@ -90,6 +90,11 @@ object StressProbe {
       })
     for (mode <- modes; round <- 1 to rounds) {
       val t0 = System.nanoTime()
+      // per-round DELTAS: the listener counters are cumulative across
+      // the whole session, and printing the running total would
+      // misattribute an earlier mode's spill to every later round
+      val disk0 = diskSpilled.get
+      val mem0 = memSpilled.get
       val cfg = RefRunConfig("CRR", java.time.LocalDate.of(2028, 1, 1),
         permissionMode = mode)
       // full-width materialisation (not a prunable count): hash every
@@ -107,9 +112,10 @@ object StressProbe {
       val n = hashed.collect()(0).getLong(0)
       val skewSplits =
         "skew=true".r.findAllIn(hashed.queryExecution.executedPlan.toString).size
+      Thread.sleep(300) // listener delivery is async; settle the deltas
       println(f"[$tag] $mode round $round: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
         f"(construct ${(tPlan - t0) / 1e9}%.2f s; $n rows; " +
-        f"spill disk=${diskSpilled.get} mem=${memSpilled.get} bytes; " +
+        f"spill disk=${diskSpilled.get - disk0} mem=${memSpilled.get - mem0} bytes; " +
         s"aqe_skew_splits=$skewSplits)")
     }
     Thread.sleep(500)

@@ -34,6 +34,7 @@ def main(out_dir: str, sf_dir: str = "/root/testdata/sf0.001") -> None:
         (3, "srcB", "café naïve résumé " + base, None),      # non-ASCII, null lang
         (3, "srcC", "duplicate id row " + base, "de"),       # dup id
         (None, "srcC", None, None),                          # null id + text
+        (4, None, "null source row " + base, "en"),          # null source
     ]
     con.execute("CREATE TABLE documents(doc_id BIGINT, source VARCHAR, "
                 "text VARCHAR, lang VARCHAR, n_chars BIGINT)")
