@@ -75,7 +75,15 @@ object LlmOps {
   val q61MinhashLsh = QueryDef(
     "q61_minhash_lsh",
     (s, dir) => {
+      // null/empty-text docs are excluded on BOTH engines: Spark's
+      // shingles(NULL) yields [""] (identical to empty text, so two such
+      // docs would pair at jaccard 1.0) while DuckDB's NULL propagation
+      // drops the pair (list_distinct drops the NULL shingle, 0/0 → NULL)
+      // — a cross-engine divergence on the containment contract. A doc
+      // with no text has no trigram set to compare; filtering is the
+      // semantically honest arm, mirrored in the oracle's WHERE.
       val d = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
       // maxBucket raised like q62's: the oracle contract is candidates ⊇
       // ALL exact pairs at the threshold, and the default 2000 cap could
       // drop a >2000-member boilerplate bucket whose members are exact
@@ -96,7 +104,8 @@ object LlmOps {
     Some(s"""
       WITH q61toks AS (
         SELECT doc_id, string_split(text, ' ') AS t
-        FROM documents),
+        FROM documents
+        WHERE text IS NOT NULL AND text <> ''),
       q61sh AS (
         SELECT doc_id,
                list_distinct(list_transform(

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -228,8 +229,15 @@ object SourceOps {
   val q181NdjsonAdversarial = QueryDef(
     "q181_ndjson_adversarial",
     (s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q181_adversarial"
-      val shard = new java.io.File(tmp); shard.mkdirs()
+      // per-sfDir path like q180/q182 (concurrent drivers at different
+      // SFs must not share a transport dir), and the dir is cleared
+      // before the rewrite so stale shards from an older fixture
+      // version can never join the load
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q181_adversarial_${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+      val shard = new java.io.File(tmp)
+      Option(shard.listFiles()).foreach(_.foreach(_.delete()))
+      shard.mkdirs()
       // a literal backslash-u JSON escape (built by concat: the Scala
       // lexer would otherwise decode \-u sequences even in raw strings)
       val esc = "\\" + "u00e9"
@@ -271,96 +279,111 @@ object SourceOps {
       ORDER BY doc_id NULLS LAST, text NULLS LAST
     """.stripMargin.trim))
 
-  /** q182: COMPRESSED shard export executing q156's shard plan — the
-    * write side of the corpus pipeline at a real interchange format.
-    * Per source the q156 sizing pass (ceil(bytes/target) shards) is
-    * EXECUTED: each record gets a bin id by even row-split within its
-    * source, the frame is `repartitionByRange` on (source, bin) so each
-    * output task holds contiguous bins, and the writer emits
-    * gzip-compressed NDJSON partitioned into `source=.../bin=...`
-    * directories. The whole tree is then re-loaded through `loadNdjson`
-    * (Spark decodes the `.json.gz` shards natively; the partition-dir
-    * columns come back through the same contract seal) and the query
-    * emits per-source conservation: doc count, char volume, a portable
-    * md5-prefix text checksum, the DISTINCT bins observed, and the
-    * planned shard count. The oracle recomputes every column from the
-    * parquet ground truth (bins-observed must equal the q156 formula),
-    * so codec loss, binning loss, or a missing shard each fail the hash.
+  /** q156 sizing pass shared by both shard-export arms: per source,
+    * `ceil(estimated_bytes / target)` shards capped at one shard per
+    * record (a record cannot split across shards; the oracle applies
+    * the same `least()`). One groupBy — a single shuffle on `source`. */
+  def shardPlanOf(d: DataFrame, target: Long, overhead: Long): DataFrame =
+    d.select(col("source"),
+      (octet_length(coalesce(col("text"), lit(""))).cast("long") + overhead)
+        .as("rec_bytes"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_src"), sum(col("rec_bytes")).as("est_bytes"))
+      .withColumn("n_shards",
+        least(expr(s"(est_bytes + ${target - 1}) DIV $target"),
+          col("n_docs_src")))
+      .select(col("source"), col("n_docs_src"), col("n_shards"))
+
+  /** PRODUCTION shard-export arm: the q156 plan sizes ONLY the partition
+    * count (Σ n_shards); `repartitionByRange(nBins, source, doc_id)`
+    * places size-balanced boundaries from its internal reservoir sample,
+    * needing NO global per-source sort and NO per-source window — a
+    * dominant source spreads across as many range partitions as its
+    * row share earns, so nothing funnels through one task at 100 TB.
+    * The writer emits codec-compressed NDJSON into `source=...` dirs
+    * (one file per source per range partition: boundary partitions may
+    * hold two sources, so files ≤ nBins + nSources). */
+  def shardExportRange(d: DataFrame, nBins: Int, out: String,
+      codec: String = "gzip"): Unit =
+    d.repartitionByRange(math.max(nBins, 1), col("source"), col("doc_id"))
+      .write.mode("overwrite")
+      .option("compression", codec)
+      .partitionBy("source")
+      .json(out)
+
+  /** Deterministic explicit-bin arm (ORACLE/spec tier): dense bin ids by
+    * even row-split within each source via a per-source row_number
+    * window, so the executed placement is externally recomputable
+    * bit-for-bit (ShardExportSpec pins bins == the plan formula and
+    * per-bin balance within one row). FIXTURE-scale by design: at
+    * 100 TB the per-source window funnels a dominant source through one
+    * task — production writes go through [[shardExportRange]]. */
+  def shardBinsExplicit(d: DataFrame, plan: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planJ = broadcast(plan.withColumnRenamed("source", "_psrc"))
+    d.join(planJ, d("source") <=> planJ("_psrc")).drop("_psrc")
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("doc_id").asc_nulls_last, col("text").asc_nulls_last)))
+      .withColumn("bin", expr("CAST(((_rn - 1) * n_shards) DIV n_docs_src AS BIGINT)"))
+      .drop("_rn", "n_docs_src", "est_bytes", "n_shards")
+  }
+
+  /** q182: COMPRESSED shard export through the PRODUCTION write path —
+    * the write side of the corpus pipeline at a real interchange format
+    * and a realistic shard target (1 MiB). The q156 sizing pass plans
+    * per-source shard counts; [[shardExportRange]] executes it with
+    * `repartitionByRange` only (no explicit bin column, no per-source
+    * window — the r17 scale-funnel is out of this path). The gzip
+    * `source=...` tree is then re-loaded through `loadNdjson` (Spark
+    * decodes `.json.gz` natively; the partition-dir column comes back
+    * through the same contract seal) and the query emits per-source
+    * conservation: doc count, char volume, a portable md5-prefix text
+    * checksum, and the planned shard count. The oracle recomputes every
+    * column from the parquet ground truth, so codec loss, a missing
+    * shard, or a planning drift each fail the hash. Exact bin placement
+    * (the r17 oracle's bins-observed column) is carried by the
+    * explicit-bin arm's spec pin (ShardExportSpec over
+    * [[shardBinsExplicit]]) — the driver row verifies conservation and
+    * plan sizing, the spec verifies deterministic placement.
     *
-    * SCALE NOTE: the row_number bin assignment is a per-source window —
-    * a deliberate FIXTURE-scale choice, because the oracle needs
-    * deterministic, dense bin ids to verify the executed plan
-    * externally. At 100 TB a dominant source would funnel that window
-    * through one task; the production write path drops the explicit bin
-    * column and lets `repartitionByRange(source, doc_id)` place the
-    * same size-balanced boundaries from its internal sample, which
-    * needs no global per-source sort (the q156 plan then only sizes
-    * `numPartitions`). The conservation frame is unchanged either way.
+    * Null-safe (<=>) plan joins throughout: a NULL-source document
+    * forms its own plan group in BOTH engines, and an equi-join would
+    * silently DROP it here (null != null) while the oracle's GROUP BY
+    * keeps it — data loss in the export and a guaranteed hash mismatch.
     */
   val q182NdjsonShardedGz = QueryDef(
     "q182_ndjson_sharded_gz",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val target = 4096L
-      val overhead = 16L
+      val target = 1048576L
       val d = Tables.documents(s, dir)
-      val plan = d
-        .select(col("source"),
-          (octet_length(coalesce(col("text"), lit(""))).cast("long") + overhead)
-            .as("rec_bytes"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs_src"), sum(col("rec_bytes")).as("est_bytes"))
-        // a record cannot split across shards, so the plan never exceeds
-        // one shard per record (the oracle applies the same least())
-        .withColumn("n_shards",
-          least(expr(s"(est_bytes + ${target - 1}) DIV $target"),
-            col("n_docs_src")))
-        .select(col("source"), col("n_docs_src"), col("n_shards"))
+      val plan = shardPlanOf(d, target, overhead = 16L)
       val nBins = plan.agg(sum(col("n_shards"))).head().getLong(0).toInt
-      // null-safe (<=>) plan join: a NULL-source document forms its own
-      // plan group in BOTH engines, and an equi-join would silently DROP
-      // it here (null != null) while the oracle's GROUP BY keeps it —
-      // data loss in the export and a guaranteed hash mismatch
-      val planJ = broadcast(plan.withColumnRenamed("source", "_psrc"))
-      val binned = d.join(planJ, d("source") <=> planJ("_psrc")).drop("_psrc")
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy(col("source"))
-            .orderBy(col("doc_id").asc_nulls_last, col("text").asc_nulls_last)))
-        .withColumn("bin", expr("CAST(((_rn - 1) * n_shards) DIV n_docs_src AS BIGINT)"))
-        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
-          col("source"), col("bin"))
       val out = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_q182_shards_${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
-      binned
-        .repartitionByRange(math.max(nBins, 1), col("source"), col("bin"))
-        .write.mode("overwrite")
-        .option("compression", "gzip")
-        .partitionBy("source", "bin")
-        .json(out)
+      shardExportRange(
+        d.select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          col("source")),
+        nBins, out)
       val contract = EdgeContract("documents_shards", Seq(
         "doc_id" -> ColumnSpec(LongType, required = true),
         "text" -> ColumnSpec(StringType, required = true),
         "lang" -> ColumnSpec(StringType),
         "n_chars" -> ColumnSpec(LongType),
-        "source" -> ColumnSpec(StringType),
-        "bin" -> ColumnSpec(LongType)))
+        "source" -> ColumnSpec(StringType)))
       val reread = Loader.loadNdjson(s, out, contract).df
-      // same null-safe discipline on the conservation join (a NULL
-      // source round-trips via the default partition dir and must not
-      // drop out of the frame here), and asc_nulls_last to match the
-      // oracle's DuckDB default NULLS LAST ordering
+      // asc_nulls_last to match the oracle's DuckDB default NULLS LAST
       val shardsJ = broadcast(
         plan.select(col("source").as("_psrc"), col("n_shards")))
       val agged = reread.groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(length(coalesce(col("text"), lit(""))).cast("long")).as("sum_chars"),
-          countDistinct(col("bin")).as("n_bins"),
           sum(conv(substring(md5(coalesce(col("text"), lit(""))
             .cast("binary")), 1, 12), 16, 10).cast("long")).as("text_checksum"))
       agged.join(shardsJ, agged("source") <=> shardsJ("_psrc")).drop("_psrc")
         .select(col("source"), col("n_docs"), col("sum_chars"),
-          col("n_bins"), col("n_shards"), col("text_checksum"))
+          col("n_shards"), col("text_checksum"))
         .orderBy(col("source").asc_nulls_last)
     },
     Some("""
@@ -370,14 +393,13 @@ object SourceOps {
         FROM documents),
       q182plan AS (
         SELECT source, count(*) AS n_docs,
-               least((CAST(sum(rb) AS BIGINT) + 4095) // 4096,
+               least((CAST(sum(rb) AS BIGINT) + 1048575) // 1048576,
                      count(*)) AS n_shards,
                CAST(sum(length(t)) AS BIGINT) AS sum_chars,
                CAST(sum(CAST('0x' || substring(md5(t), 1, 12) AS BIGINT))
                  AS BIGINT) AS text_checksum
         FROM q182rec GROUP BY source)
-      SELECT source, n_docs, sum_chars, n_shards AS n_bins, n_shards,
-             text_checksum
+      SELECT source, n_docs, sum_chars, n_shards, text_checksum
       FROM q182plan
       ORDER BY source
     """.stripMargin.trim))

@@ -65,20 +65,27 @@ object Loader {
     *
     * DQ001 parity with parquet/CSV: the fixed read schema makes every
     * declared column "present" to `seal`, so presence is instead judged
-    * from the shard estate's OWN keys — a bounded head probe
-    * (`probeRecords` lines, the NDJSON analogue of CSV's header peek; no
-    * full scan, no inference pass) parses each record's field names, and
-    * a required column whose canonical name AND legacy aliases all fail
-    * to appear in any probed record is reported as DQ001. A corrupt drop
-    * that lost a required field carries the loss on every record, so the
-    * bounded probe catches it deterministically.
+    * from the shard estate's OWN keys — a bounded head probe (the NDJSON
+    * analogue of CSV's header peek; no full scan, no inference pass)
+    * parses the field names of the first `probeRecords` records OF EVERY
+    * SHARD, and a required column whose canonical name AND legacy
+    * aliases all fail to appear in any probed record is reported as
+    * DQ001. Probing each shard's head (rather than the first N records
+    * of whichever shard the file listing yields first) makes the verdict
+    * LAYOUT-INDEPENDENT: a whole-estate field loss is caught no matter
+    * how the shards are ordered, and a field present in only one shard
+    * of a thousand still counts as present. The probe is distributed
+    * (one task per file batch) and per-file bounded (`probeRecords`
+    * lines and a byte cap), so cost scales with shard COUNT, never
+    * corpus size.
     *
     * KNOWN SAMPLING CAVEAT: null-omitting NDJSON writers (Spark's own
     * JSON sink drops null fields per record) make "key absent" and
-    * "value null" indistinguishable — an estate whose first
-    * `probeRecords` records ALL carry null in a required column reads
-    * as missing and draws a spurious DQ001 (the message names the probe
-    * bound, so the verdict is self-describing). Callers ingesting
+    * "value null" indistinguishable — an estate where EVERY shard's
+    * first `probeRecords` records all carry null in a required column
+    * reads as missing and draws a spurious DQ001 (the error text names
+    * the probe bound and the `probeRecords` escape hatch, so the 3 a.m.
+    * operator is told the fix without reading source). Callers ingesting
     * null-heavy estates should raise `probeRecords`; the alternative —
     * an exact full count — would read the corpus twice at 100 TB,
     * which is exactly what the fixed-schema design exists to avoid. */
@@ -97,30 +104,92 @@ object Loader {
             canonical == name && present.contains(legacy) } =>
         CalcError("DQ001",
           s"required column missing at edge '${contract.name}' " +
-            s"(absent from the first $probeRecords NDJSON records)",
+            s"(absent from the first $probeRecords NDJSON records of " +
+            "every shard; if the estate's writer omits null fields and " +
+            "this column is null-heavy, raise probeRecords)",
           table = contract.name, column = name)
     }
     val (df, errs) = contract.seal(ndjsonAliased(raw, aliases))
     LoadedTable(df, missing ++ errs)
   }
 
-  /** Field names carried by the first `probeN` records of an NDJSON
-    * shard estate (normalised like column names). Bounded work: a
-    * `limit` over the text source reads one split's head, never the
-    * corpus; unparseable probe lines contribute no keys (they are the
-    * PERMISSIVE reader's null-fill rows, not evidence of schema). */
+  /** Union of field names carried by the first `probeN` records of EVERY
+    * file in an NDJSON shard estate (normalised like column names).
+    * File enumeration order over a multi-shard estate is unspecified, so
+    * a single `textFile(path).limit(n)` head would make the DQ001
+    * verdict depend on which shard happens to list first; probing each
+    * file's own head makes it a function of estate CONTENT only.
+    * Bounded work: per file, at most `probeN` lines and
+    * [[ProbeByteCapPerFile]] bytes are read (a shard's head, streamed —
+    * compressed shards decode through the Hadoop codec for their
+    * suffix); the file list fans out over tasks, so the probe
+    * parallelises with shard count. Unparseable probe lines contribute
+    * no keys (they are the PERMISSIVE reader's null-fill rows, not
+    * evidence of schema). */
+  private val ProbeByteCapPerFile: Long = 8L * 1024 * 1024
+
   private def ndjsonPresentKeys(
       spark: SparkSession, path: String, probeN: Int): Set[String] = {
     import scala.jdk.CollectionConverters._
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
-    spark.read.textFile(path).limit(probeN).collect().iterator.flatMap { l =>
-      try {
-        val node = mapper.readTree(l)
-        if (node != null && node.isObject)
-          node.fieldNames.asScala.map(_.trim.toLowerCase).toSeq
-        else Seq.empty[String]
-      } catch { case _: Exception => Seq.empty[String] }
-    }.toSet
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(hconf)
+    val roots = Option(fs.globStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = roots.flatMap { st =>
+      if (st.isDirectory) {
+        val it = fs.listFiles(st.getPath, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) buf += it.next().getPath
+        buf.toSeq
+      } else Seq(st.getPath)
+    }.map(_.toString)
+      // same hidden-file discipline as Spark's file index (_SUCCESS,
+      // .crc, in-flight temporaries never carry schema evidence)
+      .filterNot { f =>
+        val n = new Path(f).getName; n.startsWith("_") || n.startsWith(".")
+      }
+      .sorted
+    if (files.isEmpty) return Set.empty
+    // Hadoop Configuration is not serializable — ship the entries and
+    // rebuild per task (bounded: a few hundred conf keys)
+    val confKv = hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    val byteCap = ProbeByteCapPerFile
+    val slices = math.min(files.size, 64)
+    spark.sparkContext.parallelize(files, slices).mapPartitions { fit =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confKv.foreach { case (k, v) => conf.set(k, v) }
+      val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      fit.flatMap { f =>
+        val p = new Path(f)
+        val keys = scala.collection.mutable.Set.empty[String]
+        try {
+          val rawIn = p.getFileSystem(conf).open(p)
+          val in = Option(codecs.getCodec(p))
+            .map(_.createInputStream(rawIn): java.io.InputStream)
+            .getOrElse(rawIn: java.io.InputStream)
+          try {
+            val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+              in, java.nio.charset.StandardCharsets.UTF_8))
+            var lines = 0
+            var bytes = 0L
+            var line = rd.readLine()
+            while (line != null && lines < probeN && bytes < byteCap) {
+              lines += 1
+              bytes += line.length + 1L
+              try {
+                val node = mapper.readTree(line)
+                if (node != null && node.isObject)
+                  node.fieldNames.asScala.foreach(k => keys += k.trim.toLowerCase)
+              } catch { case _: Exception => () }
+              line = rd.readLine()
+            }
+          } finally in.close()
+        } catch { case _: java.io.IOException => () } // vanished shard: no evidence
+        keys.iterator
+      }
+    }.collect().toSet
   }
 
   /** Streaming NDJSON ingest — the continuous-arrival twin of

@@ -96,6 +96,42 @@ class LoaderSpec extends SparkSpec {
     assert(viaAlias.df.first().getString(0) == "L1")
   }
 
+  test("NDJSON head probe is per-shard: presence is layout-independent") {
+    val dir = Files.createTempDirectory("graft_ndjson_probe").toString
+    // shard that sorts FIRST carries no loan_reference on any record (a
+    // null-omitting writer over a null-heavy shard); the shard that
+    // sorts LAST carries it. A single whichever-file-lists-first head
+    // probe could verdict DQ001 here depending on enumeration order —
+    // the per-file probe must find the field no matter the layout.
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part-0000.json"),
+      (1 to 50).map(i => s"""{"drawn_amount":$i.5}""").mkString("\n") + "\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part-zzzz.json"),
+      """{"loan_reference":"L9","drawn_amount":1.0}""" + "\n")
+    val loaded = Loader.loadNdjson(spark, dir, contract)
+    assert(loaded.errors.isEmpty,
+      s"field present in one shard of the estate must satisfy presence: ${loaded.errors}")
+    assert(loaded.df.count() == 51)
+  }
+
+  test("NDJSON head probe null-heavy caveat: spurious DQ001 within the bound, probeRecords clears it") {
+    val dir = Files.createTempDirectory("graft_ndjson_nullheavy").toString
+    // the documented false-positive shape: EVERY shard's head omits the
+    // required key (null-omitting writer, null-heavy column); the key
+    // first appears beyond the probe bound
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part-0000.json"),
+      """{"drawn_amount":1.0}""" + "\n" +
+      """{"drawn_amount":2.0}""" + "\n" +
+      """{"drawn_amount":3.0}""" + "\n" +
+      """{"loan_reference":"L4","drawn_amount":4.0}""" + "\n")
+    val tight = Loader.loadNdjson(spark, dir, contract, probeRecords = 2)
+    assert(tight.errors.map(_.code) == Seq("DQ001"), "within the bound the loss is indistinguishable")
+    assert(tight.errors.head.message.contains("probeRecords"),
+      "the error text must name the escape hatch")
+    // the escape hatch: a deeper probe sees past the null-heavy head
+    val deep = Loader.loadNdjson(spark, dir, contract, probeRecords = 8)
+    assert(deep.errors.isEmpty)
+  }
+
   test("streaming NDJSON ingest: shards arriving over time land through the same seal") {
     val dir = Files.createTempDirectory("graft_ndjson_stream").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/shard-000.json"),

@@ -35,6 +35,14 @@ def main(out_dir: str, sf_dir: str = "/root/testdata/sf0.001") -> None:
         (3, "srcC", "duplicate id row " + base, "de"),       # dup id
         (None, "srcC", None, None),                          # null id + text
         (4, None, "null source row " + base, "en"),          # null source
+        # PAIRS of degenerate texts (round 18): two empty-text docs and a
+        # second null-text doc. Spark's shingles() maps both null and ''
+        # to [""], so an unfiltered LSH tier would pair them at jaccard
+        # 1.0 while DuckDB's NULL propagation drops the pair — the q61
+        # containment divergence needs >= 2 such docs to manifest.
+        (5, "srcD", "", "en"),                               # empty text
+        (6, "srcD", None, "de"),                             # 2nd null text
+        (7, "srcD", "", None),                               # 2nd empty text
     ]
     con.execute("CREATE TABLE documents(doc_id BIGINT, source VARCHAR, "
                 "text VARCHAR, lang VARCHAR, n_chars BIGINT)")
