@@ -219,8 +219,17 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+      // Hamming filter BEFORE the distinct: the filter is deterministic
+      // per pair, so filtered-distinct ≡ distinct-filtered — but the
+      // order decides what the distinct SHUFFLES. The 16-bit chunk value
+      // space saturates at corpus sizes ≫ 65k docs (3M docs → ~46
+      // docs/bucket → ~550M join-output pairs), and the old
+      // distinct-then-filter pushed all of them through the exchange
+      // before discarding ~99.9%; filtering first keeps the exchange
+      // sized by the TRUE near-dup pair set (measured at the
+      // GRAFT_STRESS_CORPUS tier, round 18).
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Engine-PORTABLE 60-bit SimHash signature: per-token 60-bit hash =

@@ -88,6 +88,7 @@ object StressProbe {
             memSpilled.addAndGet(m.memoryBytesSpilled)
           }
       })
+    val roundTel = scala.collection.mutable.ArrayBuffer.empty[String]
     for (mode <- modes; round <- 1 to rounds) {
       val t0 = System.nanoTime()
       // per-round DELTAS: the listener counters are cumulative across
@@ -113,10 +114,13 @@ object StressProbe {
       val skewSplits =
         "skew=true".r.findAllIn(hashed.queryExecution.executedPlan.toString).size
       Thread.sleep(300) // listener delivery is async; settle the deltas
-      println(f"[$tag] $mode round $round: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        f"(construct ${(tPlan - t0) / 1e9}%.2f s; $n rows; " +
+      val wallS = (System.nanoTime() - t0) / 1e9
+      val constructS = (tPlan - t0) / 1e9
+      println(f"[$tag] $mode round $round: $wallS%.2f s " +
+        f"(construct $constructS%.2f s; $n rows; " +
         f"spill disk=${diskSpilled.get - disk0} mem=${memSpilled.get - mem0} bytes; " +
         s"aqe_skew_splits=$skewSplits)")
+      roundTel += f"""{"mode": "$mode", "round": $round, "wall_s": $wallS%.2f, "construct_s": $constructS%.2f, "rows": $n, "spill_disk": ${diskSpilled.get - disk0}, "spill_mem": ${memSpilled.get - mem0}, "aqe_skew_splits": $skewSplits}"""
     }
     Thread.sleep(500)
     stages.synchronized {
@@ -125,6 +129,14 @@ object StressProbe {
         println(s"[$tag]   stage $id: ${w}ms  $nm") }
     }
     println(s"[$tag] total spill: disk=${diskSpilled.get} mem=${memSpilled.get} bytes")
+    // STRESS_r{N}.json tier record (r17 verdict item 4): the telemetry a
+    // judge previously had to re-run the probe to see
+    val stageSum = stages.synchronized {
+      (stages.map(_._2).sum, stages.size)
+    }
+    val path = StressArtifact.record(tag,
+      s"""{"n_cp": $nCp, "loadavg": "${StressArtifact.loadavg()}", "rounds": [${roundTel.mkString(", ")}], "stage_wall_sum_ms": ${stageSum._1}, "n_stages": ${stageSum._2}, "total_spill_disk": ${diskSpilled.get}, "total_spill_mem": ${memSpilled.get}}""")
+    println(s"[$tag] telemetry recorded to $path")
     spark.stop()
   }
 }
@@ -790,8 +802,13 @@ class StressPipelineSpec extends SparkSpec {
     // 100 TB posture telemetry ON the record: listener delivery is
     // asynchronous, settle briefly before reading
     Thread.sleep(1500)
+    val irbWall = (System.nanoTime() - tc0) / 1e9
     info(s"1M spill telemetry: disk=${diskSpilled.get} mem=${memSpilled.get} " +
       s"bytes; aqe_skew_splits(SA leg)=$saSkew")
+    // STRESS_r{N}.json tier record (r17 verdict item 4)
+    val path = StressArtifact.record("rwa_1m_suite",
+      f"""{"n_cp": 1000000, "loadavg": "${StressArtifact.loadavg()}", "sa_full_width_s": $saWall%.1f, "sa_rows": $saRows, "sa_target_s": 120, "irb_ledger_s": $irbWall%.1f, "irb_rows": $nRows, "spill_disk": ${diskSpilled.get}, "spill_mem": ${memSpilled.get}, "aqe_skew_splits_sa": $saSkew}""")
+    info(s"1M telemetry recorded to $path")
   }
 
   test("stress: per-task peak execution memory stays bounded") {

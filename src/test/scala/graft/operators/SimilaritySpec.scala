@@ -84,12 +84,70 @@ class SimilaritySpec extends SparkSpec {
         k = 10, nprobe = 4)
       .select("probe_id", "cand_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val recalls = exact.keys.map { p =>
+    // .keys is a Set — convert BEFORE mapping or equal recalls dedup
+    val recalls = exact.keys.toSeq.map { p =>
       val hit = approx.getOrElse(p, Set.empty).intersect(exact(p)).size
       hit.toDouble / exact(p).size
-    }.toSeq
+    }
     val meanRecall = recalls.sum / recalls.size
     assert(meanRecall >= 0.5, s"IVF nprobe=4/8 mean recall too low: $meanRecall")
+  }
+
+  test("k-means IVF recall on planted clusters: >= 0.9 at nprobe=4/16, monotone in nprobe") {
+    // The sf fixture embeddings are isotropic noise (within-label cosine
+    // ~= across-label, so any partition passes a recall floor — the r17
+    // verdict's finding). This fixture PLANTS the structure IVF exists
+    // to exploit: 8 well-separated clusters (cluster c's centre has
+    // signal 10 in dims 2c, 2c+1 of 16; noise sigma 0.5), so brute-force
+    // top-k is intra-cluster by construction and recall@nprobe is a real
+    // number. nlist=16 over 8 clusters forces k-means to SPLIT clusters
+    // across cells — the regime where nprobe genuinely matters.
+    val rng = new scala.util.Random(18L)
+    val nPerCluster = 200
+    val vecs = (0 until 8).flatMap { c =>
+      (0 until nPerCluster).map { i =>
+        val id = (c * nPerCluster + i).toLong
+        val v = Array.tabulate(16) { j =>
+          val signal = if (j == 2 * c || j == 2 * c + 1) 10.0f else 0.0f
+          signal + (rng.nextGaussian() * 0.5).toFloat
+        }
+        (id, v.toSeq, c)
+      }
+    }.toDF("vec_id", "embedding", "cluster")
+    val probes = vecs.filter(col("vec_id") % nPerCluster < 2) // 2 per cluster
+    val truth = Similarity.bruteForceTopK(vecs, probes, "vec_id", "embedding",
+        k = 10, exact = false)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // sanity: the separation really makes brute-force top-k intra-cluster
+    assert(truth.forall { case (p, cs) =>
+      cs.forall(_ / nPerCluster == p / nPerCluster) },
+      "planted separation must make true top-k intra-cluster")
+    val (assign, model) = Similarity.ivfIndex(vecs, "vec_id", "embedding",
+      nlist = 16, seed = 42L)
+    def recallAt(nprobe: Int): Double = {
+      val approx = Similarity.ivfTopK(assign, model, probes, "vec_id",
+          "embedding", k = 10, nprobe = nprobe)
+        .select("probe_id", "cand_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // .keys is a Set — map on it DEDUPS equal per-probe recalls, so
+      // go through Seq before averaging
+      truth.keys.toSeq.map { p =>
+        approx.getOrElse(p, Set.empty).intersect(truth(p)).size.toDouble /
+          truth(p).size
+      }.sum / truth.size
+    }
+    val ladder = Seq(1, 2, 4, 8).map(np => np -> recallAt(np))
+    info(s"IVF planted-cluster recall ladder: ${ladder.map { case (n, r) => f"nprobe=$n -> $r%.3f" }.mkString(", ")}")
+    // the falsifiable pin the r17 verdict asked for: a real recall number
+    // on structure-bearing data, not a floor any partition passes
+    assert(ladder.toMap.apply(4) >= 0.9,
+      s"recall@nprobe=4/16 must reach 0.9 on separated clusters: $ladder")
+    assert(ladder.toMap.apply(8) >= 0.95, s"recall@nprobe=8/16: $ladder")
+    // candidate sets grow with nprobe, so recall is provably monotone —
+    // any dip is a cell-machinery bug, not noise
+    assert(ladder.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a - 1e-12 },
+      s"recall must be monotone in nprobe: $ladder")
   }
 
   test("PQ assignment: a vector equal to a centroid codes to it in every subspace") {
