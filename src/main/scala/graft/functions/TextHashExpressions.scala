@@ -39,6 +39,41 @@ object TextHash {
     h ^ (h >>> 31)
   }
 
+  /** k seeded MinHash minima over a shingle array in ONE tight pass:
+    * the base hash is computed ONCE per shingle ([[fnv64]]), then each
+    * of the k seeds applies only the cheap xor-multiply-finalise mix
+    * ([[fnv64Seeded]]'s tail) — versus k full passes over the array.
+    * This is the codegen replacement for the k× `transform`/`array_min`
+    * higher-order-function stack, whose per-element interpreted eval
+    * dominated the minhash tier at corpus scale (measured at the
+    * GRAFT_STRESS_CORPUS tier: the signature pass was ~80% of a 156 s
+    * stage at 3M docs). Null shingles are skipped; an all-null/empty
+    * array yields Long.MaxValue minima (deterministic, and such docs
+    * simply co-bucket — the exact verify tier disposes of them).
+    */
+  def minhashK(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val base = fnv64(shingles.getUTF8String(i))
+        var s = 0
+        while (s < k) {
+          var h = base ^ (s * 0x9e3779b97f4a7c15L)
+          h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+          h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+          h ^= (h >>> 31)
+          if (h < mins(s)) mins(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   /** 64-bit SimHash over a token array: per bit, sum +1/-1 across token
     * hashes, emit the sign bit (Charikar 2002). Null tokens are skipped.
     */
@@ -134,6 +169,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** minhash_k(shingles, k): ArrayType(StringType) → ArrayType(LongType),
+  * codegen-native single-pass k-minima MinHash signature. */
+case class MinHashK(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_k"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_k requires ARRAY<STRING> and k > 0, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minhashK(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minhashK($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashK =
+    copy(child = newChild)
+}
+
 /** min_window_hash(text, window): winnowing fingerprint, codegen-native. */
 case class MinWindowHash(child: Expression, window: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -155,6 +208,8 @@ case class MinWindowHash(child: Expression, window: Int) extends UnaryExpression
 object hashfns {
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+  def minhash_k(shingles: Column, k: Int): Column =
+    GraftBridge.column(MinHashK(GraftBridge.expression(shingles), k))
   def min_window_hash(text: Column, window: Int = 16): Column =
     GraftBridge.column(MinWindowHash(GraftBridge.expression(text), window))
 }

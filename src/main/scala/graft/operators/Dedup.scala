@@ -62,18 +62,24 @@ object Dedup {
   }
 
   /** MinHash signature as an array<bigint> of `k` seeded minima over an
-    * ALREADY-MATERIALISED shingle array column. The shingle array must be
-    * a stored column, not an inline expression: Catalyst does not CSE
-    * lambda-bearing subtrees, so referencing `shingles(text, n)` k times
-    * would rebuild the shingle array k times per row (measured 200s+ at
-    * sf0.1 vs ~2s with the stored column).
+    * ALREADY-MATERIALISED shingle array column, via the codegen-native
+    * single-pass kernel ([[graft.functions.TextHash.minhashK]]): each
+    * shingle is base-hashed ONCE (FNV-1a 64) and the k seeds apply only
+    * a splitmix finalise — one array pass total, versus the previous
+    * k × `transform`/`array_min` higher-order-function stack whose
+    * per-element interpreted eval dominated the minhash tier at corpus
+    * scale (3M-doc GRAFT_STRESS_CORPUS stage: 156 s → measured after
+    * the swap below). The seeded family is engine-stable (published
+    * FNV-1a + splitmix64, no JVM/Spark-internal seeds); q61/q63/q75's
+    * oracles are hash-family-agnostic by design — they verify the
+    * RE-VERIFIED pair set against global brute force, so any min-wise
+    * family with complete fixture recall leaves them bit-identical.
+    * The shingle array should still be a stored column (the expression
+    * references it once, but stored-column hygiene keeps the plan
+    * CSE-proof if callers add consumers).
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      // seeded family via xxhash64(seed, shingle) — seed-stable and
-      // engine-internal (no oracle replication needed)
-      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
-    }: _*)
+    graft.functions.hashfns.minhash_k(shingleCol, k)
 
   /** LSH candidate pairs: split the k-length signature into `bands` bands,
     * hash each band, explode to (band_idx, band_hash) buckets, self-join

@@ -57,8 +57,8 @@ object LlmOps {
     * operating point, vs q63's recall-biased 16 × 2 verifier tier).
     *
     * ORACLE CONTRACT (the r16 verdict's invariant design — a hard
-    * driver-visible oracle without porting the engine-internal xxhash64
-    * seeds): the frame is the candidate pairs RE-VERIFIED at exact
+    * driver-visible oracle without porting the engine-internal seeded
+    * hash family): the frame is the candidate pairs RE-VERIFIED at exact
     * trigram Jaccard and kept at the j ≥ 0.95 guarantee threshold; the
     * DuckDB oracle recomputes the exact side GLOBALLY (brute-force
     * trigram Jaccard over all pairs at the same threshold). Equality is
@@ -223,7 +223,12 @@ object LlmOps {
   val q63NgramJaccard = QueryDef(
     "q63_ngram_jaccard",
     (s, dir) => {
+      // same null/empty-text exclusion as q61 (Spark shingles(NULL) ==
+      // shingles('') == [""], so degenerate docs pair at jaccard 1.0
+      // while DuckDB's NULL propagation drops the null side) — a doc
+      // with no text has no trigram set; both engines filter
       val d = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
       // the verify tier reuses the candidate tier's PERSISTED shingle
       // arrays — the corpus is tokenised once, not once per tier
       val (cands0, sh) = Dedup.minhashLshCandidatesWithShingles(
@@ -240,7 +245,8 @@ object LlmOps {
     Some(s"""
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t
-        FROM documents),
+        FROM documents
+        WHERE text IS NOT NULL AND text <> ''),
       sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
@@ -273,7 +279,10 @@ object LlmOps {
   val q75DedupClusters = QueryDef(
     "q75_dedup_clusters",
     (s, dir) => {
+      // same null/empty-text exclusion as q61/q63 (cross-engine
+      // degenerate-doc divergence; see q61's note)
       val d = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
       val (cands0, sh) = Dedup.minhashLshCandidatesWithShingles(
         d, "doc_id", "text", shingleN = 3, k = 32, bands = 16)
       val verified = cands0.select(col("id_a"), col("id_b"))
@@ -294,7 +303,8 @@ object LlmOps {
     Some(s"""
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t
-        FROM documents),
+        FROM documents
+        WHERE text IS NOT NULL AND text <> ''),
       sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
