@@ -74,6 +74,59 @@ object TextHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** FUSED shingle+MinHash kernel: identical output to
+    * `minhashK(shingles(tokens, n), k)` WITHOUT materialising the
+    * shingle strings. FNV-1a is a byte-stream hash, so the hash of the
+    * space-joined n-gram "t1 t2 t3" is computable by streaming the
+    * token bytes with a 0x20 separator — no UTF8String concat, no
+    * GenericArrayData of n·len trigrams per doc (at the 3M-doc corpus
+    * tier those allocations were the dominant cost of the signature
+    * pass after the minhashK swap). Semantics replicated exactly:
+    * offsets 0..max(len−n, 0) (so a short doc yields its single
+    * partial shingle), `concat_ws` null-skip (a null token contributes
+    * neither bytes nor separator), and duplicate shingles are harmless
+    * because min() is idempotent — ShingleParitySpec pins bit-equality
+    * against the materialised path. */
+  def minhashShingles(tokens: ArrayData, n: Int, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val len = tokens.numElements()
+    val last = math.max(len - n, 0)
+    var off = 0
+    while (off <= last) {
+      var h = 0xcbf29ce484222325L
+      val end = math.min(off + n, len)
+      var first = true
+      var t = off
+      while (t < end) {
+        if (!tokens.isNullAt(t)) {
+          if (!first) { h ^= 0x20L; h *= 0x100000001b3L }
+          val s = tokens.getUTF8String(t)
+          val nb = s.numBytes()
+          var i = 0
+          while (i < nb) {
+            h ^= (s.getByte(i) & 0xffL)
+            h *= 0x100000001b3L
+            i += 1
+          }
+          first = false
+        }
+        t += 1
+      }
+      var seed = 0
+      while (seed < k) {
+        var m = h ^ (seed * 0x9e3779b97f4a7c15L)
+        m ^= (m >>> 30); m *= 0xbf58476d1ce4e5b9L
+        m ^= (m >>> 27); m *= 0x94d049bb133111ebL
+        m ^= (m >>> 31)
+        if (m < mins(seed)) mins(seed) = m
+        seed += 1
+      }
+      off += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   /** 64-bit SimHash over a token array: per bit, sum +1/-1 across token
     * hashes, emit the sign bit (Charikar 2002). Null tokens are skipped.
     */
@@ -187,6 +240,26 @@ case class MinHashK(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** minhash_shingles(tokens, n, k): ArrayType(StringType) →
+  * ArrayType(LongType); the fused shingle+MinHash kernel. */
+case class MinHashShingles(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_shingles"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 && k > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_shingles requires ARRAY<STRING> and n, k > 0, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minhashShingles(input.asInstanceOf[ArrayData], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minhashShingles($c, $n, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashShingles =
+    copy(child = newChild)
+}
+
 /** min_window_hash(text, window): winnowing fingerprint, codegen-native. */
 case class MinWindowHash(child: Expression, window: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -210,6 +283,8 @@ object hashfns {
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
   def minhash_k(shingles: Column, k: Int): Column =
     GraftBridge.column(MinHashK(GraftBridge.expression(shingles), k))
+  def minhash_shingles(tokens: Column, n: Int, k: Int): Column =
+    GraftBridge.column(MinHashShingles(GraftBridge.expression(tokens), n, k))
   def min_window_hash(text: Column, window: Int = 16): Column =
     GraftBridge.column(MinWindowHash(GraftBridge.expression(text), window))
 }

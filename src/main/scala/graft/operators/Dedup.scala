@@ -129,10 +129,20 @@ object Dedup {
     // sf0.1). The cache is session-managed (bench clears between queries).
     val shingled = df
       .select(col(idCol).as("mh_id"), shingles(col(textCol), shingleN).as("sh"))
-    val sigCols =
-      if (keepShingles) Seq(col("mh_id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
-      else Seq(col("mh_id"), minhashSignature(col("sh"), k).as("sig"))
-    val sig = shingled.select(sigCols: _*)
+    // keepShingles = false (the throughput tier): the FUSED kernel hashes
+    // the n-gram byte stream straight off the token array — bit-identical
+    // signatures (ShingleParitySpec) without materialising ~len shingle
+    // strings per doc, which dominated the signature pass at the 3M-doc
+    // corpus tier. The verify tiers (keepShingles = true) materialise the
+    // shingle arrays anyway for the exact-Jaccard join, so they hash the
+    // stored column.
+    val sig = (if (keepShingles)
+      shingled.select(col("mh_id"), col("sh"),
+        minhashSignature(col("sh"), k).as("sig"))
+    else
+      df.select(col(idCol).as("mh_id"),
+        graft.functions.hashfns.minhash_shingles(
+          tokens(col(textCol)), shingleN, k).as("sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(
       col("mh_id"),

@@ -515,15 +515,21 @@ object LlmOps {
       // (doc_id, n_tokens, md5(text)) makes the stream unique up to
       // no-op swaps of identical rows, so Spark and the oracle agree on
       // the running cum_end regardless of engine-internal tie-breaking.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
-        .orderBy(col("doc_id").asc_nulls_first,
-          col("n_tokens").asc_nulls_first,
-          col("tiebreak").asc_nulls_first)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val packed = seq0
-        .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      //
+      // SCALE SHAPE (round 18): the running sum goes through the
+      // two-level distributed prefix sum (`PrefixSum.bucketedRunningSum`
+      // — bucket = doc_id DIV 1024, a monotone function of the leading
+      // order key, so the result is bit-identical to the single
+      // per-source window it replaces, PrefixSumSpec-pinned) instead of
+      // one ordered window per source: a dominant source (the corpus
+      // tier's web = 40%) no longer serialises the whole census through
+      // one task — only a #buckets-long offset scan stays sequential.
+      val order = Seq(col("doc_id").asc_nulls_first,
+        col("n_tokens").asc_nulls_first,
+        col("tiebreak").asc_nulls_first)
+      val packed = graft.operators.PrefixSum.bucketedRunningSum(
+        seq0, Seq("source"), expr("doc_id DIV 1024"), order,
+        col("n_tokens"), "cum_end")
         .withColumn("cum_start", col("cum_end") - col("n_tokens"))
         .withColumn("bin_start", expr(s"cum_start DIV $cap"))
         .withColumn("bin_end", expr(s"(cum_end - 1) DIV $cap"))

@@ -202,17 +202,15 @@ object CorpusStress {
     }
     spark.catalog.clearCache()
 
-    // ---- stage 5: sequence-packing census (q78 shape, skewed source)
-    stage("packing_census", note = "per-source ordered window; web=40% funnel") {
+    // ---- stage 5: sequence-packing census (q78 shape, skewed source —
+    // the two-level prefix sum keeps web=40% off a single task)
+    stage("packing_census", note = "two-level prefix sum; web=40% stays parallel") {
       val cap = 8192L
       val seq0 = d.select(col("source"), col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val census = seq0
-        .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      val census = graft.operators.PrefixSum.bucketedRunningSum(
+        seq0, Seq("source"), expr("doc_id DIV 65536"),
+        Seq(col("doc_id")), col("n_tokens"), "cum_end")
         .withColumn("bin_start", expr(s"(cum_end - n_tokens) DIV $cap"))
         .withColumn("bin_end", expr(s"(cum_end - 1) DIV $cap"))
         .groupBy(col("source"))
