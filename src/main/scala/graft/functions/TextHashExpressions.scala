@@ -127,6 +127,54 @@ object TextHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** Per-band bucket hashes over a MinHash signature: the signature's
+    * k minima split into `bands` contiguous rows of k/bands values,
+    * each row folded to one 64-bit bucket key (FNV-style fold over the
+    * longs + splitmix finalise). Equal minima rows ⇒ equal keys by
+    * construction; unequal rows collide with prob ~2⁻⁶⁴ — and a
+    * collision only ADDS a candidate pair, which the exact-verify tier
+    * disposes of. Replaces the interpreted `transform(slice(...)) →
+    * concat_ws → xxhash64(string)` chain that stringified every band
+    * of every doc (8 × 3M rows at the corpus tier). */
+  def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
+    val k = sig.numElements()
+    val rows = math.max(k / math.max(bands, 1), 1)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L
+      var i = b * rows
+      val end = math.min(i + rows, k)
+      while (i < end) {
+        val v = if (sig.isNullAt(i)) 0x7ff8beefdead0001L else sig.getLong(i)
+        h ^= v
+        h *= 0x100000001b3L
+        h ^= (h >>> 29)
+        i += 1
+      }
+      h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+      h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+      out(b) = h ^ (h >>> 31)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Count of positionally-equal components between two equal-length
+    * long arrays — the MinHash agreement numerator, replacing an
+    * interpreted `zip_with`+`aggregate` per candidate pair. Null
+    * components never count as agreeing. */
+  def agreeCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** 64-bit SimHash over a token array: per bit, sum +1/-1 across token
     * hashes, emit the sign bit (Charikar 2002). Null tokens are skipped.
     */
@@ -260,6 +308,46 @@ case class MinHashShingles(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** band_hashes(sig, bands): ArrayType(LongType) → ArrayType(LongType);
+  * per-band bucket keys over a MinHash signature. */
+case class BandHashes(child: Expression, bands: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if bands > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"band_hashes requires ARRAY<BIGINT> and bands > 0, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.bandHashes(input.asInstanceOf[ArrayData], bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.bandHashes($c, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
+    copy(child = newChild)
+}
+
+/** agree_count(a, b): positional equality count of two ARRAY<BIGINT>. */
+case class AgreeCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "agree_count"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"agree_count requires two ARRAY<BIGINT>, got ${l.sql}, ${r.sql}")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.agreeCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHash.agreeCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AgreeCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** min_window_hash(text, window): winnowing fingerprint, codegen-native. */
 case class MinWindowHash(child: Expression, window: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -285,6 +373,11 @@ object hashfns {
     GraftBridge.column(MinHashK(GraftBridge.expression(shingles), k))
   def minhash_shingles(tokens: Column, n: Int, k: Int): Column =
     GraftBridge.column(MinHashShingles(GraftBridge.expression(tokens), n, k))
+  def band_hashes(sig: Column, bands: Int): Column =
+    GraftBridge.column(BandHashes(GraftBridge.expression(sig), bands))
+  def agree_count(a: Column, b: Column): Column =
+    GraftBridge.column(AgreeCount(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
   def min_window_hash(text: Column, window: Int = 16): Column =
     GraftBridge.column(MinWindowHash(GraftBridge.expression(text), window))
 }

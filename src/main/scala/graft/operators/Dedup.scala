@@ -144,12 +144,15 @@ object Dedup {
         graft.functions.hashfns.minhash_shingles(
           tokens(col(textCol)), shingleN, k).as("sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band keys via the codegen fold (graft.functions.TextHash.bandHashes)
+    // — the previous transform/slice/concat_ws/xxhash64 chain STRINGIFIED
+    // every band of every doc in interpreted eval (8 × corpus rows); the
+    // fold hashes the minima longs directly. Equal minima ⇒ equal key by
+    // construction; a 2⁻⁶⁴ collision only adds a candidate the verify
+    // tier discards, so the recall contract is untouched.
     val banded = sig.select(
       col("mh_id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          transform(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), _.cast("string")))))))
+      posexplode(graft.functions.hashfns.band_hashes(col("sig"), bands)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
     val wBucket = Window.partitionBy(col("band_idx"), col("band_hash"))
@@ -167,10 +170,11 @@ object Dedup {
       .join(sig.select(col("mh_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("mh_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, v) => acc + v) / k).as("est_jaccard"))
+        // codegen agreement count (graft.functions.TextHash.agreeCount)
+        // — same value as the zip_with/aggregate fold it replaces,
+        // without the per-component interpreted lambda eval
+        (graft.functions.hashfns.agree_count(col("sig_a"), col("sig_b"))
+          .cast("double") / k).as("est_jaccard"))
     val shingleFrame =
       if (keepShingles) sig.select(col("mh_id"), col("sh")) else shingled
     (cands, shingleFrame)
