@@ -138,13 +138,21 @@ object TextHash {
     * of every doc (8 × 3M rows at the corpus tier). */
   def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
     val k = sig.numElements()
-    val rows = math.max(k / math.max(bands, 1), 1)
+    // bands must tile the signature exactly: k % bands != 0 would
+    // silently drop trailing components from every key, and bands > k
+    // would re-hash component 0 into every surplus band — a per-doc
+    // CONSTANT key that buckets the entire corpus together. Fail loudly
+    // (first row) instead of silently degrading recall/scale.
+    if (bands > k || k % bands != 0)
+      throw new IllegalArgumentException(
+        s"band_hashes: bands ($bands) must evenly divide the signature length ($k)")
+    val rows = k / bands
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
       var h = 0xcbf29ce484222325L
       var i = b * rows
-      val end = math.min(i + rows, k)
+      val end = i + rows
       while (i < end) {
         val v = if (sig.isNullAt(i)) 0x7ff8beefdead0001L else sig.getLong(i)
         h ^= v

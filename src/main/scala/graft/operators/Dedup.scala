@@ -119,7 +119,11 @@ object Dedup {
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       maxBucket: Int = 2000,
       keepShingles: Boolean = true): (DataFrame, DataFrame) = {
-    val rows = k / bands
+    // the band kernel owns the k/bands arithmetic and throws at eval on a
+    // non-tiling config; validate here too so a bad call dies at plan
+    // time with the caller's stack, not mid-job on an executor
+    require(bands > 0 && bands <= k && k % bands == 0,
+      s"bands ($bands) must evenly divide the signature length k ($k)")
     // The signature frame is a diamond: it feeds the band explode AND the
     // two post-distinct signature joins. Catalyst does not CSE across
     // join branches, so without materialisation the (dominant) shingle +
@@ -139,10 +143,16 @@ object Dedup {
     val sig = (if (keepShingles)
       shingled.select(col("mh_id"), col("sh"),
         minhashSignature(col("sh"), k).as("sig"))
+    // coalesce(text, '') BEFORE tokenising: `tokens(NULL)` is NULL, so
+    // the null-strict kernel would emit a NULL signature and silently
+    // drop null-text docs from banding — while the stored-shingle path
+    // maps NULL text to [""] (concat_ws null-skip) and co-buckets them.
+    // The coalesce makes both tiers agree on the API contract
+    // (ShingleParitySpec carries a null-text shape pinning it).
     else
       df.select(col(idCol).as("mh_id"),
         graft.functions.hashfns.minhash_shingles(
-          tokens(col(textCol)), shingleN, k).as("sig")))
+          tokens(coalesce(col(textCol), lit(""))), shingleN, k).as("sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band keys via the codegen fold (graft.functions.TextHash.bandHashes)
     // — the previous transform/slice/concat_ws/xxhash64 chain STRINGIFIED

@@ -45,6 +45,22 @@ object PrefixSum {
   def bucketedRunningSum(
       df: DataFrame, partNames: Seq[String], bucket: Col,
       orderCols: Seq[Col], value: Col, out: String): DataFrame = {
+    // The offsets scan below orders buckets ASCENDING NULLS FIRST, so the
+    // monotone-bucket contract only composes with a leading order key
+    // that sorts the same way (a bare Column defaults to exactly that).
+    // A descending or nulls-last leading key would yield silently WRONG
+    // running sums — reject it at plan time instead.
+    require(orderCols.nonEmpty, "bucketedRunningSum needs an order key")
+    // bare column = Spark's orderBy default, ascending nulls-first: fine
+    for ((asc, nullsFirst) <- org.apache.spark.sql.GraftBridge.sortOrderOf(orderCols.head))
+      require(asc && nullsFirst,
+        "bucketedRunningSum: the leading order key must be ascending " +
+          "nulls-first (the bucket offsets scan is hardwired to that " +
+          s"order); got ascending=$asc nullsFirst=$nullsFirst")
+    // the _ps_* working columns would silently shadow same-named input
+    require(!df.columns.exists(_.startsWith("_ps_")),
+      s"bucketedRunningSum: input columns must not start with _ps_ " +
+        s"(reserved): ${df.columns.filter(_.startsWith("_ps_")).mkString(", ")}")
     val part = partNames.map(col)
     val wIntra = Window
       .partitionBy(part :+ col("_ps_bucket"): _*)

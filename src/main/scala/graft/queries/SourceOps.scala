@@ -365,6 +365,24 @@ object SourceOps {
         d.select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
           col("source")),
         nBins, out)
+      // placement guard (r18 ADVICE): conservation alone cannot see a
+      // placement regression (nBins ignored -> one file per source), so
+      // the query itself asserts the file estate scales with the plan.
+      // nBins range partitions over >= nBins rows leave at most a few
+      // empty; /2 is far below any healthy run and far above the
+      // one-file-per-source failure shape. A breach fails the driver row.
+      val nDataFiles = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).toSeq.flatten
+              .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+              .flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(out)).size
+      }
+      require(nDataFiles >= math.max(nBins / 2, 1),
+        s"shard export placement regressed: $nDataFiles data files for " +
+          s"$nBins planned bins")
       val contract = EdgeContract("documents_shards", Seq(
         "doc_id" -> ColumnSpec(LongType, required = true),
         "text" -> ColumnSpec(StringType, required = true),

@@ -136,20 +136,26 @@ object Loader {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf)
     val roots = Option(fs.globStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
+    // same hidden-path discipline as Spark's file index, applied to EVERY
+    // path component under the probe root, not just the leaf: an
+    // in-flight or aborted writer's shards live under visible names
+    // inside hidden dirs (_temporary/, .spark-staging*/), and probing
+    // them would union phantom field keys across shards — masking a
+    // genuine whole-estate DQ001 (_SUCCESS, .crc and temporaries never
+    // carry schema evidence at any depth)
+    def hidden(name: String): Boolean =
+      name.startsWith("_") || name.startsWith(".")
     val files = roots.flatMap { st =>
       if (st.isDirectory) {
+        val rootUri = st.getPath.toUri
         val it = fs.listFiles(st.getPath, true)
         val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
         while (it.hasNext) buf += it.next().getPath
-        buf.toSeq
-      } else Seq(st.getPath)
-    }.map(_.toString)
-      // same hidden-file discipline as Spark's file index (_SUCCESS,
-      // .crc, in-flight temporaries never carry schema evidence)
-      .filterNot { f =>
-        val n = new Path(f).getName; n.startsWith("_") || n.startsWith(".")
-      }
-      .sorted
+        buf.toSeq.filterNot { p =>
+          rootUri.relativize(p.toUri).getPath.split("/").exists(hidden)
+        }
+      } else Seq(st.getPath).filterNot(p => hidden(p.getName))
+    }.map(_.toString).sorted
     if (files.isEmpty) return Set.empty
     // Hadoop Configuration is not serializable — ship the entries and
     // rebuild per task (bounded: a few hundred conf keys)

@@ -25,7 +25,11 @@ class ShingleParitySpec extends SparkSpec {
     " leading and trailing ",                   // boundary empties
     "café naïve résumé — ünïcødé tokens here",  // multibyte UTF-8
     "dup dup dup dup dup",                      // duplicate shingles
-    (1 to 200).map(i => s"w$i").mkString(" "))  // long doc
+    (1 to 200).map(i => s"w$i").mkString(" "),  // long doc
+    // NULL text: the stored path maps it to [""] (concat_ws null-skip),
+    // and the fused production tier must agree — tokens(coalesce(t,''))
+    // — instead of null-dropping the doc out of banding (r18 ADVICE)
+    null.asInstanceOf[String])
 
   test("fused minhash_shingles == minhash_k over materialised shingles, all shapes") {
     for (n <- Seq(2, 3, 5); k <- Seq(8, 32)) {
@@ -34,7 +38,9 @@ class ShingleParitySpec extends SparkSpec {
         .withColumn("sh", Dedup.shingles(col("text"), n))
         .select(col("doc_id"),
           hashfns.minhash_k(col("sh"), k).as("via_strings"),
-          hashfns.minhash_shingles(Dedup.tokens(col("text")), n, k)
+          // the production tier's exact input shape (null text -> [""])
+          hashfns.minhash_shingles(
+            Dedup.tokens(coalesce(col("text"), lit(""))), n, k)
             .as("fused"))
       val rows = df.collect()
       for (r <- rows) {
@@ -55,5 +61,25 @@ class ShingleParitySpec extends SparkSpec {
       .collect().toSet
     assert(fused == stored,
       s"candidate sets must match: fused $fused vs stored $stored")
+  }
+
+  test("band_hashes rejects a non-tiling band count instead of degrading keys") {
+    val sig = Seq((1L, (1L to 32L).toArray)).toDF("doc_id", "sig")
+    // k % bands != 0 would silently drop trailing components; bands > k
+    // would fold component 0 into every surplus band (corpus-wide
+    // constant keys). Both must fail loudly.
+    for (bad <- Seq(5, 7, 33, 64)) {
+      val e = intercept[Exception] {
+        sig.select(hashfns.band_hashes(col("sig"), bad)).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("evenly divide")),
+        s"bands=$bad must be rejected, got $e")
+    }
+    // the tiling configs still evaluate
+    for (ok <- Seq(1, 2, 4, 8, 16, 32))
+      assert(sig.select(hashfns.band_hashes(col("sig"), ok)).head()
+        .getSeq[Long](0).size == ok)
   }
 }

@@ -37,6 +37,35 @@ class PrefixSumSpec extends SparkSpec {
       "two-level prefix sum must equal the single-window form bit-for-bit")
   }
 
+  test("a descending or nulls-last leading order key is rejected at plan time") {
+    val d = corpus
+    // the offsets scan is hardwired ascending-nulls-first over buckets;
+    // a mismatched leading key would yield silently WRONG sums (r18
+    // ADVICE) — both divergent shapes must throw, the matching explicit
+    // shape must not
+    for (bad <- Seq(col("doc_id").desc, col("doc_id").asc_nulls_last)) {
+      val e = intercept[IllegalArgumentException] {
+        PrefixSum.bucketedRunningSum(d, Seq("source"),
+          expr("coalesce(doc_id, -1) DIV 64"), Seq(bad, col("n_tokens")),
+          col("n_tokens"), "cum_end")
+      }
+      assert(e.getMessage.contains("ascending"), e.getMessage)
+    }
+    PrefixSum.bucketedRunningSum(d, Seq("source"),
+      expr("coalesce(doc_id, -1) DIV 64"),
+      Seq(col("doc_id").asc_nulls_first), col("n_tokens"), "cum_end")
+  }
+
+  test("reserved _ps_ input columns are rejected instead of silently shadowed") {
+    val d = corpus.withColumn("_ps_val", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      PrefixSum.bucketedRunningSum(d, Seq("source"),
+        expr("coalesce(doc_id, -1) DIV 64"), Seq(col("doc_id")),
+        col("n_tokens"), "cum_end")
+    }
+    assert(e.getMessage.contains("_ps_"), e.getMessage)
+  }
+
   test("the work actually fans out: more (part, bucket) groups than partitions") {
     val d = corpus
     val groups = d.withColumn("b", expr("coalesce(doc_id, -1) DIV 64"))

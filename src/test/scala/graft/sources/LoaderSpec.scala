@@ -113,6 +113,27 @@ class LoaderSpec extends SparkSpec {
     assert(loaded.df.count() == 51)
   }
 
+  test("NDJSON head probe prunes hidden DIRECTORIES, not just hidden leaf files") {
+    val dir = Files.createTempDirectory("graft_ndjson_hidden").toString
+    // the visible estate genuinely lost loan_reference everywhere...
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part-0000.json"),
+      """{"drawn_amount":1.0}""" + "\n")
+    // ...but an aborted writer left temp shards that DO carry the key,
+    // under hidden dirs with VISIBLE leaf names (Spark's file index
+    // prunes hidden components at every level; the probe must match, or
+    // the phantom keys mask a genuine whole-estate DQ001 — r18 ADVICE)
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/_temporary/0"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/_temporary/0/part-0001.json"),
+      """{"loan_reference":"GHOST","drawn_amount":9.0}""" + "\n")
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/.spark-staging-1"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/.spark-staging-1/part-0002.json"),
+      """{"loan_reference":"GHOST2","drawn_amount":9.0}""" + "\n")
+    val loaded = Loader.loadNdjson(spark, dir, contract)
+    assert(loaded.errors.map(_.code) == Seq("DQ001"),
+      s"hidden-dir temp shards must not mask the estate-wide loss: ${loaded.errors}")
+    assert(loaded.errors.head.column == "loan_reference")
+  }
+
   test("NDJSON head probe null-heavy caveat: spurious DQ001 within the bound, probeRecords clears it") {
     val dir = Files.createTempDirectory("graft_ndjson_nullheavy").toString
     // the documented false-positive shape: EVERY shard's head omits the

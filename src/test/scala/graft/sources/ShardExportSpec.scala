@@ -78,6 +78,17 @@ class ShardExportSpec extends SparkSpec {
     }
     assert(shardFiles.size >= nSources && shardFiles.size <= nBins + nSources,
       s"${shardFiles.size} files outside [$nSources, ${nBins + nSources}]")
+    // placement scales with the PLAN (r18 ADVICE): the dominant source's
+    // file estate must track its planned shard count — a regression that
+    // ignores nBins (one file per source) passes conservation but dies
+    // here. /2 absorbs range-boundary sampling slack.
+    val perSourceFiles = shardFiles.groupBy(_.getParentFile.getName)
+      .map { case (k, v) => k -> v.size }
+    val aPlanned = plan.collect()
+      .collectFirst { case r if r.getString(0) == "srcA" => r.getLong(2) }.get
+    assert(aPlanned >= 8, s"fixture must keep srcA multi-shard: $aPlanned")
+    assert(perSourceFiles("source=srcA") >= (aPlanned / 2).toInt,
+      s"srcA produced ${perSourceFiles("source=srcA")} files vs $aPlanned planned shards")
     // size balance: range boundaries spread rows, no file hoards the corpus
     val perFile = spark.read.textFile(s"$out/*/*.json.gz")
       .select(input_file_name().as("f"))
