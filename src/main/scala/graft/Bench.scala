@@ -139,48 +139,20 @@ object Bench {
     // batch min exceeds max(0.5 s, 2 × its prior-round adjudicated
     // record), capped at 15 forks (largest batch min first) — the floor
     // was 1 s through r17, which let sub-second queries inflate past 2×
-    // their prior without an adjudication trail. `priorRecordCs` is
-    // the RUNNING MIN of every prior round's official per-query record
-    // (refreshed each round from BENCH_r{N}.json, min'd against the
-    // previous map so a contended round can never loosen a threshold)
-    // plus the judge's idle re-measurements where lower — EXCEPT a query
-    // whose SEMANTICS changed, whose entry is RESET to its new measured
-    // cost (r17: q61 gained the exact-verify tier, q62 the portable
-    // signature, q65 swapped k-means for the sign quantiser — min'ing
-    // against the old queries' records would fork them every round
-    // forever). A query with no prior gets prior = 0, i.e. the plain
-    // 0.5 s floor.
-    val priorRecordCs: Map[String, Int] = Map(
-      "1" -> 35, "2" -> 12, "3" -> 36, "4" -> 26, "5" -> 16, "6" -> 22,
-      "10" -> 22, "11" -> 16, "12" -> 13, "13" -> 14, "14" -> 73, "15" -> 8,
-      "16" -> 22, "20" -> 4, "21" -> 7, "22" -> 21, "23" -> 37, "24" -> 65,
-      "25" -> 15, "40" -> 11, "41" -> 9, "42" -> 5, "43" -> 37, "44" -> 10,
-      "45" -> 11, "46" -> 10, "47" -> 6, "48" -> 17, "49" -> 45, "50" -> 18,
-      "51" -> 9, "52" -> 11, "53" -> 22, "54" -> 12, "55" -> 7, "56" -> 11,
-      "57" -> 8, "58" -> 48, "59" -> 4, "60" -> 11, "61" -> 57, "62" -> 28,
-      "63" -> 83, "64" -> 24, "65" -> 36, "66" -> 16, "67" -> 8, "68" -> 7,
-      "69" -> 6, "70" -> 12, "71" -> 210, "72" -> 11, "73" -> 12, "74" -> 10,
-      "75" -> 287, "76" -> 23, "77" -> 10, "78" -> 8, "80" -> 9, "81" -> 8,
-      "82" -> 11, "83" -> 10, "85" -> 19, "86" -> 15, "90" -> 28, "91" -> 14,
-      "92" -> 12, "93" -> 111, "94" -> 109, "95" -> 15, "96" -> 5,
-      "97" -> 11, "98" -> 107, "99" -> 46, "100" -> 37, "101" -> 18,
-      "102" -> 30, "103" -> 31, "104" -> 31, "105" -> 10, "106" -> 40,
-      "107" -> 20, "108" -> 44, "109" -> 13, "110" -> 142, "111" -> 47,
-      "112" -> 16, "113" -> 30, "114" -> 15, "115" -> 61, "116" -> 40,
-      "117" -> 9, "118" -> 22, "119" -> 32, "120" -> 16, "121" -> 33,
-      "122" -> 18, "123" -> 22, "124" -> 10, "125" -> 12, "126" -> 26,
-      "127" -> 11, "128" -> 42, "129" -> 49, "130" -> 86, "131" -> 28,
-      "132" -> 116, "133" -> 26, "134" -> 70, "135" -> 25, "136" -> 30,
-      "137" -> 32, "138" -> 19, "139" -> 19, "140" -> 86, "141" -> 35,
-      "142" -> 10, "143" -> 22, "144" -> 36, "145" -> 39, "146" -> 10,
-      "147" -> 115, "148" -> 31, "149" -> 25, "150" -> 33, "151" -> 7,
-      "152" -> 43, "153" -> 24, "154" -> 125, "155" -> 29, "156" -> 7,
-      "157" -> 29, "158" -> 85, "159" -> 9, "160" -> 79, "161" -> 30,
-      "162" -> 190, "163" -> 38, "164" -> 26, "165" -> 36, "166" -> 65,
-      "167" -> 23, "168" -> 113, "169" -> 60, "170" -> 19, "171" -> 76,
-      "172" -> 25, "173" -> 14, "174" -> 11, "175" -> 33, "176" -> 11,
-      "177" -> 46, "178" -> 6, "179" -> 43, "180" -> 17, "181" -> 10,
-      "182" -> 249)
+    // their prior without an adjudication trail. `priorRecordCs` is the
+    // RUNNING MIN of every parseable prior round's official per-query
+    // record — GENERATED MECHANICALLY by tools/gen_bench_priors.py into
+    // the bench_priors.json classpath resource (r18 verdict item 1: the
+    // hand-maintained literal went stale, 79/157 entries above the true
+    // min, and 13 contended rows cleared loosened thresholds
+    // unadjudicated) — EXCEPT a query whose SEMANTICS changed, whose
+    // entry is RESET to its post-change records only (the documented
+    // list in BenchPriors.documentedResets; min'ing against the retired
+    // lighter query would fork it every round forever). A query with no
+    // prior gets prior = 0, i.e. the plain 0.5 s floor. BenchPriorsSpec
+    // fails the suite if the shipped resource is looser than the
+    // artifacts it derives from.
+    val priorRecordCs: Map[String, Int] = BenchPriors.load()
     def forkThresholdSec(name: String): Double =
       math.max(0.5, 2.0 * priorRecordCs.getOrElse(qnum(name), 0) / 100.0)
     // SPARK_GRAFT_FORCE_FORK: comma-separated names to adjudicate
@@ -369,6 +341,21 @@ object Bench {
     val loadavg = scala.util.Try(
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString(" ")).getOrElse("")
-    println(s"""{"metric":"total","value":${f3(total)},"value_mean":${f3(totalMean)},"unit":"sec","q_unit":"centisec","load":${jstr(loadavg)},"queries":$qs,"n_failures":${failures.size},"failures":$fj,"sf":$sfNum}""")
+    // Contention self-description (r18 verdict item 4): a contaminated
+    // record must be machine-readable from the artifact alone, not
+    // judge-inferred by diffing means against mins by hand.
+    //  - mean_over_min: Σ batch means / Σ official mins — ~1 on an idle
+    //    host, ≈2 on the contended r18 run the judge had to adjudicate;
+    //  - contended: ratio > 1.8 (the verdict's suggested trip point);
+    //  - n_rows_over_2x_prior: official rows above 2× their all-time
+    //    prior — with a fresh prior map every such row also carries an
+    //    iso_attempts adjudication trail, so nonzero here + missing
+    //    trail = the r18 failure shape, visible on the record.
+    val meanOverMin = if (total > 0) totalMean / total else 1.0
+    val rowsOver2x = times.count { case (k, v) =>
+      val prior = priorRecordCs.getOrElse(qnum(k), 0)
+      prior > 0 && adj(k, v) > 2.0 * prior / 100.0
+    }
+    println(s"""{"metric":"total","value":${f3(total)},"value_mean":${f3(totalMean)},"mean_over_min":${f"$meanOverMin%.2f"},"contended":${meanOverMin > 1.8},"n_rows_over_2x_prior":$rowsOver2x,"unit":"sec","q_unit":"centisec","load":${jstr(loadavg)},"queries":$qs,"n_failures":${failures.size},"failures":$fj,"sf":$sfNum}""")
   }
 }
