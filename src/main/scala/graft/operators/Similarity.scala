@@ -22,22 +22,45 @@ object Similarity {
 
   /** Exact decimal dot product: per-element products cast to DECIMAL and
     * summed exactly, so the value is independent of evaluation order
-    * (same discipline as [[graft.queries.Q.dsum]]). The merge result is
-    * re-cast to the seed's exact decimal type — Spark's decimal addition
-    * widens/caps (38,14)+(38,14) → (38,13), and `aggregate` requires
-    * merge-type == seed-type; the cast is lossless while |acc| < 10^24.
-    */
+    * (same discipline as [[graft.queries.Q.dsum]]).
+    *
+    * Production path is the codegen kernel
+    * ([[graft.functions.vecfns.dot_exact]]): the `aggregate`/`zip_with`
+    * tree evaluates its lambda PER ELEMENT interpreted — at the
+    * similarity corpus tier the 128-dim decimal dots dominated every
+    * verify/scoring stage (the same defect class the round-18 text-hash
+    * kernels removed from minhash). The kernel replicates the decimal
+    * semantics bit-for-bit — Cast's string round-trip to DECIMAL(38,14)
+    * HALF_UP, the per-step (38,13) rounding of Spark's decimal Add
+    * inside the fold, null on any null element or a zip_with length
+    * mismatch — pinned against [[dotExactHof]] by
+    * VectorParitySpec and end-to-end by the q64/q65/q71/q119/q173
+    * oracles. */
   def dotExact(x: Column, y: Column): Column =
+    graft.functions.vecfns.dot_exact(x, y)
+
+  /** The interpreted HOF form of [[dotExact]] — kept as the executable
+    * specification the kernel is parity-pinned against. The merge result
+    * is re-cast to the seed's exact decimal type — Spark's decimal
+    * addition widens/caps (38,14)+(38,14) → (38,13), and `aggregate`
+    * requires merge-type == seed-type; the cast is lossless while
+    * |acc| < 10^24. */
+  def dotExactHof(x: Column, y: Column): Column =
     aggregate(
       zip_with(x, y, (p, q) => (p.cast("double") * q.cast("double"))
         .cast(DecimalType(38, 14))),
       lit(0).cast(DecimalType(38, 14)),
       (acc, v) => (acc + v).cast(DecimalType(38, 14))).cast("double")
 
-  /** Exact decimal squared L2 distance between two double-array columns
-    * (same engine-stable construction as [[dotExact]]: per-element terms
-    * cast to DECIMAL(38,14), decimal-summed in any order). */
+  /** Exact decimal squared L2 distance (kernel path — see [[dotExact]];
+    * parity-pinned against [[sqDistExactHof]]). */
   def sqDistExact(x: Column, y: Column): Column =
+    graft.functions.vecfns.sq_dist_exact(x, y)
+
+  /** The interpreted HOF form of [[sqDistExact]] — the executable
+    * specification for the parity pin (per-element terms cast to
+    * DECIMAL(38,14), decimal-summed in any order). */
+  def sqDistExactHof(x: Column, y: Column): Column =
     aggregate(
       zip_with(x, y, (p, q) => ((p.cast("double") - q.cast("double")) *
         (p.cast("double") - q.cast("double"))).cast(DecimalType(38, 14))),
@@ -110,8 +133,11 @@ object Similarity {
     * (mirrors `DomainPipeline.releaseLedger`). Within a query, LRU
     * eviction bounds memory. */
   def scorable(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // has_nonzero = codegen exists(v, x => x =!= 0) (VectorParitySpec
+    // pins the three-valued semantics incl. the any-null case) — the
+    // lambda form evaluated interpreted per element over every vector
     val cleaned = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
-        exists(col(vecCol), x => x =!= 0.0f))
+        graft.functions.vecfns.has_nonzero(col(vecCol)))
       .withColumn("_sc_rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col(vecCol))))
       .filter(col("_sc_rn") === 1).drop("_sc_rn")
@@ -134,10 +160,11 @@ object Similarity {
     tracked.clear()
   }
 
-  /** Plain double dot product (internal ranking only). */
+  /** Plain double dot product (internal ranking only) — codegen kernel,
+    * bit-identical to the left-to-right `aggregate(zip_with(...))` fold
+    * (same IEEE accumulation order; VectorParitySpec). */
   private def dotPlain(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.vecfns.dot_plain(x, y)
   private def dot2(x: Column): Column = dotPlain(x, x)
 
   /** Fast double-precision cosine for internal ranking. */
@@ -209,54 +236,51 @@ object Similarity {
       hammingMax: Int = 40): DataFrame = {
     val v = scorable(df, idCol, vecCol)
       .select(col(idCol).as("nn_id"), col(vecCol).as("vec"))
-    val banded = v.select(
-      col("nn_id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => concat((0 until rowsPerBand).map { j =>
-          // try_element_at: a vector shorter than bands×rowsPerBand
-          // dims zero-pads (NULL >= 0 is false) instead of erroring —
-          // matching the oracle's out-of-range list index semantics
-          when(try_element_at(col("vec"),
-              (b * lit(rowsPerBand) + lit(j + 1)).cast("int")) >= 0,
-            lit("1")).otherwise(lit("0"))
-        }: _*))))
+    // Band keys + the 64-bit sign signature in ONE codegen pass per
+    // vector (graft.functions.vecfns): the former per-band string keys
+    // ("0101…" via an interpreted transform/concat of try_element_at
+    // whens) materialised bands × corpus strings, and the sigHalf
+    // aggregate folds re-walked the vector interpreted. The packed long
+    // key is an INJECTIVE image of the string key (bit j == char j,
+    // VectorParitySpec pins the bijection per band), so bucket
+    // partitions — and the candidate set — are identical; external
+    // oracles replicate it as the plain Σ 2^j·(component ≥ 0) sum.
+    val sigged = v.select(col("nn_id"),
+      graft.functions.vecfns.sign_pack(col("vec"), 1, 32).as("sig1"),
+      graft.functions.vecfns.sign_pack(col("vec"), 33, 32).as("sig2"),
+      posexplode(graft.functions.vecfns.sign_band_keys(
+        col("vec"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
     val wBucket = Window.partitionBy(col("band_idx"), col("band_key"))
-    val capped = banded
+    val capped = sigged
       .withColumn("bucket_n", count(lit(1)).over(wBucket))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
-    val l = capped.select(col("band_idx"), col("band_key"), col("nn_id").as("id_a"))
-    val r = capped.select(col("band_idx"), col("band_key"), col("nn_id").as("id_b"))
+    // The 16-byte signatures ride the bucket join so the Hamming screen
+    // runs BEFORE the pair distinct (filters deterministic per pair
+    // commute with distinct — the simhash lesson from the corpus tier):
+    // at corpus scale the bucket join's output is dominated by random
+    // key collisions, and screening them here keeps the distinct
+    // exchange sized by the plausible pair set instead of the junk.
+    val l = capped.select(col("band_idx"), col("band_key"),
+      col("nn_id").as("id_a"), col("sig1").as("sig_a1"), col("sig2").as("sig_a2"))
+    val r = capped.select(col("band_idx"), col("band_key"),
+      col("nn_id").as("id_b"), col("sig1").as("sig_b1"), col("sig2").as("sig_b2"))
     val pairs = l.join(r, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    // per-vector norms + packed sign signature once, not per pair
-    // (bit-identical cosine; the signature is the acc*2+bit fold over 32
-    // components per half — a vector shorter than 64 dims zero-pads via
-    // try_element_at's null)
-    def sigHalf(lo: Int): Column =
-      aggregate(
-        sequence(lit(lo), lit(lo + 31)), lit(0L),
-        (acc, j) => acc * lit(2L) +
-          when(try_element_at(col("vec"), j.cast("int")) >= 0, lit(1L))
-            .otherwise(lit(0L)))
-    val vn = v.withColumn("norm", sqrt(dotExact(col("vec"), col("vec"))))
-      .withColumn("sig1", sigHalf(1))
-      .withColumn("sig2", sigHalf(33))
-    pairs
-      .join(vn.select(col("nn_id").as("id_a"), col("vec").as("vec_a"),
-        col("norm").as("norm_a"), col("sig1").as("sig_a1"),
-        col("sig2").as("sig_a2")), Seq("id_a"))
-      .join(vn.select(col("nn_id").as("id_b"), col("vec").as("vec_b"),
-        col("norm").as("norm_b"), col("sig1").as("sig_b1"),
-        col("sig2").as("sig_b2")), Seq("id_b"))
       .filter(
         (bit_count(col("sig_a1").bitwiseXOR(col("sig_b1"))) +
           bit_count(col("sig_a2").bitwiseXOR(col("sig_b2")))) <= hammingMax)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // per-vector norms once, not per pair (bit-identical cosine)
+    val vn = v.withColumn("norm", sqrt(dotExact(col("vec"), col("vec"))))
+    pairs
+      .join(vn.select(col("nn_id").as("id_a"), col("vec").as("vec_a"),
+        col("norm").as("norm_a")), Seq("id_a"))
+      .join(vn.select(col("nn_id").as("id_b"), col("vec").as("vec_b"),
+        col("norm").as("norm_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (dotExact(col("vec_a"), col("vec_b")) /
           (col("norm_a") * col("norm_b"))).as("cosine"))

@@ -73,67 +73,16 @@ object CorpusBook {
 
 object CorpusStress {
 
-  final case class StageTel(name: String, wallS: Double, rows: Long,
-      spillDisk: Long, spillMem: Long, skewSplits: Int, exchanges: Int,
-      reusedExchanges: Int, note: String = "") {
-    def json: String = {
-      val n = if (note.isEmpty) "" else s""", "note": "$note""""
-      f""""$name": {"wall_s": $wallS%.2f, "rows": $rows, "spill_disk": $spillDisk, "spill_mem": $spillMem, "aqe_skew_splits": $skewSplits, "exchanges": $exchanges, "reused_exchanges": $reusedExchanges$n}"""
-    }
-  }
-
   /** Run the production corpus chain at `nDocs`; returns per-stage
     * telemetry. Every stage both TIMES the production operator and
     * ASSERTS its planted-ground-truth contract, so the tier is a
     * correctness gate at scale, not just a stopwatch. */
   def run(spark: SparkSession, nDocs: Long,
-      info: String => Unit): Seq[StageTel] = {
+      info: String => Unit): Seq[StageProbe.StageTel] = {
     require(nDocs % 10 == 0, "nDocs must be a multiple of the 10-doc block")
     val nBlocks = nDocs / 10
-    val diskSpilled = new AtomicLong
-    val memSpilled = new AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          Option(t.taskMetrics).foreach { m =>
-            diskSpilled.addAndGet(m.diskBytesSpilled)
-            memSpilled.addAndGet(m.memoryBytesSpilled)
-          }
-      })
-
-    // == Initial Plan == repeats every node after an AQE action — keep
-    // only the final plan before counting (verify-recipe gotcha)
-    def finalPlan(p: String): String = p.split("== Initial Plan ==").head
-    def exchanges(p: String): (Int, Int) = {
-      val reused = "ReusedExchange".r.findAllIn(p).size
-      val all = "Exchange".r.findAllIn(p).size
-      (all - reused, reused)
-    }
-
-    val tels = scala.collection.mutable.ArrayBuffer.empty[StageTel]
-    def stage(name: String, note: String = "")(body: => (Long, String)): Long = {
-      val d0 = diskSpilled.get; val m0 = memSpilled.get
-      val t0 = System.nanoTime()
-      val (rows, planStr) = body
-      val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(200) // listener delivery is async
-      val p = finalPlan(planStr)
-      val skew = "skew=true".r.findAllIn(p).size
-      val (ex, rex) = exchanges(p)
-      val tel = StageTel(name, wall, rows, diskSpilled.get - d0,
-        memSpilled.get - m0, skew, ex, rex, note)
-      tels += tel
-      info(f"[corpus] $name: $wall%.2f s ($rows rows; spill disk=${tel.spillDisk} mem=${tel.spillMem}; skew=$skew; exchanges=$ex+${rex}R)")
-      rows
-    }
-    // full-width materialisation: hash every column so nothing prunes
-    def fullWidth(df: DataFrame): (Long, String) = {
-      val h = df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*))
-        .groupBy().count()
-      val n = h.collect()(0).getLong(0)
-      (n, h.queryExecution.executedPlan.toString)
-    }
+    val probe = new StageProbe(spark, info, "corpus")
+    import probe.{fullWidth, stage}
 
     // ---- stage 0: generate + parquet-stage (untimed by convention —
     // the reference's generate-then-time split; wall reported for info)
@@ -221,7 +170,7 @@ object CorpusStress {
       assert(rows.map(_.getLong(1)).sum == nDocs, "packing census must cover every doc")
       (rows.map(_.getLong(1)).sum, census.queryExecution.executedPlan.toString)
     }
-    tels.toSeq
+    probe.telemetry
   }
 }
 
