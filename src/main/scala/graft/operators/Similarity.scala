@@ -92,6 +92,41 @@ object Similarity {
           .as(Seq("sub", "dist")))
   }
 
+  /** PQ code assignment: per (vector, subspace), the centroid with the
+    * minimal exact distance, ties to the smaller centroid id — computed
+    * WITHOUT the (vectors × centroids × subspaces) row explosion. The
+    * broadcast centroid cross join carries the m sub-distances as
+    * COLUMNS, and each subspace's argmin is a `min(struct(dist, k))`
+    * aggregation per vector — identical value+tiebreak to a `row_number
+    * over (pq_id, sub order by dist, k) = 1` window over exploded rows
+    * (struct ordering puts a null dist first, exactly like the window's
+    * asc-nulls-first), but map-side partial combine collapses the
+    * (vector × centroid) grain before any exchange, where the exploded
+    * window form shuffled and spilled the full distance grain (measured
+    * at the 2M×128 similarity stress tier: the old shape's persist of
+    * 256M distance rows spilled ~11 GB and took 116 s). The sub
+    * explode happens AFTER aggregation, at the (vector × m) codes
+    * grain the ADC join needs. Returns (cand_id, sub, k). */
+  def pqCodes(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, m: Int, dSub: Int): DataFrame = {
+    val pairs = vectors
+      .select(col(idCol).as("pq_id"), col(vecCol).as("pq_v"))
+      .crossJoin(broadcast(centroids.select(col("k"), col("c"))))
+    val subCols = (0 until m).map { j =>
+      sqDistExact(
+        expr(s"slice(pq_v, ${j * dSub + 1}, $dSub)"),
+        expr(s"slice(c, ${j * dSub + 1}, $dSub)")).as(s"_d$j")
+    }
+    val scored = pairs.select(Seq(col("pq_id"), col("k")) ++ subCols: _*)
+    val aggs = (0 until m).map(j =>
+      min(struct(col(s"_d$j").as("dist"), col("k").as("k"))).as(s"_m$j"))
+    scored.groupBy(col("pq_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("pq_id").as("cand_id"),
+        posexplode(array((0 until m).map(j => col(s"_m$j").getField("k")): _*)))
+      .withColumnRenamed("pos", "sub")
+      .withColumnRenamed("col", "k")
+  }
+
   /** Deterministic cosine from exact decimal dots; sqrt and the final
     * divisions are correctly-rounded IEEE ops. Hot paths should
     * precompute the per-vector norms ONCE (see bruteForceTopK /
@@ -215,6 +250,17 @@ object Similarity {
     * (vectors joined back after the distinct), and a bucket-size cap so
     * a degenerate sign pattern (e.g. all-positive embeddings) cannot go
     * quadratic.
+    *
+    * BAND SIZING AT SCALE: keep `2^rowsPerBand` at or above the corpus
+    * size so expected bucket occupancy stays ~1 — the bucket join's
+    * OUTPUT is Σ bucket², so a saturated key space goes quadratic even
+    * under the cap (measured at the 2M×128 similarity stress tier:
+    * 8×16-bit bands meant ~30 vectors/bucket, ~490M join pairs and
+    * ~89 GB of spill; 6×21-bit bands collapse the same corpus to ~1 per
+    * bucket). Widening rows lowers per-band recall — at cosine c a band
+    * of r bits agrees with probability (1 − acos(c)/π)^r — so wide-band
+    * configs are a NEAR-dup (cosine ≳ 0.99) instrument; add bands to
+    * buy recall back.
     *
     * HAMMING PRE-FILTER: before the (expensive) exact decimal cosine,
     * each pair is screened on the Hamming distance of the vectors' full

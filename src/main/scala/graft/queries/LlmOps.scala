@@ -611,15 +611,15 @@ object LlmOps {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       val cents = vecs.filter(col("vec_id") < 16)
         .select(col("vec_id").as("k"), col("v").as("c"))
-      // (vec, centroid, sub) distances — a diamond (codes + probe table)
-      val dists = Similarity.pqSubDistances(vecs, cents, "vec_id", "v", 8, 8)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("pq_id"), col("sub")).orderBy(col("dist"), col("k"))
-      val codes = dists.withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("pq_id").as("cand_id"), col("sub"), col("k"))
-      val ptable = dists.filter(col("pq_id") < 4)
+      // codes via per-sub min(struct(dist, k)) aggregations — same value
+      // and tiebreak as the former row_number-over-(pq_id, sub) window
+      // over exploded distance rows, but the (vec × cent × sub) grain is
+      // never materialised or persisted: the old diamond spilled ~11 GB
+      // at the 2M×128 similarity stress tier. The probe table explodes
+      // distances for the PROBE vectors only (bounded by construction).
+      val codes = Similarity.pqCodes(vecs, cents, "vec_id", "v", 8, 8)
+      val ptable = Similarity.pqSubDistances(
+          vecs.filter(col("vec_id") < 4), cents, "vec_id", "v", 8, 8)
         .select(col("pq_id").as("probe_id"), col("k"), col("sub"),
           q6(col("dist")).as("pdist"))
       val adc = codes.join(ptable, Seq("sub", "k"))

@@ -54,10 +54,16 @@ final class StageProbe(spark: SparkSession, info: String => Unit,
 
   /** Time `body` (which returns (rows, executedPlan string)) as one
     * stage; records spill deltas / skew splits / exchange counts. */
-  def stage(name: String, note: String = "")(body: => (Long, String)): Long = {
+  def stage(name: String, note: String = "")(body: => (Long, String)): Long =
+    stageDynamic(name) { val (rows, p) = body; (rows, p, note) }
+
+  /** [[stage]] whose body also computes the note — for stages whose
+    * record-worthy facts (file counts, byte volumes) only exist after
+    * the work ran. */
+  def stageDynamic(name: String)(body: => (Long, String, String)): Long = {
     val d0 = diskSpilled.get; val m0 = memSpilled.get
     val t0 = System.nanoTime()
-    val (rows, planStr) = body
+    val (rows, planStr, note) = body
     val wall = (System.nanoTime() - t0) / 1e9
     Thread.sleep(200) // listener delivery is async
     val p = finalPlan(planStr)

@@ -170,6 +170,49 @@ object CorpusStress {
       assert(rows.map(_.getLong(1)).sum == nDocs, "packing census must cover every doc")
       (rows.map(_.getLong(1)).sum, census.queryExecution.executedPlan.toString)
     }
+
+    // ---- stage 6: compressed shard export + reload — q182's PRODUCTION
+    // write path (repartitionByRange, no window) at the corpus tier
+    // (r18 "What's missing" #2: the write path's file-estate behaviour
+    // was unmeasured at scale). Conservation is asserted per source
+    // through the gzip round-trip, and the file estate must scale with
+    // the q156 plan.
+    probe.stageDynamic("shard_export") {
+      import graft.contracts.{ColumnSpec, EdgeContract}
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val target = 1048576L
+      val plan = graft.queries.SourceOps.shardPlanOf(d, target, overhead = 16L)
+      val nBins = plan.agg(sum(col("n_shards"))).head().getLong(0).toInt
+      val out = s"$dir/shards"
+      graft.queries.SourceOps.shardExportRange(
+        d.select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          col("source")),
+        nBins, out)
+      val contract = EdgeContract("documents_shards", Seq(
+        "doc_id" -> ColumnSpec(LongType, required = true),
+        "text" -> ColumnSpec(StringType, required = true),
+        "lang" -> ColumnSpec(StringType),
+        "n_chars" -> ColumnSpec(LongType),
+        "source" -> ColumnSpec(StringType)))
+      val loaded = graft.sources.Loader.loadNdjson(spark, out, contract)
+      assert(loaded.errors.isEmpty, s"reload must seal clean: ${loaded.errors}")
+      def conserve(df: DataFrame) = df.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(coalesce(col("text"), lit(""))).cast("long")).as("sum_chars"))
+      val in = conserve(d)
+      val back = conserve(loaded.df)
+      assert(in.exceptAll(back).isEmpty && back.exceptAll(in).isEmpty,
+        "per-source conservation must hold through the gzip round-trip")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      val files = walk(new java.io.File(out)).filter(_.getName.endsWith(".json.gz"))
+      val bytes = files.map(_.length).sum
+      assert(files.size >= math.max(nBins / 2, 1),
+        s"placement regressed: ${files.size} files for $nBins planned bins")
+      (nDocs, back.queryExecution.executedPlan.toString,
+        s"${files.size} gz files, $bytes bytes, nBins=$nBins, 1 MiB target")
+    }
     probe.telemetry
   }
 }
@@ -206,7 +249,7 @@ object StressCorpus {
 class StressCorpusSpec extends SparkSpec {
   test("corpus stress chain holds its planted ground truth at suite scale") {
     val tels = CorpusStress.run(spark, nDocs = 20000L, info(_))
-    assert(tels.size == 5)
+    assert(tels.size == 6)
     assert(tels.forall(_.rows > 0))
   }
 }
