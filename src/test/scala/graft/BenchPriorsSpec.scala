@@ -50,12 +50,17 @@ class BenchPriorsSpec extends AnyFunSuite {
     assert(resets.toSet.subsetOf(BenchPriors.documentedResets.toSet),
       s"undocumented semantics resets in bench_priors.json: " +
         s"${resets.toSet.diff(BenchPriors.documentedResets.toSet)}")
+    // the era cutoff is itself a loosening lever — it must be exactly
+    // the documented one, not quietly raised to drop inconvenient rounds
+    val era = BenchPriors.loadEraStart()
+    assert(era == BenchPriors.documentedEraStart,
+      s"era_start $era != documented ${BenchPriors.documentedEraStart}")
     val min = scala.collection.mutable.Map.empty[String, Int]
     var parseable = 0
     for (f <- files) {
       val rnd = "\\d+".r.findFirstIn(f.getName).get.toInt
       val root = mapper.readTree(f)
-      if (root.path("sf").asDouble() == 0.1) totalLine(f).foreach { p =>
+      if (rnd >= era && root.path("sf").asDouble() == 0.1) totalLine(f).foreach { p =>
         parseable += 1
         val failed = Option(p.get("failures")).toSeq
           .flatMap(_.fieldNames().asScala).map(qnum).toSet
@@ -71,7 +76,7 @@ class BenchPriorsSpec extends AnyFunSuite {
         }
       }
     }
-    assert(parseable >= 10, s"only $parseable parseable artifacts — parsing regressed?")
+    assert(parseable >= 8, s"only $parseable parseable artifacts — parsing regressed?")
     val loose = min.toSeq.collect {
       case (q, m) if shipped.getOrElse(q, Int.MaxValue) > m =>
         s"q$q shipped ${shipped.get(q)} > artifact min $m"
