@@ -79,17 +79,24 @@ object Probe {
       }
       spark.stop(); return
     }
+    // PROBE_ROUNDS: more rounds + min gives a contention-robust estimate
+    // on a noisy host (the bench's own min-estimator rationale)
+    val nRounds = sys.env.get("PROBE_ROUNDS").map(_.toInt).getOrElse(3)
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (explain) {
         println(s"==== $name plan ====")
         fn(spark, sfDir).explain("formatted")
       }
-      (1 to 3).foreach { i =>
+      val times = (1 to nRounds).map { i =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        println(f"[probe] $name round $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] $name round $i: $t%.2f s")
+        t
       }
+      println(f"[probe] $name min: ${times.min}%.2f s over $nRounds rounds")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -51,20 +51,32 @@ object Reconciliation {
       additive: Seq[(String, Int)],
       ratios: Seq[(String, String, String)] = Nil,
       categoricals: Seq[String] = Nil): DataFrame = {
+    // One collect_set per categorical feeds BOTH the deterministic-min
+    // representative (array_min over the set == min over the column,
+    // nulls dropped by both) and the heterogeneity count (size(set) ==
+    // countDistinct). Value-identical to the min+countDistinct form, but
+    // (a) a string-buffer min forces SortAggregate — two full sorts
+    // around the exchange — while collect_set plans as an
+    // OBJECT-HASH aggregate, and (b) countDistinct plans a two-phase
+    // distinct aggregation (an Expand multiplying rows per distinct
+    // column) that size(collect_set) avoids outright (r19, guide §2.3/§4:
+    // the q93 collapse was 2 sorts of the full leg frame per execution).
     val aggs =
       additive.map { case (c, sc) =>
         sum(col(c).cast(DecimalType(38, sc))).cast("double").as(c) } ++
-      categoricals.map(c => min(col(c)).as(c)) ++
-      categoricals.map(c => countDistinct(col(c)).as(s"_distinct_$c"))
+      categoricals.map(c => collect_set(col(c)).as(s"_set_$c"))
     val grouped = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val ratioed = ratios.foldLeft(grouped) { case (acc, (n, num, den)) =>
+    val withReps = categoricals.foldLeft(grouped) { (acc, c) =>
+      acc.withColumn(c, array_min(col(s"_set_$c")))
+    }
+    val ratioed = ratios.foldLeft(withReps) { case (acc, (n, num, den)) =>
       acc.withColumn(n, col(num) / col(den))
     }
-    val het = categoricals.map(c => col(s"_distinct_$c") > 1)
+    val het = categoricals.map(c => size(col(s"_set_$c")) > 1)
       .reduceOption(_ || _).getOrElse(lit(false))
     ratioed
       .withColumn("recon_grain_heterogeneous", het)
-      .drop(categoricals.map(c => s"_distinct_$c"): _*)
+      .drop(categoricals.map(c => s"_set_$c"): _*)
   }
 
   // ---- 2. multi-component compare -------------------------------------

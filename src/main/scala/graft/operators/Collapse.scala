@@ -43,29 +43,51 @@ object Collapse {
       ratioCols: Seq[(String, String, String)] = Nil,
       representativeCols: Seq[String] = Nil,
       categoricalCols: Seq[String] = Nil): DataFrame = {
+    // String-typed representatives/categoricals aggregate via ONE
+    // collect_set per column: array_min(set) == min(col) (nulls dropped
+    // by both) and size(set) == countDistinct(col) — value-identical,
+    // but a string-buffer min forces SortAggregate (two full sorts
+    // around the exchange) and countDistinct plans an Expand, while the
+    // set form stays a single object-hash aggregate (r19, guide §2.3).
+    // Non-string columns keep the plain min — already hash-friendly.
+    val stringCols = ((representativeCols ++ categoricalCols).distinct
+      .filter(c => df.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType)).toSet
     val aggs =
       moneyCols.map(c =>
         sum(col(c).cast(DecimalType(38, 2))).cast("double").as(c)) ++
       (representativeCols ++ categoricalCols).distinct.map(c =>
-        min(col(c)).as(c)) ++
-      categoricalCols.map(c =>
+        if (stringCols(c)) collect_set(col(c)).as(s"_set_$c")
+        else min(col(c)).as(c)) ++
+      categoricalCols.filterNot(stringCols).map(c =>
         // null counts as a distinct value (the reference's n_unique):
         // countDistinct ignores nulls, so {SA, null} must still flag
         ((countDistinct(col(c)) +
-          max(when(col(c).isNull, 1).otherwise(0))) > 1).as(s"_het_$c")) :+
+          max(when(col(c).isNull, 1).otherwise(0))) > 1).as(s"_het_$c")) ++
+      categoricalCols.filter(stringCols).map(c =>
+        max(when(col(c).isNull, 1).otherwise(0)).as(s"_hasnull_$c")) :+
       count(lit(1)).as("n_legs")
     val grouped = df.groupBy(key.as("collapse_key"))
       .agg(aggs.head, aggs.tail: _*)
+    val withReps = (representativeCols ++ categoricalCols).distinct
+      .filter(stringCols).foldLeft(grouped) { (acc, c) =>
+        acc.withColumn(c, array_min(col(s"_set_$c")))
+      }
     val het =
       if (categoricalCols.isEmpty) lit(false)
-      else categoricalCols.map(c => col(s"_het_$c")).reduce(_ || _)
-    val withRatios = ratioCols.foldLeft(grouped) {
+      else categoricalCols.map(c =>
+        if (stringCols(c)) (size(col(s"_set_$c")) + col(s"_hasnull_$c")) > 1
+        else col(s"_het_$c")).reduce(_ || _)
+    val withRatios = ratioCols.foldLeft(withReps) {
       case (d, (name, num, den)) =>
         d.withColumn(name,
           when(col(den) =!= 0.0, col(num) / col(den)))
     }
     withRatios
       .withColumn("heterogeneous", het)
-      .drop(categoricalCols.map(c => s"_het_$c"): _*)
+      .drop(categoricalCols.filterNot(stringCols).map(c => s"_het_$c") ++
+        categoricalCols.filter(stringCols).map(c => s"_hasnull_$c") ++
+        (representativeCols ++ categoricalCols).distinct.filter(stringCols)
+          .map(c => s"_set_$c"): _*)
   }
 }

@@ -20,8 +20,12 @@ import graft.functions.hashfns
   *                   verifier for tiers 2/3).
   *
   * All operators are pure DataFrame/Column code (higher-order array
-  * functions + the custom SimHash64 expression); no Scala UDFs, no
-  * driver-side loops — every step scales with partition count.
+  * functions + the custom SimHash64 expression); no Scala UDFs, and the
+  * only driver-side work is [[connectedComponents]]' size-guarded
+  * union-find fast path (the sanctioned small-graph driver-kernel
+  * pattern of `Hierarchy`/`LinkAllocation`, with the distributed
+  * fixpoint as the over-guard fallback) — every other step scales with
+  * partition count.
   */
 object Dedup {
 
@@ -326,10 +330,69 @@ object Dedup {
     * `Hierarchy.resolveByFixpoint`).
     *
     * Returns (id, component) with component = min id reachable — the
-    * deterministic cluster survivor. */
+    * deterministic cluster survivor.
+    *
+    * SMALL-GRAPH FAST PATH (r19 optimization): the pair set is the
+    * LSH-bounded near-dup EDGE list, orders of magnitude smaller than
+    * the corpus (it is ids-only, and near-dup rates are a few percent of
+    * docs), so like the org-chart graphs in `Hierarchy` it usually fits
+    * the sanctioned driver-kernel pattern: one bounded `limit(n+1)`
+    * collect of the two id columns, union-find with path compression and
+    * min-root union (identical min-label semantics), and a local-relation
+    * result. That replaces 3-5 fixpoint ROUNDS of 4 shuffles + one count
+    * action each with ONE bounded job — at sf0.1 the q75 fixpoint was
+    * ~70% of the query. Over `driverEdgeLimit` edges (or for non-integral
+    * id types, where JVM and Spark orderings could diverge) it falls
+    * back to the distributed pointer-doubling fixpoint below, which is
+    * the 100 TB arm — both arms are pinned equal in DedupSpec. */
   def connectedComponents(
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, driverEdgeLimit: Long = 2000000L): DataFrame = {
+    val integralId = pairs.schema(idA).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integralId && driverEdgeLimit > 0) {
+      val guard = math.min(driverEdgeLimit, Int.MaxValue - 2L).toInt + 1
+      // one bounded execution of the pair plan: overflow (== guard rows
+      // fetched) means the graph outgrew the driver kernel — fall back
+      val head = pairs
+        .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+        .limit(guard).collect()
+      val anyNull = head.exists(r => r.isNullAt(0) || r.isNullAt(1))
+      if (head.length < guard && !anyNull) {
+        // union-find, smaller root wins — component = min reachable id,
+        // exactly the distributed arm's min-label fixpoint result
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) {
+            val gp = parent.getOrDefault(p, p)
+            parent.put(x, gp); x = p; p = gp
+          }
+          x
+        }
+        val nodes = new java.util.TreeSet[java.lang.Long]()
+        head.foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          nodes.add(a); nodes.add(b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val spark = pairs.sparkSession
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size())
+        nodes.forEach(n => rows.add(org.apache.spark.sql.Row(n.longValue(), find(n))))
+        val idType = pairs.schema(idA).dataType
+        val out = spark.createDataFrame(rows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType, nullable = false))))
+        return out.select(col("id").cast(idType), col("component").cast(idType))
+      }
+    }
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // ids keep their native type: the survivor is the NUMERIC min for an
     // integral id (a string cast would silently switch to lexicographic

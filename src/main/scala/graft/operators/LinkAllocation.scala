@@ -35,7 +35,12 @@ object LinkAllocation {
     * first), metric (double — higher fills first among null-priority
     * edges), item_value (double, constant per item), demand (double,
     * constant per beneficiary), max_pledge (double, nullable per-link
-    * cap). Returns the edges + an allocated `slice` column. */
+    * cap). Returns the edges + an allocated `slice` column, plus the
+    * edge's `item_value` carried through — the kernel already holds it,
+    * and emitting it saves consumers a SECOND full execution of the
+    * (often expensive) upstream link plan just to re-attach the item
+    * value (r19: q110 re-ran its window+join chain once more for a
+    * 50-row distinct). */
   def allocateSlices(links: DataFrame, maxEdges: Long = 5000000L): DataFrame = {
     val spark = links.sparkSession
     val narrowed = links.selectExpr(
@@ -90,13 +95,14 @@ object LinkAllocation {
       val take = if (takeRaw < eps) 0.0 else takeRaw
       supplyRem(e.cRef) = s - take
       demandRem(e.bRef) = d - take
-      Row(e.cRef, e.bRef, take)
+      Row(e.cRef, e.bRef, take, e.value)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toIndexedSeq),
       StructType(Seq(
         StructField("collateral_reference", StringType),
         StructField("beneficiary_reference", StringType),
-        StructField("slice", DoubleType))))
+        StructField("slice", DoubleType),
+        StructField("item_value", DoubleType))))
   }
 }

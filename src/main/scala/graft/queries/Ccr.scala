@@ -679,11 +679,15 @@ object Ccr {
     "q110_link_allocation",
     (s, dir) => {
       import graft.operators.LinkAllocation
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_orderkey"))
-        .orderBy(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      // keep-first per order as a min-struct ARGMIN, not a rank-1 window:
+      // identical row pick (struct ordering is lexicographic over the same
+      // sort columns), but the aggregation gets map-side partial combine
+      // and no per-partition sort (r19; the q119 PQ-codes precedent)
       val one = Tables.lineitem(s, dir).filter(col("l_linenumber") === 1)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("l_orderkey"))
+        .agg(min(struct(col("l_partkey"), col("l_suppkey"), col("l_extendedprice")))
+          .as("_first"))
+        .select(col("l_orderkey"), col("_first.l_partkey").as("l_partkey"))
       val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
       val links = one.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(
@@ -697,14 +701,17 @@ object Ccr {
           col("o_totalprice").as("demand"),
           when(col("l_orderkey") % 5 === 0, q2(col("o_totalprice") * 0.2))
             .cast("double").as("max_pledge"))
+      // ONE pass: the kernel output carries item_value, so the old
+      // items-distinct join — which re-executed the whole links chain
+      // (scan+agg+join) a second time — is gone (r19; item_value is
+      // constant per collateral_reference by the operator contract, so
+      // grouping by both keys yields identical rows)
       val sliced = LinkAllocation.allocateSlices(links)
-      val items = links.select(col("collateral_reference"), col("item_value")).distinct()
-      sliced.groupBy(col("collateral_reference"))
+      sliced.groupBy(col("collateral_reference"), col("item_value"))
         .agg(
           count(lit(1)).as("n_links"),
           dsum(col("slice"), 2).as("allocated"),
           count(when(col("slice") > 0.005, lit(1))).as("n_funded"))
-        .join(items, Seq("collateral_reference"))
         .withColumn("exhausted", col("allocated") >= col("item_value") - 0.005)
         .select(col("collateral_reference"), col("n_links"), col("item_value"),
           col("allocated"), col("n_funded"), col("exhausted"))

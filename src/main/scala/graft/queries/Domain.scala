@@ -745,6 +745,10 @@ object Domain {
         (col("o_totalprice") * rwChain).as("rwa"),
         legacyCode.as("exposure_class"))
       val legacy = legacyBase.unionByName(legacyExtra)
+      // persisted: the summary and worklist union branches below both
+      // consume the full recon frame, and Catalyst does not CSE across
+      // union branches — unpersisted, the collapse + full-outer compare
+      // chain executed twice (r19; same fix as q98)
       val recon = Reconciliation.compareMulti(
         collapsed, legacy, Seq("exposure_reference"),
         numerics = Seq(NumericComponent("ead", absTol = 0.005),
@@ -752,6 +756,7 @@ object Domain {
         categoricals = Seq(CategoricalComponent("exposure_class", valueMap = Seq(
           "CORP" -> "CORPORATE", "RET" -> "RETAIL",
           "SOV" -> "SOVEREIGN", "INST" -> "INSTITUTION"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val summaryRows = recon.groupBy(col("row_bucket")).agg(
           count(lit(1)).as("n"),
           count(when(col("ead_bucket") === "break", lit(1))).as("n_ead_break"),
@@ -1581,6 +1586,10 @@ object Domain {
       val allocations = withPct.groupBy(col("l_orderkey"))
         .agg(sort_array(collect_list(
           struct(col("pool_reference"), col("allocation_pct")))).as("securitisation_pool_allocations"))
+      // persisted: consumed by BOTH union branches below, and Catalyst
+      // does not CSE across union/join branches — unpersisted, the whole
+      // scan→agg→window→collect_list→join→explode chain executed twice
+      // (r19; the crmWaterfall withRw precedent in the verify recipe)
       val exploded = allocations
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderkey"), col("o_totalprice"),
@@ -1588,6 +1597,7 @@ object Domain {
         .select(col("o_orderkey"), col("o_totalprice"),
           col("alloc.pool_reference").as("pool_reference"),
           q2(col("o_totalprice") * col("alloc.allocation_pct")).as("allocated_ead"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val perPool = exploded.groupBy(col("pool_reference"))
         .agg(count(lit(1)).as("n"), dsum(col("allocated_ead"), 2).as("total_allocated"))
         .select(lit("pool").as("section"), col("pool_reference").as("ref"),

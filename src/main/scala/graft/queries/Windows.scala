@@ -154,15 +154,21 @@ object Windows {
       val li = Tables.lineitem(s, dir)
       // (l_orderkey, l_linenumber) is NOT unique in the harness data —
       // the order must be totalised or keep-first is engine-dependent,
-      // which is precisely the trap this query demonstrates.
-      val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-                 col("l_quantity"), col("l_extendedprice"))
-      li.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy(col("l_returnflag").as("flag"))
+      // which is precisely the trap this query demonstrates. The pick is
+      // a min-struct ARGMIN over the same totalised sort columns (struct
+      // ordering is lexicographic, so the kept row is identical to the
+      // rank-1 window's) — the aggregation form gets map-side partial
+      // combine and skips the per-partition sort the window pays (r19;
+      // the q119 PQ-codes precedent). l_returnflag rides along as a
+      // carried field BEHIND the five order columns, which already
+      // totalise the order, so it never influences the pick.
+      li.groupBy(col("l_orderkey"))
+        .agg(min(struct(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_returnflag")))
+          .as("_first"))
+        .groupBy(col("_first.l_returnflag").as("flag"))
         .agg(count(lit(1)).as("n_first_lines"),
-             dsum(col("l_quantity"), 2).as("qty"))
+             dsum(col("_first.l_quantity"), 2).as("qty"))
         .orderBy(col("flag"))
     },
     Some(s"""

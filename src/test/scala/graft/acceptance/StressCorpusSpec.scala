@@ -121,19 +121,29 @@ object CorpusStress {
     assert(nearFound >= (0.9 * nBlocks).toLong,
       s"near-dup recall $nearFound/$nBlocks under the 8x4 banding floor")
 
-    // ---- stage 3: connected components over the candidate pairs
-    stage("connected_components", note = "pointer-doubling over LSH pairs") {
-      val cc = Dedup.connectedComponents(
-        cands.filter(col("est_jaccard") >= 0.5).select(col("id_a"), col("id_b")))
-      val comps = cc.agg(countDistinct(col("component")).as("n"),
-        count(lit(1)).as("nodes"))
-      val row = comps.collect()(0)
-      val (nComps, nNodes) = (row.getLong(0), row.getLong(1))
-      info(s"[corpus] components: $nComps over $nNodes nodes (planted blocks: $nBlocks)")
-      assert(nComps >= (0.99 * nBlocks).toLong && nComps <= (1.001 * nBlocks).toLong + 1,
-        s"cluster count $nComps must track the $nBlocks planted blocks")
-      (nComps, comps.queryExecution.executedPlan.toString)
-    }
+    // ---- stage 3: connected components over the candidate pairs —
+    // BOTH arms measured: the size-guarded driver union-find fast path
+    // (what production takes when the LSH pair set fits the guard) and
+    // the forced distributed pointer-doubling fixpoint (the over-guard
+    // 100 TB arm), asserted against the same planted block count.
+    def ccStage(stageName: String, note: String, limit: Long): Unit =
+      stage(stageName, note = note) {
+        val cc = Dedup.connectedComponents(
+          cands.filter(col("est_jaccard") >= 0.5).select(col("id_a"), col("id_b")),
+          driverEdgeLimit = limit)
+        val comps = cc.agg(countDistinct(col("component")).as("n"),
+          count(lit(1)).as("nodes"))
+        val row = comps.collect()(0)
+        val (nComps, nNodes) = (row.getLong(0), row.getLong(1))
+        info(s"[corpus] components[$stageName]: $nComps over $nNodes nodes (planted blocks: $nBlocks)")
+        assert(nComps >= (0.99 * nBlocks).toLong && nComps <= (1.001 * nBlocks).toLong + 1,
+          s"cluster count $nComps must track the $nBlocks planted blocks")
+        (nComps, comps.queryExecution.executedPlan.toString)
+      }
+    ccStage("connected_components", "size-guarded driver union-find (production arm)",
+      2000000L)
+    ccStage("connected_components_distributed",
+      "pointer-doubling fixpoint (forced over-guard arm)", 0L)
     cands.unpersist()
     spark.catalog.clearCache()
 

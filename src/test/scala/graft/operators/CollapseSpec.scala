@@ -37,6 +37,27 @@ class CollapseSpec extends SparkSpec {
     assert(l2.getAs[Double]("risk_weight") === 0.5)
   }
 
+  test("a null among string categoricals still flags heterogeneity, and " +
+    "an all-null categorical collapses to null without flagging") {
+    // {SA, null} must flag (null is a distinct value per the reference's
+    // n_unique) — pins the r19 collect_set rewrite's null handling
+    val legs = Seq(
+      ("L1__G_1", Some("L1"), 30.0, 6.0, Some("SA")),
+      ("L1__REM", Some("L1"), 70.0, 70.0, None),
+      ("L2", None, 50.0, 25.0, None))
+      .toDF("exposure_reference", "parent_exposure_reference",
+        "ead", "rwa", "approach")
+    val out = Collapse.aggregateToKeyGrain(legs,
+      coalesce(col("parent_exposure_reference"), col("exposure_reference")),
+      moneyCols = Seq("ead", "rwa"),
+      categoricalCols = Seq("approach"))
+      .collect().map(r => r.getAs[String]("collapse_key") -> r).toMap
+    assert(out("L1").getAs[Boolean]("heterogeneous"))
+    assert(out("L1").getAs[String]("approach") === "SA")
+    assert(!out("L2").getAs[Boolean]("heterogeneous"))
+    assert(out("L2").isNullAt(out("L2").fieldIndex("approach")))
+  }
+
   test("a zero denominator yields a null ratio, not a division error") {
     val legs = Seq(("L1", None.asInstanceOf[Option[String]], 0.0, 0.0, "SA"))
       .toDF("exposure_reference", "parent_exposure_reference",

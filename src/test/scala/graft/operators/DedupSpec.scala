@@ -152,6 +152,26 @@ class DedupSpec extends SparkSpec {
     assert(cc == Map(9L -> 9L, 10L -> 9L))
   }
 
+  test("connected components: driver union-find arm == distributed fixpoint arm") {
+    // deterministic pseudo-random graph with chains, cycles, dup edges,
+    // self-loops and singleton-free isolation — both arms must agree
+    // exactly (same (id, component) map, component = min reachable id)
+    val rnd = new scala.util.Random(42)
+    val edges = (Seq.tabulate(400)(i => (i.toLong, (i + 1).toLong)) ++ // one long chain
+      Seq.tabulate(300)(_ => { val a = rnd.nextInt(2000).toLong; (a, a + rnd.nextInt(5).toLong) }) ++
+      Seq((5000L, 5000L), (7000L, 6999L))).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(edges, driverEdgeLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+    // and the over-guard fallback engages: a limit that the edge count
+    // exceeds must route to the distributed arm and still agree
+    val fallback = Dedup.connectedComponents(edges, driverEdgeLimit = 10L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fallback == dist)
+  }
+
   test("connected components on the planted corpus match the dup groups") {
     val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text")
       .filter(col("est_jaccard") >= 0.5)
