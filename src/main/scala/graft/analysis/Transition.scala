@@ -2,6 +2,7 @@ package graft.analysis
 
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.queries.Q._
 
 /** Period-over-period transition and attribution analyses (reference
@@ -33,30 +34,58 @@ object Transition {
     a.join(b, Seq(key))
   }
 
-  /** The (class_from, class_to) migration matrix with exact sums. */
-  def migrationMatrix(j: DataFrame): DataFrame =
+  /** The exact-decimal (class_from, class_to) CELL GRID — the shared
+    * contraction the matrix and every attribution measure re-aggregate
+    * from. One pass over the joined frame produces #classes² rows with
+    * the decimal partial sums kept UNCAST; decimal addition is
+    * associative, so any regrouping of the cells reproduces the direct
+    * per-row dsum bit-for-bit (r19, guide §2.3 aggregate-before-shuffle:
+    * the former shape executed the full joined frame once for the matrix
+    * and FIVE more times inside attribution — per consumer). Callers
+    * that need both views should persist this tiny frame and use the
+    * `*FromCells` forms. */
+  def cells(j: DataFrame): DataFrame =
     j.groupBy(col("class_from"), col("class_to"))
       .agg(
-        count(lit(1)).as("n"),
-        dsum(col("measure_from"), 2).as("opening_measure"),
-        dsum(col("measure_to"), 2).as("closing_measure"))
+        count(lit(1)).as("cell_n"),
+        sum(col("measure_from").cast(DecimalType(38, 2))).as("cell_from_dec"),
+        sum(col("measure_to").cast(DecimalType(38, 2))).as("cell_to_dec"),
+        sum((col("measure_to") - col("measure_from"))
+          .cast(DecimalType(38, 2))).as("cell_growth_dec"))
+
+  /** The (class_from, class_to) migration matrix with exact sums. */
+  def migrationMatrix(j: DataFrame): DataFrame =
+    matrixFromCells(cells(j))
+
+  /** Matrix view over a [[cells]] frame (per-cell sums ARE the matrix). */
+  def matrixFromCells(c: DataFrame): DataFrame =
+    c.select(col("class_from"), col("class_to"), col("cell_n").as("n"),
+      col("cell_from_dec").cast("double").as("opening_measure"),
+      col("cell_to_dec").cast("double").as("closing_measure"))
 
   /** Per-class roll-forward: closing = opening + inflow − outflow +
     * growth. Inflow/outflow carry the OPENING measure of migrating rows;
     * growth is the measure delta of every row landing in the class. */
-  def attribution(j: DataFrame): DataFrame = {
-    val opening = j.groupBy(col("class_from").as("cls"))
-      .agg(dsum(col("measure_from"), 2).as("opening"))
-    val closing = j.groupBy(col("class_to").as("cls"))
-      .agg(dsum(col("measure_to"), 2).as("closing"))
-    val inflow = j.filter(col("class_from") =!= col("class_to"))
-      .groupBy(col("class_to").as("cls"))
-      .agg(dsum(col("measure_from"), 2).as("inflow"))
-    val outflow = j.filter(col("class_from") =!= col("class_to"))
-      .groupBy(col("class_from").as("cls"))
-      .agg(dsum(col("measure_from"), 2).as("outflow"))
-    val growth = j.groupBy(col("class_to").as("cls"))
-      .agg(dsum(col("measure_to") - col("measure_from"), 2).as("growth"))
+  def attribution(j: DataFrame): DataFrame =
+    attributionFromCells(cells(j))
+
+  /** Attribution over a [[cells]] frame: five regroupings of the
+    * #classes² decimal cells instead of five full passes over the joined
+    * rows — exact-sum-identical (decimal addition is associative; the
+    * final double cast happens once, after the regrouping, exactly where
+    * the direct form cast). */
+  def attributionFromCells(c: DataFrame): DataFrame = {
+    val opening = c.groupBy(col("class_from").as("cls"))
+      .agg(sum(col("cell_from_dec")).cast("double").as("opening"))
+    val closing = c.groupBy(col("class_to").as("cls"))
+      .agg(sum(col("cell_to_dec")).cast("double").as("closing"))
+    val moved = c.filter(col("class_from") =!= col("class_to"))
+    val inflow = moved.groupBy(col("class_to").as("cls"))
+      .agg(sum(col("cell_from_dec")).cast("double").as("inflow"))
+    val outflow = moved.groupBy(col("class_from").as("cls"))
+      .agg(sum(col("cell_from_dec")).cast("double").as("outflow"))
+    val growth = c.groupBy(col("class_to").as("cls"))
+      .agg(sum(col("cell_growth_dec")).cast("double").as("growth"))
     opening
       .join(closing, Seq("cls"), "full")
       .join(inflow, Seq("cls"), "full")

@@ -106,6 +106,10 @@ object Corep09 {
         lit("0170"))
       val fan = sa.withColumn("row_ref",
           explode(filter(members, m => m.isNotNull)))
+      // persisted: the ALL-country rollup, the axis distinct and the grid
+      // join all re-aggregate this frame (4 ledger-scan aggregations
+      // without it — Catalyst does not CSE across union/join branches;
+      // r19, the q98 pattern); the frame is countries x populated rows
       val rolled = fan.groupBy(col("country"), col("row_ref"))
         .agg(
           count(lit(1)).as("n_rows"),
@@ -120,6 +124,7 @@ object Corep09 {
           dsum(col("rwa_pre_sf"), 2).as("c0080"),
           dsum(col("rwa_pre_sf") - col("rwa"), 2).as("c0081"),
           dsum(col("rwa"), 2).as("c0090"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val allSheet = rolled.groupBy(col("row_ref")).agg(
           sum(col("n_rows")).as("n_rows"),
           dsum(col("c0010"), 2).as("c0010"),

@@ -1682,14 +1682,21 @@ object Domain {
         q2(col("o_totalprice") * factor).as("ead"))
       val j = Transition.joined(periodA, periodB, "o_orderkey",
         "exposure_class", "ead")
-      val matrix = Transition.migrationMatrix(j).select(
+      // ONE pass over the joined snapshots: the matrix and all five
+      // attribution measures regroup the persisted #classes² decimal
+      // cell grid (exact-sum-identical; decimal addition is associative)
+      // — the former shape re-executed the join once for the matrix and
+      // five more times per attribution consumer (r19, guide §2.3)
+      val cells = Transition.cells(j)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val matrix = Transition.matrixFromCells(cells).select(
         lit("matrix").as("section"), col("class_from"), col("class_to"),
         col("n"), col("opening_measure").as("opening"),
         col("closing_measure").as("closing"),
         lit(null).cast("double").as("inflow"),
         lit(null).cast("double").as("outflow"),
         lit(null).cast("double").as("growth"))
-      val attr = Transition.attribution(j)
+      val attr = Transition.attributionFromCells(cells)
       val attrRows = attr.select(
         lit("attribution").as("section"), col("cls").as("class_from"),
         lit(null).cast("string").as("class_to"),
