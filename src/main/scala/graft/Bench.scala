@@ -197,6 +197,23 @@ object Bench {
       /** CPU/wall (pct) of the fork's best round — the starvation signal. */
       def bestCw: Long = if (tele.isEmpty) Long.MaxValue else tele.map(_._2).max
     }
+    // Adjudication wall budget (round-20): the r19 official 32-cpu bench
+    // timed out (BENCH_r19.json rc=124) because the fork phase is
+    // unbounded — up to 15 queries × 3 attempts, each a fresh JVM paying
+    // Spark startup plus (for the reporting family) a cold ledger build,
+    // is ~30-45 min under host contention, on top of the battery itself.
+    // The phase now stops LAUNCHING forks once it has consumed
+    // SPARK_GRAFT_ISO_BUDGET_SEC of wall (default 420 s; retries count
+    // against the same budget). Rows whose fork never launched keep
+    // their batch min and are counted in `iso_skipped` on the total
+    // line, so a budget-exhausted record self-describes instead of the
+    // whole artifact dying to the driver's timeout. Methodology per
+    // fork is unchanged (same warmup + rounds, min estimator).
+    val isoBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_ISO_BUDGET_SEC", "420").toDouble
+    val isoT0 = System.nanoTime()
+    def isoLeftSec: Double = isoBudgetSec - (System.nanoTime() - isoT0) / 1e9
+    var isoSkipped = 0
     val isolated: Map[String, IsoRun] =
       if (isolatedMode || slowest.isEmpty || failures.nonEmpty) Map.empty
       else {
@@ -245,7 +262,8 @@ object Bench {
         // one adjudication JVM across the set would re-admit it
         slowest.flatMap { case (name, _) =>
           // Retry while the best attempt so far is STILL over this
-          // query's own fork threshold, capped at 2 retries; the
+          // query's own fork threshold, capped at 2 retries AND by the
+          // remaining adjudication wall budget; the
           // official statistic is the min of ALL attempts. The r15
           // starvation-only condition (`bestCw < 150`) let a
           // contended-but-not-starved fork escape retry — BENCH_r16
@@ -257,13 +275,15 @@ object Bench {
           val attempts = scala.collection.mutable.ArrayBuffer.empty[IsoRun]
           var tries = 0
           var stop = false
-          while (!stop && tries < 3) {
+          if (isoLeftSec <= 0) isoSkipped += 1
+          else while (!stop && tries < 3) {
             val r = forkOnce(name)
             tries += 1
             r match {
               case Some(run) =>
                 attempts += run
-                stop = attempts.map(_.sec).min <= forkThresholdSec(name)
+                stop = attempts.map(_.sec).min <= forkThresholdSec(name) ||
+                  isoLeftSec <= 0
               case None => stop = true // fork machinery failed — don't loop
             }
           }
@@ -356,6 +376,6 @@ object Bench {
       val prior = priorRecordCs.getOrElse(qnum(k), 0)
       prior > 0 && adj(k, v) > 2.0 * prior / 100.0
     }
-    println(s"""{"metric":"total","value":${f3(total)},"value_mean":${f3(totalMean)},"mean_over_min":${f"$meanOverMin%.2f"},"contended":${meanOverMin > 1.8},"n_rows_over_2x_prior":$rowsOver2x,"unit":"sec","q_unit":"centisec","load":${jstr(loadavg)},"queries":$qs,"n_failures":${failures.size},"failures":$fj,"sf":$sfNum}""")
+    println(s"""{"metric":"total","value":${f3(total)},"value_mean":${f3(totalMean)},"mean_over_min":${f"$meanOverMin%.2f"},"contended":${meanOverMin > 1.8},"n_rows_over_2x_prior":$rowsOver2x,"iso_skipped":$isoSkipped,"unit":"sec","q_unit":"centisec","load":${jstr(loadavg)},"queries":$qs,"n_failures":${failures.size},"failures":$fj,"sf":$sfNum}""")
   }
 }

@@ -1288,6 +1288,12 @@ object Ccr {
         .groupBy(col("source_ns"), col("trade_id"), col("has_general_wwr"))
         .agg(dsum(col("leg_notional"), 2).as("notional"),
           (max(col("leg_wwr")) === 1).as("is_specific_wwr"))
+        // Both the set roll-up and the diagnostics census consume the
+        // trade-grain frame; Catalyst does not CSE across union branches,
+        // so without the persist the lineitem scan + trade aggregation
+        // execute TWICE (guide §2.4 — the q98/q93 shared-edge pattern).
+        // At 100 TB that is a second full pass over the trade book.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val routed = trades.withColumn("result_ns",
         when(col("is_specific_wwr"),
           concat(col("source_ns"), lit("__wwr__"), col("trade_id")))

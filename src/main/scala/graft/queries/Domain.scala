@@ -3255,11 +3255,23 @@ object Domain {
     "q168_reporting_scope",
     (s, dir) => {
       val entity = "GRP-3"
+      // The scoped bundle edges are multi-consumer (cpty feeds the
+      // exposure semi-join, the provision union AND enrichFx; exp feeds
+      // enrichFx and — via expKeys — the collateral/guarantee/provision
+      // semi-joins). Catalyst does not CSE across join branches, so
+      // unpersisted the counterparty chain executed 27× and the
+      // exposure-unify chain 10× per run (scan counts from
+      // plans/r20/q168_reporting_scope_before.txt). Persisting the two
+      // shared edges makes each chain ONE pass — at 100 TB this is the
+      // difference between one and ten scans of the exposure book
+      // (guide §2.4).
       val cpty = DomainPipeline.counterparties(s, dir)
         .filter(col("parent_group") === entity)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val exp = DomainPipeline.exposuresUnified(s, dir)
         .join(cpty.select("counterparty_reference"),
           Seq("counterparty_reference"), "semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val expKeys = exp.select("exposure_reference")
       val coll = DomainPipeline.collateral(s, dir)
         .join(expKeys, Seq("exposure_reference"), "semi")

@@ -259,7 +259,11 @@ object StressCorpus {
 class StressCorpusSpec extends SparkSpec {
   test("corpus stress chain holds its planted ground truth at suite scale") {
     val tels = CorpusStress.run(spark, nDocs = 20000L, info(_))
-    assert(tels.size == 6)
+    // 7 stages since the r19 shard_export stage landed (exact dedup,
+    // minhash LSH, both connected-components arms, simhash, packing
+    // census, shard export) — the r19 driver's tests_ok failure was this
+    // assertion still expecting the pre-shard_export count of 6.
+    assert(tels.size == 7)
     assert(tels.forall(_.rows > 0))
   }
 }
