@@ -49,14 +49,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // kept in ONE group (the catch-all) so they never race across JVMs.
 // 4 JVMs x Xmx16g and 4 x local[4] fit the 128 GiB / 32-core sandbox.
 val testGroupOf: String => Int = {
-  case "graft.acceptance.SupervisoryValidationSpec" => 0
+  case "graft.acceptance.SupervisoryValidationCrrSpec" => 0
+  case "graft.acceptance.SupervisoryValidationB31Spec" => 1
   case "graft.acceptance.CrmSubstitutionSpec" |
-       "graft.acceptance.ReportingGoldenSpec" => 1
+       "graft.refbook.CellRederivationSpec" => 2
+  case "graft.acceptance.ReportingGoldenSpec" |
+       "graft.refbook.RefBookPlanSpec" => 3
   case n if n.startsWith("graft.acceptance.") ||
             n.startsWith("graft.refbook.") ||
             n.startsWith("graft.api.") ||
-            n.startsWith("graft.engine.") => 2
-  case _ => 3 // queries/operators/sources/functions/streaming/... + root
+            n.startsWith("graft.engine.") => 4
+  case _ => 5 // queries/operators/sources/functions/streaming/... + root
 }
 Test / testGrouping := {
   val tests = (Test / definedTests).value
@@ -67,5 +70,5 @@ Test / testGrouping := {
   }
 }
 Global / concurrentRestrictions := Seq(
-  Tags.limit(Tags.ForkedTestGroup, 4),
-  Tags.limitAll(8))
+  Tags.limit(Tags.ForkedTestGroup, 6),
+  Tags.limitAll(10))

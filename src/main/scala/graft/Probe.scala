@@ -82,6 +82,20 @@ object Probe {
     // PROBE_ROUNDS: more rounds + min gives a contention-robust estimate
     // on a noisy host (the bench's own min-estimator rationale)
     val nRounds = sys.env.get("PROBE_ROUNDS").map(_.toInt).getOrElse(3)
+    // PROBE_STAGES=1: per-query stage telemetry (top stages by wall) so a
+    // slow round self-explains without the UI (dev tool only)
+    val stageTel = sys.env.get("PROBE_STAGES").contains("1")
+    val stages = new scala.collection.mutable.ArrayBuffer[(Int, Int, Long, String)]
+    if (stageTel) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          stages.synchronized { stages += ((i.stageId, i.numTasks,
+            i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
+            i.name.take(70))) }
+        }
+      })
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (explain) {
@@ -89,10 +103,18 @@ object Probe {
         fn(spark, sfDir).explain("formatted")
       }
       val times = (1 to nRounds).map { i =>
+        stages.synchronized(stages.clear())
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val t = (System.nanoTime() - t0) / 1e9
         println(f"[probe] $name round $i: $t%.2f s")
+        if (stageTel && i == nRounds) {
+          Thread.sleep(300)
+          stages.synchronized {
+            stages.sortBy(-_._3).take(10).foreach { case (id, n, ms, nm) =>
+              println(s"[probe-stage] $name stage $id: $n tasks ${ms}ms  $nm") }
+          }
+        }
         t
       }
       println(f"[probe] $name min: ${times.min}%.2f s over $nRounds rounds")

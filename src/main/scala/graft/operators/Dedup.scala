@@ -170,6 +170,14 @@ object Dedup {
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
     val wBucket = Window.partitionBy(col("band_idx"), col("band_hash"))
+    // NOT persisted (measured, round 20): unlike signLshNearDup's capped
+    // frame, persisting here REGRESSED q61 0.94 → 4.69 s and q63
+    // 1.23 → 3.68 s at sf0.1 — the two join branches re-derive from the
+    // already-persisted `sig` (cheap explode over a cached scan) and run
+    // their stages overlapped, while a persist serialises the
+    // materialisation onto the critical path. Same trade q160 recorded
+    // in round 19: persist only pays when recompute beats
+    // materialisation.
     val capped = banded
       .withColumn("bucket_n", count(lit(1)).over(wBucket))
       .filter(col("bucket_n") <= maxBucket)

@@ -299,10 +299,20 @@ object Similarity {
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
     val wBucket = Window.partitionBy(col("band_idx"), col("band_key"))
+    // Persist the capped banded frame: BOTH sides of the bucket self-join
+    // consume it, and Catalyst does not CSE across join branches — without
+    // the persist the posexplode + bucket-size window (a full shuffle of
+    // corpus × bands rows) executes twice per run (plan evidence:
+    // plans/r20/q71_embedding_near_dup_before.txt, Window (19) and
+    // Window (29) over the same InMemoryRelation). The frame is narrow
+    // (id + band + two packed-long sigs), so the cache is far cheaper
+    // than the second shuffle at 100 TB (guide §2.4).
     val capped = sigged
       .withColumn("bucket_n", count(lit(1)).over(wBucket))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tracked.synchronized { tracked += capped }
     // The 16-byte signatures ride the bucket join so the Hamming screen
     // runs BEFORE the pair distinct (filters deterministic per pair
     // commute with distinct — the simhash lesson from the corpus tier):

@@ -325,6 +325,18 @@ object Corep09 {
           dsum(col("rwa"), 2).as("c0125"),
           dsum(col("pd_floored") * col("lgd_floored") * col("ead_pre_crm"),
             8).as("c0130"))
+        // The rollup feeds THREE consumers (the ALL-country re-agg, the
+        // sheet union, the axis distinct) and Catalyst does not CSE
+        // across join/union branches — unpersisted, the fan-explode +
+        // 17-measure aggregation over the full IRB ledger executed four
+        // times per run (probe, r20: four ~1 s 32-task stages). The
+        // frame is ≤ countries × row_refs rows at ANY scale, so it is
+        // collapsed to one partition before the persist — without the
+        // coalesce each downstream regroup stays a task-per-partition
+        // stage and the persist only re-buys its cost (the r19 attempt,
+        // reverted then as a measured regression).
+        .coalesce(1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val allSheet = rolled.groupBy(col("row_ref")).agg(
           sum(col("n_rows")).as("n_rows"),
           dsum(col("c0010"), 2).as("c0010"),

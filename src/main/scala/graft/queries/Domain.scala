@@ -1687,7 +1687,16 @@ object Domain {
       // cell grid (exact-sum-identical; decimal addition is associative)
       // — the former shape re-executed the join once for the matrix and
       // five more times per attribution consumer (r19, guide §2.3)
-      val cells = Transition.cells(j)
+      // coalesce(1) before the persist: the grid is ≤ #classes² rows BY
+      // CONSTRUCTION at any corpus size, but the aggregation leaves it in
+      // shuffle-partition-count partitions, so every downstream regroup
+      // (matrix + five attribution measures + bridge) ran as a full
+      // task-per-partition stage — ten 32-task stages over ≤256 rows,
+      // pure scheduler overhead (probe, r20). One partition makes each a
+      // 1-task stage; the map-side partial aggregation of the big joined
+      // frame stays fully parallel (coalesce is narrow, it only merges
+      // the final-agg read side).
+      val cells = Transition.cells(j).coalesce(1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val matrix = Transition.matrixFromCells(cells).select(
         lit("matrix").as("section"), col("class_from"), col("class_to"),
